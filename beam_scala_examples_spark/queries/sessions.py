@@ -1,0 +1,72 @@
+"""TopWikipediaSessions (SURVEY §2.12 Q8): per calendar month, the user
+with the longest session (by event count), over a sampled user population.
+
+Reference: ``complete/TopWikipediaSessions.scala:56-199`` — P16 hash
+sampling (θ=0.1), W3 1-hour-gap sessions, N7 Count.perElement on
+(user, session), W4 calendar-month windows, T4 ``Top.of(1)``.
+
+Cross-engine notes: the reference samples with Java's ``String.hashCode``
+(``:191-198``); we use a deterministic modulo on the numeric user id so
+Spark and the DuckDB oracle agree.  Calendar months come from
+``date_trunc`` (Spark's ``F.window`` cannot express variable-length
+months, SURVEY §2.6-W4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.topk import top_k_per_key
+from ..operators.windows import duck_sessions_cte
+from ..tables import load
+
+SAMPLE_MOD = 10  # keep user_id % 10 == 0 → 10% deterministic sample
+GAP_S = 3600
+
+
+def q08_top_month_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id") % SAMPLE_MOD == 0
+    )
+    # Per-(user, session) event count — Count.perElement on KV with the
+    # session window attached (N7).
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", f"{GAP_S} seconds").alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("edits"))
+        .select(
+            F.date_trunc("month", F.col("sw.start")).alias("month"),
+            "user_id",
+            "edits",
+        )
+    )
+    # Top.of(1) per month, ties by user desc (TopWikipediaSessions.scala:144-158).
+    return top_k_per_key(
+        sess, ["month"], [F.desc("edits"), F.desc("user_id")], 1
+    ).select("month", "user_id", "edits")
+
+
+QUERIES = {"q08_top_month_sessions": q08_top_month_sessions}
+
+ORACLE = {
+    "q08_top_month_sessions": f"""
+        WITH sampled AS (
+            SELECT user_id, ts FROM events WHERE user_id % {SAMPLE_MOD} = 0
+        ),
+        sess_rows AS ({duck_sessions_cte('sampled', 'user_id', 'ts', GAP_S)}),
+        sess AS (
+            SELECT user_id, session_id, count(*)::BIGINT AS edits,
+                   date_trunc('month', min(ts))::timestamp AS month
+            FROM sess_rows GROUP BY user_id, session_id
+        ),
+        ranked AS (
+            SELECT month, user_id, edits,
+                   row_number() OVER (PARTITION BY month
+                                      ORDER BY edits DESC, user_id DESC) AS rk
+            FROM sess
+        )
+        SELECT month, user_id, edits FROM ranked WHERE rk = 1
+    """,
+}

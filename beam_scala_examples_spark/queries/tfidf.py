@@ -1,0 +1,85 @@
+"""TF-IDF (SURVEY §2.12 Q7) over ``documents`` with ``doc_id`` as the URI.
+
+Reference: ``complete/TfIdf.scala:188-300`` — a DAG with two CoGroupByKeys
+and one singleton side input.  Spark-first shape: one tokenized base
+relation feeding three aggregations, two equi-joins (per-doc totals join
+is on the grouping key; per-word doc-frequency join is broadcast — the
+word dictionary is tiny relative to the corpus), and the |docs| scalar as
+a broadcast cross join.
+
+Formula (SURVEY §2.11-N4, ``TfIdf.scala:345,359,374``):
+``tf = n(word,doc) / words(doc)``; ``df = docs(word) / |docs|``;
+``tfidf = tf * ln(1/df)`` — natural log, no smoothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import NONWORD_SEP, tokenize
+from ..tables import load
+
+
+def q07_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), NONWORD_SEP)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+
+    # n(word, doc) — Count.perElement on (uri, word) pairs (TfIdf.scala:226).
+    word_counts = toks.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
+    # words(doc) — derived from word_counts so the token relation is scanned
+    # once (the reference re-reads uriToWords three times; Catalyst would
+    # also recompute, so we re-aggregate the much smaller counts relation).
+    words_per_doc = word_counts.groupBy("doc_id").agg(
+        F.sum("n").alias("doc_total")
+    )
+    # docs(word) — distinct docs containing the word (TfIdf.scala:213).
+    docs_per_word = word_counts.groupBy("word").agg(
+        F.count("*").alias("n_docs")
+    )
+    # |docs| — Count.globally side input (TfIdf.scala:195-200).
+    total_docs = docs.agg(F.countDistinct("doc_id").alias("total_docs"))
+
+    tf = F.col("n") / F.col("doc_total")
+    df_ = F.col("n_docs") / F.col("total_docs")
+    return (
+        word_counts.join(words_per_doc, "doc_id")
+        .join(F.broadcast(docs_per_word), "word")
+        .join(F.broadcast(total_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(tf * F.log(1.0 / df_), 6).alias("tfidf"),
+        )
+    )
+
+
+QUERIES = {"q07_tfidf": q07_tfidf}
+
+ORACLE = {
+    "q07_tfidf": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\W+')) AS word
+            FROM documents
+        ),
+        t AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+        wc AS (SELECT doc_id, word, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+        wpd AS (SELECT doc_id, sum(n)::BIGINT AS doc_total FROM wc GROUP BY 1),
+        dpw AS (SELECT word, count(*)::BIGINT AS n_docs FROM wc GROUP BY 1),
+        td AS (SELECT count(DISTINCT doc_id) AS total_docs FROM documents)
+        SELECT wc.doc_id, wc.word,
+               round((wc.n * 1.0 / wpd.doc_total)
+                     * ln(1.0 / (dpw.n_docs * 1.0 / td.total_docs)), 6) AS tfidf
+        FROM wc
+        JOIN wpd USING (doc_id)
+        JOIN dpw USING (word)
+        CROSS JOIN td
+    """,
+}

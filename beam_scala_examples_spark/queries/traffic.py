@@ -1,0 +1,181 @@
+"""Traffic analytics (SURVEY §2.12 Q9, Q10, Q22) over ``events``.
+
+Role mapping: ``user_id`` = station, ``user_id % 5`` = route,
+``value`` = speed/flow, ``event_type`` = freeway.
+
+Reference pipelines: ``complete/TrafficMaxLaneFlow.scala:62-317`` (sliding
+windows + arg-max combiner A7), ``complete/TrafficRoutes.scala:60-317``
+(ordered fold A12 — GatherStats), ``cookbook/TriggerExample.scala:51-435``
+(total flow per window; the four trigger regimes live in ``streaming/``).
+
+Window sizes are scaled to the fixture's event density (one month of
+events) while keeping the reference's window:slide ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.windows import duck_sliding_starts_cte, duck_tumbling_start
+from ..tables import load
+
+# Q9: 12 windows per element, like the reference's 60 min / 5 min.
+Q9_WINDOW_S = 12 * 3600
+Q9_SLIDE_S = 3600
+# Q10: 3 windows per element, like the reference's 3 min / 1 min.
+Q10_WINDOW_S = 3 * 21600
+Q10_SLIDE_S = 21600
+N_ROUTES = 5
+
+
+def q09_max_lane_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per station per sliding window, the record with max flow (Q9: W2 +
+    A7 custom arg-max combiner, ``TrafficMaxLaneFlow.scala:245-248,303``).
+
+    ``max_by`` over a struct ordering key = Beam's ``Combine.perKey(MaxFlow)``:
+    partial arg-max before the shuffle, so the exchange carries one record
+    per (station, window) per input partition.  Ties break by smaller
+    event_id (the struct's second field, negated).
+    """
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", f"{Q9_WINDOW_S} seconds", f"{Q9_SLIDE_S} seconds")
+    best = F.expr(
+        "max_by(named_struct('flow', value, 'event_id', event_id),"
+        " named_struct('v', value, 'tie', -event_id))"
+    )
+    return (
+        ev.groupBy(win.alias("win"), F.col("user_id").alias("station"))
+        .agg(best.alias("best"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "station",
+            F.round(F.col("best.flow"), 2).alias("max_flow"),
+            F.col("best.event_id").alias("event_id"),
+        )
+    )
+
+
+def q10_traffic_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per route per sliding window: average speed + slowdown flag (Q10:
+    A12 ordered fold, ``TrafficRoutes.scala:207-250``).
+
+    The reference's ``GatherStats`` sorts each station's readings by
+    timestamp and counts speedups/slowdowns between consecutive readings;
+    a route is "slowing down" iff ``slowdowns >= 2 * speedups``
+    (``TrafficRoutes.scala:215``).  SQL rewrite: ``lag`` per (window,
+    station), then aggregate per (window, route) — no Python in the loop.
+    An ``applyInPandas`` variant of the same fold (for semantics Spark SQL
+    can't express) is in ``operators/fold.py`` and is tested for equality.
+    """
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", f"{Q10_WINDOW_S} seconds", f"{Q10_SLIDE_S} seconds")
+    windowed = ev.select(
+        win.alias("win"),
+        F.col("user_id").alias("station"),
+        (F.col("user_id") % N_ROUTES).alias("route"),
+        "ts",
+        "event_id",
+        F.col("value").alias("speed"),
+    ).select(F.col("win.start").alias("win_start"), "station", "route", "ts",
+             "event_id", "speed")
+    lag_w = Window.partitionBy("win_start", "station").orderBy("ts", "event_id")
+    with_prev = windowed.withColumn("prev_speed", F.lag("speed").over(lag_w))
+    # Average from exact integer cents: double summation order differs
+    # between engines (and between cluster runs!), so a float avg can land
+    # on a rounding boundary nondeterministically. Integer sums are exact
+    # and associative — the distributed-determinism-safe form.
+    cents = F.round(F.col("speed") * 100, 0).cast("long")
+    return (
+        with_prev.withColumn("speed_cents", cents)
+        .groupBy("win_start", "route")
+        .agg(
+            F.round(
+                F.sum("speed_cents") / (100.0 * F.count("*")), 4
+            ).alias("avg_speed"),
+            F.sum(F.when(F.col("speed") < F.col("prev_speed"), 1).otherwise(0))
+            .alias("slowdowns"),
+            F.sum(F.when(F.col("speed") > F.col("prev_speed"), 1).otherwise(0))
+            .alias("speedups"),
+        )
+        .select(
+            "win_start",
+            "route",
+            "avg_speed",
+            (F.col("slowdowns") >= 2 * F.col("speedups")).alias("slowdown_event"),
+        )
+    )
+
+
+def q22_trigger_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-freeway total flow per window — the final (ON_TIME) panes of
+    TriggerExample (Q22: X1 + A10, ``cookbook/TriggerExample.scala:300-340``).
+    The four trigger regimes and EARLY/LATE pane tagging are exercised in
+    ``streaming/panes.py`` (Spark has no PaneInfo — SURVEY §7.4)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day").alias("win"),
+            F.col("event_type").alias("freeway"),
+        )
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_flow"),
+            F.count("*").alias("n_records"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "freeway",
+            "total_flow",
+            "n_records",
+            F.lit("ON_TIME").alias("timing"),
+        )
+    )
+
+
+QUERIES = {
+    "q09_max_lane_flow": q09_max_lane_flow,
+    "q10_traffic_routes": q10_traffic_routes,
+    "q22_trigger_flow": q22_trigger_flow,
+}
+
+ORACLE = {
+    "q09_max_lane_flow": f"""
+        WITH w AS ({duck_sliding_starts_cte('events', 'ts', Q9_WINDOW_S, Q9_SLIDE_S,
+                                            'user_id, event_id, value')}),
+        ranked AS (
+            SELECT win_start, user_id AS station, value, event_id,
+                   row_number() OVER (PARTITION BY win_start, user_id
+                                      ORDER BY value DESC, event_id ASC) AS rk
+            FROM w
+        )
+        SELECT win_start, station, round(value, 2) AS max_flow, event_id
+        FROM ranked WHERE rk = 1
+    """,
+    "q10_traffic_routes": f"""
+        WITH w AS ({duck_sliding_starts_cte('events', 'ts', Q10_WINDOW_S, Q10_SLIDE_S,
+                                            'user_id, event_id, value, ts')}),
+        lagged AS (
+            SELECT win_start, user_id AS station, user_id % {N_ROUTES} AS route,
+                   value AS speed, ts, event_id,
+                   lag(value) OVER (PARTITION BY win_start, user_id
+                                    ORDER BY ts, event_id) AS prev_speed
+            FROM w
+        )
+        SELECT win_start, route,
+               round(sum(round(speed * 100)::BIGINT) / (100.0 * count(*)), 4)
+                   AS avg_speed,
+               (sum(CASE WHEN speed < prev_speed THEN 1 ELSE 0 END)
+                >= 2 * sum(CASE WHEN speed > prev_speed THEN 1 ELSE 0 END))
+                   AS slowdown_event
+        FROM lagged GROUP BY win_start, route
+    """,
+    "q22_trigger_flow": f"""
+        SELECT {duck_tumbling_start('ts', 86400)} AS win_start,
+               event_type AS freeway,
+               round(sum(value), 2) AS total_flow,
+               count(*)::BIGINT AS n_records,
+               'ON_TIME' AS timing
+        FROM events GROUP BY 1, 2
+    """,
+}

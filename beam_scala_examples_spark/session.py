@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Scale posture: these defaults are chosen for a real multi-executor
+cluster, and only the master/parallelism knobs shrink for local test
+runs.  AQE is on so skewed shuffles re-plan at runtime (the engine-side
+replacement for the reference's hand-rolled hot-key fanout,
+``complete/AutoComplete.scala:249-254``); timezone is pinned to UTC
+(``complete/game/utils/GameConstants.scala:34``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "beam-scala-examples-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    On a cluster, ``master``/parallelism come from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]`` to match the driver harness.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Determinism / correctness
+        .config("spark.sql.session.timeZone", "UTC")
+        # Runtime re-planning: skew joins, coalesced shuffle partitions.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Python<->JVM boundary is always Arrow-batched, never pickled rows.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
+        # rejects by default; read as long and convert in tables.load()
+        # (floor-to-micros — the same truncation DuckDB applies).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Scan hygiene: pushdown + pruning verified in tests/test_plans.py.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
