@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full materialization
+JVM-side, no driver collect) — the honest analogue of writing results out
+on a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from beam_scala_examples_spark.queries import QUERIES  # noqa: E402
+from beam_scala_examples_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_minimal_wordcount",
+    "q05_autocomplete",
+    "q07_tfidf",
+    "q08_top_month_sessions",
+    "q09_max_lane_flow",
+    "q10_traffic_routes",
+    "q11_user_score",
+    "q13_leaderboard_user",
+    "q14_spam_filtered_team_score",
+    "q15_threshold_crossings",
+    "q22_trigger_flow",
+    "dedup_minhash_pairs",
+    "dedup_jaccard_pairs",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "text_quality_score",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bese-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
