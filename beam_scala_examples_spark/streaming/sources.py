@@ -1,0 +1,52 @@
+"""Streaming sources.
+
+The reference reads Pub/Sub with event time taken from a message
+attribute (S10, ``complete/game/LeaderBoard.scala:94-98``). The engine's
+production path is any Structured Streaming source (kafka/file/rate) plus
+an explicit event-time column; tests replay bounded fixtures through a
+chunked file source so arrival order (including late rows) is controlled,
+mirroring the Injector's late-data profile (``injector/Injector.java:410-417``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def write_arrival_chunks(rows: list[dict], chunk_size: int, out_dir: str) -> int:
+    """Write rows (already in *arrival* order; timestamps as strings) as
+    numbered json-lines chunk files; each file becomes one micro-batch
+    with maxFilesPerTrigger=1."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    base = time.time() - 3600  # strictly increasing mtimes: the file
+    for i in range(0, len(rows), chunk_size):  # source orders by mod time
+        path = os.path.join(out_dir, f"chunk_{i // chunk_size:05d}.json")
+        with open(path, "w") as f:
+            for r in rows[i : i + chunk_size]:
+                f.write(json.dumps(r) + "\n")
+        os.utime(path, (base + n, base + n))
+        n += 1
+    return n
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: str = EVENT_SCHEMA,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-stream source delivering one chunk file per micro-batch in
+    arrival order — the deterministic stand-in for a queue."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .json(path)
+    )

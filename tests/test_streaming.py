@@ -1,0 +1,221 @@
+"""Streaming semantics tests (SURVEY §5 strategy: batch-equivalence on
+bounded input + incremental feeds with controlled late data).
+
+Each test replays the sf0.001 ``events`` fixture (or a crafted mini
+stream) through the chunked file source, runs the streaming twin with
+availableNow, and pins the final state against the DuckDB oracle of the
+matching batch query.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from beam_scala_examples_spark.streaming import gamestats, leaderboard, stateful
+from beam_scala_examples_spark.streaming.panes import PaneTagger
+from beam_scala_examples_spark.streaming.sources import (
+    read_event_stream,
+    write_arrival_chunks,
+)
+from beam_scala_examples_spark.queries import game
+
+from .oracle_harness import duck_connect
+
+
+@pytest.fixture(scope="module")
+def event_rows(sf_dir):
+    """All fixture events in ts order (arrival order = event-time order)."""
+    con = duck_connect(sf_dir)
+    rows = con.sql(
+        "SELECT event_id, ts::VARCHAR AS ts, user_id, event_type, value "
+        "FROM events ORDER BY ts, event_id"
+    ).fetchall()
+    con.close()
+    return [
+        dict(zip(("event_id", "ts", "user_id", "event_type", "value"), r))
+        for r in rows
+    ]
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="bese-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(df, mode, sink_fn, tmpdir):
+    """Run a streaming query with availableNow into a foreachBatch sink."""
+    q = (
+        df.writeStream.outputMode(mode)
+        .foreachBatch(sink_fn)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if isinstance(sink_fn, PaneTagger):
+        sink_fn.attach(q)
+    q.awaitTermination(300)
+    return q
+
+
+def _feed(spark, rows, tmpdir, chunk_size=200):
+    write_arrival_chunks(rows, chunk_size, f"{tmpdir}/feed")
+    return read_event_stream(spark, f"{tmpdir}/feed")
+
+
+def test_leaderboard_team_final_state_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """X4: update-mode windowed totals with watermark — final refined state
+    equals the batch q13 answer when lateness covers all late data."""
+    stream = _feed(spark, event_rows, tmpdir)
+    final: dict = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            final[(r.win_start, r.team)] = r.total_score
+
+    _run_stream(leaderboard.team_scores(stream), "update", sink, tmpdir)
+
+    con = duck_connect(sf_dir)
+    expected = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(game.ORACLE["q13_leaderboard_team"]).fetchall()
+    }
+    con.close()
+    assert final == expected
+
+
+def test_user_scores_final_state_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """X5: global-window running user totals in update mode — the last
+    emission per user equals the batch q11 total."""
+    stream = _feed(spark, event_rows, tmpdir)
+    final: dict = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            final[r.user_id] = r.total_score
+
+    _run_stream(leaderboard.user_scores(stream), "update", sink, tmpdir)
+
+    con = duck_connect(sf_dir)
+    expected = {r[0]: r[1] for r in con.sql(game.ORACLE["q11_user_score"]).fetchall()}
+    con.close()
+    assert final == expected
+
+
+def test_stateful_threshold_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """ST1: applyInPandasWithState threshold crossings replayed over the
+    bounded stream equal the batch q15 answer (same event order)."""
+    stream = _feed(spark, event_rows, tmpdir, chunk_size=250)
+    emissions: list = []
+
+    def sink(batch_df, _bid):
+        emissions.extend(
+            (r.team, r.event_id, r.total) for r in batch_df.collect()
+        )
+
+    _run_stream(stateful.threshold_crossings(stream), "append", sink, tmpdir)
+
+    con = duck_connect(sf_dir)
+    expected = {
+        (r[0], r[1], r[2])
+        for r in con.sql(game.ORACLE["q15_threshold_crossings"]).fetchall()
+    }
+    con.close()
+    assert set(emissions) == expected
+    assert len(emissions) == len(expected)  # each crossing fires exactly once
+
+
+def test_session_mean_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """W3+W7 chained stateful ops: streaming session windows re-windowed
+    into fixed windows equal the batch q14_session_mean answer. A
+    far-future sentinel event advances the watermark so every real window
+    closes; its own (excluded) window is the only difference."""
+    sentinel = dict(event_rows[-1])
+    sentinel["event_id"] = 10_000_000
+    sentinel["ts"] = "2025-06-01 00:00:00"
+    stream = _feed(spark, event_rows + [sentinel], tmpdir)
+    final: dict = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            final[r.win_start] = r.mean_session_min
+
+    _run_stream(
+        gamestats.session_mean(stream, lateness="0 seconds"), "append", sink, tmpdir
+    )
+
+    con = duck_connect(sf_dir)
+    expected = {
+        r[0]: r[1] for r in con.sql(game.ORACLE["q14_session_mean"]).fetchall()
+    }
+    con.close()
+    # drop the sentinel's own window if present
+    final.pop(max(final), None) if final and max(final) not in expected else None
+    assert final == expected
+
+
+def test_spam_filter_foreachbatch_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """J5/N1: two-phase spam filter staged in foreachBatch equals the
+    batch q14 anti-join result."""
+    stream = _feed(spark, event_rows, tmpdir, chunk_size=300)
+    sink = gamestats.SpamFilteredTeamScores()
+    _run_stream(stream, "append", sink, tmpdir)
+
+    con = duck_connect(sf_dir)
+    expected = sorted(
+        (r[0], r[1], r[2])
+        for r in con.sql(game.ORACLE["q14_spam_filtered_team_score"]).fetchall()
+    )
+    con.close()
+    assert sink.result() == expected
+
+
+def test_pane_timing_early_and_ontime(spark, tmpdir):
+    """X6: pane-timing labels. Update mode yields EARLY refinements while
+    the watermark is below window end; append mode yields the single
+    ON_TIME pane once the watermark passes it. (Beam LATE panes beyond the
+    watermark are not expressible natively — SURVEY §7.4.)"""
+    rows = [
+        # window A = [00:00, 00:10)
+        {"event_id": 1, "ts": "2024-01-01 00:05:00", "user_id": 1,
+         "event_type": "A", "value": 10.0},
+        # refinement for A while watermark still below A's end
+        {"event_id": 2, "ts": "2024-01-01 00:08:00", "user_id": 1,
+         "event_type": "A", "value": 1.0},
+        # advance watermark past A's end (lateness 60 min)
+        {"event_id": 3, "ts": "2024-01-01 02:00:00", "user_id": 1,
+         "event_type": "B", "value": 5.0},
+        {"event_id": 4, "ts": "2024-01-01 04:00:00", "user_id": 1,
+         "event_type": "B", "value": 5.0},
+    ]
+    write_arrival_chunks(rows, 1, f"{tmpdir}/feed")
+    stream = read_event_stream(spark, f"{tmpdir}/feed")
+
+    def agg(df):
+        return (
+            df.withWatermark("ts", "60 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+            .agg(F.sum("value").alias("total"))
+            .select(
+                F.col("win.end").alias("win_end"),
+                F.col("event_type").alias("team"),
+                "total",
+            )
+        )
+
+    early = PaneTagger("win_end", ("team",), mode="update")
+    _run_stream(agg(stream), "update", early, f"{tmpdir}/u")
+    a_panes = [p for p in early.panes if p["team"] == "A"]
+    assert [p["timing"] for p in a_panes] == ["EARLY", "EARLY"]
+    assert [p["total"] for p in a_panes] == [10.0, 11.0]
+
+    ontime = PaneTagger("win_end", ("team",), mode="append")
+    _run_stream(agg(stream), "append", ontime, f"{tmpdir}/a")
+    a_final = [p for p in ontime.panes if p["team"] == "A"]
+    assert [(p["timing"], p["total"]) for p in a_final] == [("ON_TIME", 11.0)]
