@@ -362,7 +362,19 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> Arrow-batched
+    ``mapInPandas`` metadata extraction with a stubbed decoder
+    (``operators/multimodal.py``). The oracle recomputes the deterministic
+    fake-decode formulas in SQL, validating the byte-level plumbing."""
+    from ..operators.multimodal import attach_payload, decode_metadata
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_metadata(attach_payload(docs))
+
+
 QUERIES = {
+    "multimodal_decode": multimodal_decode,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -397,6 +409,15 @@ _DUCK_SIG_CTE = _duck_shingle_cte() + f""",
     """
 
 ORACLE = {
+    "multimodal_decode": """
+        WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        SELECT doc_id, n::BIGINT AS n_bytes,
+               CASE n % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+               (n % 640)::BIGINT AS fake_width,
+               (n % 480)::BIGINT AS fake_height
+        FROM b
+    """,
     "dedup_exact": """
         SELECT text, count(*)::BIGINT AS n_copies, min(doc_id) AS keep_doc_id
         FROM documents GROUP BY text

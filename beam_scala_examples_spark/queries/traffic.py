@@ -108,6 +108,28 @@ def q10_traffic_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_traffic_routes_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 again, via the ``applyInPandas`` ordered fold (A12's literal
+    form, ``operators/fold.py``) — checked against the *same* oracle as
+    the lag-SQL rewrite, pinning the two implementations equal."""
+    from ..operators.fold import gather_stats
+
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", f"{Q10_WINDOW_S} seconds", f"{Q10_SLIDE_S} seconds")
+    windowed = ev.select(
+        win.alias("win"),
+        F.col("user_id").alias("station"),
+        (F.col("user_id") % N_ROUTES).alias("route"),
+        "ts",
+        "event_id",
+        F.col("value").alias("speed"),
+    ).select(
+        F.col("win.start").alias("win_start"), "station", "route", "ts",
+        "event_id", "speed",
+    )
+    return gather_stats(windowed)
+
+
 def q22_trigger_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-freeway total flow per window — the final (ON_TIME) panes of
     TriggerExample (Q22: X1 + A10, ``cookbook/TriggerExample.scala:300-340``).
@@ -136,6 +158,7 @@ def q22_trigger_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q09_max_lane_flow": q09_max_lane_flow,
     "q10_traffic_routes": q10_traffic_routes,
+    "q10_traffic_routes_pandas": q10_traffic_routes_pandas,
     "q22_trigger_flow": q22_trigger_flow,
 }
 
@@ -179,3 +202,5 @@ ORACLE = {
         FROM events GROUP BY 1, 2
     """,
 }
+
+ORACLE["q10_traffic_routes_pandas"] = ORACLE["q10_traffic_routes"]

@@ -1,0 +1,128 @@
+"""Physical-plan assertions: the scale posture of every hot path.
+
+A query that is correct but scans all columns, shuffles a broadcastable
+dim, or drops into row-at-a-time Python would still pass the parity gate
+— these tests pin the plan shapes that survive a 100 TB scale-up
+(SURVEY §4: pushdown/pruning/broadcast/partial-agg are Catalyst's job;
+our job is to not get in its way).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from beam_scala_examples_spark.queries import QUERIES
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(explain_mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    cache = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = plan_str(QUERIES[name](spark, sf_dir))
+        return cache[name]
+
+    get.__wrapped_spark__ = spark
+    get.__wrapped_sf_dir__ = sf_dir
+    return get
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    """Q16: the priority filter must be pushed into the parquet scan."""
+    p = plans("q16_tornado_months")
+    assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)]" in p
+
+
+def test_column_pruning(plans):
+    """Q16 reads 2 of 6 order columns — ReadSchema must show only them."""
+    p = plans("q16_tornado_months")
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "o_orderdate" in read and "o_orderpriority" in read
+    assert "o_totalprice" not in read and "o_custkey" not in read
+
+
+def test_dim_join_is_broadcast(plans):
+    """Q20: the customer dim must broadcast — no shuffle of the fact side."""
+    p = plans("q20_join_default")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_scalar_side_input_is_broadcast(plans):
+    """Q19: the global-mean singleton joins via broadcast nested loop."""
+    p = plans("q19_below_mean_july")
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_tfidf_small_sides_broadcast(plans):
+    """Q7: doc-frequency dictionary and |docs| scalar broadcast; only the
+    doc-keyed join may shuffle."""
+    p = plans("q07_tfidf")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_topk_is_partial(plans):
+    """Q5: rank-per-prefix must push the limit below the shuffle
+    (WindowGroupLimit) so the exchange carries <= K rows per key."""
+    p = plans("q05_autocomplete")
+    assert "WindowGroupLimit" in p
+
+
+def test_no_python_in_sql_paths(plans):
+    """Every SQL-expressible query stays JVM-side: no row-at-a-time
+    (BatchEvalPython) and no Arrow UDFs outside the two sanctioned ops."""
+    for name in [
+        "q01_minimal_wordcount",
+        "q05_autocomplete",
+        "q07_tfidf",
+        "q09_max_lane_flow",
+        "q10_traffic_routes",
+        "q15_threshold_crossings",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_cosine_topk",
+        "text_quality_score",
+    ]:
+        p = plans(name)
+        assert "BatchEvalPython" not in p, f"{name} fell into row-Python"
+        assert "ArrowEvalPython" not in p, f"{name} uses a pandas UDF needlessly"
+
+
+def test_pandas_ops_are_arrow(plans):
+    """The two sanctioned Python ops (A12 fold, multimodal decode) must be
+    Arrow-batched (FlatMapGroupsInPandas / MapInPandas), never pickled rows."""
+    fold = plans("q10_traffic_routes_pandas")
+    assert "FlatMapGroupsInPandas" in fold
+    assert "BatchEvalPython" not in fold
+    mm = plans("multimodal_decode")
+    assert "MapInPandas" in mm
+    assert "BatchEvalPython" not in mm
+
+
+def test_aggregations_are_partial(plans):
+    """A1/A3 aggregations use partial (map-side) combine before the
+    exchange — Beam's combiner lifting, built into HashAggregate."""
+    p = plans("q11_user_score")
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p
+
+
+def test_wholestage_codegen_covers_hot_path(plans):
+    """The wordcount pipeline (scan->split->explode->agg) must sit inside
+    whole-stage codegen spans (codegen mode: AQE hides them in formatted
+    output until the final plan)."""
+    p = plan_str(
+        QUERIES["q01_minimal_wordcount"](
+            plans.__wrapped_spark__, plans.__wrapped_sf_dir__
+        ),
+        mode="codegen",
+    )
+    assert "WholeStageCodegen" in p
