@@ -1,0 +1,93 @@
+"""Sources & sinks (SURVEY §2.1 S1–S9).
+
+The reference's cloud connectors (GCS text, BigQuery, Pub/Sub, Datastore)
+map to Spark's file sources/sinks over local fixtures; the semantics that
+matter — glob expansion, origin tagging, schema'd writes, windowed file
+output, fixed sharding, permissive parsing with metrics — are reproduced
+here Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — ``TextIO.read().from(path)`` (``MinimalWordCount.scala:35``);
+    glob patterns supported natively by the file index (S3)."""
+    return spark.read.text(path)
+
+
+def read_text_with_origin(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — multi-file read tagged by source URI
+    (``complete/TfIdf.scala:151-181``): one relation, the per-file
+    tagging done by ``input_file_name()`` instead of N separate reads +
+    Flatten (scan enumeration stays in the file index — S3)."""
+    return spark.read.text(path).select(
+        F.input_file_name().alias("uri"), F.col("value").alias("line")
+    )
+
+
+def write_text(df: DataFrame, path: str, num_shards: int | None = None) -> None:
+    """S4 — sharded text write (``MinimalWordCount.scala:53``). A fixed
+    shard count (``withNumShards(3)``, ``utils/WriteToText.scala:91``) is a
+    repartition before the write."""
+    out = df.repartition(num_shards) if num_shards else df
+    out.write.mode("overwrite").text(path)
+
+
+def write_windowed_files(
+    df: DataFrame, path: str, win_start_col: str, num_shards: int = 3
+) -> None:
+    """S5 — one file set per window, filename keyed by window bounds
+    (``common/WriteOneFilePerWindow.java:46-116``): a partitioned write on
+    the window-start column; each window directory gets ``num_shards``
+    files. Streaming twin: ``writeStream.partitionBy`` or foreachBatch."""
+    (
+        df.withColumn("window_start", F.date_format(win_start_col, "yyyy-MM-dd-HH-mm"))
+        .repartition(num_shards)
+        .write.mode("overwrite")
+        .partitionBy("window_start")
+        .parquet(path)
+    )
+
+
+def row_sink_projection(df: DataFrame, field_fns: dict[str, Column]) -> DataFrame:
+    """S9 — the declarative ``field -> value`` row-building sink
+    (``utils/WriteToBigQuery.scala:38-92``): a plain select projection
+    applied immediately before the write."""
+    return df.select(*[c.alias(name) for name, c in field_fns.items()])
+
+
+def permissive_csv(
+    lines: DataFrame, schema: StructType, sep: str = ",",
+    observation: Observation | None = None,
+) -> DataFrame:
+    """P5/N9 — permissive CSV parse: malformed rows are dropped and
+    counted, never fail the job (``UserScore.scala:139-152``).
+
+    ``from_csv`` in PERMISSIVE mode nulls unparseable fields; a row is
+    malformed if any non-nullable target field is null. The parse-error
+    count rides an ``observe`` (M1) so no extra action is needed.
+    """
+    parsed = lines.select(
+        F.from_csv(
+            F.col(lines.columns[0]),
+            schema.simpleString(),
+            {"sep": sep, "mode": "PERMISSIVE"},
+        ).alias("r")
+    ).select("r.*")
+    ok = [F.col(f.name).isNotNull() for f in schema.fields]
+    all_ok = ok[0]
+    for c in ok[1:]:
+        all_ok = all_ok & c
+    parsed = parsed.withColumn("__ok", all_ok)
+    if observation is not None:
+        parsed = parsed.observe(
+            observation,
+            F.count(F.when(~F.col("__ok"), True)).alias("parse_errors"),
+            F.count(F.lit(1)).alias("rows_seen"),
+        )
+    return parsed.filter("__ok").drop("__ok")

@@ -40,16 +40,40 @@ def q09_max_lane_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id (the struct's second field, negated).
     """
     ev = load(spark, sf_dir, "events")
-    win = F.window("ts", f"{Q9_WINDOW_S} seconds", f"{Q9_SLIDE_S} seconds")
+    n = Q9_WINDOW_S // Q9_SLIDE_S
+    # Two-level sliding-window arg-max: aggregate per tumbling *slide
+    # bucket* first (the shuffle carries one row per bucket x station, not
+    # window/slide x input rows), then expand each bucket result into the
+    # n sliding windows containing it and arg-max the n candidates.
+    # Valid because arg-max is associative and every sliding window is a
+    # disjoint union of slide buckets. At 100 TB this cuts the exchanged
+    # volume by the window/slide factor (12x here).
     best = F.expr(
         "max_by(named_struct('flow', value, 'event_id', event_id),"
         " named_struct('v', value, 'tie', -event_id))"
     )
+    pre = ev.groupBy(
+        F.window("ts", f"{Q9_SLIDE_S} seconds").alias("bucket"),
+        F.col("user_id").alias("station"),
+    ).agg(best.alias("b"))
+    exploded = pre.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n - 1}),"
+                f" i -> timestampadd(SECOND, -{Q9_SLIDE_S} * i, bucket.start))"
+            )
+        ).alias("win_start"),
+        "station",
+        "b",
+    )
+    best2 = F.expr(
+        "max_by(b, named_struct('v', b.flow, 'tie', -b.event_id))"
+    )
     return (
-        ev.groupBy(win.alias("win"), F.col("user_id").alias("station"))
-        .agg(best.alias("best"))
+        exploded.groupBy("win_start", "station")
+        .agg(best2.alias("best"))
         .select(
-            F.col("win.start").alias("win_start"),
+            "win_start",
             "station",
             F.round(F.col("best.flow"), 2).alias("max_flow"),
             F.col("best.event_id").alias("event_id"),

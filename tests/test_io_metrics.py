@@ -1,0 +1,138 @@
+"""Sources/sinks + metrics tests (SURVEY §2.1, §2.9), including the
+reference's one exact golden assertion: DebuggingWordCount's
+``{Flourish: 3, stomach: 1}`` on the King Lear excerpt with filter
+``Flourish|stomach`` (``DebuggingWordCount.scala:56-60,89-95``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from beam_scala_examples_spark import io as bio
+from beam_scala_examples_spark import metrics
+from beam_scala_examples_spark.operators.text import tokenize
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "kinglear_excerpt.txt")
+
+
+def test_debugging_wordcount_golden(spark):
+    """M3/Q3: the literal reference golden on the bundled excerpt."""
+    lines = bio.read_text(spark, FIXTURE)
+    filtered = (
+        tokenize(lines, "value")
+        .filter(F.col("word").rlike(r"Flourish|stomach"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    metrics.assert_contains_exactly(filtered, {("Flourish", 3), ("stomach", 1)})
+
+
+def test_wordcount_metrics_observed(spark):
+    """M1/M2: empty-line counter + line-length distribution ride the
+    action via observe — no second job."""
+    lines = bio.read_text(spark, FIXTURE)
+    obs = Observation("wc")
+    observed = metrics.observe(
+        lines,
+        obs,
+        metrics.counter(F.col("value") == "", "empty_lines"),
+        metrics.distribution(F.length("value"), "line_len"),
+    )
+    n = observed.count()
+    m = obs.get
+    assert m["empty_lines"] > 0
+    assert m["line_len_count"] == n
+    assert 0 <= m["line_len_min"] <= m["line_len_max"]
+
+
+def test_read_text_with_origin(spark, tmp_path):
+    """S2/S3: multi-file read tagged by source URI via input_file_name."""
+    for name, content in [("a.txt", "alpha\nbeta"), ("b.txt", "gamma")]:
+        (tmp_path / name).write_text(content)
+    df = bio.read_text_with_origin(spark, str(tmp_path / "*.txt"))
+    rows = {(os.path.basename(r.uri), r.line) for r in df.collect()}
+    assert rows == {("a.txt", "alpha"), ("a.txt", "beta"), ("b.txt", "gamma")}
+
+
+def test_write_text_fixed_shards(spark, tmp_path):
+    """S4: fixed shard count = repartition before write."""
+    df = spark.range(100).select(F.col("id").cast("string").alias("value"))
+    out = str(tmp_path / "out")
+    bio.write_text(df, out, num_shards=3)
+    parts = glob.glob(f"{out}/part-*")
+    assert len(parts) == 3
+    back = spark.read.text(out)
+    assert back.count() == 100
+
+
+def test_write_windowed_files(spark, tmp_path):
+    """S5: one directory per window with a fixed shard count per window."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:05:00", "a", 1.0), ("2024-01-01 01:05:00", "b", 2.0)],
+        "ts string, k string, v double",
+    ).select(F.to_timestamp("ts").alias("ts"), "k", "v")
+    windowed = df.select(F.window("ts", "1 hour").start.alias("win_start"), "k", "v")
+    out = str(tmp_path / "winout")
+    bio.write_windowed_files(windowed, out, "win_start", num_shards=2)
+    dirs = sorted(
+        os.path.basename(d) for d in glob.glob(f"{out}/window_start=*")
+    )
+    assert dirs == [
+        "window_start=2024-01-01-00-00",
+        "window_start=2024-01-01-01-00",
+    ]
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+
+
+def test_row_sink_projection(spark):
+    """S9: declarative field->expression sink projection."""
+    df = spark.createDataFrame([(1, "x", 2.5)], "a int, b string, c double")
+    out = bio.row_sink_projection(
+        df, {"total": F.col("a") + F.col("c"), "label": F.upper("b")}
+    )
+    assert out.columns == ["total", "label"]
+    assert out.collect()[0].asDict() == {"total": 3.5, "label": "X"}
+
+
+def test_permissive_csv_drops_and_counts(spark):
+    """P5/N9/M1: malformed rows dropped + counted, never failing the job
+    (UserScore.scala:139-152: 'user14_X,TeamX,18,144...,2015-11-19 09:53:53.444')."""
+    lines = spark.createDataFrame(
+        [
+            ("user1_A,TeamA,18,1447719060000,2015-11-16 16:11:03.921",),
+            ("THIS IS NOT CSV",),          # corrupt (Injector.java:299-304)
+            ("user2_B,TeamB,notanumber,1447719060000,x",),  # bad int field
+            ("user3_C,TeamC,5,1447719061000,2015-11-16 16:11:04.053",),
+        ],
+        "value string",
+    )
+    schema = StructType(
+        [
+            StructField("user", StringType()),
+            StructField("team", StringType()),
+            StructField("score", IntegerType()),
+            StructField("timestamp_ms", LongType()),
+            StructField("readable", StringType()),
+        ]
+    )
+    obs = Observation("parse")
+    parsed = bio.permissive_csv(lines, schema, observation=obs)
+    rows = parsed.collect()
+    assert {r.user for r in rows} == {"user1_A", "user3_C"}
+    assert obs.get["parse_errors"] == 2
+    assert obs.get["rows_seen"] == 4
