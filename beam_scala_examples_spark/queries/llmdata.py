@@ -293,6 +293,40 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "bucket", F.round("cos", 6).alias("cosine"))
 
 
+EMB_NEARDUP_THRESHOLD = 0.2
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
+    pairs share a hyperplane-sign bucket (the scale path — Σ|bucket|²,
+    never all-pairs), then exact cosine filters at the threshold."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (
+            F.when(F.element_at("embedding", d) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j, d in enumerate(LSH_DIMS)
+        ),
+        start=F.lit(0),
+    ).cast("long")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = emb.select("vec_id", "embedding", bucket.alias("bucket"), norm.alias("nrm"))
+    a = base.alias("a")
+    b = base.alias("b")
+    dot = F.expr(_SPARK_DOT.format(a="a.embedding", b="b.embedding"))
+    cos = dot / F.sqrt(F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= EMB_NEARDUP_THRESHOLD)
+        .select("v1", "v2", F.round("cos", 6).alias("cosine"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -380,6 +414,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash": dedup_simhash,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "text_language_id": text_language_id,
@@ -465,6 +500,24 @@ ORACLE = {
         JOIN sizes s1 ON doc1 = s1.doc_id
         JOIN sizes s2 ON doc2 = s2.doc_id
         WHERE i * 1.0 / (s1.n + s2.n - i) >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_embedding_pairs": f"""
+        WITH base AS (
+            SELECT vec_id, embedding,
+                   ({" + ".join(f"(CASE WHEN embedding[{d}] > 0 THEN {1 << j} ELSE 0 END)"
+                                for j, d in enumerate(LSH_DIMS))})::BIGINT AS bucket,
+                   {_duck_dot('embedding', 'embedding')} AS nrm
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS v1, b.vec_id AS v2,
+                   {_duck_dot('a.embedding', 'b.embedding')}
+                       / sqrt(a.nrm * b.nrm) AS cos
+            FROM base a JOIN base b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT v1, v2, round(cos, 6) AS cosine
+        FROM p WHERE cos >= {EMB_NEARDUP_THRESHOLD}
     """,
     "sim_cosine_topk": f"""
         WITH base AS (

@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_jaccard_pairs",
     "dedup_simhash",
+    "dedup_embedding_pairs",
     "sim_cosine_topk",
     "sim_lsh_topk",
     "text_quality_score",
@@ -48,6 +49,16 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="bese-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm pass at the smallest SF: identical plan structure -> the
+    # whole-stage-codegen class cache is hot before timing, so the
+    # measured numbers are steady-state engine throughput, not javac.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
