@@ -293,6 +293,81 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "bucket", F.round("cos", 6).alias("cosine"))
 
 
+IVF_STRIDE = 31   # centroid set = every 31st vector (deterministic coarse quantizer)
+IVF_NPROBE = 2
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (every
+    ``IVF_STRIDE``-th vector is a centroid) partitions the corpus into
+    inverted lists; each query probes its ``IVF_NPROBE`` nearest cells and
+    brute-forces exact cosine only inside them.
+
+    Scale path: the centroid set is tiny -> both the assignment join and
+    the probe join broadcast it; assignment collapses map-side via partial
+    ``max_by`` so the only O(corpus) shuffle carries one slim row per
+    vector. The candidate scan is ``corpus x nprobe/ncells``, never
+    all-pairs.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    cent = base.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnorm"),
+    )
+    cdot = F.expr(_SPARK_DOT.format(a="embedding", b="ce"))
+    assign = (
+        base.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "cid",
+            (cdot / F.sqrt(F.col("nrm") * F.col("cnorm"))).alias("ccos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(named_struct('cid', cid, 'embedding', embedding,"
+                " 'nrm', nrm), named_struct('c', ccos, 'tie', -cid))"
+            ).alias("s")
+        )
+        .select("vec_id", F.col("s.cid").alias("cid"),
+                F.col("s.embedding").alias("embedding"),
+                F.col("s.nrm").alias("nrm"))
+    )
+    q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnorm"),
+    )
+    qdot = F.expr(_SPARK_DOT.format(a="qe", b="ce"))
+    probes = top_k_per_key(
+        q.join(F.broadcast(cent)).select(
+            "qid", "qe", "qnorm", "cid",
+            (qdot / F.sqrt(F.col("qnorm") * F.col("cnorm"))).alias("qcos"),
+        ),
+        ["qid"],
+        [F.desc("qcos"), F.asc("cid")],
+        IVF_NPROBE,
+    ).select("qid", "qe", "qnorm", "cid")
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    return top_k_per_key(
+        cand, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+    ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+
+
 EMB_NEARDUP_THRESHOLD = 0.2
 
 
@@ -407,8 +482,21 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(attach_payload(docs))
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped multimodal plumbing: payload -> sampled frames with
+    per-frame signatures + thumbnail-resize dims (``operators/
+    multimodal.py::sample_frames``). The oracle recomputes the
+    deterministic slice/signature/resize arithmetic in SQL, pinning the
+    byte-level fan-out exactly."""
+    from ..operators.multimodal import attach_payload, sample_frames
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs))
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
+    "multimodal_frames": multimodal_frames,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -417,6 +505,7 @@ QUERIES = {
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
@@ -452,6 +541,36 @@ ORACLE = {
                (n % 640)::BIGINT AS fake_width,
                (n % 480)::BIGINT AS fake_height
         FROM b
+    """,
+    "multimodal_frames": """
+        WITH b AS (
+            SELECT doc_id, text, len(text) AS nc,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+        ),
+        dims AS (
+            SELECT doc_id, text, nc // 4 AS flen,
+                   (nb % 640) + 1 AS w, (nb % 480) + 1 AS h
+            FROM b
+        ),
+        thumbs AS (
+            SELECT doc_id, text, flen,
+                   CASE WHEN w >= h THEN 64
+                        ELSE greatest(1, w * 64 // h) END AS thumb_w,
+                   CASE WHEN w >= h THEN greatest(1, h * 64 // w)
+                        ELSE 64 END AS thumb_h
+            FROM dims WHERE flen > 0
+        ),
+        fr AS (
+            SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx,
+                   text, flen, thumb_w, thumb_h
+            FROM thumbs
+        )
+        SELECT doc_id, frame_idx::BIGINT AS frame_idx, flen::BIGINT AS frame_len,
+               ('0x' || substr(md5(substr(text, 1 + frame_idx * flen, flen)),
+                               1, 8))::BIGINT AS frame_sig,
+               thumb_w::BIGINT AS thumb_w, thumb_h::BIGINT AS thumb_h
+        FROM fr
     """,
     "dedup_exact": """
         SELECT text, count(*)::BIGINT AS n_copies, min(doc_id) AS keep_doc_id
@@ -567,6 +686,53 @@ ORACLE = {
             FROM pairs
         )
         SELECT qid, vec_id, bucket, round(cos, 6) AS cosine
+        FROM ranked WHERE rk <= {TOPK_NEIGHBORS}
+    """,
+    "sim_ivf_topk": f"""
+        WITH base AS (
+            SELECT vec_id, embedding,
+                   {_duck_dot('embedding', 'embedding')} AS nrm
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS cid, embedding AS ce, nrm AS cnorm
+            FROM base WHERE vec_id % {IVF_STRIDE} = 0
+        ),
+        ac AS (
+            SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY {_duck_dot('b.embedding', 'c.ce')}
+                                / sqrt(b.nrm * c.cnorm) DESC, c.cid ASC) AS rk
+            FROM base b CROSS JOIN cent c
+        ),
+        assign AS (SELECT vec_id, embedding, nrm, cid FROM ac WHERE rk = 1),
+        q AS (
+            SELECT vec_id AS qid, embedding AS qe, nrm AS qnorm
+            FROM base WHERE vec_id < {N_QUERY_VECS}
+        ),
+        qp AS (
+            SELECT qid, qe, qnorm, cid,
+                   row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY {_duck_dot('qe', 'ce')}
+                                / sqrt(qnorm * cnorm) DESC, cid ASC) AS rk
+            FROM q CROSS JOIN cent
+        ),
+        probe AS (SELECT qid, qe, qnorm, cid FROM qp WHERE rk <= {IVF_NPROBE}),
+        cand AS (
+            SELECT p.qid, a.vec_id,
+                   {_duck_dot('p.qe', 'a.embedding')} / sqrt(p.qnorm * a.nrm) AS cos
+            FROM probe p JOIN assign a USING (cid)
+            WHERE a.vec_id <> p.qid
+        ),
+        ranked AS (
+            SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, vec_id ASC) AS rk
+            FROM cand
+        )
+        SELECT qid, vec_id, round(cos, 6) AS cosine
         FROM ranked WHERE rk <= {TOPK_NEIGHBORS}
     """,
     "text_language_id": """
