@@ -134,8 +134,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The self-join is on (band, bucket) — the classic LSH candidate join
     whose cost is sum over buckets of |bucket|^2, not |docs|^2.
+
+    The banded-signature subplan feeds both join sides; without a persist
+    Spark evaluates the whole shingle->minhash pipeline twice (exchange
+    reuse does not fire across the self-join aliases), so we materialize
+    it once. Signatures are fixed-width per doc — O(docs) rows — so the
+    cache is small relative to the corpus even at 100 TB.
     """
-    sigs = dedup_minhash_lsh(spark, sf_dir)
+    sigs = dedup_minhash_lsh(spark, sf_dir).persist()
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -183,6 +189,8 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Join on shingle — only pairs sharing at least one shingle are ever
     materialized; at 100 TB the input to this is the LSH candidate set.
+    (AQE query-stage reuse dedupes the shared shingle subplan across the
+    self-join sides at runtime; an explicit persist measured no faster.)
     """
     sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))

@@ -32,6 +32,10 @@ def q07_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # n(word, doc) — Count.perElement on (uri, word) pairs (TfIdf.scala:226).
+    # Three consumers (the result itself, per-doc totals, doc frequency);
+    # AQE's query-stage reuse dedupes the identical (doc_id, word) shuffle
+    # at runtime, so the tokenize+count pipeline runs once without an
+    # explicit persist (verified: persist() measured no faster at sf0.1).
     word_counts = toks.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
     # words(doc) — derived from word_counts so the token relation is scanned
     # once (the reference re-reads uriToWords three times; Catalyst would
