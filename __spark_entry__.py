@@ -25,6 +25,10 @@ def _configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # A bare session defaults to 200 shuffle partitions — far too many
+    # tasks for the sf0.01 correctness runs; AQE coalesces but still pays
+    # per-task scheduling. Sized to the local core count.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark
 
 
