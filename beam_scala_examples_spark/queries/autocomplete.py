@@ -42,7 +42,26 @@ def q05_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("prefix", "word", "cnt")
 
 
-QUERIES = {"q05_autocomplete": q05_autocomplete}
+def q05_autocomplete_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18 + P19: the reference partitions its top-K output in two by
+    prefix length (``Partition.of(2, KeySizePartitionFn)``,
+    ``complete/AutoComplete.scala:268-276,293``) and flattens the branches
+    back (``:310,317``). Spark shape: two filters on one subplan +
+    ``unionByName``; AQE stage reuse dedupes the shared top-K subtree."""
+    base = q05_autocomplete(spark, sf_dir)
+    small = base.filter(F.length("prefix") == 1).withColumn(
+        "branch", F.lit("small")
+    )
+    large = base.filter(F.length("prefix") > 1).withColumn(
+        "branch", F.lit("large")
+    )
+    return small.unionByName(large)
+
+
+QUERIES = {
+    "q05_autocomplete": q05_autocomplete,
+    "q05_autocomplete_branches": q05_autocomplete_branches,
+}
 
 ORACLE = {
     "q05_autocomplete": rf"""
@@ -68,3 +87,28 @@ ORACLE = {
         SELECT prefix, word, cnt FROM ranked WHERE rk <= {TOP_K}
     """,
 }
+
+ORACLE["q05_autocomplete_branches"] = rf"""
+        WITH words AS (
+            SELECT unnest(regexp_split_to_array(text, '[^\p{{L}}]+')) AS word
+            FROM documents
+        ),
+        counts AS (
+            SELECT word, count(*)::BIGINT AS cnt FROM words
+            WHERE word <> '' GROUP BY word
+        ),
+        lens AS (
+            SELECT word, cnt, unnest(generate_series(1, len(word))) AS i
+            FROM counts
+        ),
+        pref AS (SELECT substr(word, 1, i) AS prefix, word, cnt FROM lens),
+        ranked AS (
+            SELECT prefix, word, cnt,
+                   row_number() OVER (PARTITION BY prefix
+                                      ORDER BY cnt DESC, word DESC) AS rk
+            FROM pref
+        )
+        SELECT prefix, word, cnt,
+               CASE WHEN len(prefix) = 1 THEN 'small' ELSE 'large' END AS branch
+        FROM ranked WHERE rk <= {TOP_K}
+    """

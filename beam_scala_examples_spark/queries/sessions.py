@@ -48,7 +48,33 @@ def q08_top_month_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("month", "user_id", "edits")
 
 
-QUERIES = {"q08_top_month_sessions": q08_top_month_sessions}
+def p08_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: JSON line -> typed row, permissive (the reference parses wiki
+    edit JSON, ``complete/TopWikipediaSessions.scala:99-109``; our N9
+    convention drops-and-counts instead of throwing). The fixture set has
+    no raw JSON, so lines are derived from ``events`` via ``to_json`` and
+    parsed back with ``operators/parse.py::parse_json_lines``; the
+    aggregate proves a lossless round-trip against the relational oracle.
+    Sums ride exact integer cents — float order differs across engines."""
+    from ..operators.parse import parse_json_lines
+
+    ev = load(spark, sf_dir, "events")
+    lines = ev.select(
+        F.to_json(F.struct("user_id", "event_type", "value")).alias("line")
+    )
+    parsed = parse_json_lines(
+        lines, "user_id bigint, event_type string, value double"
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+    )
+
+
+QUERIES = {
+    "q08_top_month_sessions": q08_top_month_sessions,
+    "p08_json_parse": p08_json_parse,
+}
 
 ORACLE = {
     "q08_top_month_sessions": f"""
@@ -70,3 +96,9 @@ ORACLE = {
         SELECT month, user_id, edits FROM ranked WHERE rk = 1
     """,
 }
+
+ORACLE["p08_json_parse"] = """
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+    FROM events GROUP BY event_type
+"""

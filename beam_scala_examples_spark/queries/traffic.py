@@ -179,8 +179,32 @@ def q22_trigger_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p06_lane_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: one wide reading -> one row per lane
+    (``complete/TrafficMaxLaneFlow.scala:194-236``). The fixture set has
+    no 50-field layout, so the wide shape is derived from ``events`` (two
+    lane column groups) and exploded via ``operators/parse.py::
+    explode_lane_columns`` — ``stack`` inside the scan stage, no shuffle;
+    the oracle re-derives the identical union."""
+    from ..operators.parse import explode_lane_columns
+
+    ev = load(spark, sf_dir, "events")
+    wide = ev.select(
+        "event_id",
+        F.col("user_id").alias("station"),
+        F.round("value", 2).alias("l1_flow"),
+        F.round(F.col("value") * 2, 2).alias("l2_flow"),
+    )
+    return explode_lane_columns(
+        wide,
+        [{"flow": "l1_flow"}, {"flow": "l2_flow"}],
+        keep=["event_id", "station"],
+    )
+
+
 QUERIES = {
     "q09_max_lane_flow": q09_max_lane_flow,
+    "p06_lane_explode": p06_lane_explode,
     "q10_traffic_routes": q10_traffic_routes,
     "q10_traffic_routes_pandas": q10_traffic_routes_pandas,
     "q22_trigger_flow": q22_trigger_flow,
@@ -228,3 +252,11 @@ ORACLE = {
 }
 
 ORACLE["q10_traffic_routes_pandas"] = ORACLE["q10_traffic_routes"]
+
+ORACLE["p06_lane_explode"] = """
+    SELECT event_id, user_id AS station, 1 AS lane,
+           round(value, 2) AS flow FROM events
+    UNION ALL
+    SELECT event_id, user_id AS station, 2 AS lane,
+           round(value * 2, 2) AS flow FROM events
+"""

@@ -136,3 +136,47 @@ def test_permissive_csv_drops_and_counts(spark):
     assert {r.user for r in rows} == {"user1_A", "user3_C"}
     assert obs.get["parse_errors"] == 2
     assert obs.get["rows_seen"] == 4
+
+
+def test_explode_lane_columns(spark):
+    """P6: one wide traffic reading -> one row per lane via stack."""
+    from beam_scala_examples_spark.operators.parse import explode_lane_columns
+
+    wide = spark.createDataFrame(
+        [("s1", 10.0, 5, 20.0, 7), ("s2", 1.5, 1, 2.5, 2)],
+        "station string, l1_speed double, l1_flow int,"
+        " l2_speed double, l2_flow int",
+    )
+    out = explode_lane_columns(
+        wide,
+        [
+            {"speed": "l1_speed", "flow": "l1_flow"},
+            {"speed": "l2_speed", "flow": "l2_flow"},
+        ],
+        keep=["station"],
+    )
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [
+        ("s1", 1, 10.0, 5),
+        ("s1", 2, 20.0, 7),
+        ("s2", 1, 1.5, 1),
+        ("s2", 2, 2.5, 2),
+    ]
+    # narrow: the fan-out must not introduce an exchange
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parse_json_lines_permissive(spark):
+    """P8 + N9: malformed JSON dropped and counted, never failing."""
+    from beam_scala_examples_spark.operators.parse import parse_json_lines
+
+    lines = spark.createDataFrame(
+        [('{"user": "alice", "n": 3}',), ("not json at all{",), ('{"user": "bob", "n": 1}',)],
+        "value string",
+    )
+    obs = Observation("json_parse")
+    out = parse_json_lines(lines, "user string, n int", observation=obs)
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [("alice", 3), ("bob", 1)]
+    assert obs.get["parse_errors"] == 1
+    assert obs.get["rows_seen"] == 3
