@@ -219,3 +219,79 @@ def test_pane_timing_early_and_ontime(spark, tmpdir):
     _run_stream(agg(stream), "append", ontime, f"{tmpdir}/a")
     a_final = [p for p in ontime.panes if p["team"] == "A"]
     assert [(p["timing"], p["total"]) for p in a_final] == [("ON_TIME", 11.0)]
+
+
+def test_late_data_dropped_at_zero_lateness(spark, tmpdir):
+    """X1: watermark-driven default trigger with allowedLateness=0 — a row
+    arriving after the watermark passed its window end is dropped, never
+    refining the emitted pane (append mode = fire-once-at-watermark)."""
+    rows = [
+        # window A = [00:00, 00:10)
+        {"event_id": 1, "ts": "2024-01-01 00:05:00", "user_id": 1,
+         "event_type": "A", "value": 10.0},
+        # advance the watermark far past A's end
+        {"event_id": 2, "ts": "2024-01-01 02:00:00", "user_id": 1,
+         "event_type": "A", "value": 5.0},
+        # filler batch: Spark filters late rows with the PREVIOUS batch's
+        # committed watermark, so the advance must be one batch old before
+        # the late row arrives
+        {"event_id": 3, "ts": "2024-01-01 02:30:00", "user_id": 1,
+         "event_type": "C", "value": 2.0},
+        # LATE: inside window A, behind the committed watermark -> dropped
+        {"event_id": 4, "ts": "2024-01-01 00:06:00", "user_id": 1,
+         "event_type": "A", "value": 99.0},
+        # close the 02:00 window
+        {"event_id": 5, "ts": "2024-01-01 04:00:00", "user_id": 1,
+         "event_type": "A", "value": 1.0},
+    ]
+    write_arrival_chunks(rows, 1, f"{tmpdir}/feed")
+    stream = read_event_stream(spark, f"{tmpdir}/feed")
+    emitted: dict = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            emitted[r.win_start.isoformat()] = r.total_score
+
+    _run_stream(
+        leaderboard.team_scores(stream, window="10 minutes",
+                                lateness="0 seconds"),
+        "append", sink, tmpdir,
+    )
+    # pane A fired once at the watermark with ONLY the on-time row
+    assert emitted["2024-01-01T00:00:00"] == 10.0
+    assert emitted["2024-01-01T02:00:00"] == 5.0
+
+
+def test_late_data_refires_within_allowed_lateness(spark, tmpdir):
+    """X2: allowedLateness > 0 — a late row whose window the watermark has
+    not yet expired re-fires that window with the refined total (update
+    mode re-emits the row; Beam emits a late pane)."""
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:05:00", "user_id": 1,
+         "event_type": "A", "value": 10.0},
+        # max event time -> 02:00; watermark = 00:00 (2h lateness), so
+        # window A = [00:00, 00:10) is still live
+        {"event_id": 2, "ts": "2024-01-01 02:00:00", "user_id": 1,
+         "event_type": "A", "value": 5.0},
+        # LATE but within lateness: refines window A
+        {"event_id": 3, "ts": "2024-01-01 00:06:00", "user_id": 1,
+         "event_type": "A", "value": 90.0},
+    ]
+    write_arrival_chunks(rows, 1, f"{tmpdir}/feed")
+    stream = read_event_stream(spark, f"{tmpdir}/feed")
+    fires: list = []
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            fires.append((r.win_start.isoformat(), r.total_score))
+
+    _run_stream(
+        leaderboard.team_scores(stream, window="10 minutes",
+                                lateness="2 hours"),
+        "update", sink, tmpdir,
+    )
+    a_fires = [v for w, v in fires if w == "2024-01-01T00:00:00"]
+    # first the on-time pane, then the late re-fire with the refined total
+    assert a_fires[0] == 10.0
+    assert a_fires[-1] == 100.0
+    assert len(a_fires) >= 2
