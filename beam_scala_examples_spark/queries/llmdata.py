@@ -311,11 +311,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted lists; each query probes its ``IVF_NPROBE`` nearest cells and
     brute-forces exact cosine only inside them.
 
-    Scale path: the centroid set is tiny -> both the assignment join and
-    the probe join broadcast it; assignment collapses map-side via partial
-    ``max_by`` so the only O(corpus) shuffle carries one slim row per
-    vector. The candidate scan is ``corpus x nprobe/ncells``, never
-    all-pairs.
+    Scale path: the tiny centroid set broadcasts into both the
+    assignment and probe joins; cell assignment aggregates only slim
+    (vec_id, cid, cos) rows — no embedding arrays cross the argmax
+    exchange — and embeddings are recovered by a co-partitioned rejoin
+    on vec_id. The probe set (queries x nprobe) broadcasts into the
+    candidate join, so candidates are corpus x nprobe/ncells rows, never
+    all-pairs. Re-centering iterations repeat the same broadcast-assign
+    plan — no new shuffle shape. (A per-row fold over a collected
+    centroid array was measured slower: higher-order lambdas run
+    interpreted, outside whole-stage codegen.)
     """
     emb = load(spark, sf_dir, "embeddings")
     norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
@@ -326,26 +331,21 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cnorm"),
     )
     cdot = F.expr(_SPARK_DOT.format(a="embedding", b="ce"))
-    assign = (
+    argmax_cid = (
         base.join(F.broadcast(cent))
         .select(
             "vec_id",
-            "embedding",
-            "nrm",
             "cid",
             (cdot / F.sqrt(F.col("nrm") * F.col("cnorm"))).alias("ccos"),
         )
         .groupBy("vec_id")
         .agg(
             F.expr(
-                "max_by(named_struct('cid', cid, 'embedding', embedding,"
-                " 'nrm', nrm), named_struct('c', ccos, 'tie', -cid))"
-            ).alias("s")
+                "max_by(cid, named_struct('c', ccos, 'tie', -cid))"
+            ).alias("cid")
         )
-        .select("vec_id", F.col("s.cid").alias("cid"),
-                F.col("s.embedding").alias("embedding"),
-                F.col("s.nrm").alias("nrm"))
     )
+    assign = argmax_cid.join(base, "vec_id")
     q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
