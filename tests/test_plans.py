@@ -126,3 +126,36 @@ def test_wholestage_codegen_covers_hot_path(plans):
         mode="codegen",
     )
     assert "WholeStageCodegen" in p
+
+
+def test_ivf_joins_are_broadcast(plans):
+    """sim_ivf_topk: centroid assignment, probe, and candidate joins all
+    broadcast the small side — the corpus never shuffles for a join (the
+    only exchanges are the argmax agg and the final top-k rank)."""
+    p = plans("sim_ivf_topk")
+    assert p.count("BroadcastHashJoin") >= 3 or (
+        p.count("BroadcastHashJoin") >= 2 and "BroadcastNestedLoopJoin" in p
+    )
+    assert "CartesianProduct" not in p
+
+
+def test_multimodal_frames_is_narrow(plans):
+    """multimodal_frames: the per-payload frame fan-out happens inside the
+    task — no exchange anywhere in the plan."""
+    p = plans("multimodal_frames")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_lane_explode_is_narrow(plans):
+    """p06_lane_explode: stack generates lane rows inside the scan stage."""
+    p = plans("p06_lane_explode")
+    assert "Exchange" not in p
+
+
+def test_embedding_neardup_joins_on_bucket(plans):
+    """dedup_embedding_pairs: candidate pairs come from the bucket
+    equi-join, never a cartesian product."""
+    p = plans("dedup_embedding_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

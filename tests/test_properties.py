@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis): random inputs vs pure-Python
+reference implementations for the semantics most likely to drift —
+session-window merging, top-K tie ordering, tokenizer boundaries.
+
+The reference suite has no property tests (SURVEY §5); these go beyond
+it. ``derandomize=True`` keeps runs reproducible; example counts stay
+small because every example is a Spark job.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from beam_scala_examples_spark.operators.topk import top_k_per_key
+
+SETTINGS = dict(max_examples=10, deadline=None, derandomize=True)
+
+GAP_S = 10
+
+
+def _py_sessions(ts_list: list[int], gap: int) -> list[list[int]]:
+    """Reference session merge: a new session starts when the gap to the
+    previous event is >= gap (Spark's session window end is exclusive)."""
+    out: list[list[int]] = []
+    for t in sorted(ts_list):
+        if out and t < out[-1][-1] + gap:
+            out[-1].append(t)
+        else:
+            out.append([t])
+    return out
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 120)), min_size=1, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_session_window_matches_python_reference(spark, events):
+    rows = [
+        (u, datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None))
+        for u, t in events
+    ]
+    df = spark.createDataFrame(rows, "user long, ts timestamp")
+    got = {
+        (r["user"], r["sw"]["start"].second + r["sw"]["start"].minute * 60, r["n"])
+        for r in df.groupBy(
+            F.session_window("ts", f"{GAP_S} seconds").alias("sw"), "user"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    expected = set()
+    for u in {u for u, _ in events}:
+        for sess in _py_sessions([t for uu, t in events if uu == u], GAP_S):
+            expected.add((u, sess[0] % 3600, len(sess)))
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_top_k_per_key_matches_python_reference(spark, rows, k):
+    df = spark.createDataFrame(rows, "key long, a long, b long")
+    got = sorted(
+        tuple(r)
+        for r in top_k_per_key(df, ["key"], [F.desc("a"), F.asc("b")], k)
+        .select("key", "a", "b")
+        .collect()
+    )
+    expected = []
+    for key in {r[0] for r in rows}:
+        mine = sorted(
+            (r for r in rows if r[0] == key), key=lambda r: (-r[1], r[2])
+        )
+        expected.extend(mine[:k])
+    # row_number dedupes ties arbitrarily within equal (a, b) — compare as
+    # sorted multisets of the surviving (key, a, b) triples
+    assert got == sorted(expected)
+
+
+TOKEN_RE = re.compile(r"[^a-zA-Z]+")
+
+
+@given(
+    lines=st.lists(
+        st.text(alphabet="abc XYZ.,;!1", min_size=0, max_size=40),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_tokenizer_matches_python_reference(spark, lines):
+    from beam_scala_examples_spark.operators.text import tokenize
+
+    df = spark.createDataFrame([(ln,) for ln in lines], "text string")
+    got = sorted(r["word"] for r in tokenize(df, "text").collect())
+    expected = sorted(
+        w for ln in lines for w in TOKEN_RE.split(ln) if w != ""
+    )
+    assert got == expected
