@@ -40,3 +40,16 @@ def assert_contains_exactly(df: DataFrame, expected_rows: set) -> None:
     assert actual == sorted(expected_rows), (
         f"PAssert failed:\n  actual={actual}\n  expected={sorted(expected_rows)}"
     )
+
+
+def checksum(df: DataFrame) -> int:
+    """M3/A4 — the reference's checksum assertion
+    (``Sum.longsGlobally`` over per-row hashes,
+    ``complete/AutoComplete.scala:134-139,363-370``): an
+    order-independent global sum of ``xxhash64`` row hashes. Java
+    ``hashCode`` does not port (SURVEY §2.11-N8), so the hash function is
+    the engine's own; the *shape* (hash rows, sum globally) is the
+    reference's.
+    """
+    row = df.agg(F.sum(F.xxhash64(*df.columns)).alias("c")).collect()[0]
+    return row["c"]

@@ -180,3 +180,13 @@ def test_parse_json_lines_permissive(spark):
     assert rows == [("alice", 3), ("bob", 1)]
     assert obs.get["parse_errors"] == 1
     assert obs.get["rows_seen"] == 3
+
+
+def test_checksum_order_independent_and_sensitive(spark):
+    """A4/M3: the global row-hash checksum ignores row order but catches
+    any value change."""
+    a = spark.createDataFrame([("x", 1), ("y", 2)], "w string, n int")
+    b = spark.createDataFrame([("y", 2), ("x", 1)], "w string, n int")
+    c = spark.createDataFrame([("x", 1), ("y", 3)], "w string, n int")
+    assert metrics.checksum(a) == metrics.checksum(b)
+    assert metrics.checksum(a) != metrics.checksum(c)

@@ -295,3 +295,34 @@ def test_late_data_refires_within_allowed_lateness(spark, tmpdir):
     assert a_fires[0] == 10.0
     assert a_fires[-1] == 100.0
     assert len(a_fires) >= 2
+
+
+def test_streaming_word_extract_matches_batch(spark, tmpdir):
+    """Q6 streaming twin: the stateless lines->words->uppercase pipeline
+    over a text file stream equals its batch run on the same files."""
+    import os
+
+    from beam_scala_examples_spark.operators.text import tokenize
+
+    feed = f"{tmpdir}/feed"
+    os.makedirs(feed)
+    lines = ["To be or not to be", "that is the question", ""]
+    for i, chunk in enumerate([lines[:1], lines[1:]]):
+        with open(f"{feed}/part_{i:03d}.txt", "w") as f:
+            f.write("\n".join(chunk) + "\n")
+
+    stream = spark.readStream.format("text").option(
+        "maxFilesPerTrigger", 1
+    ).load(feed)
+    upper = tokenize(stream, "value").select(F.upper("word").alias("word_upper"))
+    seen: list = []
+
+    def sink(batch_df, _bid):
+        seen.extend(r.word_upper for r in batch_df.collect())
+
+    _run_stream(upper, "append", sink, tmpdir)
+
+    batch = tokenize(spark.read.text(feed), "value").select(
+        F.upper("word").alias("word_upper")
+    )
+    assert sorted(seen) == sorted(r.word_upper for r in batch.collect())
