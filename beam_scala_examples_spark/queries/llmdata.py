@@ -479,6 +479,66 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
 
+N_BENCH_DOCS = 20        # doc_id < 20 plays the held-out eval set
+CONTAM_MIN_SHARED = 3    # distinct shared shingles to flag
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: training docs sharing >=
+    ``CONTAM_MIN_SHARED`` distinct 3-shingles with any "benchmark" doc
+    (here: ``doc_id < N_BENCH_DOCS``).
+
+    Scale path: the benchmark n-gram set is tiny and broadcasts into the
+    join — the training corpus's shingles never shuffle; the only
+    exchange is the per-(doc, bench_doc) overlap count. This is the
+    standard decontamination join of a training-data pipeline.
+    """
+    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
+    bench = sh.filter(F.col("doc_id") < N_BENCH_DOCS).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+    train = sh.filter(F.col("doc_id") >= N_BENCH_DOCS)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+
+
+QF_MIN_TOKENS = 5
+QF_MAX_TOKENS = 5000
+QF_MAX_MEAN_TOKEN_LEN = 12.0
+QF_MIN_STOPWORD_RATIO = 0.01
+
+
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based keep/drop filter over the quality metrics — the
+    decision stage a training pipeline runs after scoring. Emits every
+    doc with its verdict and the first failing rule (deterministic rule
+    order), so downstream stages can both filter and audit drops.
+    """
+    m = text_quality_score(spark, sf_dir)
+    reason = (
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("n_tokens") > QF_MAX_TOKENS, F.lit("too_long"))
+        .when(
+            F.col("mean_token_len") > QF_MAX_MEAN_TOKEN_LEN,
+            F.lit("tokens_too_long"),
+        )
+        .when(
+            F.col("stopword_ratio") < QF_MIN_STOPWORD_RATIO,
+            F.lit("no_stopwords"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return m.select(
+        "doc_id",
+        reason.alias("verdict"),
+        (reason == "ok").alias("keep"),
+    )
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched
     ``mapInPandas`` metadata extraction with a stubbed decoder
@@ -516,6 +576,8 @@ QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
+    "text_quality_filter": text_quality_filter,
+    "text_contamination": text_contamination,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
 }
@@ -787,6 +849,48 @@ ORACLE = {
                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT
                    AS bpe_tokens
         FROM documents
+    """,
+    "text_quality_filter": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, ' +'), x -> x <> '')
+                       AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   round(list_sum(list_transform(toks, x -> len(x)::DOUBLE))
+                         / greatest(len(toks), 1), 6) AS mean_token_len,
+                   round(len(list_filter(toks, x -> x IN
+                       ({", ".join(repr(s) for s in STOPWORDS)}))) * 1.0
+                       / greatest(len(toks), 1), 6) AS stopword_ratio
+            FROM t
+        ),
+        v AS (
+            SELECT doc_id,
+                   CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+                        WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_long'
+                        WHEN mean_token_len > {QF_MAX_MEAN_TOKEN_LEN}
+                             THEN 'tokens_too_long'
+                        WHEN stopword_ratio < {QF_MIN_STOPWORD_RATIO}
+                             THEN 'no_stopwords'
+                        ELSE 'ok' END AS verdict
+            FROM m
+        )
+        SELECT doc_id, verdict, verdict = 'ok' AS keep FROM v
+    """,
+    "text_contamination": f"""
+        WITH {_duck_shingle_cte()},
+        bench AS (
+            SELECT doc_id AS bench_doc_id, shingle FROM sh
+            WHERE doc_id < {N_BENCH_DOCS}
+        ),
+        train AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= {N_BENCH_DOCS})
+        SELECT t.doc_id, b.bench_doc_id, count(*)::BIGINT AS n_shared
+        FROM train t JOIN bench b USING (shingle)
+        GROUP BY 1, 2
+        HAVING count(*) >= {CONTAM_MIN_SHARED}
     """,
     "text_fingerprint": r"""
         SELECT doc_id,

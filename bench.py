@@ -42,6 +42,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_quality_score",
     "text_fingerprint",
+    "text_contamination",
 ]
 
 
