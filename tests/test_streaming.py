@@ -326,3 +326,39 @@ def test_streaming_word_extract_matches_batch(spark, tmpdir):
         F.upper("word").alias("word_upper")
     )
     assert sorted(seen) == sorted(r.word_upper for r in batch.collect())
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, event_rows, tmpdir):
+    """Stream-static join: the event stream enriched against the static
+    customer dim (J1's shape with an unbounded probe side) — per-batch
+    the static side broadcasts; final enriched totals equal the batch
+    join."""
+    static_dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    stream = _feed(spark, event_rows, tmpdir, chunk_size=400)
+    enriched = (
+        stream.join(F.broadcast(static_dim), "user_id", "left")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+    final: dict = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            final[r.c_nationkey] = r.n
+
+    _run_stream(enriched, "update", sink, tmpdir)
+
+    batch = {
+        r["c_nationkey"]: r["n"]
+        for r in (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .join(F.broadcast(static_dim), "user_id", "left")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    assert final == batch
