@@ -20,9 +20,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import autocomplete, cookbook, game, llmdata, sessions, tfidf, traffic, wordcount
+from . import (autocomplete, cookbook, game, llmdata, sessions, starschema,
+               tfidf, traffic, wordcount)
 
-_MODULES = (wordcount, cookbook, game, tfidf, autocomplete, sessions, traffic, llmdata)
+_MODULES = (wordcount, cookbook, game, tfidf, autocomplete, sessions, traffic,
+            llmdata, starschema)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}

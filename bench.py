@@ -43,6 +43,9 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "text_contamination",
+    "star_pricing_summary",
+    "star_shipping_priority",
+    "star_volume_by_nation",
 ]
 
 

@@ -159,3 +159,15 @@ def test_embedding_neardup_joins_on_bucket(plans):
     p = plans("dedup_embedding_pairs")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_star_join_strategy(plans):
+    """star_volume_by_nation: the 5-way join broadcasts only the dims
+    (nation, region); the fact chain joins shuffle on their keys; the
+    date/segment filters reach the parquet scans."""
+    p = plans("star_volume_by_nation")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+    p3 = plans("star_shipping_priority")
+    assert "PushedFilters" in p3 and "IsNotNull" in p3
+    assert "EqualTo(c_mktsegment,BUILDING)" in p3
