@@ -114,8 +114,26 @@ def star_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def star_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary with ROLLUP subtotals — grouping sets are outside
+    the reference's Beam surface (SURVEY §2.3 notes them absent) but come
+    free from Spark SQL; Catalyst expands the rollup into one Expand +
+    hash aggregate, still partial/final."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < PRICING_CUTOFF
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_disc_cents()).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
 QUERIES = {
     "star_pricing_summary": star_pricing_summary,
+    "star_pricing_rollup": star_pricing_rollup,
     "star_shipping_priority": star_shipping_priority,
     "star_volume_by_nation": star_volume_by_nation,
 }
@@ -133,6 +151,15 @@ ORACLE = {
         FROM lineitem
         WHERE l_shipdate < '{PRICING_CUTOFF}'
         GROUP BY 1, 2
+    """,
+    "star_pricing_rollup": f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+                   AS sum_disc_cents,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate < '{PRICING_CUTOFF}'
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "star_shipping_priority": f"""
         WITH rev AS (
