@@ -97,6 +97,39 @@ def q20_join_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q20_join_default_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 in Beam's literal CoGroupByKey form (A11): both sides grouped
+    by the key, one Arrow-batched fn sees (events[], customers[]) per key
+    and applies the ``getOnly(tag, "none")`` default
+    (``cookbook/JoinExamples.scala:87-91,146-158``).
+
+    This is the semantic twin kept for parity with the reference's only
+    join primitive — it shuffles BOTH sides on the key; the production
+    path is ``q20_join_default``'s broadcast left join (zero fact-table
+    shuffle). Both hash-match the same oracle.
+    """
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "event_id"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+
+    def cogroup_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame({"event_id": [], "name": []})
+        name = right["c_name"].iloc[0] if len(right) else "none"
+        return pd.DataFrame({"event_id": left["event_id"], "name": name})
+
+    return (
+        ev.groupby("k")
+        .cogroup(cust.groupby("k"))
+        .applyInPandas(cogroup_fn, schema="event_id long, name string")
+    )
+
+
 def q21_max_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """month -> max value (Q21: A5 Max.doublesPerKey,
     ``cookbook/MaxPerKeyExamples.scala:83-113``)."""
@@ -112,6 +145,7 @@ QUERIES = {
     "q17_plays_per_word": q17_plays_per_word,
     "q19_below_mean_july": q19_below_mean_july,
     "q20_join_default": q20_join_default,
+    "q20_join_default_cogroup": q20_join_default_cogroup,
     "q21_max_per_month": q21_max_per_month,
 }
 
@@ -147,3 +181,5 @@ ORACLE = {
         FROM lineitem GROUP BY 1
     """,
 }
+
+ORACLE["q20_join_default_cogroup"] = ORACLE["q20_join_default"]

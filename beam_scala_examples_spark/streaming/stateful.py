@@ -20,6 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 OUTPUT_SCHEMA = "team string, event_id long, total double"
 STATE_SCHEMA = "total double"
@@ -65,5 +66,69 @@ def threshold_crossings(
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+class ThresholdProcessor(StatefulProcessor):
+    """ST1 on the Spark 4 ``transformWithState`` API — the modern keyed
+    state surface (named ValueState handles, timers, TTL). Same semantics
+    as ``threshold_crossings``; state is the running team total,
+    initialized to 0 (SURVEY §2.11-N2).
+    """
+
+    def __init__(self, threshold: float):
+        self._threshold = threshold
+
+    def init(self, handle) -> None:
+        self._total = handle.getValueState("total", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+        (team,) = key
+        total = self._total.get()[0] if self._total.exists() else 0.0
+        out_teams, out_ids, out_totals = [], [], []
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev_id, v in zip(pdf["event_id"], pdf["value"]):
+                new_total = total + float(v)
+                if new_total // self._threshold > total // self._threshold:
+                    out_teams.append(team)
+                    out_ids.append(int(ev_id))
+                    out_totals.append(round(new_total, 2))
+                total = new_total
+        self._total.update((total,))
+        if out_teams:
+            yield pd.DataFrame(
+                {"team": out_teams, "event_id": out_ids, "total": out_totals}
+            )
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def threshold_crossings_tws(
+    events: DataFrame, threshold: float = DEFAULT_THRESHOLD
+) -> DataFrame:
+    """``threshold_crossings`` on ``transformWithStateInPandas`` (Spark
+    4's StatefulProcessor API) — behavior pinned equal to the
+    applyInPandasWithState form by the streaming tests. Requires the
+    RocksDB state store provider (set by the caller/session):
+    ``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``.
+    """
+    return (
+        events.select("event_type", "event_id", "ts", "value")
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=ThresholdProcessor(threshold),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
         )
     )

@@ -362,3 +362,40 @@ def test_stream_static_enrichment_join(spark, sf_dir, event_rows, tmpdir):
         )
     }
     assert final == batch
+
+
+def test_stateful_threshold_tws_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """ST1 via the Spark 4 transformWithState API: same emissions as the
+    batch q15 oracle and as the applyInPandasWithState form.
+
+    transformWithState's python state server speaks protobuf; skip where
+    the container lacks it (the applyInPandasWithState twin above covers
+    the semantics either way)."""
+    pytest.importorskip("google.protobuf")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _feed(spark, event_rows, tmpdir, chunk_size=250)
+        emissions: list = []
+
+        def sink(batch_df, _bid):
+            emissions.extend(
+                (r.team, r.event_id, r.total) for r in batch_df.collect()
+            )
+
+        _run_stream(
+            stateful.threshold_crossings_tws(stream), "append", sink, tmpdir
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    con = duck_connect(sf_dir)
+    expected = {
+        (r[0], r[1], r[2])
+        for r in con.sql(game.ORACLE["q15_threshold_crossings"]).fetchall()
+    }
+    con.close()
+    assert set(emissions) == expected
+    assert len(emissions) == len(expected)
