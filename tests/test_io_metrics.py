@@ -190,3 +190,13 @@ def test_checksum_order_independent_and_sensitive(spark):
     c = spark.createDataFrame([("x", 1), ("y", 3)], "w string, n int")
     assert metrics.checksum(a) == metrics.checksum(b)
     assert metrics.checksum(a) != metrics.checksum(c)
+
+
+def test_cli_list_and_run(spark, capsys):
+    """CLI lifecycle (SURVEY §3.1): list + run resolve and execute."""
+    from beam_scala_examples_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q07_tfidf  [oracle]" in out
+    assert main(["run", "nonexistent_query"]) == 2
