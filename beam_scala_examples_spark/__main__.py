@@ -47,9 +47,15 @@ def _run(args: argparse.Namespace) -> int:
         print(f"wrote {args.output} [{args.format}] "
               f"in {time.perf_counter() - t0:.2f}s")
     else:
-        df.show(args.show, truncate=False)
-        print(f"{args.query}: {df.count()} rows "
-              f"in {time.perf_counter() - t0:.2f}s")
+        # persist so show + count run the pipeline once (the second
+        # action reads the cache), then release
+        df = df.persist()
+        try:
+            df.show(args.show, truncate=False)
+            print(f"{args.query}: {df.count()} rows "
+                  f"in {time.perf_counter() - t0:.2f}s")
+        finally:
+            df.unpersist(blocking=False)
     return 0
 
 

@@ -51,5 +51,7 @@ def checksum(df: DataFrame) -> int:
     the engine's own; the *shape* (hash rows, sum globally) is the
     reference's.
     """
-    row = df.agg(F.sum(F.xxhash64(*df.columns)).alias("c")).collect()[0]
+    row = df.agg(
+        F.coalesce(F.sum(F.xxhash64(*df.columns)), F.lit(0)).alias("c")
+    ).collect()[0]
     return row["c"]

@@ -64,7 +64,11 @@ def parse_json_lines(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ).alias("r")
     )
-    parsed = parsed.withColumn("__ok", F.col("r._corrupt").isNull())
+    # a line of 'null', '', or SQL NULL parses to a null STRUCT (not a
+    # corrupt record) — require the struct itself to be non-null too
+    parsed = parsed.withColumn(
+        "__ok", F.col("r").isNotNull() & F.col("r._corrupt").isNull()
+    )
     if observation is not None:
         parsed = parsed.observe(
             observation,

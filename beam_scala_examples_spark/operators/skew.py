@@ -40,14 +40,20 @@ def salted_collect(
     value: str,
     fanout: int = 16,
     out: str = "values",
+    salt_from: str | None = None,
 ) -> DataFrame:
     """Two-stage ``collect_list`` with salted fanout (T2 for A10-shaped
     grouping). Stage 1 groups (keys, salt) — a hot key's rows spread over
     ``fanout`` reducers; stage 2 merges ``fanout`` partial lists per key.
     The second exchange carries one row per (key, salt): O(keys x fanout),
     independent of the hot key's row count.
+
+    ``salt_from`` must name a column whose values spread *within* a hot
+    key; it defaults to the value column, which is only right when values
+    vary — a hot key with constant values needs a row-unique column here
+    or the whole key still lands on one reducer.
     """
-    salted = with_salt(df, fanout, from_col=value)
+    salted = with_salt(df, fanout, from_col=salt_from or value)
     partial = salted.groupBy(*keys, "__salt").agg(
         F.collect_list(value).alias("__part")
     )
@@ -69,7 +75,20 @@ def salted_join(
     rows on the big side lands ~K/fanout per reducer. Use when AQE's
     runtime skew-split is unavailable (bucketed / storage-partitioned
     joins) — otherwise prefer plain ``join`` + AQE.
+
+    Only join types that preserve per-big-row semantics are transparent
+    under salting: each big row carries exactly one salt, but small-side
+    rows are replicated ``fanout``x, so right/full outer joins would emit
+    ``fanout`` copies of unmatched small rows and are rejected.
     """
+    safe = {"inner", "left", "leftouter", "left_outer", "leftsemi",
+            "left_semi", "leftanti", "left_anti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in safe}:
+        raise ValueError(
+            f"salted_join does not preserve {how!r} semantics (the "
+            "replicated small side would duplicate unmatched rows); "
+            f"supported: inner, left, left_semi, left_anti"
+        )
     salt_src = salt_from or big.columns[0]
     b = with_salt(big, fanout, from_col=salt_src)
     s = small.withColumn(

@@ -120,8 +120,13 @@ def q20_join_default_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cogroup_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
             return pd.DataFrame({"event_id": [], "name": []})
-        name = right["c_name"].iloc[0] if len(right) else "none"
-        return pd.DataFrame({"event_id": left["event_id"], "name": name})
+        if right.empty:
+            return pd.DataFrame({"event_id": left["event_id"], "name": "none"})
+        # all (event x customer) pairs — matches the relational join twin
+        # (and the oracle) if the dim key ever turns out non-unique
+        return left.merge(right, on="k")[["event_id", "c_name"]].rename(
+            columns={"c_name": "name"}
+        )
 
     return (
         ev.groupby("k")

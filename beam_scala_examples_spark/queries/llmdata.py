@@ -43,6 +43,8 @@ MH_A = [(_rng.randrange(1, 1 << 20) | 1) for _ in range(N_HASHES)]
 MH_B = [_rng.randrange(0, MH_P) for _ in range(N_HASHES)]
 
 JACCARD_THRESHOLD = 0.3
+# last persisted signature DataFrame (see dedup_minhash_pairs docstring)
+_MINHASH_CACHE: dict = {}
 TOPK_NEIGHBORS = 5
 N_QUERY_VECS = 10
 EMB_DIM = 64
@@ -139,9 +141,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark evaluates the whole shingle->minhash pipeline twice (exchange
     reuse does not fire across the self-join aliases), so we materialize
     it once. Signatures are fixed-width per doc — O(docs) rows — so the
-    cache is small relative to the corpus even at 100 TB.
+    cache is small relative to the corpus even at 100 TB. The previous
+    invocation's cache is dropped first: the contract returns a lazy
+    DataFrame (no natural unpersist point after the action), so bounding
+    the leak to one live cache entry is the available discipline.
     """
+    prev = _MINHASH_CACHE.pop("sigs", None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
     sigs = dedup_minhash_lsh(spark, sf_dir).persist()
+    _MINHASH_CACHE["sigs"] = sigs
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (

@@ -28,27 +28,45 @@ STATE_SCHEMA = "total double"
 DEFAULT_THRESHOLD = 1000.0  # reference default 5000 (StatefulTeamScore.scala:103-106)
 
 
+def _fold_crossings(
+    team, total: float, pdf_iter, threshold: float
+) -> tuple[pd.DataFrame | None, float]:
+    """Shared crossing fold for both state APIs: concatenate ALL Arrow
+    chunks of the micro-batch before sorting — a per-chunk sort would
+    process events out of global (ts, event_id) order whenever one key's
+    batch spans multiple Arrow batches (> arrow.maxRecordsPerBatch rows).
+    Returns (emissions or None, new running total)."""
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if not chunks:
+        return None, total
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+    out_teams, out_ids, out_totals = [], [], []
+    for ev_id, v in zip(pdf["event_id"], pdf["value"]):
+        new_total = total + float(v)
+        if new_total // threshold > total // threshold:
+            out_teams.append(team)
+            out_ids.append(int(ev_id))
+            out_totals.append(round(new_total, 2))
+        total = new_total
+    if not out_teams:
+        return None, total
+    return (
+        pd.DataFrame({"team": out_teams, "event_id": out_ids,
+                      "total": out_totals}),
+        total,
+    )
+
+
 def _make_update_fn(threshold: float):
     def update(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (team,) = key
         total = state.get[0] if state.exists else 0.0
-        out_teams, out_ids, out_totals = [], [], []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ev_id, v in zip(pdf["event_id"], pdf["value"]):
-                new_total = total + float(v)
-                if new_total // threshold > total // threshold:
-                    out_teams.append(team)
-                    out_ids.append(int(ev_id))
-                    out_totals.append(round(new_total, 2))
-                total = new_total
+        out, total = _fold_crossings(team, total, pdf_iter, threshold)
         state.update((total,))
-        if out_teams:
-            yield pd.DataFrame(
-                {"team": out_teams, "event_id": out_ids, "total": out_totals}
-            )
+        if out is not None:
+            yield out
 
     return update
 
@@ -86,21 +104,10 @@ class ThresholdProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
         (team,) = key
         total = self._total.get()[0] if self._total.exists() else 0.0
-        out_teams, out_ids, out_totals = [], [], []
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ev_id, v in zip(pdf["event_id"], pdf["value"]):
-                new_total = total + float(v)
-                if new_total // self._threshold > total // self._threshold:
-                    out_teams.append(team)
-                    out_ids.append(int(ev_id))
-                    out_totals.append(round(new_total, 2))
-                total = new_total
+        out, total = _fold_crossings(team, total, rows, self._threshold)
         self._total.update((total,))
-        if out_teams:
-            yield pd.DataFrame(
-                {"team": out_teams, "event_id": out_ids, "total": out_totals}
-            )
+        if out is not None:
+            yield out
 
     def handleInitialState(self, key, initial_state, timer_values) -> None:
         pass

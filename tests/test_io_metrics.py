@@ -200,3 +200,23 @@ def test_cli_list_and_run(spark, capsys):
     out = capsys.readouterr().out
     assert "q07_tfidf  [oracle]" in out
     assert main(["run", "nonexistent_query"]) == 2
+
+
+def test_parse_json_lines_drops_null_lines(spark):
+    """'null', '' and SQL NULL parse to a null struct, not a corrupt
+    record — they must still be dropped and counted."""
+    from beam_scala_examples_spark.operators.parse import parse_json_lines
+
+    lines = spark.createDataFrame(
+        [('{"user": "a", "n": 1}',), ("null",), ("",), (None,)],
+        "value string",
+    )
+    obs = Observation("null_lines")
+    out = parse_json_lines(lines, "user string, n int", observation=obs)
+    assert [tuple(r) for r in out.collect()] == [("a", 1)]
+    assert obs.get["parse_errors"] == 3
+
+
+def test_checksum_empty_dataframe(spark):
+    empty = spark.createDataFrame([], "w string, n int")
+    assert metrics.checksum(empty) == 0

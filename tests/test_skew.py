@@ -81,3 +81,13 @@ def test_salted_join_left_outer(spark):
         .collect()
     )
     assert salted == direct
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    big = _skewed(spark)
+    small = spark.createDataFrame([("hot", 1.0)], "k string, w double")
+    for how in ("full", "right", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", fanout=4, salt_from="v", how=how)

@@ -399,3 +399,32 @@ def test_stateful_threshold_tws_matches_batch(spark, sf_dir, event_rows, tmpdir)
     con.close()
     assert set(emissions) == expected
     assert len(emissions) == len(expected)
+
+
+def test_stateful_threshold_survives_arrow_chunking(spark, sf_dir, event_rows, tmpdir):
+    """The crossing fold must sort the WHOLE micro-batch, not each Arrow
+    chunk: with a tiny arrow batch size and arrival order != event-time
+    order, a per-chunk sort folds events out of global order and emits
+    wrong crossings."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "20")
+    try:
+        by_event_id = sorted(event_rows, key=lambda r: r["event_id"])
+        stream = _feed(spark, by_event_id, tmpdir, chunk_size=len(by_event_id))
+        emissions: list = []
+
+        def sink(batch_df, _bid):
+            emissions.extend(
+                (r.team, r.event_id, r.total) for r in batch_df.collect()
+            )
+
+        _run_stream(stateful.threshold_crossings(stream), "append", sink, tmpdir)
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+    con = duck_connect(sf_dir)
+    expected = {
+        (r[0], r[1], r[2])
+        for r in con.sql(game.ORACLE["q15_threshold_crossings"]).fetchall()
+    }
+    con.close()
+    assert set(emissions) == expected
