@@ -311,6 +311,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_STRIDE = 31   # centroid set = every 31st vector (deterministic coarse quantizer)
+IVF_MAX_CELLS = 64  # hard cap: assignment stays O(corpus x cells), cells O(1)
 IVF_NPROBE = 2
 
 
@@ -334,7 +335,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
     base = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    cent = base.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+    # stride picks spread-out vectors; the cap keeps the cell count (and
+    # so the per-row assignment work) constant as the corpus grows —
+    # without it ncells = n/stride and assignment degrades to O(n^2)
+    cent = base.filter(
+        (F.col("vec_id") % IVF_STRIDE == 0)
+        & (F.col("vec_id") < IVF_STRIDE * IVF_MAX_CELLS)
+    ).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cnorm"),
@@ -776,6 +783,7 @@ ORACLE = {
         cent AS (
             SELECT vec_id AS cid, embedding AS ce, nrm AS cnorm
             FROM base WHERE vec_id % {IVF_STRIDE} = 0
+              AND vec_id < {IVF_STRIDE * IVF_MAX_CELLS}
         ),
         ac AS (
             SELECT b.vec_id, b.embedding, b.nrm, c.cid,
