@@ -222,6 +222,64 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    near-dup pair graph (the step after candidate generation — every doc
+    in a cluster maps to one canonical keeper, the minimum doc_id).
+
+    Spark form: min-label propagation to fixpoint — each iteration joins
+    labels across the symmetric edge list and keeps the minimum; the
+    driver loop stops when an iteration changes nothing (an iterative
+    algorithm by nature; the per-iteration work is one shuffle join +
+    one aggregation, the classic alternating-star pattern's simple
+    variant, fine while the *pair graph* — not the corpus — is the
+    iterated set). Oracle: DuckDB recursive CTE computing min reachable
+    id per node, so even the iterative op stays hash-checked.
+    """
+    pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2")
+        )
+    ).persist()
+    labels = (
+        edges.select(F.col("doc1").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.doc2 == labels.doc_id)
+            .groupBy(F.col("doc1").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist(blocking=False)
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist(blocking=False)
+    return labels.select(
+        "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("keep")
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -587,6 +645,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_components": dedup_components,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -915,3 +974,22 @@ ORACLE = {
         FROM documents
     """,
 }
+
+ORACLE["dedup_components"] = f"""
+    WITH RECURSIVE edges0 AS (
+        SELECT doc1, doc2 FROM ({ORACLE["dedup_jaccard_pairs"]})
+    ),
+    edges AS (
+        SELECT doc1 AS u, doc2 AS v FROM edges0
+        UNION ALL
+        SELECT doc2, doc1 FROM edges0
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(u, v) AS (
+        SELECT u, u FROM nodes
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, min(v) AS component, u = min(v) AS keep
+    FROM reach GROUP BY u
+"""
