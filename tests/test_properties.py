@@ -110,3 +110,40 @@ def test_tokenizer_matches_python_reference(spark, lines):
         w for ln in lines for w in TOKEN_RE.split(ln) if w != ""
     )
     assert got == expected
+
+
+WIN_S, SLIDE_S = 30, 10
+
+
+@given(
+    events=st.lists(st.integers(0, 200), min_size=1, max_size=30)
+)
+@settings(**SETTINGS)
+def test_sliding_window_matches_python_reference(spark, events):
+    """F.window(ts, win, slide): each event lands in exactly
+    win/slide overlapping windows whose starts are the slide-aligned
+    marks in (t - win, t]."""
+    rows = [
+        (datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None),)
+        for t in events
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {
+        (r["w"]["start"].minute * 60 + r["w"]["start"].second, r["n"])
+        for r in df.groupBy(
+            F.window("ts", f"{WIN_S} seconds", f"{SLIDE_S} seconds").alias("w")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    from collections import Counter
+    counts: Counter = Counter()
+    for t in events:
+        start = (t // SLIDE_S) * SLIDE_S  # latest window start containing t
+        for k in range(WIN_S // SLIDE_S):
+            s = start - k * SLIDE_S
+            if s >= 0 or s + WIN_S > 0:  # windows may start before epoch
+                if s <= t < s + WIN_S:
+                    counts[s] += 1
+    expected = {(s % 3600, n) for s, n in counts.items()}
+    assert got == expected

@@ -428,3 +428,46 @@ def test_stateful_threshold_survives_arrow_chunking(spark, sf_dir, event_rows, t
     }
     con.close()
     assert set(emissions) == expected
+
+
+def test_processing_time_trigger_periodic_firing(spark, tmpdir):
+    """X3/X5: a processing-time trigger fires periodically over a live
+    source; the running totals converge to the batch answer. (All other
+    tests use availableNow for determinism; this one pins the periodic
+    trigger mechanism itself.)"""
+    import time as _time
+
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01 00:{i:02d}:00", "user_id": i % 3,
+         "event_type": "A", "value": float(i)}
+        for i in range(12)
+    ]
+    write_arrival_chunks(rows, 3, f"{tmpdir}/feed")
+    stream = read_event_stream(spark, f"{tmpdir}/feed")
+    final: dict = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            final[r.user_id] = r.total_score
+
+    q = (
+        leaderboard.user_scores(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            done = [p for p in q.recentProgress if p["numInputRows"] == 0]
+            if len(done) >= 2 and len(final) == 3:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+
+    expected = {u: round(sum(float(i) for i in range(12) if i % 3 == u), 2)
+                for u in range(3)}
+    assert final == expected
