@@ -1,9 +1,11 @@
 """LLM training-data pipeline operators (beyond the reference's surface;
 required first-class components per the build brief): deduplication
-(exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search
-(brute-force cosine top-k + LSH-bucketed scale path), text analysis
-(language-ID heuristic, quality scoring, token counting, fingerprinting)
-over ``documents``/``embeddings``.
+(exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup,
+connected-component duplicate clustering), similarity search (brute-force
+cosine top-k, LSH-bucketed, and IVF scale paths), text analysis
+(language-ID heuristic, quality scoring + rule filter, token counting,
+fingerprinting, benchmark-contamination screening) over
+``documents``/``embeddings``.
 
 Cross-engine determinism: every hash bottoms out in ``md5`` (bit-identical
 in Spark and DuckDB); minhash permutations use seeded ``(a*h + b) % p``
