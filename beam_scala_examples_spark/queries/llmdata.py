@@ -622,6 +622,65 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REDACT_TERMS = ["customer", "key"]   # stand-in sensitive vocabulary
+_REDACT_RE = r"\b(customer|key|[0-9]+([.-][0-9]+)*)\b"
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24                    # 8-token overlap
+
+
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbing/redaction stage: mask a sensitive-term list + digit runs
+    (the shape of email/phone/ID scrubbing; the synthetic fixture corpus
+    has no real PII, so a term list provides non-vacuous counts). Emits
+    the redacted text's fingerprint plus the per-doc redaction count —
+    the audit pair a compliance pipeline records. Pure regexp_replace:
+    JVM-side, no shuffle beyond the scan."""
+    docs = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(F.lower("text"), _REDACT_RE, "[REDACTED]")
+    # NB: not via F.expr — a SQL string literal would eat the \b escapes
+    n_hits = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_REDACT_RE), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_md5"),
+        n_hits.cast("long").alias("n_redactions"),
+    )
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into
+    ``CHUNK_TOKENS``-token chunks with ``CHUNK_TOKENS - CHUNK_STRIDE``
+    token overlap — the standard prep for fixed-context training. The
+    fan-out is all array expressions inside the scan stage (no shuffle);
+    chunk identity is the md5 of the re-joined token span."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' +'), x -> x <> '')").alias("toks"),
+    ).filter(F.size("toks") > 0)
+    return (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")
+            ).alias("chunk_idx", "start"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(f"slice(toks, start + 1, {CHUNK_TOKENS})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+        )
+    )
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched
     ``mapInPandas`` metadata extraction with a stubbed decoder
@@ -662,6 +721,8 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_quality_filter": text_quality_filter,
     "text_contamination": text_contamination,
+    "text_redact": text_redact,
+    "text_chunk": text_chunk,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
 }
@@ -1001,4 +1062,38 @@ ORACLE["dedup_components"] = f"""
     )
     SELECT u AS doc_id, min(v) AS component, u = min(v) AS keep
     FROM reach GROUP BY u
+"""
+
+ORACLE["text_redact"] = f"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '{_REDACT_RE}', '[REDACTED]', 'g'))
+               AS redacted_md5,
+           len(regexp_extract_all(lower(text), '{_REDACT_RE}', 0))::BIGINT
+               AS n_redactions
+    FROM documents
+"""
+
+ORACLE["text_chunk"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, ' +'), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE}))
+                   AS start,
+               generate_subscripts(generate_series(0, len(toks) - 1,
+                                                   {CHUNK_STRIDE}), 1) - 1
+                   AS chunk_idx
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+           len(list_slice(toks, start + 1, start + {CHUNK_TOKENS}))::BIGINT
+               AS n_tokens,
+           md5(array_to_string(list_slice(toks, start + 1,
+                                          start + {CHUNK_TOKENS}), ' '))
+               AS chunk_md5
+    FROM starts
 """
