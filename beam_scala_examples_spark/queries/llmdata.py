@@ -622,6 +622,48 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher-style quality
+    signal): fraction of duplicate 3-shingles per doc. High repetition
+    flags boilerplate/spam for the quality filter. One pass, no shuffle —
+    total and distinct shingle counts are array expressions per row."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.size("sh").cast("long").alias("n_shingles"),
+            F.size(F.array_distinct("sh")).cast("long").alias("n_distinct"),
+            F.round(
+                1.0 - F.size(F.array_distinct("sh")) / F.size("sh"), 6
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+# per-source keep percentage for mixture sampling (unlisted sources: 0)
+MIX_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25, "src4": 10}
+
+
+def sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: per-source keep rates applied via
+    a content hash — the domain-mixing step that turns raw corpora into a
+    training mixture. The hash is md5-derived (portable) rather than an
+    engine hash, so the sample is reproducible anywhere; the weights map
+    is a broadcast literal (`F.create_map`), J6's shape."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = [x for kv in MIX_WEIGHTS.items() for x in kv]
+    weights = F.create_map(*[F.lit(x) for x in pairs])
+    bucket = F.expr(_SPARK_H.format(col="cast(doc_id as string)")) % 100
+    return (
+        docs.withColumn("w", F.coalesce(weights[F.col("source")], F.lit(0)))
+        .filter(bucket < F.col("w"))
+        .select("doc_id", "source")
+    )
+
+
 REDACT_TERMS = ["customer", "key"]   # stand-in sensitive vocabulary
 _REDACT_RE = r"\b(customer|key|[0-9]+([.-][0-9]+)*)\b"
 CHUNK_TOKENS = 32
@@ -723,6 +765,8 @@ QUERIES = {
     "text_contamination": text_contamination,
     "text_redact": text_redact,
     "text_chunk": text_chunk,
+    "text_repetition": text_repetition,
+    "sample_by_source": sample_by_source,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
 }
@@ -1096,4 +1140,22 @@ ORACLE["text_chunk"] = f"""
                                           start + {CHUNK_TOKENS}), ' '))
                AS chunk_md5
     FROM starts
+"""
+
+ORACLE["text_repetition"] = f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t)
+    SELECT doc_id, len(sh)::BIGINT AS n_shingles,
+           len(list_distinct(sh))::BIGINT AS n_distinct,
+           round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 6) AS rep_ratio
+    FROM s WHERE len(sh) > 0
+"""
+
+_MIX_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items()
+)
+ORACLE["sample_by_source"] = f"""
+    SELECT doc_id, source FROM documents
+    WHERE ({_DUCK_H.format(col='doc_id::VARCHAR')}) % 100
+          < (CASE source {_MIX_CASE} ELSE 0 END)
 """
