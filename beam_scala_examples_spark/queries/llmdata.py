@@ -3,9 +3,10 @@ required first-class components per the build brief): deduplication
 (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup,
 connected-component duplicate clustering), similarity search (brute-force
 cosine top-k, LSH-bucketed, and IVF scale paths), text analysis
-(language-ID heuristic, quality scoring + rule filter, token counting,
-fingerprinting, benchmark-contamination screening) over
-``documents``/``embeddings``.
+(language-ID heuristic, quality scoring + rule filter, repetition
+signal, token counting, fingerprinting, benchmark-contamination
+screening, redaction, context-window chunking, deterministic mixture
+sampling) over ``documents``/``embeddings``.
 
 Cross-engine determinism: every hash bottoms out in ``md5`` (bit-identical
 in Spark and DuckDB); minhash permutations use seeded ``(a*h + b) % p``
@@ -59,9 +60,14 @@ _DUCK_H = "('0x' || substr(md5({col}), 1, 8))::BIGINT"
 # Tokens / 3-word shingles of the lowercased text.
 _SPARK_TOKS = r"filter(split(lower(text), '\\W+'), x -> x <> '')"
 _DUCK_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')"
+# NB: guarded with CASE, not sequence(0, greatest(n-3, -1)) — Spark's
+# sequence(0, -1) counts DOWN ([0, -1]), which would index past the array
+# and crash (ANSI) on any document of fewer than 3 tokens.
 _SPARK_SHINGLES = (
-    "transform(sequence(0, greatest(size(toks) - 3, -1)),"
+    "CASE WHEN size(toks) >= 3 THEN"
+    " transform(sequence(0, size(toks) - 3),"
     " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+    " ELSE array() END"
 )
 _DUCK_SHINGLES = (
     "list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
@@ -245,6 +251,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterated set). Oracle: DuckDB recursive CTE computing min reachable
     id per node, so even the iterative op stays hash-checked.
     """
+    prev = _MINHASH_CACHE.pop("cc_labels", None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
     pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
     edges = pairs.unionByName(
         pairs.select(
@@ -284,6 +293,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist(blocking=False)
+    # the final labels stay persisted for the caller's action; the next
+    # invocation pops and unpersists them (same discipline as the
+    # minhash signature cache)
+    _MINHASH_CACHE["cc_labels"] = labels
     return labels.select(
         "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("keep")
     )
@@ -402,16 +415,27 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
     base = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    # stride picks spread-out vectors; the cap keeps the cell count (and
-    # so the per-row assignment work) constant as the corpus grows —
-    # without it ncells = n/stride and assignment degrades to O(n^2)
-    cent = base.filter(
-        (F.col("vec_id") % IVF_STRIDE == 0)
-        & (F.col("vec_id") < IVF_STRIDE * IVF_MAX_CELLS)
-    ).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cnorm"),
+    # the stride scales with the id range so at most IVF_MAX_CELLS
+    # centroids are chosen AND they spread across the whole corpus
+    # (a fixed stride would grow ncells linearly — O(n^2) assignment; a
+    # fixed id cutoff would take centroids only from the head of the
+    # table, collapsing recall)
+    mx = emb.agg(F.max("vec_id").alias("mx"))
+    cent = (
+        base.join(F.broadcast(mx))
+        .withColumn(
+            "stride",
+            F.greatest(
+                F.lit(IVF_STRIDE),
+                F.ceil((F.col("mx") + 1) / float(IVF_MAX_CELLS)),
+            ),
+        )
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnorm"),
+        )
     )
     cdot = F.expr(_SPARK_DOT.format(a="embedding", b="ce"))
     argmax_cid = (
@@ -665,7 +689,10 @@ def sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REDACT_TERMS = ["customer", "key"]   # stand-in sensitive vocabulary
-_REDACT_RE = r"\b(customer|key|[0-9]+([.-][0-9]+)*)\b"
+# derived, so editing REDACT_TERMS changes engine + oracle + counts alike
+_REDACT_RE = (
+    r"\b(" + "|".join(REDACT_TERMS) + r"|[0-9]+([.-][0-9]+)*)\b"
+)
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24                    # 8-token overlap
 
@@ -708,6 +735,13 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")
             ).alias("chunk_idx", "start"),
             "toks",
+        )
+        # drop a trailing start that contributes no new tokens (its whole
+        # span is inside the previous chunk's overlap region)
+        .filter(
+            (F.col("start") == 0)
+            | (F.col("start") + (CHUNK_TOKENS - CHUNK_STRIDE)
+               < F.size("toks"))
         )
         .select(
             "doc_id",
@@ -955,8 +989,10 @@ ORACLE = {
         ),
         cent AS (
             SELECT vec_id AS cid, embedding AS ce, nrm AS cnorm
-            FROM base WHERE vec_id % {IVF_STRIDE} = 0
-              AND vec_id < {IVF_STRIDE * IVF_MAX_CELLS}
+            FROM base
+            WHERE vec_id % greatest({IVF_STRIDE},
+                  ceil((SELECT max(vec_id) + 1 FROM base)
+                       / {IVF_MAX_CELLS}.0)::BIGINT) = 0
         ),
         ac AS (
             SELECT b.vec_id, b.embedding, b.nrm, c.cid,
@@ -1140,6 +1176,7 @@ ORACLE["text_chunk"] = f"""
                                           start + {CHUNK_TOKENS}), ' '))
                AS chunk_md5
     FROM starts
+    WHERE start = 0 OR start + {CHUNK_TOKENS - CHUNK_STRIDE} < len(toks)
 """
 
 ORACLE["text_repetition"] = f"""

@@ -53,9 +53,11 @@ def q09_max_lane_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event_id) — so plain max() applies and both aggregation levels run
     # as HashAggregate; a struct-valued max_by buffer forces SortAggregate
     # (sorting every partition) on Spark. Applicability contract: flows
-    # carry exactly 2 decimals (the fixture's domain; asserted by the
-    # oracle hash anyway) and event_id < 2^40. For unbounded domains fall
-    # back to max_by(named_struct(...), named_struct(v, -event_id)).
+    # are NON-NEGATIVE (a negative pack would flip the sign-following %
+    # used to decode event_id), carry exactly 2 decimals, and satisfy
+    # cents < 2^23 (~$83k — larger flows overflow the 63-bit pack) with
+    # event_id < 2^40. Outside these bounds fall back to
+    # max_by(named_struct(...), named_struct(v, -event_id)).
     pack_bits = 40
     p_mod = 1 << pack_bits
     cents = F.round(F.col("value") * 100, 0).cast("long")

@@ -39,6 +39,10 @@ def bucketed(spark, sf_dir):
     yield spark
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    # DROP TABLE on external (path-option) tables leaves the files behind
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
 
 
 def test_bucketed_join_has_no_exchange(bucketed):
