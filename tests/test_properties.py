@@ -147,3 +147,25 @@ def test_sliding_window_matches_python_reference(spark, events):
                     counts[s] += 1
     expected = {(s % 3600, n) for s, n in counts.items()}
     assert got == expected
+
+
+def test_shingles_handle_short_documents(spark):
+    """Documents of < 3 tokens must yield empty shingle arrays, not an
+    ANSI array-index crash (Spark's sequence(0, -1) counts DOWN)."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        _SPARK_SHINGLES,
+        _SPARK_TOKS,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("sh"))
+        .collect()
+    }
+    assert rows[1] == [] and rows[2] == [] and rows[3] == []
+    assert rows[4] == ["one two three"]
