@@ -471,3 +471,32 @@ def test_processing_time_trigger_periodic_firing(spark, tmpdir):
     expected = {u: round(sum(float(i) for i in range(12) if i % 3 == u), 2)
                 for u in range(3)}
     assert final == expected
+
+
+def test_streaming_dedup_within_watermark(spark, tmpdir):
+    """Streaming exact dedup: duplicate events (same event_id) replayed
+    within the watermark are emitted once — dropDuplicatesWithinWatermark
+    is the streaming twin of the batch dedup_exact/distinct family."""
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:01:00", "user_id": 1,
+         "event_type": "A", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:02:00", "user_id": 1,
+         "event_type": "A", "value": 2.0},
+        # duplicate delivery of event 1 in a later micro-batch
+        {"event_id": 1, "ts": "2024-01-01 00:01:00", "user_id": 1,
+         "event_type": "A", "value": 1.0},
+        {"event_id": 3, "ts": "2024-01-01 00:03:00", "user_id": 1,
+         "event_type": "A", "value": 3.0},
+    ]
+    write_arrival_chunks(rows, 1, f"{tmpdir}/feed")
+    stream = read_event_stream(spark, f"{tmpdir}/feed")
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    seen: list = []
+
+    def sink(batch_df, _bid):
+        seen.extend(r.event_id for r in batch_df.collect())
+
+    _run_stream(deduped, "append", sink, tmpdir)
+    assert sorted(seen) == [1, 2, 3]
