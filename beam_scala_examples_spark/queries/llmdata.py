@@ -483,6 +483,30 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
 
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage
+    compression step of a vector store (4x smaller than float32, 8x than
+    float64). Per vector: scale = max|x| / 127; q_i = floor(x_i / scale
+    + 0.5) (explicit floor-rounding — engines disagree on round()'s
+    half-way rule, floor does not). Emits the scale and the quantized
+    vector's fingerprint; map-only, no shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    mx = F.expr(
+        "aggregate(embedding, cast(0 as double),"
+        " (acc, x) -> greatest(acc, abs(cast(x as double))))"
+    )
+    base = emb.select("vec_id", "embedding", (mx / 127.0).alias("scale"))
+    q = F.expr(
+        "transform(embedding,"
+        " x -> cast(floor(cast(x as double) / scale + 0.5) as bigint))"
+    )
+    return base.filter(F.col("scale") > 0).select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.md5(F.concat_ws(",", q)).alias("quant_md5"),
+    )
+
+
 EMB_NEARDUP_THRESHOLD = 0.2
 
 
@@ -793,6 +817,7 @@ QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "emb_quantize_int8": emb_quantize_int8,
     "text_language_id": text_language_id,
     "text_quality_score": text_quality_score,
     "text_quality_filter": text_quality_filter,
@@ -1195,4 +1220,17 @@ ORACLE["sample_by_source"] = f"""
     SELECT doc_id, source FROM documents
     WHERE ({_DUCK_H.format(col='doc_id::VARCHAR')}) % 100
           < (CASE source {_MIX_CASE} ELSE 0 END)
+"""
+
+ORACLE["emb_quantize_int8"] = """
+    WITH b AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+                   AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, round(scale, 9) AS scale,
+           md5(array_to_string(list_transform(embedding,
+               x -> floor(x::DOUBLE / scale + 0.5)::BIGINT), ',')) AS quant_md5
+    FROM b WHERE scale > 0
 """
