@@ -1,0 +1,44 @@
+"""Driver-contract self-test: ``__spark_entry__`` is the runtime surface
+the harness consumes — pin its shape so a refactor cannot silently break
+the gate (keys drift, a query stops returning a DataFrame, the flagship
+entry changes schema).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from pyspark.sql import DataFrame
+
+_SPEC = importlib.util.spec_from_file_location(
+    "__spark_entry__",
+    os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+)
+entry_mod = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(_SPEC and entry_mod)
+
+
+def test_every_query_has_matching_oracle_keys():
+    qs = entry_mod.queries()
+    oracle = entry_mod.oracle_sql()
+    assert set(oracle) == set(qs), (
+        "oracle_sql() keys must exactly match queries() keys"
+    )
+    assert len(qs) >= 56
+
+
+def test_entry_returns_dataframe_with_stable_schema(spark):
+    df = entry_mod.entry(spark)
+    assert isinstance(df, DataFrame)
+    assert df.columns == ["doc_id", "word", "tfidf"]
+
+
+def test_queries_accept_bare_session(spark, sf_dir):
+    """The driver hands a bare session; the wrapper must configure it
+    per call (UTC, nanos parquet) and return a DataFrame."""
+    qs = entry_mod.queries()
+    df = qs["q01_minimal_wordcount"](spark, sf_dir)
+    assert isinstance(df, DataFrame)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
