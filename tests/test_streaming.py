@@ -500,3 +500,33 @@ def test_streaming_dedup_within_watermark(spark, tmpdir):
 
     _run_stream(deduped, "append", sink, tmpdir)
     assert sorted(seen) == [1, 2, 3]
+
+
+def test_calendar_month_streaming_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """W4 streamed: F.window cannot express variable-length calendar
+    months, but grouping on date_trunc('month', ts) in update mode keeps
+    running month totals — final state equals the batch calendar-month
+    aggregation."""
+    stream = _feed(spark, event_rows, tmpdir, chunk_size=400)
+    agg = (
+        stream.groupBy(F.date_trunc("month", "ts").alias("month"))
+        .agg(F.count("*").alias("n"))
+    )
+    final: dict = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            final[r.month] = r.n
+
+    _run_stream(agg, "update", sink, tmpdir)
+
+    from beam_scala_examples_spark.tables import load
+
+    batch = {
+        r["month"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("month", "ts").alias("month"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == batch
