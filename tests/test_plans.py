@@ -171,3 +171,12 @@ def test_star_join_strategy(plans):
     p3 = plans("star_shipping_priority")
     assert "PushedFilters" in p3 and "IsNotNull" in p3
     assert "EqualTo(c_mktsegment,BUILDING)" in p3
+
+
+def test_q09_argmax_is_hash_aggregated(plans):
+    """q09's packed arg-max must plan as HashAggregate end-to-end — a
+    struct-valued max_by buffer would silently regress to SortAggregate
+    (per-partition sorts at both aggregation levels)."""
+    p = plans("q09_max_lane_flow")
+    assert "SortAggregate" not in p
+    assert p.count("HashAggregate") >= 4

@@ -530,3 +530,36 @@ def test_calendar_month_streaming_matches_batch(spark, sf_dir, event_rows, tmpdi
         .collect()
     }
     assert final == batch
+
+
+def test_streaming_windowed_file_write(spark, sf_dir, event_rows, tmpdir):
+    """S5 streamed: one file set per window via foreachBatch + the
+    windowed-file writer — the streaming twin of WriteOneFilePerWindow."""
+    import glob
+    import os
+
+    from beam_scala_examples_spark import io as bio
+
+    # single chunk -> single micro-batch: the writer's overwrite mode is
+    # per-invocation, so one batch writes the full window set at once
+    stream = _feed(spark, event_rows[:400], tmpdir, chunk_size=400)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    out = f"{tmpdir}/winfiles"
+
+    def sink(batch_df, _bid):
+        if batch_df.count():
+            bio.write_windowed_files(batch_df, out, "win_start")
+
+    _run_stream(agg, "update", sink, tmpdir)
+
+    dirs = sorted(
+        os.path.basename(d) for d in glob.glob(f"{out}/window_start=*")
+    )
+    assert dirs, "no per-window directories written"
+    total = spark.read.parquet(out)
+    assert total.count() > 0
