@@ -49,6 +49,11 @@ def write_windowed_files(
         df.withColumn("window_start", F.date_format(win_start_col, "yyyy-MM-dd-HH-mm"))
         .repartition(num_shards)
         .write.mode("overwrite")
+        # dynamic: only the window partitions present in df are replaced —
+        # required for repeated (streaming foreachBatch) invocations,
+        # where static overwrite would wipe every previously written
+        # window on each batch
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("window_start")
         .parquet(path)
     )

@@ -15,8 +15,9 @@ _SPEC = importlib.util.spec_from_file_location(
     "__spark_entry__",
     os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
 )
+assert _SPEC is not None
 entry_mod = importlib.util.module_from_spec(_SPEC)
-_SPEC.loader.exec_module(_SPEC and entry_mod)
+_SPEC.loader.exec_module(entry_mod)
 
 
 def test_every_query_has_matching_oracle_keys():
@@ -29,16 +30,31 @@ def test_every_query_has_matching_oracle_keys():
 
 
 def test_entry_returns_dataframe_with_stable_schema(spark):
+    import pytest
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("entry() reads the driver's fixed sf0.001 path")
     df = entry_mod.entry(spark)
     assert isinstance(df, DataFrame)
     assert df.columns == ["doc_id", "word", "tfidf"]
 
 
 def test_queries_accept_bare_session(spark, sf_dir):
-    """The driver hands a bare session; the wrapper must configure it
-    per call (UTC, nanos parquet) and return a DataFrame."""
-    qs = entry_mod.queries()
-    df = qs["q01_minimal_wordcount"](spark, sf_dir)
-    assert isinstance(df, DataFrame)
-    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
-    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    """The driver hands a BARE session; the query wrapper must re-apply
+    the engine confs per call. Un-set them first so the test actually
+    catches a dropped _configure (the shared fixture session already has
+    them), and restore the fixture's shuffle sizing afterwards."""
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.unset("spark.sql.session.timeZone")
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        qs = entry_mod.queries()
+        df = qs["q01_minimal_wordcount"](spark, sf_dir)
+        assert isinstance(df, DataFrame)
+        assert df.count() > 0  # nanos parquet readable again
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)

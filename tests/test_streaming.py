@@ -540,9 +540,9 @@ def test_streaming_windowed_file_write(spark, sf_dir, event_rows, tmpdir):
 
     from beam_scala_examples_spark import io as bio
 
-    # single chunk -> single micro-batch: the writer's overwrite mode is
-    # per-invocation, so one batch writes the full window set at once
-    stream = _feed(spark, event_rows[:400], tmpdir, chunk_size=400)
+    # two micro-batches: dynamic partition overwrite must keep batch 1's
+    # windows when batch 2 writes different ones
+    stream = _feed(spark, event_rows[:400], tmpdir, chunk_size=200)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -552,8 +552,9 @@ def test_streaming_windowed_file_write(spark, sf_dir, event_rows, tmpdir):
     out = f"{tmpdir}/winfiles"
 
     def sink(batch_df, _bid):
-        if batch_df.count():
-            bio.write_windowed_files(batch_df, out, "win_start")
+        # no count() guard: an empty dynamic-overwrite write touches no
+        # partitions, and a count here would recompute the whole agg
+        bio.write_windowed_files(batch_df, out, "win_start")
 
     _run_stream(agg, "update", sink, tmpdir)
 
@@ -561,5 +562,21 @@ def test_streaming_windowed_file_write(spark, sf_dir, event_rows, tmpdir):
         os.path.basename(d) for d in glob.glob(f"{out}/window_start=*")
     )
     assert dirs, "no per-window directories written"
-    total = spark.read.parquet(out)
-    assert total.count() > 0
+    # every window of the full input must survive the multi-batch run
+    # (dynamic overwrite: batch 2 must not wipe batch 1's windows)
+    from beam_scala_examples_spark.tables import load
+
+    expected_windows = {
+        r["w"]
+        for r in load(spark, sf_dir, "events")
+        .orderBy("ts", "event_id")
+        .limit(400)
+        .select(F.window("ts", "1 hour").getField("start").alias("w"))
+        .distinct()
+        .collect()
+    }
+    got_windows = {
+        r["win_start"]
+        for r in spark.read.parquet(out).select("win_start").distinct().collect()
+    }
+    assert got_windows == expected_windows
