@@ -31,6 +31,7 @@ import random
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.topk import top_k_per_key
 from ..tables import load
@@ -670,6 +671,38 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 100
+
+
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary builder: top-``VOCAB_TOP_K`` tokens by frequency
+    with stable ranks (count desc, token asc) — the seed step of
+    tokenizer training / frequency-based filtering. One hash aggregate
+    over the exploded tokens; the rank's WindowGroupLimit caps what
+    crosses the final exchange at K rows per partition."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.expr(_SPARK_TOKS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        top_k_per_key(
+            counts.withColumn("g", F.lit(1)),
+            ["g"],
+            [F.desc("cnt"), F.asc("token")],
+            VOCAB_TOP_K,
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+            .cast("long"),
+        )
+        .select("rank", "token", "cnt")
+    )
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition metrics (the Gopher-style quality
     signal): fraction of duplicate 3-shingles per doc. High repetition
@@ -826,6 +859,7 @@ QUERIES = {
     "text_chunk": text_chunk,
     "text_repetition": text_repetition,
     "sample_by_source": sample_by_source,
+    "text_vocabulary": text_vocabulary,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
 }
@@ -1233,4 +1267,18 @@ ORACLE["emb_quantize_int8"] = """
            md5(array_to_string(list_transform(embedding,
                x -> floor(x::DOUBLE / scale + 0.5)::BIGINT), ',')) AS quant_md5
     FROM b WHERE scale > 0
+"""
+
+ORACLE["text_vocabulary"] = f"""
+    WITH counts AS (
+        SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+    ),
+    agg AS (SELECT token, count(*)::BIGINT AS cnt FROM counts GROUP BY 1),
+    ranked AS (
+        SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+        FROM agg
+    )
+    SELECT rank::BIGINT AS rank, token, cnt
+    FROM ranked WHERE rank <= {VOCAB_TOP_K}
 """
