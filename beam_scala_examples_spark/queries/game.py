@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.agg import duck_sum_cents, sum_cents
 from ..operators.windows import duck_sessions_cte, duck_tumbling_start
 from ..tables import load
 
@@ -35,7 +36,7 @@ def q11_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user total score, batch (Q11: P5 parse + A3 Sum.perKey;
     ``UserScore.scala:160-177``)."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total_score"))
+    return ev.groupBy("user_id").agg(sum_cents("value").alias("total_score"))
 
 
 def q12_hourly_team_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,7 +49,7 @@ def q12_hourly_team_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") >= F.lit(Q12_START)) & (F.col("ts") < F.lit(Q12_STOP))
         )
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(F.round(F.sum("value"), 2).alias("total_score"))
+        .agg(sum_cents("value").alias("total_score"))
         .select(
             F.col("win.start").alias("win_start"),
             F.col("event_type").alias("team"),
@@ -64,7 +65,7 @@ def q13_leaderboard_team(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(F.round(F.sum("value"), 2).alias("total_score"))
+        .agg(sum_cents("value").alias("total_score"))
         .select(
             F.col("win.start").alias("win_start"),
             F.col("event_type").alias("team"),
@@ -121,7 +122,7 @@ def q14_spam_filtered_team_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = ev.join(F.broadcast(_spammers(ev)), "user_id", "left_anti")
     return (
         clean.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(F.round(F.sum("value"), 2).alias("total_score"))
+        .agg(sum_cents("value").alias("total_score"))
         .select(
             F.col("win.start").alias("win_start"),
             F.col("event_type").alias("team"),
@@ -202,22 +203,23 @@ QUERIES = {
 }
 
 _HOUR = duck_tumbling_start("ts", 3600)
+_SUMC = duck_sum_cents("value")
 
 ORACLE = {
-    "q11_user_score": """
-        SELECT user_id, round(sum(value), 2) AS total_score
+    "q11_user_score": f"""
+        SELECT user_id, {_SUMC} AS total_score
         FROM events GROUP BY user_id
     """,
     "q12_hourly_team_score": f"""
         SELECT {_HOUR} AS win_start, event_type AS team,
-               round(sum(value), 2) AS total_score
+               {_SUMC} AS total_score
         FROM events
         WHERE ts >= TIMESTAMP '{Q12_START}' AND ts < TIMESTAMP '{Q12_STOP}'
         GROUP BY 1, 2
     """,
     "q13_leaderboard_team": f"""
         SELECT {_HOUR} AS win_start, event_type AS team,
-               round(sum(value), 2) AS total_score
+               {_SUMC} AS total_score
         FROM events GROUP BY 1, 2
     """,
     "q13_leaderboard_user": """
@@ -237,7 +239,7 @@ ORACLE = {
             WHERE total_cents > 2.5 * (SELECT avg(total_cents) FROM totals)
         )
         SELECT {_HOUR} AS win_start, event_type AS team,
-               round(sum(value), 2) AS total_score
+               {_SUMC} AS total_score
         FROM events
         WHERE user_id NOT IN (SELECT user_id FROM spammers)
         GROUP BY 1, 2

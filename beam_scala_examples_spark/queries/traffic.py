@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.agg import duck_sum_cents, sum_cents
 from ..operators.windows import duck_sliding_starts_cte, duck_tumbling_start
 from ..tables import load
 
@@ -173,7 +174,7 @@ def q22_trigger_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("freeway"),
         )
         .agg(
-            F.round(F.sum("value"), 2).alias("total_flow"),
+            sum_cents("value").alias("total_flow"),
             F.count("*").alias("n_records"),
         )
         .select(
@@ -251,7 +252,7 @@ ORACLE = {
     "q22_trigger_flow": f"""
         SELECT {duck_tumbling_start('ts', 86400)} AS win_start,
                event_type AS freeway,
-               round(sum(value), 2) AS total_flow,
+               {duck_sum_cents('value')} AS total_flow,
                count(*)::BIGINT AS n_records,
                'ON_TIME' AS timing
         FROM events GROUP BY 1, 2

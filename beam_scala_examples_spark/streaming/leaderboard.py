@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.agg import sum_cents
+
 ALLOWED_LATENESS = "120 minutes"  # LeaderBoard.scala:155-158 default
 
 
@@ -29,7 +31,7 @@ def team_scores(events: DataFrame, window: str = "1 hour",
     return (
         events.withWatermark("ts", lateness)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
-        .agg(F.round(F.sum("value"), 2).alias("total_score"))
+        .agg(sum_cents("value").alias("total_score"))
         .select(
             F.col("win.start").alias("win_start"),
             F.col("event_type").alias("team"),
@@ -42,6 +44,4 @@ def user_scores(events: DataFrame) -> DataFrame:
     """Global-window per-user running totals (update mode): Spark re-emits
     each user's cumulative total every trigger — Beam's periodic
     processing-time firing on the global window."""
-    return events.groupBy("user_id").agg(
-        F.round(F.sum("value"), 2).alias("total_score")
-    )
+    return events.groupBy("user_id").agg(sum_cents("value").alias("total_score"))
