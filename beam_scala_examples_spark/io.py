@@ -74,8 +74,11 @@ def permissive_csv(
     counted, never fail the job (``UserScore.scala:139-152``).
 
     ``from_csv`` in PERMISSIVE mode nulls unparseable fields; a row is
-    malformed if any non-nullable target field is null. The parse-error
-    count rides an ``observe`` (M1) so no extra action is needed.
+    malformed if any field declared ``nullable=False`` in the target
+    schema is null.  Fields left nullable are optional: a legitimately
+    empty value passes through (declare every field non-nullable to get
+    the reference's all-required behavior). The parse-error count rides
+    an ``observe`` (M1) so no extra action is needed.
     """
     parsed = lines.select(
         F.from_csv(
@@ -84,9 +87,9 @@ def permissive_csv(
             {"sep": sep, "mode": "PERMISSIVE"},
         ).alias("r")
     ).select("r.*")
-    ok = [F.col(f.name).isNotNull() for f in schema.fields]
-    all_ok = ok[0]
-    for c in ok[1:]:
+    ok = [F.col(f.name).isNotNull() for f in schema.fields if not f.nullable]
+    all_ok = F.lit(True)
+    for c in ok:
         all_ok = all_ok & c
     parsed = parsed.withColumn("__ok", all_ok)
     if observation is not None:

@@ -57,11 +57,28 @@ def q09_max_lane_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are NON-NEGATIVE (a negative pack would flip the sign-following %
     # used to decode event_id), carry exactly 2 decimals, and satisfy
     # cents < 2^23 (~$83k — larger flows overflow the 63-bit pack) with
-    # event_id < 2^40. Outside these bounds fall back to
-    # max_by(named_struct(...), named_struct(v, -event_id)).
+    # event_id < 2^40. The bounds are ENFORCED: a violating row raises
+    # instead of silently corrupting the pack; fall back to
+    # max_by(named_struct(...), named_struct(v, -event_id)) if a domain
+    # legitimately exceeds them.
     pack_bits = 40
     p_mod = 1 << pack_bits
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents_raw = F.round(F.col("value") * 100, 0).cast("long")
+    in_bounds = (
+        (cents_raw >= 0)
+        & (cents_raw < F.lit(1 << 23))
+        & (F.col("event_id") >= 0)
+        & (F.col("event_id") < F.lit(p_mod))
+    )
+    cents = F.when(in_bounds, cents_raw).otherwise(
+        F.raise_error(
+            F.format_string(
+                "q09 arg-max pack bounds violated (need 0 <= 100*value < 2^23"
+                " and 0 <= event_id < 2^40): value=%s event_id=%s",
+                F.col("value"), F.col("event_id"),
+            )
+        )
+    )
     packed = cents * p_mod + (F.lit(p_mod - 1) - F.col("event_id"))
     pre = ev.groupBy(
         F.window("ts", f"{Q9_SLIDE_S} seconds").alias("bucket"),

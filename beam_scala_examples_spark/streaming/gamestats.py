@@ -27,7 +27,17 @@ def session_mean(events: DataFrame, gap: str = "3600 seconds",
                  lateness: str = ALLOWED_LATENESS) -> DataFrame:
     """Per-user sessions (gap-merged), then mean session minutes per fixed
     window of session end — two chained event-time aggregations
-    (``GameStats.scala:147-177``)."""
+    (``GameStats.scala:147-177``).
+
+    Boundary caveat: the re-window keys on ``window_time(sw)`` = session
+    end − 1µs (Spark's watermark-tag rules forbid windowing on ``sw.end``
+    itself), while the batch twin / DuckDB oracle window on ``s_end``.  A
+    session ending *exactly* on an ``out_window`` boundary therefore lands
+    in the preceding window here and the following window in the batch
+    form.  The fixtures avoid that measure-zero alignment; at scale,
+    either accept the 1µs convention or shift the batch twin to
+    ``s_end − 1µs``.
+    """
     sess = (
         events.withWatermark("ts", lateness)
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")

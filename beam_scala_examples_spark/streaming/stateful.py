@@ -14,6 +14,7 @@ event-time order so replaying a bounded stream reproduces the batch
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,6 +27,14 @@ OUTPUT_SCHEMA = "team string, event_id long, total double"
 STATE_SCHEMA = "total double"
 
 DEFAULT_THRESHOLD = 1000.0  # reference default 5000 (StatefulTeamScore.scala:103-106)
+
+
+def _round2_half_away(x: float) -> float:
+    """Round-half-away-from-zero to 2 decimals — Python's ``round`` is
+    banker's (half-to-even) while the batch twin / oracle use Spark
+    ``F.round`` / DuckDB ``round`` (half-away), so a total landing on a
+    .xx5 boundary must round the same way in both forms."""
+    return math.copysign(math.floor(abs(x) * 100 + 0.5) / 100.0, x)
 
 
 def _fold_crossings(
@@ -46,7 +55,7 @@ def _fold_crossings(
         if new_total // threshold > total // threshold:
             out_teams.append(team)
             out_ids.append(int(ev_id))
-            out_totals.append(round(new_total, 2))
+            out_totals.append(_round2_half_away(new_total))
         total = new_total
     if not out_teams:
         return None, total

@@ -123,11 +123,11 @@ def test_permissive_csv_drops_and_counts(spark):
     )
     schema = StructType(
         [
-            StructField("user", StringType()),
-            StructField("team", StringType()),
-            StructField("score", IntegerType()),
-            StructField("timestamp_ms", LongType()),
-            StructField("readable", StringType()),
+            StructField("user", StringType(), nullable=False),
+            StructField("team", StringType(), nullable=False),
+            StructField("score", IntegerType(), nullable=False),
+            StructField("timestamp_ms", LongType(), nullable=False),
+            StructField("readable", StringType(), nullable=False),
         ]
     )
     obs = Observation("parse")
@@ -136,6 +136,28 @@ def test_permissive_csv_drops_and_counts(spark):
     assert {r.user for r in rows} == {"user1_A", "user3_C"}
     assert obs.get["parse_errors"] == 2
     assert obs.get["rows_seen"] == 4
+
+
+def test_permissive_csv_keeps_empty_optional_fields(spark):
+    """P5: a field left nullable in the target schema is optional — a
+    valid row with that field empty is kept, not counted as a parse
+    error."""
+    lines = spark.createDataFrame(
+        [("user1,TeamA,18",), ("user2,,7",), ("user3,TeamC,notanumber",)],
+        "value string",
+    )
+    schema = StructType(
+        [
+            StructField("user", StringType(), nullable=False),
+            StructField("team", StringType(), nullable=True),  # optional
+            StructField("score", IntegerType(), nullable=False),
+        ]
+    )
+    obs = Observation("parse_opt")
+    parsed = bio.permissive_csv(lines, schema, observation=obs)
+    rows = {(r.user, r.team) for r in parsed.collect()}
+    assert rows == {("user1", "TeamA"), ("user2", None)}
+    assert obs.get["parse_errors"] == 1
 
 
 def test_explode_lane_columns(spark):
