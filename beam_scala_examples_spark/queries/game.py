@@ -116,10 +116,13 @@ def q14_spam_filtered_team_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SURVEY §2.11-N1: the reference's Scala port inverts the filter (keeps
     spammers); we implement the documented intent — **drop** spammers via
-    a broadcast left-anti join (the spammer set is tiny by construction).
+    a left-anti join.  The spammer set is data-dependent (a fraction of
+    all users), so the join strategy is left to Catalyst/AQE size
+    estimates rather than a forced broadcast that would OOM if the user
+    population outgrew the threshold.
     """
     ev = load(spark, sf_dir, "events")
-    clean = ev.join(F.broadcast(_spammers(ev)), "user_id", "left_anti")
+    clean = ev.join(_spammers(ev), "user_id", "left_anti")
     return (
         clean.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(sum_cents("value").alias("total_score"))

@@ -2,10 +2,12 @@
 
 Reference: ``complete/TfIdf.scala:188-300`` — a DAG with two CoGroupByKeys
 and one singleton side input.  Spark-first shape: one tokenized base
-relation feeding three aggregations, two equi-joins (per-doc totals join
-is on the grouping key; per-word doc-frequency join is broadcast — the
-word dictionary is tiny relative to the corpus), and the |docs| scalar as
-a broadcast cross join.
+relation feeding three aggregations, two equi-joins, and the |docs|
+scalar as a broadcast cross join.  Only the provably-1-row scalar is
+*forced* to broadcast: the per-word doc-frequency relation grows with
+corpus vocabulary (billions of distinct tokens at web scale), so its
+join strategy is left to Catalyst/AQE size estimates — broadcast at
+fixture scale, shuffle join once the dictionary outgrows the threshold.
 
 Formula (SURVEY §2.11-N4, ``TfIdf.scala:345,359,374``):
 ``tf = n(word,doc) / words(doc)``; ``df = docs(word) / |docs|``;
@@ -54,7 +56,7 @@ def q07_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = F.col("n_docs") / F.col("total_docs")
     return (
         word_counts.join(words_per_doc, "doc_id")
-        .join(F.broadcast(docs_per_word), "word")
+        .join(docs_per_word, "word")
         .join(F.broadcast(total_docs))
         .select(
             "doc_id",

@@ -69,6 +69,34 @@ def test_tfidf_small_sides_broadcast(plans):
     assert "BroadcastNestedLoopJoin" in p
 
 
+def test_unbounded_sides_not_forced_broadcast(plans):
+    """Q7/Q14: vocabulary-sized (docs_per_word) and data-dependent
+    (spammers) relations must NOT carry a broadcast hint — at fixture
+    scale Catalyst still picks broadcast from size estimates (asserted
+    above / below), but at 100 TB the estimate exceeds the threshold and
+    the planner must be free to fall back to a shuffle join.  The only
+    hinted side in each query is a provably-1-row scalar."""
+    getter = plans
+    spark = getter.__wrapped_spark__
+    sf_dir = getter.__wrapped_sf_dir__
+    for name in ["q07_tfidf", "q14_spam_filtered_team_score"]:
+        df = QUERIES[name](spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        # the scalar's hint survives into the optimized plan; a second
+        # ResolvedHint would mean an unbounded side is being forced
+        assert logical.count("ResolvedHint") <= 1, (
+            f"{name}: unexpected forced-broadcast hint:\n{logical}"
+        )
+
+
+def test_spam_anti_join_broadcasts_at_fixture_scale(plans):
+    """Q14: with no hint, Catalyst's size estimate still broadcasts the
+    spammer set at fixture scale — correctness of the gate, not a forced
+    strategy."""
+    p = plans("q14_spam_filtered_team_score")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
 def test_topk_is_partial(plans):
     """Q5: rank-per-prefix must push the limit below the shuffle
     (WindowGroupLimit) so the exchange carries <= K rows per key."""
