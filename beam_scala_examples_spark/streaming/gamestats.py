@@ -62,13 +62,85 @@ def session_mean(events: DataFrame, gap: str = "3600 seconds",
     )
 
 
+class SpamFilteredTeamScoresSink:
+    """Production-shape streaming Q14 branch 1: fully distributed
+    foreachBatch — nothing accumulates on the driver
+    (``GameStats.scala:84-140``).
+
+    Per micro-batch:
+
+    1. the batch's per-(window, team, user) score cents are appended to a
+       *contribution* table partitioned by ``batch_id`` with dynamic
+       partition overwrite — replaying a batch after a failure replaces
+       its own partition, making the append idempotent (exactly-once);
+    2. the accumulated contribution table (already aggregated: one row
+       per window x team x user ever seen — far smaller than raw events)
+       is re-aggregated to user totals, the spam set is derived as a
+       DataFrame (user total > 2.5 x mean), and the anti-joined windowed
+       team totals overwrite the output table — each batch refines all
+       panes, Beam's accumulating-mode side-input semantics.
+
+    The full-table overwrite stands in for a lakehouse MERGE keyed on
+    (win_start, team); with Delta/Iceberg, step 2's tail becomes a MERGE
+    and only changed panes rewrite.  State scales as O(windows x teams x
+    users-active-in-window), all of it in the cluster's storage layer —
+    the driver holds nothing.  The driver-dict twin below remains as the
+    test oracle.
+    """
+
+    def __init__(self, contrib_path: str, out_path: str, window: str = "1 hour"):
+        self.contrib_path = contrib_path
+        self.out_path = out_path
+        self.window = window
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        contrib = (
+            batch_df.select(
+                F.window("ts", self.window).start.alias("win_start"),
+                F.col("event_type").alias("team"),
+                "user_id",
+                F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            )
+            .groupBy("win_start", "team", "user_id")
+            .agg(F.sum("cents").alias("cents"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        (
+            contrib.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.contrib_path)
+        )
+        spark = batch_df.sparkSession
+        acc = (
+            spark.read.parquet(self.contrib_path)
+            .groupBy("win_start", "team", "user_id")
+            .agg(F.sum("cents").alias("cents"))
+        )
+        totals = acc.groupBy("user_id").agg(F.sum("cents").alias("total_cents"))
+        mean = totals.agg(F.avg("total_cents").alias("mean_cents"))
+        spammers = (
+            totals.join(F.broadcast(mean))
+            .filter(F.col("total_cents") > 2.5 * F.col("mean_cents"))
+            .select("user_id")
+        )
+        out = (
+            acc.join(spammers, "user_id", "left_anti")
+            .groupBy("win_start", "team")
+            .agg(F.round(F.sum("cents") / 100.0, 2).alias("total_score"))
+        )
+        out.write.mode("overwrite").parquet(self.out_path)
+
+
 class SpamFilteredTeamScores:
-    """foreachBatch two-phase spam filter + windowed team totals.
+    """foreachBatch two-phase spam filter + windowed team totals —
+    driver-dict TEST ORACLE for :class:`SpamFilteredTeamScoresSink`.
 
     Driver-side accumulation keeps exact user totals (integer cents) and
     per-(window, team) sums; each batch's emissions refine previous panes
     (update-mode semantics). ``result()`` returns the final refined state,
-    which tests pin against the batch query.
+    which tests pin against the batch query.  Not the production path:
+    state grows O(users + windows x teams x users) on the driver.
     """
 
     def __init__(self):

@@ -176,6 +176,54 @@ def test_spam_filter_foreachbatch_matches_batch(spark, sf_dir, event_rows, tmpdi
     assert sink.result() == expected
 
 
+def test_spam_filter_distributed_sink_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """J5/N1 production shape: the fully distributed foreachBatch sink
+    (contribution table + per-batch DataFrame spam set + anti-join +
+    overwrite — zero driver state, no collect) writes a final parquet
+    table equal to the batch q14 oracle."""
+    stream = _feed(spark, event_rows, tmpdir, chunk_size=300)
+    sink = gamestats.SpamFilteredTeamScoresSink(
+        f"{tmpdir}/contrib", f"{tmpdir}/spam_filtered"
+    )
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(
+        (r.win_start, r.team, r.total_score)
+        for r in spark.read.parquet(f"{tmpdir}/spam_filtered").collect()
+    )
+    con = duck_connect(sf_dir)
+    expected = sorted(
+        (r[0], r[1], r[2])
+        for r in con.sql(game.ORACLE["q14_spam_filtered_team_score"]).fetchall()
+    )
+    con.close()
+    assert got == expected
+
+
+def test_spam_filter_sink_batch_replay_idempotent(spark, sf_dir, event_rows, tmpdir):
+    """Exactly-once: re-invoking the sink with the same batch_id (the
+    failure-replay path) must not double-count — the batch's contrib
+    partition is replaced, not appended."""
+    rows = event_rows[:600]
+    sink = gamestats.SpamFilteredTeamScoresSink(
+        f"{tmpdir}/contrib", f"{tmpdir}/spam_filtered"
+    )
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+         for r in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sink(batch, 0)
+    once = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/spam_filtered").collect()
+    )
+    sink(batch, 0)  # replay
+    twice = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/spam_filtered").collect()
+    )
+    assert once == twice
+
+
 def test_pane_timing_early_and_ontime(spark, tmpdir):
     """X6: pane-timing labels. Update mode yields EARLY refinements while
     the watermark is below window end; append mode yields the single
