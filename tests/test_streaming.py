@@ -17,7 +17,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from beam_scala_examples_spark.streaming import gamestats, leaderboard, stateful
-from beam_scala_examples_spark.streaming.panes import PaneTagger
+from beam_scala_examples_spark.streaming.panes import PaneSink, PaneTagger
 from beam_scala_examples_spark.streaming.sources import (
     read_event_stream,
     write_arrival_chunks,
@@ -267,6 +267,43 @@ def test_pane_timing_early_and_ontime(spark, tmpdir):
     _run_stream(agg(stream), "append", ontime, f"{tmpdir}/a")
     a_final = [p for p in ontime.panes if p["team"] == "A"]
     assert [(p["timing"], p["total"]) for p in a_final] == [("ON_TIME", 11.0)]
+
+    # Production sink variant (PaneSink): literal timing column, sink
+    # table as the finalized set, no driver collection — same labels.
+    esink = PaneSink(f"{tmpdir}/panes_u", "win_end", ("team",), mode="update")
+    _run_stream(agg(stream), "update", esink, f"{tmpdir}/u2")
+    urows = spark.read.parquet(f"{tmpdir}/panes_u").filter("team = 'A'")
+    assert sorted((r.timing, r.total) for r in urows.collect()) == [
+        ("EARLY", 10.0), ("EARLY", 11.0)
+    ]
+
+    asink = PaneSink(f"{tmpdir}/panes_a", "win_end", ("team",), mode="append")
+    _run_stream(agg(stream), "append", asink, f"{tmpdir}/a2")
+    arows = spark.read.parquet(f"{tmpdir}/panes_a").filter("team = 'A'")
+    assert [(r.timing, r.total) for r in arows.collect()] == [("ON_TIME", 11.0)]
+
+
+def test_pane_sink_labels_reemission_late(spark, tmpdir):
+    """X6 LATE: a (window, key) re-emitted after its pane is finalized in
+    the sink table gets the LATE label via the sink-key join (the MERGE
+    matched-branch), entirely on the executors."""
+    sink = PaneSink(f"{tmpdir}/panes", "win_end", ("team",), mode="append")
+    mk = lambda total: spark.createDataFrame(
+        [("2024-01-01 00:10:00", "A", total)], "win_end string, team string, total double"
+    ).withColumn("win_end", F.to_timestamp("win_end"))
+    sink(mk(11.0), 0)
+    sink(mk(12.0), 1)   # refinement of a finalized pane -> LATE
+    rows = sorted(
+        (r.batch_id, r.timing, r.total)
+        for r in spark.read.parquet(f"{tmpdir}/panes").collect()
+    )
+    assert rows == [(0, "ON_TIME", 11.0), (1, "LATE", 12.0)]
+    # replaying batch 1 replaces its own partition (idempotent)
+    sink(mk(12.0), 1)
+    assert sorted(
+        (r.batch_id, r.timing, r.total)
+        for r in spark.read.parquet(f"{tmpdir}/panes").collect()
+    ) == rows
 
 
 def test_late_data_dropped_at_zero_lateness(spark, tmpdir):
