@@ -21,21 +21,28 @@ EVENT_SCHEMA = (
 )
 
 
-def write_arrival_chunks(rows: list[dict], chunk_size: int, out_dir: str) -> int:
-    """Write rows (already in *arrival* order; timestamps as strings) as
-    numbered json-lines chunk files; each file becomes one micro-batch
-    with maxFilesPerTrigger=1."""
+def write_arrival_groups(groups: list[list[dict]], out_dir: str) -> int:
+    """Write explicit arrival *groups* (variable sizes) as numbered
+    json-lines chunk files; each file becomes one micro-batch with
+    maxFilesPerTrigger=1 — the knob that makes Beam's worked
+    processing-time pane tables reproducible (one group per firing)."""
     os.makedirs(out_dir, exist_ok=True)
-    n = 0
     base = time.time() - 3600  # strictly increasing mtimes: the file
-    for i in range(0, len(rows), chunk_size):  # source orders by mod time
-        path = os.path.join(out_dir, f"chunk_{i // chunk_size:05d}.json")
+    for n, group in enumerate(groups):  # source orders by mod time
+        path = os.path.join(out_dir, f"chunk_{n:05d}.json")
         with open(path, "w") as f:
-            for r in rows[i : i + chunk_size]:
+            for r in group:
                 f.write(json.dumps(r) + "\n")
         os.utime(path, (base + n, base + n))
-        n += 1
-    return n
+    return len(groups)
+
+
+def write_arrival_chunks(rows: list[dict], chunk_size: int, out_dir: str) -> int:
+    """Fixed-size arrival chunking over rows already in arrival order."""
+    return write_arrival_groups(
+        [rows[i : i + chunk_size] for i in range(0, len(rows), chunk_size)],
+        out_dir,
+    )
 
 
 def read_event_stream(

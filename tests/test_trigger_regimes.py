@@ -1,0 +1,188 @@
+"""TriggerExample's four trigger regimes, pinned against the reference's
+own worked pane tables (SURVEY §2.7 X1–X4, X8;
+``cookbook/TriggerExample.scala:150-160,190-198,223-231,260-269``).
+
+The reference documents, for freeway 5's [10:00, 10:30) window over ten
+elements, the exact pane sequence each trigger regime produces.  These
+tests replay the same ten elements (same values, same event times, same
+*arrival* order — the documented processing times become arrival-group
+boundaries) through the chunked file source and assert the documented
+(total_flow, number_of_records) sequences wherever Spark's semantics
+determine them.
+
+Documented deviations (SURVEY §7.4):
+ - X8 discarding panes: Spark update mode is accumulating-only; Beam's
+   discarding LATE deltas are asserted as the first differences of the
+   accumulated sequence (regime 2).
+ - X3: Spark update-mode emissions carry no watermark-relative label
+   (all speculative); Beam's EARLY→LATE flip at the watermark is pinned
+   via the emission sequence instead (regime 3).
+ - X7 sequential trigger phases: not expressible; regime 4 pins the
+   EARLY prefix, the ON_TIME pane, and the final LATE value separately.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from beam_scala_examples_spark.streaming.sources import (
+    read_event_stream,
+    write_arrival_groups,
+)
+
+from .test_streaming import tmpdir  # noqa: F401  (fixture reuse)
+
+# The worked example's ten elements (TriggerExample.scala:121-127):
+# freeway 5, window [10:00, 10:30), (event_id, value, event time).
+_D = "2024-01-01 "
+ELEMENTS = {
+    1: {"value": 50.0, "ts": _D + "10:00:03"},
+    2: {"value": 30.0, "ts": _D + "10:01:00"},
+    3: {"value": 30.0, "ts": _D + "10:02:00"},
+    4: {"value": 20.0, "ts": _D + "10:04:10"},
+    5: {"value": 60.0, "ts": _D + "10:05:00"},
+    6: {"value": 20.0, "ts": _D + "10:05:01"},
+    7: {"value": 60.0, "ts": _D + "10:15:00"},
+    8: {"value": 40.0, "ts": _D + "10:26:40"},
+    9: {"value": 60.0, "ts": _D + "10:27:20"},
+    10: {"value": 60.0, "ts": _D + "10:29:00"},
+}
+# Arrival (processing-time) order from the documented table: on-time
+# elements first, then the late ones at 11:03, 11:07, 11:07:30, 11:11.
+ON_TIME_IDS = [1, 2, 4, 7, 8, 9]
+LATE_IDS = [5, 3, 6, 10]
+
+WIN_START = _D + "10:00:00"
+
+
+def _ev(i: int) -> dict:
+    e = ELEMENTS[i]
+    return {"event_id": i, "ts": e["ts"], "user_id": 1, "event_type": "5",
+            "value": e["value"]}
+
+
+def _filler(event_id: int, ts: str) -> dict:
+    """Watermark-advancing row in a different freeway/window."""
+    return {"event_id": event_id, "ts": _D + ts, "user_id": 9,
+            "event_type": "F", "value": 1.0}
+
+
+def _flow(stream, lateness: str):
+    """CalculateTotalFlow's aggregation: per-freeway totals in 30-min
+    fixed windows (TotalFlow, TriggerExample.scala:300-340)."""
+    return (
+        stream.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "30 minutes").alias("win"), "event_type")
+        .agg(F.sum("value").alias("total_flow"), F.count("*").alias("n_records"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("event_type").alias("freeway"),
+            "total_flow",
+            "n_records",
+        )
+    )
+
+
+def _run(spark, groups, tmpdir, mode, lateness):
+    """Replay arrival groups, collect window-A panes per micro-batch."""
+    write_arrival_groups(groups, f"{tmpdir}/feed")
+    stream = read_event_stream(spark, f"{tmpdir}/feed")
+    panes: list[tuple] = []
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            if r.freeway == "5" and str(r.win_start).startswith(WIN_START):
+                panes.append((r.total_flow, r.n_records))
+
+    (
+        _flow(stream, lateness)
+        .writeStream.outputMode(mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return panes
+
+
+def test_regime1_default_trigger_drops_late(spark, tmpdir):  # noqa: F811
+    """Concept #1 (TriggerExample.scala:150-160): default trigger, zero
+    allowed lateness — the window fires exactly once, ON_TIME, with only
+    the six on-time elements:  260 | 6."""
+    groups = (
+        [[_ev(i) for i in ON_TIME_IDS]]
+        + [[_filler(90, "10:45:00")], [_filler(91, "11:00:00")]]  # advance + commit
+        + [[_ev(i)] for i in LATE_IDS]  # all behind the watermark -> dropped
+    )
+    panes = _run(spark, groups, tmpdir, "append", "0 seconds")
+    assert panes == [(260.0, 6)]
+
+
+def test_regime2_allowed_lateness_refines(spark, tmpdir):  # noqa: F811
+    """Concept #2 (TriggerExample.scala:190-198): one-day allowed
+    lateness — the ON_TIME pane (260|6) then one firing per late element.
+    Beam's table shows *discarding* deltas 60, 30, 20, 60; Spark update
+    mode is accumulating (X8), so the asserted sequence is the running
+    refinement whose first differences are exactly those deltas."""
+    groups = (
+        [[_ev(i) for i in ON_TIME_IDS]]
+        + [[_filler(90, "10:45:00")], [_filler(91, "11:00:00")]]
+        + [[_ev(i)] for i in LATE_IDS]
+    )
+    panes = _run(spark, groups, tmpdir, "update", "1 day")
+    assert panes == [
+        (260.0, 6),   # ON_TIME (Beam: 260 | 6)
+        (320.0, 7),   # + el5's  60 (Beam LATE pane: 60 | 1)
+        (350.0, 8),   # + el3's  30 (Beam LATE pane: 30 | 1)
+        (370.0, 9),   # + el6's  20 (Beam LATE pane: 20 | 1)
+        (430.0, 10),  # + el10's 60 (Beam LATE pane: 60 | 1)
+    ]
+    deltas = [panes[i][0] - panes[i - 1][0] for i in range(1, len(panes))]
+    assert deltas == [60.0, 30.0, 20.0, 60.0]  # the documented discarding panes
+
+
+def test_regime3_speculative_accumulating(spark, tmpdir):  # noqa: F811
+    """Concept #3 (TriggerExample.scala:223-231): processing-time firings
+    with accumulating panes — the documented sequence
+    80|2, 100|3, 260|6, 320|7, 370|9, 430|10.  Beam labels the first
+    three EARLY and the rest LATE; Spark update-mode emissions carry no
+    watermark label (all speculative, X3 approximation) — the sequence
+    itself is what's pinned."""
+    groups = [
+        [_ev(1), _ev(2)],          # proc 10:00:47, 10:01:03 -> first firing
+        [_ev(4)],                  # proc 10:05:15
+        [_ev(7), _ev(8), _ev(9)],  # proc 10:27:15..10:27:25
+        [_ev(5)],                  # proc 11:03:00 (late)
+        [_ev(3), _ev(6)],          # proc 11:07:00, 11:07:30 (late)
+        [_ev(10)],                 # proc 11:11:00 (late)
+    ]
+    panes = _run(spark, groups, tmpdir, "update", "1 day")
+    assert panes == [
+        (80.0, 2), (100.0, 3), (260.0, 6),   # Beam: EARLY
+        (320.0, 7), (370.0, 9), (430.0, 10),  # Beam: LATE
+    ]
+
+
+def test_regime4_composite_early_ontime_late(spark, tmpdir):  # noqa: F811
+    """Concept #4 (TriggerExample.scala:260-269): EARLY 80|2, 100|3,
+    260|6; ON_TIME 320|7; LATE 430|10.  Beam's sequential trigger (X7)
+    is not expressible in one Spark query — the three phases are pinned
+    piecewise:
+      - EARLY prefix = regime 3's speculative firings (asserted there);
+      - ON_TIME pane: append mode with a 45-min watermark delay admits
+        el5 (arriving before the watermark passes 10:30) and fires once
+        with 320|7;
+      - LATE value: the fully-refined 430|10 is regime 2/3's final
+        accumulated pane (asserted there)."""
+    groups = [
+        [_ev(i) for i in ON_TIME_IDS],
+        [_ev(5)],                    # arrives while window A is still open
+        [_filler(90, "11:20:00")],   # watermark 10:35 > 10:30 -> A closes
+        [_filler(91, "11:30:00")],   # commit (one-batch watermark lag)
+        [_ev(3)], [_ev(6)], [_ev(10)],  # beyond lateness -> dropped
+    ]
+    panes = _run(spark, groups, tmpdir, "append", "45 minutes")
+    assert panes == [(320.0, 7)]
