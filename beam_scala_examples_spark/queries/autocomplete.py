@@ -58,9 +58,68 @@ def q05_autocomplete_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small.unionByName(large)
 
 
+# Persisted per-level tops of the last recursive run; popped and
+# unpersisted on the next call (same discipline as llmdata's caches).
+_RECURSIVE_CACHE: dict = {}
+
+
+def q05_autocomplete_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — the reference's *recursive* top-K
+    (``complete/AutoComplete.scala:263-321``, "cheaper but higher
+    latency"), output identical to flat ``q05_autocomplete`` (same
+    oracle).
+
+    Invariant (``AutoComplete.scala:296-298``): if a candidate is in the
+    top K for prefix ``a…b`` it must be in the top K for ``a…bX`` —so
+    level L's candidate set is level L+1's *winners* (≤ K rows per
+    (L+1)-prefix, each word under exactly one prefix) plus the words of
+    length exactly L, instead of every word with length ≥ L.  The driver
+    loops over prefix lengths (bounded by the longest token, not by data
+    volume); each level is one small hash-shuffle + WindowGroupLimit
+    top-K, persisted so lineage stays shallow.  At 100 TB the flat form's
+    single wide shuffle usually wins (SURVEY §2.5 keeps it the default);
+    this form trades 1 shuffle of |words|·|lens| rows for max_len
+    shuffles of ≤ K·|prefixes_L| rows — the reference's documented
+    latency/cost tradeoff, useful when the prefix fan-out dominates.
+    """
+    for df in _RECURSIVE_CACHE.pop("levels", []):
+        df.unpersist(blocking=False)
+
+    docs = load(spark, sf_dir, "documents")
+    counts = tokenize(docs, "text").groupBy("word").agg(F.count("*").alias("cnt"))
+    max_len = counts.agg(F.max(F.length("word"))).first()[0] or 0
+
+    persisted: list[DataFrame] = []
+    tops: DataFrame | None = None  # winners at level L+1
+    out: DataFrame | None = None
+    for level_len in range(max_len, 0, -1):
+        exact = counts.filter(F.length("word") == level_len)
+        cand = exact if tops is None else tops.select("word", "cnt").unionByName(exact)
+        level = (
+            top_k_per_key(
+                cand.select(
+                    F.substring("word", 1, level_len).alias("prefix"), "word", "cnt"
+                ),
+                ["prefix"],
+                [F.desc("cnt"), F.desc("word")],
+                TOP_K,
+            )
+            .select("prefix", "word", "cnt")
+            .persist()
+        )
+        persisted.append(level)
+        tops = level
+        out = level if out is None else out.unionByName(level)
+    _RECURSIVE_CACHE["levels"] = persisted
+    if out is None:
+        return spark.createDataFrame([], "prefix string, word string, cnt long")
+    return out
+
+
 QUERIES = {
     "q05_autocomplete": q05_autocomplete,
     "q05_autocomplete_branches": q05_autocomplete_branches,
+    "q05_autocomplete_recursive": q05_autocomplete_recursive,
 }
 
 ORACLE = {
@@ -87,6 +146,8 @@ ORACLE = {
         SELECT prefix, word, cnt FROM ranked WHERE rk <= {TOP_K}
     """,
 }
+
+ORACLE["q05_autocomplete_recursive"] = ORACLE["q05_autocomplete"]
 
 ORACLE["q05_autocomplete_branches"] = rf"""
         WITH words AS (
