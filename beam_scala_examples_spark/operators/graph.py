@@ -1,0 +1,91 @@
+"""Distributed connected components (duplicate-cluster resolution).
+
+Min-label propagation with **pointer jumping**: each round first takes
+the minimum label over graph neighbors (propagate), then shortcuts
+``label(v) <- label(label(v))`` (jump).  Propagation alone needs
+O(diameter) shuffle rounds — a 100-link near-dup chain would take 100
+rounds at 100 TB; the jump step halves the remaining pointer depth each
+round, bounding the loop at O(log diameter) rounds (the simple variant
+of the large-star/small-star MapReduce scheme, Kiveris et al. 2014,
+"Connected Components in MapReduce and Beyond").  Labels are always doc
+ids inside the same component (the min over a set of member ids is a
+member id), so the jump's label-of-label lookup is a self-join on the
+label relation, never on the corpus.
+
+Per-round cost: one edge-label shuffle join + one label self-join, both
+keyed on high-cardinality ids.  Each round's labels are
+``localCheckpoint``-ed: persist alone leaves the logical plan growing
+~4× per round (the labels relation appears in the propagate join, the
+least(), and the jump self-join), which overflows Catalyst's tree
+walker after a handful of rounds — checkpointing truncates lineage to
+the materialized result, the standard discipline for iterative Spark
+algorithms (superseded rounds are dropped by the ContextCleaner once
+unreferenced).  ``tests/test_properties.py`` pins the logarithmic round
+count on a diameter-100 chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """``pairs`` (doc1, doc2) = undirected duplicate edges.  Returns
+    (labels, rounds): labels has one row per node appearing in any pair,
+    ``component`` = minimum doc_id reachable from it.  The returned
+    DataFrame is left persisted for the caller's action; the caller owns
+    the unpersist."""
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc1").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    while True:
+        rounds += 1
+        neighbor_min = (
+            edges.join(labels, edges.doc2 == labels.doc_id)
+            .groupBy(F.col("doc1").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        prop = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer jump: label(v) <- label(label(v)); the looked-up node
+        # is always present (labels are member doc ids)
+        parent = prop.select(
+            F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
+        )
+        jumped = (
+            prop.join(parent, prop.component == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("p_comp", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist(blocking=False)
+    return labels, rounds

@@ -243,57 +243,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair graph (the step after candidate generation — every doc
     in a cluster maps to one canonical keeper, the minimum doc_id).
 
-    Spark form: min-label propagation to fixpoint — each iteration joins
-    labels across the symmetric edge list and keeps the minimum; the
-    driver loop stops when an iteration changes nothing (an iterative
-    algorithm by nature; the per-iteration work is one shuffle join +
-    one aggregation, the classic alternating-star pattern's simple
-    variant, fine while the *pair graph* — not the corpus — is the
-    iterated set). Oracle: DuckDB recursive CTE computing min reachable
+    Spark form: min-label propagation with pointer jumping to fixpoint
+    (``operators/graph.py``) — O(log diameter) shuffle rounds, so even
+    chained near-dup clusters (a 100-link chain) resolve in ~7 rounds
+    instead of 100. Oracle: DuckDB recursive CTE computing min reachable
     id per node, so even the iterative op stays hash-checked.
     """
+    from ..operators.graph import connected_components
+
     prev = _MINHASH_CACHE.pop("cc_labels", None)
     if prev is not None:
         prev.unpersist(blocking=False)
     pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2")
-        )
-    ).persist()
-    labels = (
-        edges.select(F.col("doc1").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .persist()
-    )
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.doc2 == labels.doc_id)
-            .groupBy(F.col("doc1").alias("doc_id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels.unpersist(blocking=False)
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist(blocking=False)
+    labels, _rounds = connected_components(pairs)
     # the final labels stay persisted for the caller's action; the next
     # invocation pops and unpersists them (same discipline as the
     # minhash signature cache)

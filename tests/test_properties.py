@@ -169,3 +169,41 @@ def test_shingles_handle_short_documents(spark):
     }
     assert rows[1] == [] and rows[2] == [] and rows[3] == []
     assert rows[4] == ["one two three"]
+
+
+def test_connected_components_chain_logarithmic_rounds(spark):
+    """A diameter-100 chain must resolve to one component in O(log d)
+    shuffle rounds — the pointer-jumping bound that protects the 100 TB
+    posture when near-dup clusters chain (propagation alone would take
+    100 rounds)."""
+    from beam_scala_examples_spark.operators.graph import connected_components
+
+    n = 100
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc1 long, doc2 long"
+    )
+    labels, rounds = connected_components(chain)
+    got = {(r.doc_id, r.component) for r in labels.collect()}
+    labels.unpersist()
+    assert got == {(i, 0) for i in range(n + 1)}
+    assert rounds <= 12, f"expected O(log diameter) rounds, took {rounds}"
+
+
+def test_connected_components_mixed_graph(spark):
+    """Disjoint components, a star, and a cycle all label to their min id."""
+    from beam_scala_examples_spark.operators.graph import connected_components
+
+    edges = (
+        [(10, i) for i in (11, 12, 13)]          # star at 10
+        + [(20, 21), (21, 22), (22, 20)]         # cycle
+        + [(30, 31)]                             # isolated pair
+    )
+    df = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    labels, _ = connected_components(df)
+    got = {(r.doc_id, r.component) for r in labels.collect()}
+    labels.unpersist()
+    assert got == (
+        {(i, 10) for i in (10, 11, 12, 13)}
+        | {(i, 20) for i in (20, 21, 22)}
+        | {(i, 30) for i in (30, 31)}
+    )
