@@ -35,6 +35,11 @@ def q17_plays_per_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word (len >= 5) -> comma-joined source list (Q17: A8 custom concat
     combiner, ``cookbook/CombinePerKeyExamples.scala:145-148``).
 
+    Declared deviation (like SURVEY §2.11 N1/N2/N5): the reference's
+    MIN_WORD_LENGTH is 9 (``CombinePerKeyExamples.scala:95-101``); the
+    fixture corpus has few >= 9-letter words, so the threshold is scaled
+    to 5 to keep the aggregation exercised at fixture scale.
+
     The reference's concat order is nondeterministic (SURVEY §7.4); the
     engine canonicalizes with a sorted distinct list so results are stable
     and oracle-comparable.  ``collect_set`` partial-aggregates before the

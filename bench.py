@@ -43,9 +43,12 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "text_contamination",
+    "text_vocabulary",
     "star_pricing_summary",
+    "star_pricing_rollup",
     "star_shipping_priority",
     "star_volume_by_nation",
+    "dedup_components",
 ]
 
 
@@ -65,14 +68,15 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    # Best-of-2 per query: a single pass is dominated by GC / page-cache
+    # Best-of-3 per query: a single pass is dominated by GC / page-cache
     # noise at this scale (observed ±50% run-to-run on sub-second
-    # queries); the min is the steady-state engine throughput.
+    # queries); the min is the steady-state engine throughput, and three
+    # samples make round-over-round regression detection less noisy.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
