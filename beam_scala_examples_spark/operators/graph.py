@@ -53,6 +53,8 @@ def connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
             .groupBy(F.col("doc1").alias("doc_id"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry the round-start label as `prev` so convergence is a
+        # filter on the checkpointed result, not an extra join+job
         prop = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -60,9 +62,10 @@ def connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", "component")
                 ).alias("component"),
+                F.col("component").alias("prev"),
             )
-            .localCheckpoint(eager=True)
-        )
+            .persist()  # read twice by the jump; lazy — materialized
+        )                # once, inside the checkpoint below
         # pointer jump: label(v) <- label(label(v)); the looked-up node
         # is always present (labels are member doc ids)
         parent = prop.select(
@@ -75,16 +78,13 @@ def connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
                 F.least(
                     F.col("component"), F.coalesce("p_comp", "component")
                 ).alias("component"),
+                "prev",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("component") != F.col("prev")).count()
+        prop.unpersist(blocking=False)
+        labels = jumped.select("doc_id", "component")
         if changed == 0:
             break
     edges.unpersist(blocking=False)
