@@ -927,6 +927,79 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_payload(docs))
 
 
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # hash buckets: [0,90) train, [90,95) val, [95,100) test
+
+
+def data_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash —
+    the split step of a training pipeline.  md5-derived buckets (portable
+    across engines/reruns; an engine RNG would re-deal the split every
+    run) give each source its proportional share, so the split is
+    stratified in expectation without a per-source shuffle; map-only."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_H.format(col="cast(doc_id as string)")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "source", split.alias("split"))
+
+
+PACK_CTX_TOKENS = 256
+
+
+def data_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document sequence packing: documents fill fixed
+    ``PACK_CTX_TOKENS``-token context windows in doc_id order *within
+    each source* — each doc gets the window index (`bin`) and its token
+    offset inside it, the bookkeeping a packed-pretraining writer needs.
+
+    The running token count is a window cumsum partitioned by source:
+    sources pack independently (a mixture interleaves domain streams
+    anyway), so the window parallelizes across sources instead of the
+    single-partition global sort a corpus-wide ORDER BY would force; at
+    100 TB, shard the stream further (e.g. by (source, shard_id) from a
+    hash) and the same plan holds."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.expr(_SPARK_TOKS))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(cum_before / PACK_CTX_TOKENS).alias("bin"),
+            (cum_before % PACK_CTX_TOKENS).alias("bin_offset"),
+        )
+    )
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed dedup pipeline end-to-end: a document survives iff it
+    is its exact-text group's keeper (min doc_id) AND not a near-dup
+    cluster's non-keeper (``dedup_components``).  This is the relation a
+    training run actually reads — exact keepers via one semi join,
+    near-dup drops via one anti join, both on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    exact_keepers = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    near_dup_losers = (
+        dedup_components(spark, sf_dir).filter(~F.col("keep")).select("doc_id")
+    )
+    return (
+        docs.join(exact_keepers.select("doc_id"), "doc_id", "semi")
+        .join(near_dup_losers, "doc_id", "anti")
+        .select("doc_id", "source")
+    )
+
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
@@ -956,6 +1029,9 @@ QUERIES = {
     "text_vocabulary": text_vocabulary,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "data_split_assign": data_split_assign,
+    "data_pack_sequences": data_pack_sequences,
+    "dedup_survivors": dedup_survivors,
 }
 
 
@@ -1435,4 +1511,49 @@ ORACLE["sim_lsh_multi_recall"] = f"""
     LEFT JOIN ({ORACLE["sim_lsh_multi_topk"]}) a
       ON e.qid = a.qid AND e.vec_id = a.vec_id
     GROUP BY e.qid
+"""
+
+ORACLE["data_split_assign"] = f"""
+    WITH b AS (
+        SELECT doc_id, source,
+               {_DUCK_H.format(col='doc_id::VARCHAR')} % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+"""
+
+ORACLE["data_pack_sequences"] = f"""
+    WITH t AS (
+        SELECT doc_id, source, len({_DUCK_TOKS})::BIGINT AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           (cum_before // {PACK_CTX_TOKENS})::BIGINT AS bin,
+           (cum_before % {PACK_CTX_TOKENS})::BIGINT AS bin_offset
+    FROM c
+"""
+
+ORACLE["dedup_survivors"] = f"""
+    WITH keepers AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    near_losers AS (
+        SELECT doc_id FROM ({ORACLE["dedup_components"]}) WHERE NOT keep
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN keepers k ON d.doc_id = k.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM near_losers)
 """
