@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_embedding_pairs",
     "sim_cosine_topk",
     "sim_lsh_topk",
+    "sim_lsh_multi_topk",
     "sim_ivf_topk",
     "text_quality_score",
     "text_fingerprint",

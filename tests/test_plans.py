@@ -189,6 +189,17 @@ def test_embedding_neardup_joins_on_bucket(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_multi_lsh_joins_on_table_bucket(plans):
+    """sim_lsh_multi_topk: candidates come from the (table, bucket)
+    equi-join with the query side broadcast; embeddings rejoin by key —
+    no cartesian, no Python."""
+    p = plans("sim_lsh_multi_topk")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+
+
 def test_star_join_strategy(plans):
     """star_volume_by_nation: the 5-way join broadcasts only the dims
     (nation, region); the fact chain joins shuffle on their keys; the
