@@ -927,6 +927,19 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_payload(docs))
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size histogram — the dedup QA report (how much
+    of the corpus collapses, and into how big clusters): one aggregation
+    over the component labels, then one over the sizes."""
+    comp = dedup_components(spark, sf_dir)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
 SPLIT_TRAIN_PCT = 90
 SPLIT_VAL_PCT = 5  # hash buckets: [0,90) train, [90,95) val, [95,100) test
 
@@ -1032,6 +1045,7 @@ QUERIES = {
     "data_split_assign": data_split_assign,
     "data_pack_sequences": data_pack_sequences,
     "dedup_survivors": dedup_survivors,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
 }
 
 
@@ -1556,4 +1570,14 @@ ORACLE["dedup_survivors"] = f"""
     FROM documents d
     JOIN keepers k ON d.doc_id = k.doc_id
     WHERE d.doc_id NOT IN (SELECT doc_id FROM near_losers)
+"""
+
+ORACLE["dedup_cluster_sizes"] = f"""
+    WITH comp AS ({ORACLE["dedup_components"]}),
+    sizes AS (
+        SELECT component, count(*)::BIGINT AS cluster_size
+        FROM comp GROUP BY component
+    )
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters
+    FROM sizes GROUP BY cluster_size
 """
