@@ -88,8 +88,17 @@ def permissive_csv(
         ).alias("r")
     ).select("r.*")
     ok = [F.col(f.name).isNotNull() for f in schema.fields if not f.nullable]
-    all_ok = F.lit(True)
-    for c in ok:
+    if not ok:
+        # StructField defaults to nullable=True: an all-default schema
+        # would silently disable malformed-row detection entirely —
+        # fail loudly instead of parsing corrupt lines as all-NULL rows
+        raise ValueError(
+            "permissive_csv: schema declares no non-nullable fields, so no "
+            "row could ever be counted malformed; mark required fields "
+            "StructField(..., nullable=False)"
+        )
+    all_ok = ok[0]
+    for c in ok[1:]:
         all_ok = all_ok & c
     parsed = parsed.withColumn("__ok", all_ok)
     if observation is not None:

@@ -20,12 +20,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def cents(col: str = "value") -> Column:
+    """The canonical exact-integer-cents expression for a 2-decimal
+    double column (NULL passes through).  Every Python-side cents
+    computation routes here so the convention has one home."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
 def sum_cents(col: str = "value") -> Column:
     """Order-independent ``round(sum(col), 2)`` for 2-decimal doubles:
     sum exact integer cents, then divide.  Spark side of the shared
     contract; the oracle twin is :func:`duck_sum_cents`."""
-    cents = F.round(F.col(col) * 100, 0).cast("long")
-    return F.round(F.sum(cents) / 100.0, 2)
+    return F.round(F.sum(cents(col)) / 100.0, 2)
 
 
 def duck_sum_cents(col: str = "value") -> str:

@@ -34,8 +34,11 @@ def connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
     """``pairs`` (doc1, doc2) = undirected duplicate edges.  Returns
     (labels, rounds): labels has one row per node appearing in any pair,
     ``component`` = minimum doc_id reachable from it.  The returned
-    DataFrame is left persisted for the caller's action; the caller owns
-    the unpersist."""
+    DataFrame is backed by a ``localCheckpoint`` — already materialized,
+    cheap to re-consume; its storage (like each superseded round's) is
+    released by the ContextCleaner once the DataFrame is unreferenced,
+    NOT by ``unpersist()`` (a no-op on checkpointed frames) — callers
+    manage lifetime by dropping references."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
     ).persist()

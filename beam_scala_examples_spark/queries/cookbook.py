@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.agg import cents
 from ..tables import load
 
 
@@ -66,9 +67,9 @@ def q19_below_mean_july(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-cents mean: a float avg differs in the last ulp between engines
     # (and between shuffle orders), which could flip rows sitting exactly at
     # the threshold. Integer sums are associative and exact.
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    price_cents = cents("l_extendedprice")
     mean = li.agg(
-        (F.sum(cents) / (100.0 * F.count("*"))).alias("global_mean")
+        (F.sum(price_cents) / (100.0 * F.count("*"))).alias("global_mean")
     )
     return (
         li.filter(F.month("l_shipdate") == 7)

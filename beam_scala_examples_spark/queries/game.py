@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.agg import duck_sum_cents, sum_cents
+from ..operators.agg import cents, duck_sum_cents, sum_cents
 from ..operators.windows import duck_sessions_cte, duck_tumbling_start
 from ..tables import load
 
@@ -100,8 +100,7 @@ def _spammers(ev: DataFrame) -> DataFrame:
     Totals and mean are computed in exact integer cents so the threshold
     comparison is deterministic across engines and shuffle orders.
     """
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    totals = ev.groupBy("user_id").agg(F.sum(cents).alias("total_cents"))
+    totals = ev.groupBy("user_id").agg(F.sum(cents("value")).alias("total_cents"))
     mean = totals.agg(F.avg("total_cents").alias("mean_cents"))
     return (
         totals.join(F.broadcast(mean))

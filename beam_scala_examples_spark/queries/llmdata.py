@@ -251,14 +251,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import connected_components
 
-    prev = _MINHASH_CACHE.pop("cc_labels", None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
+    # labels are localCheckpoint-backed: popping the previous entry drops
+    # the last reference and the ContextCleaner reclaims its blocks
+    # (unpersist() is a no-op on checkpointed frames — see
+    # operators/graph.py)
+    _MINHASH_CACHE.pop("cc_labels", None)
     pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
     labels, _rounds = connected_components(pairs)
-    # the final labels stay persisted for the caller's action; the next
-    # invocation pops and unpersists them (same discipline as the
-    # minhash signature cache)
     _MINHASH_CACHE["cc_labels"] = labels
     return labels.select(
         "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("keep")

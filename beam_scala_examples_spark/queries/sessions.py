@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.agg import cents
 from ..operators.topk import top_k_per_key
 from ..operators.windows import duck_sessions_cte
 from ..tables import load
@@ -67,7 +68,7 @@ def p08_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        F.sum(cents("value")).alias("value_cents"),
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.agg import cents
 from ..operators.topk import top_k_per_key
 from ..tables import load
 
@@ -44,8 +45,8 @@ def star_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") < PRICING_CUTOFF
     )
-    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
-    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty_c = cents("l_quantity")
+    price_c = cents("l_extendedprice")
     charge_c = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         * (1 + F.col("l_tax")) * 100, 0

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.agg import cents as agg_cents
 from ..operators.agg import duck_sum_cents, sum_cents
 from ..operators.windows import duck_sliding_starts_cte, duck_tumbling_start
 from ..tables import load
@@ -63,23 +64,30 @@ def q09_max_lane_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # legitimately exceeds them.
     pack_bits = 40
     p_mod = 1 << pack_bits
-    cents_raw = F.round(F.col("value") * 100, 0).cast("long")
+    cents_raw = agg_cents("value")
+    # NULL value/event_id = absent data, not a bounds violation: the
+    # pack goes NULL and max() ignores it (pre-guard behavior)
+    has_null = F.col("value").isNull() | F.col("event_id").isNull()
     in_bounds = (
         (cents_raw >= 0)
         & (cents_raw < F.lit(1 << 23))
         & (F.col("event_id") >= 0)
         & (F.col("event_id") < F.lit(p_mod))
     )
-    cents = F.when(in_bounds, cents_raw).otherwise(
-        F.raise_error(
-            F.format_string(
-                "q09 arg-max pack bounds violated (need 0 <= 100*value < 2^23"
-                " and 0 <= event_id < 2^40): value=%s event_id=%s",
-                F.col("value"), F.col("event_id"),
+    checked = (
+        F.when(has_null, F.lit(None).cast("long"))
+        .when(in_bounds, cents_raw)
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "q09 arg-max pack bounds violated (need 0 <= 100*value"
+                    " < 2^23 and 0 <= event_id < 2^40): value=%s event_id=%s",
+                    F.col("value"), F.col("event_id"),
+                )
             )
         )
     )
-    packed = cents * p_mod + (F.lit(p_mod - 1) - F.col("event_id"))
+    packed = checked * p_mod + (F.lit(p_mod - 1) - F.col("event_id"))
     pre = ev.groupBy(
         F.window("ts", f"{Q9_SLIDE_S} seconds").alias("bucket"),
         F.col("user_id").alias("station"),
@@ -135,9 +143,8 @@ def q10_traffic_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # between engines (and between cluster runs!), so a float avg can land
     # on a rounding boundary nondeterministically. Integer sums are exact
     # and associative — the distributed-determinism-safe form.
-    cents = F.round(F.col("speed") * 100, 0).cast("long")
     return (
-        with_prev.withColumn("speed_cents", cents)
+        with_prev.withColumn("speed_cents", agg_cents("speed"))
         .groupBy("win_start", "route")
         .agg(
             F.round(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.agg import cents
 from .leaderboard import ALLOWED_LATENESS
 
 
@@ -99,7 +100,7 @@ class SpamFilteredTeamScoresSink:
                 F.window("ts", self.window).start.alias("win_start"),
                 F.col("event_type").alias("team"),
                 "user_id",
-                F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+                cents("value").alias("cents"),
             )
             .groupBy("win_start", "team", "user_id")
             .agg(F.sum("cents").alias("cents"))
@@ -152,7 +153,7 @@ class SpamFilteredTeamScores:
             "user_id",
             "event_type",
             F.window("ts", "1 hour").start.alias("win_start"),
-            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            cents("value").alias("cents"),
         ).collect()
         for r in rows:
             self.user_cents[r.user_id] = self.user_cents.get(r.user_id, 0) + r.cents

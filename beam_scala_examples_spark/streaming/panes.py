@@ -50,7 +50,10 @@ class PaneSink:
     Writes are partitioned by ``batch_id`` with dynamic partition
     overwrite, so replaying a batch replaces its own partition
     (exactly-once), like the contribution table in
-    ``streaming/gamestats.py``.
+    ``streaming/gamestats.py``; the finalized-set read excludes the
+    current batch's partition so a replay cannot relabel its own panes
+    LATE.  (Structured Streaming only ever replays the latest
+    uncommitted batch, which is exactly the case this covers.)
     """
 
     def __init__(self, path: str, win_end_col: str, key_cols: tuple[str, ...],
@@ -62,10 +65,14 @@ class PaneSink:
         self.key_cols = key_cols
         self.mode = mode
 
-    def _existing_keys(self, spark) -> DataFrame | None:
+    def _existing_keys(self, spark, batch_id: int) -> DataFrame | None:
         try:
             return (
                 spark.read.parquet(self.path)
+                # exclude the current batch's own partition: on failure
+                # replay the batch's previous write must not relabel its
+                # own ON_TIME panes as LATE
+                .filter(F.col("batch_id") != batch_id)
                 .select(self.win_end_col, *self.key_cols)
                 .distinct()
             )
@@ -77,7 +84,7 @@ class PaneSink:
             tagged = batch_df.withColumn("timing", F.lit("EARLY"))
         else:
             keys = [self.win_end_col, *self.key_cols]
-            existing = self._existing_keys(batch_df.sparkSession)
+            existing = self._existing_keys(batch_df.sparkSession, batch_id)
             if existing is None:
                 tagged = batch_df.withColumn("timing", F.lit("ON_TIME"))
             else:

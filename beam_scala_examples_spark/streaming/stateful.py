@@ -14,8 +14,8 @@ event-time order so replaying a bounded stream reproduces the batch
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 
@@ -30,11 +30,15 @@ DEFAULT_THRESHOLD = 1000.0  # reference default 5000 (StatefulTeamScore.scala:10
 
 
 def _round2_half_away(x: float) -> float:
-    """Round-half-away-from-zero to 2 decimals — Python's ``round`` is
-    banker's (half-to-even) while the batch twin / oracle use Spark
-    ``F.round`` / DuckDB ``round`` (half-away), so a total landing on a
-    .xx5 boundary must round the same way in both forms."""
-    return math.copysign(math.floor(abs(x) * 100 + 0.5) / 100.0, x)
+    """Round to 2 decimals with Spark ``F.round``'s exact semantics, so
+    the streaming emission can never differ from the batch twin by one
+    cent on a .xx5 boundary.  Spark rounds ``BigDecimal.valueOf(d)`` —
+    the *shortest decimal representation* of the double — HALF_UP;
+    ``Decimal(repr(x))`` is the same shortest representation, and
+    quantize(HALF_UP) the same rounding (Python's builtin ``round`` is
+    banker's and scaling the raw binary double misreads boundaries like
+    1.005, so neither matches Spark)."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
 
 
 def _fold_crossings(

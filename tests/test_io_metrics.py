@@ -160,6 +160,17 @@ def test_permissive_csv_keeps_empty_optional_fields(spark):
     assert obs.get["parse_errors"] == 1
 
 
+def test_permissive_csv_rejects_all_nullable_schema(spark):
+    """P5: a schema with no required fields would make malformed-row
+    detection vacuously pass everything — rejected loudly."""
+    lines = spark.createDataFrame([("a,b",)], "value string")
+    schema = StructType(
+        [StructField("x", StringType()), StructField("y", StringType())]
+    )
+    with pytest.raises(ValueError, match="no non-nullable fields"):
+        bio.permissive_csv(lines, schema)
+
+
 def test_explode_lane_columns(spark):
     """P6: one wide traffic reading -> one row per lane via stack."""
     from beam_scala_examples_spark.operators.parse import explode_lane_columns

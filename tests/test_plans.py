@@ -82,9 +82,11 @@ def test_unbounded_sides_not_forced_broadcast(plans):
     for name in ["q07_tfidf", "q14_spam_filtered_team_score"]:
         df = QUERIES[name](spark, sf_dir)
         logical = df._jdf.queryExecution().optimizedPlan().toString()
-        # the scalar's hint survives into the optimized plan; a second
-        # ResolvedHint would mean an unbounded side is being forced
-        assert logical.count("ResolvedHint") <= 1, (
+        # EliminateResolvedHint folds each broadcast() hint into its Join
+        # as "strategy=broadcast"; exactly one is the provably-1-row
+        # scalar's — a second means an unbounded side is being forced
+        # (re-adding F.broadcast(docs_per_word)/_spammers makes this 2)
+        assert logical.count("strategy=broadcast") == 1, (
             f"{name}: unexpected forced-broadcast hint:\n{logical}"
         )
 

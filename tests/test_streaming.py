@@ -292,13 +292,21 @@ def test_pane_sink_labels_reemission_late(spark, tmpdir):
         [("2024-01-01 00:10:00", "A", total)], "win_end string, team string, total double"
     ).withColumn("win_end", F.to_timestamp("win_end"))
     sink(mk(11.0), 0)
+    # replaying the latest batch (Structured Streaming's only replay
+    # shape: failure before the commit) must NOT relabel its own pane
+    # LATE against its previously written partition
+    sink(mk(11.0), 0)
+    assert sorted(
+        (r.batch_id, r.timing, r.total)
+        for r in spark.read.parquet(f"{tmpdir}/panes").collect()
+    ) == [(0, "ON_TIME", 11.0)]
     sink(mk(12.0), 1)   # refinement of a finalized pane -> LATE
     rows = sorted(
         (r.batch_id, r.timing, r.total)
         for r in spark.read.parquet(f"{tmpdir}/panes").collect()
     )
     assert rows == [(0, "ON_TIME", 11.0), (1, "LATE", 12.0)]
-    # replaying batch 1 replaces its own partition (idempotent)
+    # replaying batch 1 replaces its own partition and keeps its label
     sink(mk(12.0), 1)
     assert sorted(
         (r.batch_id, r.timing, r.total)
