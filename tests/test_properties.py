@@ -207,3 +207,39 @@ def test_connected_components_mixed_graph(spark):
         | {(i, 20) for i in (20, 21, 22)}
         | {(i, 30) for i in (30, 31)}
     )
+
+
+def test_stateful_rounding_matches_spark_round(spark):
+    """The streaming fold's rounding must equal Spark F.round on the
+    .xx5 double boundaries where Python round() (banker's) and raw
+    binary scaling both diverge."""
+    from beam_scala_examples_spark.streaming.stateful import _round2_half_away
+
+    cases = [1.005, 8.165, 1.255, 10.075, 2.675, -1.005, 0.125, 7.0, 3.14159]
+    df = spark.createDataFrame([(x,) for x in cases], "x double").select(
+        F.round("x", 2).alias("r")
+    )
+    spark_r = [row.r for row in df.collect()]
+    py_r = [_round2_half_away(x) for x in cases]
+    assert py_r == spark_r
+
+
+def test_q09_ignores_null_rows(spark, tmp_path):
+    """q09's pack-bounds guard must treat NULL value/event_id as absent
+    data (ignored by the arg-max), not a bounds violation."""
+    from beam_scala_examples_spark.queries.traffic import q09_max_lane_flow
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "A", 5.0),
+        (None, "2024-01-01 10:00:01", 1, "A", 9.0),   # null event_id
+        (3, "2024-01-01 10:00:02", 1, "A", None),     # null value
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = q09_max_lane_flow(spark, sf)
+    # only the non-null row can win; the job must not abort
+    winners = {(r.station, r.max_flow, r.event_id) for r in out.collect()}
+    assert winners == {(1, 5.0, 1)}
