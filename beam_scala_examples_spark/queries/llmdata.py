@@ -926,6 +926,69 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_payload(docs))
 
 
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality harness for the language-ID heuristic: confusion counts of
+    predicted vs the fixture's ground-truth ``lang`` column — the
+    eval loop that tunes the n-gram thresholds.  One aggregation over
+    the scored corpus; no shuffle beyond the confusion-cell groupBy."""
+    pred = text_language_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    truth = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report per (source, lang): documents, chars,
+    tokens — the mixture table every dataset card carries.  Token counts
+    are array expressions in the scan stage; one small groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source", "lang", "n_chars",
+            F.size(F.expr(_SPARK_TOKS)).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction over the embedding space: each query vector
+    is assigned the majority label of its brute-force top-k neighbors
+    (ties → smaller label) and compared with its own ``label`` — the
+    classic embedding-quality eval (and the consumption pattern for the
+    ANN indexes).  Costs one neighbor-label join on the top-k rows plus
+    two small aggregations."""
+    emb = load(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    topk = sim_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    votes = (
+        topk.join(labels, "vec_id")
+        .groupBy("qid", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    predicted = (
+        top_k_per_key(votes, ["qid"], [F.desc("n_votes"), F.asc("label")], 1)
+        .select("qid", F.col("label").alias("predicted_label"))
+    )
+    truth = labels.select(F.col("vec_id").alias("qid"),
+                          F.col("label").alias("true_label"))
+    return (
+        predicted.join(truth, "qid")
+        .select(
+            "qid", "predicted_label", "true_label",
+            (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster size histogram — the dedup QA report (how much
     of the corpus collapses, and into how big clusters): one aggregation
@@ -1045,6 +1108,9 @@ QUERIES = {
     "data_pack_sequences": data_pack_sequences,
     "dedup_survivors": dedup_survivors,
     "dedup_cluster_sizes": dedup_cluster_sizes,
+    "text_langid_confusion": text_langid_confusion,
+    "text_corpus_stats": text_corpus_stats,
+    "sim_knn_label_accuracy": sim_knn_label_accuracy,
 }
 
 
@@ -1579,4 +1645,39 @@ ORACLE["dedup_cluster_sizes"] = f"""
     )
     SELECT cluster_size, count(*)::BIGINT AS n_clusters
     FROM sizes GROUP BY cluster_size
+"""
+
+ORACLE["text_langid_confusion"] = f"""
+    WITH pred AS ({ORACLE["text_language_id"]})
+    SELECT d.lang, p.predicted_lang, count(*)::BIGINT AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+"""
+
+ORACLE["text_corpus_stats"] = f"""
+    SELECT source, lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(len({_DUCK_TOKS}))::BIGINT AS total_tokens
+    FROM documents
+    GROUP BY 1, 2
+"""
+
+ORACLE["sim_knn_label_accuracy"] = f"""
+    WITH topk AS ({ORACLE["sim_cosine_topk"]}),
+    votes AS (
+        SELECT t.qid, e.label::BIGINT AS label, count(*)::BIGINT AS n_votes
+        FROM topk t JOIN embeddings e ON t.vec_id = e.vec_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY n_votes DESC, label ASC) AS rk
+        FROM votes
+    )
+    SELECT r.qid, r.label AS predicted_label, q.label::BIGINT AS true_label,
+           r.label = q.label AS correct
+    FROM ranked r JOIN embeddings q ON q.vec_id = r.qid
+    WHERE r.rk = 1
 """
