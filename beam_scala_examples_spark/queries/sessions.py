@@ -72,9 +72,29 @@ def p08_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p08_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 on the fixture's *real* raw-JSON column: ``events.props``
+    carries ``{"k": <int>}`` strings; parse them typed and aggregate k
+    per event_type.  ``from_json``'s schema projection means only the
+    ``props`` and ``event_type`` columns are read and the parse runs in
+    the scan stage — no Python, no extra pass."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k bigint")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 QUERIES = {
     "q08_top_month_sessions": q08_top_month_sessions,
     "p08_json_parse": p08_json_parse,
+    "p08_props_parse": p08_props_parse,
 }
 
 ORACLE = {
@@ -102,4 +122,13 @@ ORACLE["p08_json_parse"] = """
     SELECT event_type, count(*)::BIGINT AS n_events,
            sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
     FROM events GROUP BY event_type
+"""
+
+ORACLE["p08_props_parse"] = """
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           sum((props->>'k')::BIGINT)::BIGINT AS k_sum,
+           max((props->>'k')::BIGINT)::BIGINT AS k_max
+    FROM events
+    GROUP BY event_type
 """
