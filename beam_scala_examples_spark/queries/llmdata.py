@@ -113,7 +113,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    """Signatures straight off the *non-distinct* shingle stream:
+    ``min`` is duplicate-idempotent, so the set semantics the oracle
+    computes over DISTINCT shingles fall out for free — and skipping
+    ``.distinct()`` removes an entire (doc_id, shingle) shuffle.  The
+    map-side partial min collapses each partition to one 16-wide row per
+    doc before the only remaining exchange."""
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        .withColumn("h", F.expr(_SPARK_H.format(col="shingle")))
+    )
     aggs = [
         F.min((F.lit(MH_A[j]) * F.col("h") + F.lit(MH_B[j])) % MH_P).alias(f"m{j}")
         for j in range(N_HASHES)
