@@ -76,15 +76,19 @@ _DUCK_SHINGLES = (
 )
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct, with the shingle hash ``h``."""
+def _shingles(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) with the shingle hash ``h`` — distinct (set
+    semantics, for Jaccard) by default; ``distinct=False`` skips that
+    whole shuffle for consumers whose aggregate is duplicate-idempotent
+    (minhash ``min``)."""
     docs = load(spark, sf_dir, "documents")
-    return (
+    sh = (
         docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
         .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
-        .distinct()
-        .withColumn("h", F.expr(_SPARK_H.format(col="shingle")))
     )
+    if distinct:
+        sh = sh.distinct()
+    return sh.withColumn("h", F.expr(_SPARK_H.format(col="shingle")))
 
 
 def _duck_shingle_cte() -> str:
@@ -119,12 +123,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``.distinct()`` removes an entire (doc_id, shingle) shuffle.  The
     map-side partial min collapses each partition to one 16-wide row per
     doc before the only remaining exchange."""
-    docs = load(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
-        .withColumn("h", F.expr(_SPARK_H.format(col="shingle")))
-    )
+    sh = _shingles(spark, sf_dir, distinct=False)
     aggs = [
         F.min((F.lit(MH_A[j]) * F.col("h") + F.lit(MH_B[j])) % MH_P).alias(f"m{j}")
         for j in range(N_HASHES)

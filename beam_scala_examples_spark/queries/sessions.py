@@ -72,19 +72,30 @@ def p08_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Validity contract for props rows, shared verbatim by both engines:
+# Spark from_json and DuckDB ->> disagree on malformed JSON (NULL vs
+# abort) and string-typed k (NULL vs coerce), so conformance is decided
+# by one regex BEFORE either parser sees the value.
+PROPS_K_RE = r'^\{"k": -?[0-9]+\}$'
+
+
 def p08_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 on the fixture's *real* raw-JSON column: ``events.props``
     carries ``{"k": <int>}`` strings; parse them typed and aggregate k
-    per event_type.  ``from_json``'s schema projection means only the
-    ``props`` and ``event_type`` columns are read and the parse runs in
-    the scan stage — no Python, no extra pass."""
+    per event_type, counting non-conforming rows instead of letting the
+    two engines' divergent error behavior decide (N9 drop-and-count).
+    ``from_json``'s schema projection means only the ``props`` and
+    ``event_type`` columns are read and the parse runs in the scan
+    stage — no Python, no extra pass."""
     ev = load(spark, sf_dir, "events")
-    k = F.from_json(F.col("props"), "k bigint")["k"]
+    valid = F.col("props").rlike(PROPS_K_RE)
+    k = F.when(valid, F.from_json(F.col("props"), "k bigint")["k"])
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
+            F.count(F.when(F.col("k").isNull(), True)).alias("n_malformed"),
             F.sum("k").alias("k_sum"),
             F.max("k").alias("k_max"),
         )
@@ -124,11 +135,18 @@ ORACLE["p08_json_parse"] = """
     FROM events GROUP BY event_type
 """
 
-ORACLE["p08_props_parse"] = """
+ORACLE["p08_props_parse"] = f"""
+    WITH p AS (
+        SELECT event_type,
+               CASE WHEN regexp_matches(props, '{PROPS_K_RE}')
+                    THEN (props->>'k')::BIGINT END AS k
+        FROM events
+    )
     SELECT event_type,
            count(*)::BIGINT AS n_events,
-           sum((props->>'k')::BIGINT)::BIGINT AS k_sum,
-           max((props->>'k')::BIGINT)::BIGINT AS k_max
-    FROM events
+           count(CASE WHEN k IS NULL THEN 1 END)::BIGINT AS n_malformed,
+           sum(k)::BIGINT AS k_sum,
+           max(k)::BIGINT AS k_max
+    FROM p
     GROUP BY event_type
 """

@@ -65,25 +65,22 @@ def q09_max_lane_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack_bits = 40
     p_mod = 1 << pack_bits
     cents_raw = agg_cents("value")
-    # NULL value/event_id = absent data, not a bounds violation: the
-    # pack goes NULL and max() ignores it (pre-guard behavior)
-    has_null = F.col("value").isNull() | F.col("event_id").isNull()
+    # NULL value/event_id = absent data: EXCLUDED before aggregation (an
+    # explicit filter, mirrored in the oracle, so both engines agree on
+    # groups that are entirely NULL too), not a bounds violation
+    ev = ev.filter(F.col("value").isNotNull() & F.col("event_id").isNotNull())
     in_bounds = (
         (cents_raw >= 0)
         & (cents_raw < F.lit(1 << 23))
         & (F.col("event_id") >= 0)
         & (F.col("event_id") < F.lit(p_mod))
     )
-    checked = (
-        F.when(has_null, F.lit(None).cast("long"))
-        .when(in_bounds, cents_raw)
-        .otherwise(
-            F.raise_error(
-                F.format_string(
-                    "q09 arg-max pack bounds violated (need 0 <= 100*value"
-                    " < 2^23 and 0 <= event_id < 2^40): value=%s event_id=%s",
-                    F.col("value"), F.col("event_id"),
-                )
+    checked = F.when(in_bounds, cents_raw).otherwise(
+        F.raise_error(
+            F.format_string(
+                "q09 arg-max pack bounds violated (need 0 <= 100*value"
+                " < 2^23 and 0 <= event_id < 2^40): value=%s event_id=%s",
+                F.col("value"), F.col("event_id"),
             )
         )
     )
@@ -244,8 +241,12 @@ QUERIES = {
 
 ORACLE = {
     "q09_max_lane_flow": f"""
-        WITH w AS ({duck_sliding_starts_cte('events', 'ts', Q9_WINDOW_S, Q9_SLIDE_S,
-                                            'user_id, event_id, value')}),
+        WITH ev9 AS (
+            SELECT * FROM events
+            WHERE value IS NOT NULL AND event_id IS NOT NULL
+        ),
+        w AS ({duck_sliding_starts_cte('ev9', 'ts', Q9_WINDOW_S, Q9_SLIDE_S,
+                                       'user_id, event_id, value')}),
         ranked AS (
             SELECT win_start, user_id AS station, value, event_id,
                    row_number() OVER (PARTITION BY win_start, user_id

@@ -126,6 +126,7 @@ class PaneTagger:
         self.mode = mode
         self.query = None
         self._finalized: set = set()
+        self._batch_keys: dict[int, set] = {}
         self.panes: list[dict] = []
 
     def attach(self, query) -> "PaneTagger":
@@ -139,6 +140,16 @@ class PaneTagger:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         wm = self._watermark()
+        if batch_id in self._batch_keys:
+            # failure replay of this batch: forget its previous panes so
+            # it cannot relabel its own ON_TIME output LATE — the
+            # driver-dict analogue of PaneSink's batch-partition
+            # exclusion (same replay shape, same answer)
+            self._finalized -= self._batch_keys[batch_id]
+            self.panes = [
+                p for p in self.panes if p["processing_batch"] != batch_id
+            ]
+        self._batch_keys[batch_id] = set()
         for row in batch_df.collect():
             d = row.asDict()
             pane_key = (d[self.win_end_col], *(d[k] for k in self.key_cols))
@@ -149,6 +160,7 @@ class PaneTagger:
             else:
                 d["timing"] = "ON_TIME"
                 self._finalized.add(pane_key)
+                self._batch_keys[batch_id].add(pane_key)
             d["processing_batch"] = batch_id
             d["watermark"] = wm
             self.panes.append(d)

@@ -283,6 +283,25 @@ def test_pane_timing_early_and_ontime(spark, tmpdir):
     assert [(r.timing, r.total) for r in arows.collect()] == [("ON_TIME", 11.0)]
 
 
+def test_pane_tagger_replay_keeps_labels(spark):
+    """The driver-dict PaneTagger must answer the latest-batch replay
+    exactly like PaneSink: no LATE relabel, no duplicate pane records."""
+    tagger = PaneTagger("win_end", ("team",), mode="append")
+    mk = lambda total: spark.createDataFrame(
+        [("2024-01-01 00:10:00", "A", total)],
+        "win_end string, team string, total double",
+    ).withColumn("win_end", F.to_timestamp("win_end"))
+    tagger(mk(11.0), 0)
+    tagger(mk(11.0), 0)  # failure replay of the latest batch
+    assert [(p["timing"], p["total"]) for p in tagger.panes] == [
+        ("ON_TIME", 11.0)
+    ]
+    tagger(mk(12.0), 1)
+    assert [(p["timing"], p["total"]) for p in tagger.panes] == [
+        ("ON_TIME", 11.0), ("LATE", 12.0)
+    ]
+
+
 def test_pane_sink_labels_reemission_late(spark, tmpdir):
     """X6 LATE: a (window, key) re-emitted after its pane is finalized in
     the sink table gets the LATE label via the sink-key join (the MERGE
