@@ -936,6 +936,32 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_payload(docs))
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate report per source: how many documents each corpus
+    loses to exact dedup (non-keeper of a text group) and to near-dup
+    clustering (non-keeper of a component) — the per-domain contamination
+    table a dataset card reports.  One exact-dedup shuffle + the
+    component labels joined back by doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    keepers = docs.groupBy("text").agg(F.min("doc_id").alias("keep_doc_id"))
+    near_losers = (
+        dedup_components(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select("doc_id", F.lit(True).alias("near_loser"))
+    )
+    flagged = (
+        docs.join(keepers, "text")
+        .withColumn("exact_loser", F.col("doc_id") != F.col("keep_doc_id"))
+        .join(near_losers, "doc_id", "left")
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("exact_loser").cast("long")).alias("n_exact_losers"),
+        F.sum(F.coalesce(F.col("near_loser").cast("long"), F.lit(0)))
+        .alias("n_near_losers"),
+    )
+
+
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality harness for the language-ID heuristic: confusion counts of
     predicted vs the fixture's ground-truth ``lang`` column — the
@@ -1121,6 +1147,7 @@ QUERIES = {
     "text_langid_confusion": text_langid_confusion,
     "text_corpus_stats": text_corpus_stats,
     "sim_knn_label_accuracy": sim_knn_label_accuracy,
+    "dedup_rate_by_source": dedup_rate_by_source,
 }
 
 
@@ -1690,4 +1717,21 @@ ORACLE["sim_knn_label_accuracy"] = f"""
            r.label = q.label AS correct
     FROM ranked r JOIN embeddings q ON q.vec_id = r.qid
     WHERE r.rk = 1
+"""
+
+ORACLE["dedup_rate_by_source"] = f"""
+    WITH keepers AS (
+        SELECT text, min(doc_id) AS keep_doc_id FROM documents GROUP BY text
+    ),
+    near_losers AS (
+        SELECT doc_id FROM ({ORACLE["dedup_components"]}) WHERE NOT keep
+    )
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN d.doc_id <> k.keep_doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_exact_losers,
+           sum(CASE WHEN d.doc_id IN (SELECT doc_id FROM near_losers)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_near_losers
+    FROM documents d JOIN keepers k USING (text)
+    GROUP BY d.source
 """

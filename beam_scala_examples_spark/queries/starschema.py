@@ -132,11 +132,42 @@ def star_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FORECAST_YEAR = 2023
+FORECAST_DISC_LO = 0.05
+FORECAST_DISC_HI = 0.07
+FORECAST_MAX_QTY = 24
+
+
+def star_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change (TPC-H Q6 shape): one filtered scan, one
+    global sum — the canonical predicate-pushdown query.  All four
+    predicates reach the parquet scan (date range, discount band,
+    quantity cap) and the revenue sum rides exact cents; no shuffle at
+    all beyond the final single-row combine."""
+    li = load(spark, sf_dir, "lineitem")
+    rev_c = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100, 0
+    ).cast("long")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == FORECAST_YEAR)
+            & (F.col("l_discount") >= FORECAST_DISC_LO)
+            & (F.col("l_discount") <= FORECAST_DISC_HI)
+            & (F.col("l_quantity") < FORECAST_MAX_QTY)
+        )
+        .agg(
+            F.round(F.sum(rev_c) / 100.0, 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
 QUERIES = {
     "star_pricing_summary": star_pricing_summary,
     "star_pricing_rollup": star_pricing_rollup,
     "star_shipping_priority": star_shipping_priority,
     "star_volume_by_nation": star_volume_by_nation,
+    "star_revenue_forecast": star_revenue_forecast,
 }
 
 ORACLE = {
@@ -196,3 +227,13 @@ ORACLE = {
         GROUP BY 1
     """,
 }
+
+ORACLE["star_revenue_forecast"] = f"""
+    SELECT round(sum(round(l_extendedprice * l_discount * 100)::BIGINT)
+                 / 100.0, 2) AS revenue,
+           count(*)::BIGINT AS n_lineitems
+    FROM lineitem
+    WHERE year(l_shipdate) = {FORECAST_YEAR}
+      AND l_discount >= {FORECAST_DISC_LO} AND l_discount <= {FORECAST_DISC_HI}
+      AND l_quantity < {FORECAST_MAX_QTY}
+"""

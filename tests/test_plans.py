@@ -214,6 +214,15 @@ def test_star_join_strategy(plans):
     assert "EqualTo(c_mktsegment,BUILDING)" in p3
 
 
+def test_revenue_forecast_predicates_pushed(plans):
+    """star_revenue_forecast (Q6 shape): the discount band and quantity
+    cap must reach the parquet scan as pushed filters."""
+    p = plans("star_revenue_forecast")
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p
+    assert "LessThanOrEqual(l_discount,0.07)" in p
+    assert "LessThan(l_quantity,24.0)" in p
+
+
 def test_q09_argmax_is_hash_aggregated(plans):
     """q09's packed arg-max must plan as HashAggregate end-to-end — a
     struct-valued max_by buffer would silently regress to SortAggregate
