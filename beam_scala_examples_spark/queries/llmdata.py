@@ -1025,6 +1025,47 @@ def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOGFREQ_ROUND = 4
+
+
+def text_logfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-frequency score per document — the cheap LM-proxy
+    quality signal (documents full of rare/garbage tokens score low,
+    fluent text scores high): score = mean over tokens of
+    ln(corpus_count(token) / corpus_tokens).
+
+    Scale shape: the corpus vocabulary is aggregated once (one hash
+    shuffle with map-side combine), then the per-doc token stream joins
+    it on the token key.  The dictionary is vocabulary-sized —
+    unbounded, like q07's doc-frequency relation — so the join carries
+    NO broadcast hint; Catalyst/AQE picks broadcast while it fits and
+    falls back to a shuffle join at web scale.  The mean is summed in
+    exact micro-units per doc for cross-engine determinism."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total_tokens"))
+    # per-token log-prob in exact integer micro-nats: rounding each
+    # term once (identically in both engines) keeps the mean's sum
+    # associative and order-independent
+    lp_micro = F.round(
+        (F.log(F.col("cnt")) - F.log(F.col("total_tokens"))) * 1e6, 0
+    ).cast("long")
+    return (
+        toks.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(lp_micro) / (1e6 * F.count("*")), LOGFREQ_ROUND
+            ).alias("logfreq_score"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster size histogram — the dedup QA report (how much
     of the corpus collapses, and into how big clusters): one aggregation
@@ -1148,6 +1189,7 @@ QUERIES = {
     "text_corpus_stats": text_corpus_stats,
     "sim_knn_label_accuracy": sim_knn_label_accuracy,
     "dedup_rate_by_source": dedup_rate_by_source,
+    "text_logfreq_score": text_logfreq_score,
 }
 
 
@@ -1734,4 +1776,18 @@ ORACLE["dedup_rate_by_source"] = f"""
                     THEN 1 ELSE 0 END)::BIGINT AS n_near_losers
     FROM documents d JOIN keepers k USING (text)
     GROUP BY d.source
+"""
+
+ORACLE["text_logfreq_score"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ),
+    vocab AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+    total AS (SELECT count(*)::BIGINT AS total_tokens FROM toks)
+    SELECT t.doc_id,
+           round(sum(round((ln(v.cnt) - ln(total.total_tokens)) * 1e6)::BIGINT)
+                 / (1e6 * count(*)), {LOGFREQ_ROUND}) AS logfreq_score,
+           count(*)::BIGINT AS n_tokens
+    FROM toks t JOIN vocab v USING (token) CROSS JOIN total
+    GROUP BY t.doc_id
 """
