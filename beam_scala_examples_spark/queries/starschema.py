@@ -132,7 +132,8 @@ def star_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FORECAST_YEAR = 2023
+FORECAST_LO = "1998-01-01"
+FORECAST_HI = "1999-01-01"
 FORECAST_DISC_LO = 0.05
 FORECAST_DISC_HI = 0.07
 FORECAST_MAX_QTY = 24
@@ -150,7 +151,8 @@ def star_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (
         li.filter(
-            (F.year("l_shipdate") == FORECAST_YEAR)
+            (F.col("l_shipdate") >= FORECAST_LO)
+            & (F.col("l_shipdate") < FORECAST_HI)
             & (F.col("l_discount") >= FORECAST_DISC_LO)
             & (F.col("l_discount") <= FORECAST_DISC_HI)
             & (F.col("l_quantity") < FORECAST_MAX_QTY)
@@ -233,7 +235,7 @@ ORACLE["star_revenue_forecast"] = f"""
                  / 100.0, 2) AS revenue,
            count(*)::BIGINT AS n_lineitems
     FROM lineitem
-    WHERE year(l_shipdate) = {FORECAST_YEAR}
+    WHERE l_shipdate >= '{FORECAST_LO}' AND l_shipdate < '{FORECAST_HI}'
       AND l_discount >= {FORECAST_DISC_LO} AND l_discount <= {FORECAST_DISC_HI}
       AND l_quantity < {FORECAST_MAX_QTY}
 """

@@ -49,6 +49,8 @@ HEADLINE = [
     "star_pricing_rollup",
     "star_shipping_priority",
     "star_volume_by_nation",
+    "star_revenue_forecast",
+    "text_logfreq_score",
     "dedup_components",
 ]
 

@@ -221,6 +221,9 @@ def test_revenue_forecast_predicates_pushed(plans):
     assert "GreaterThanOrEqual(l_discount,0.05)" in p
     assert "LessThanOrEqual(l_discount,0.07)" in p
     assert "LessThan(l_quantity,24.0)" in p
+    # The year bound is expressed as a raw shipdate range (a year()
+    # wrapper would compute post-scan and read every row group).
+    assert "GreaterThanOrEqual(l_shipdate," in p
 
 
 def test_q09_argmax_is_hash_aggregated(plans):
