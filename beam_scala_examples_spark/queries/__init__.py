@@ -20,11 +20,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import (autocomplete, cookbook, game, llmdata, sessions, starschema,
-               tfidf, traffic, wordcount)
+from . import (autocomplete, cookbook, game, llmdata, relational, sessions,
+               starschema, tfidf, traffic, wordcount)
 
 _MODULES = (wordcount, cookbook, game, tfidf, autocomplete, sessions, traffic,
-            llmdata, starschema)
+            llmdata, starschema, relational)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}

@@ -1,0 +1,689 @@
+"""TPC-H join-shape suite over the fixture star schema.
+
+The round-1 star queries (``starschema.py``) pinned the scan/agg/top-k
+pipeline (Q1/Q3/Q5/Q6 shapes).  This module adds the *join shapes* the
+engine had not yet exercised end-to-end — each query is the classic
+TPC-H pattern restated for the fixture's columns (no partsupp/comment
+columns exist, so Q2/Q11/Q16/Q20/Q21 are out of reach; their join
+mechanics are covered by the shapes below):
+
+ - EXISTS semi-join            -> ``star_late_order_priority``  (Q4)
+ - multi-nation 6-way join     -> ``star_nation_trade``         (Q7)
+ - conditional-share agg       -> ``star_market_share``         (Q8)
+ - join + derived profit       -> ``star_profit_by_nation``     (Q9)
+ - join + global top-k         -> ``star_returned_revenue``     (Q10)
+ - LEFT OUTER + double agg     -> ``star_order_count_distribution`` (Q13)
+ - ratio-of-sums               -> ``star_promo_revenue``        (Q14)
+ - scalar-subquery max filter  -> ``star_top_supplier``         (Q15)
+ - per-key-avg semi filter     -> ``star_small_qty_revenue``    (Q17)
+ - HAVING + join-back          -> ``star_big_orders``           (Q18)
+ - OR-of-ANDs join predicate   -> ``star_brand_revenue``        (Q19)
+ - NOT EXISTS anti-join        -> ``star_idle_customers``       (Q22)
+
+Beyond the reference's surface: beam-scala-examples has no relational
+workload (SURVEY §2.4 tops out at two-input CoGroupByKey,
+``cookbook/JoinExamples.scala:70-101``); these queries are the coverage
+a user switching their analytics onto this engine needs.
+
+Determinism: all money maths ride exact integer cents
+(``operators/agg.py``); thresholds against per-key averages are
+restated as integer cross-multiplications (``5*qty*cnt < sum``) so no
+engine ever compares against an order-dependent double.  Share/ratio
+columns divide two exact longs — both engines produce the identical
+IEEE double.
+
+Scale posture: fact-to-fact joins (lineitem-orders, lineitem-part)
+shuffle on their keys and are AQE-sized; nation/region and the scalar
+aggregates are broadcast; semi/anti joins keep the fact side un-widened
+(no payload columns cross the shuffle); top-k goes through the rank's
+WindowGroupLimit.  Per-key-average filters use aggregate-then-join, not
+a window over the fact table (a window would sort every fact partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.agg import cents
+from ..operators.topk import top_k_per_key
+from ..tables import load
+
+
+def _disc_cents() -> F.Column:
+    """Discounted line revenue in exact cents (shared shape with
+    ``starschema._disc_cents`` — duplicated, not imported, so the two
+    modules stay independently readable)."""
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+
+
+DUCK_DISC_CENTS = "round(l_extendedprice * (1 - l_discount) * 100)::BIGINT"
+
+LATE_QUARTER = ("1997-01-01", "1997-04-01")
+LATE_DAYS = 60
+
+TRADE_NATION_A = "NATION_3"
+TRADE_NATION_B = "NATION_7"
+TRADE_RANGE = ("1996-01-01", "1998-01-01")
+
+SHARE_REGION = "ASIA"
+SHARE_NATION = "NATION_3"
+SHARE_TYPE = "PROMO"
+SHARE_RANGE = ("1995-01-01", "1997-01-01")
+
+PROFIT_NAME_FRAGMENT = "widget"
+
+RETURNED_QUARTER = ("1997-07-01", "1997-10-01")
+RETURNED_TOP = 20
+
+DIST_EXCLUDED_PRIORITY = "1-URGENT"
+
+PROMO_MONTH = ("1997-09-01", "1997-10-01")
+
+TOP_SUPPLIER_QUARTER = ("1997-01-01", "1997-04-01")
+
+SMALL_QTY_BRAND = "Brand#11"
+
+BIG_ORDER_MIN_QTY = 300
+
+BRAND_BANDS = (
+    ("Brand#11", 1, 11, 1, 15),
+    ("Brand#13", 10, 20, 1, 25),
+    ("Brand#16", 20, 30, 1, 35),
+)
+
+
+def star_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (order-priority checking): orders placed in one quarter
+    that had *any* lineitem shipped more than ``LATE_DAYS`` after the
+    order date, counted per priority.
+
+    Join shape: LEFT SEMI with a mixed equi + range condition — Spark
+    plans the equi part as the join key (shuffle or broadcast, AQE's
+    choice) and evaluates the range residually, so the lineitem side
+    never fans out order rows (EXISTS semantics, exactly one output row
+    per qualifying order).
+    """
+    lo, hi = LATE_QUARTER
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > orders.o_orderdate + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def star_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape (volume shipping): discounted revenue between two
+    nations (both directions), per shipping year.
+
+    Join shape: the 6-way chain lineitem-supplier-nation /
+    lineitem-orders-customer-nation.  Both nation sides are pre-filtered
+    to the two names *before* joining, so the supplier/customer joins
+    shrink to the qualifying rows and nation is broadcast.
+    """
+    lo, hi = TRADE_RANGE
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nations = (TRADE_NATION_A, TRADE_NATION_B)
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*nations)
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_disc_cents()).alias("revenue_cents"))
+    )
+
+
+def star_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (national market share): within one region's market for
+    one part type, the share of revenue supplied by one nation, per
+    order year.
+
+    The share divides two exact cent sums — both engines divide the
+    same two longs, so the double is bit-identical.  Customer-side
+    nation/region and supplier-side nation are broadcast dimensions.
+    """
+    lo, hi = SHARE_RANGE
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == SHARE_TYPE)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == SHARE_REGION
+    )
+    cn = nation.select("n_nationkey", "n_regionkey")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == cn.n_nationkey)
+        .join(F.broadcast(region), cn.n_regionkey == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == SHARE_NATION, _disc_cents()).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    total_cents = F.sum(_disc_cents())
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            nation_cents.alias("nation_cents"),
+            total_cents.alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            (F.col("nation_cents") / F.col("total_cents")).alias("mkt_share"),
+        )
+    )
+
+
+def star_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit): for parts whose name contains a
+    fragment, profit per supplier nation per order year.  The fixture
+    has no partsupp, so cost is proxied by ``p_retailprice * quantity``
+    — the join/agg shape (4 facts + 1 broadcast dim) is what's under
+    test, with the subtraction done in exact cents.
+    """
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(PROFIT_NAME_FRAGMENT)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    cost_cents = F.round(
+        F.col("p_retailprice") * F.col("l_quantity") * 100, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(_disc_cents() - cost_cents).alias("profit_cents"))
+    )
+
+
+def star_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape (returned-item reporting): top customers by revenue on
+    returned lineitems for orders placed in one quarter.  Global top-k
+    rides the rank's WindowGroupLimit (partial top-k per partition);
+    ties broken by custkey.
+    """
+    lo, hi = RETURNED_QUARTER
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_disc_cents()).alias("revenue_cents"))
+    )
+    return top_k_per_key(
+        rev.withColumn("g", F.lit(1)),
+        ["g"],
+        [F.desc("revenue_cents"), F.asc("c_custkey")],
+        RETURNED_TOP,
+    ).select("c_custkey", "c_name", "n_name", "revenue_cents")
+
+
+def star_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer distribution): LEFT OUTER join customers to
+    their non-urgent orders, count per customer (zero for order-less
+    customers), then histogram the counts.  Exercises the outer join +
+    re-aggregation pipeline; the second aggregation is tiny (one row per
+    distinct count).
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != DIST_EXCLUDED_PRIORITY
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def star_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape (promotion effect): fraction of one month's revenue
+    that came from promo-type parts.  Ratio of two exact cent sums —
+    identical doubles on both engines.
+    """
+    lo, hi = PROMO_MONTH
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    part = load(spark, sf_dir, "part")
+    promo_cents = F.sum(
+        F.when(F.col("p_type") == SHARE_TYPE, _disc_cents()).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            promo_cents.alias("promo_cents"),
+            F.sum(_disc_cents()).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            (F.col("promo_cents") / F.col("total_cents")).alias("promo_share"),
+        )
+    )
+
+
+def star_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape (top supplier): supplier(s) whose quarterly revenue
+    equals the maximum.  The scalar max is a one-row aggregate joined
+    back by broadcast — the revenue relation is computed once, reused
+    for both the max and the filter (self-contained subplan; at scale
+    persist it or let AQE reuse the exchange).
+    """
+    lo, hi = TOP_SUPPLIER_QUARTER
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_disc_cents()).alias("total_revenue_cents")
+    )
+    mx = rev.agg(F.max("total_revenue_cents").alias("max_revenue_cents"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(
+            F.broadcast(mx),
+            rev.total_revenue_cents == mx.max_revenue_cents,
+        )
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+def star_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (small-quantity-order revenue): for one brand's parts,
+    revenue from lineitems whose quantity is below 20% of that part's
+    average quantity.
+
+    The per-part average is aggregate-then-join (broadcast — one row
+    per part of one brand), NOT a window over lineitem (which would
+    sort every fact partition).  The threshold compare is the integer
+    cross-multiplication ``5 * qty * cnt < sum`` — no double average
+    ever materializes.
+    """
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == SMALL_QTY_BRAND
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem")
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_part = brand_li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+        F.count("*").alias("n_li"),
+    )
+    qualifying = brand_li.join(
+        F.broadcast(per_part), brand_li.l_partkey == per_part.pp_key
+    ).filter(
+        5 * cents("l_quantity") * F.col("n_li") < F.col("sum_qty_cents")
+    )
+    return qualifying.agg(
+        F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+        F.count("*").alias("n_small"),
+    )
+
+
+def star_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape (large-volume customers): orders whose total quantity
+    exceeds a threshold, joined back to order/customer detail.  The
+    HAVING side is a slim (orderkey, sum) relation; the join back is on
+    the order key the aggregate already shuffled on, so AQE can avoid a
+    second full exchange of the big side.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("bo_key"))
+        .agg(F.sum(cents("l_quantity")).alias("sum_qty_cents"))
+        .filter(F.col("sum_qty_cents") > BIG_ORDER_MIN_QTY * 100)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.bo_key)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty_cents",
+        )
+    )
+
+
+def star_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (discounted revenue, disjunctive predicates): revenue
+    from three (brand, quantity-band, size-band) combinations.  The
+    OR-of-ANDs sits in the join condition; Catalyst derives the
+    pushable per-side disjunctions (brand/size on part, quantity on
+    lineitem) so both scans prune before the join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cond = None
+    for brand, qlo, qhi, slo, shi in BRAND_BANDS:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        li.join(
+            F.broadcast(part), (li.l_partkey == part.p_partkey) & cond
+        )
+        .agg(
+            F.sum(_disc_cents()).alias("revenue_cents"),
+            F.count("*").alias("n_li"),
+        )
+    )
+
+
+def star_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (global-sales opportunity): customers with
+    above-average positive balance and no urgent orders, summarized per
+    nation.
+
+    Join shapes: the scalar (sum, count) aggregate is broadcast and the
+    above-average test is the integer cross-multiplication
+    ``bal * cnt > sum`` (no double average); the "no urgent orders"
+    test is a LEFT ANTI join on custkey; nation is broadcast.  Every
+    distributed relation stays slim (custkey + cents).
+    """
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "bal_cents", cents("c_acctbal")
+    )
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("pos_sum_cents"),
+        F.count("*").alias("pos_cnt"),
+    )
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == DIST_EXCLUDED_PRIORITY
+    ).select("o_custkey")
+    nation = load(spark, sf_dir, "nation")
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        F.col("bal_cents") * F.col("pos_cnt") > F.col("pos_sum_cents")
+    )
+    idle = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+    )
+
+
+QUERIES = {
+    "star_late_order_priority": star_late_order_priority,
+    "star_nation_trade": star_nation_trade,
+    "star_market_share": star_market_share,
+    "star_profit_by_nation": star_profit_by_nation,
+    "star_returned_revenue": star_returned_revenue,
+    "star_order_count_distribution": star_order_count_distribution,
+    "star_promo_revenue": star_promo_revenue,
+    "star_top_supplier": star_top_supplier,
+    "star_small_qty_revenue": star_small_qty_revenue,
+    "star_big_orders": star_big_orders,
+    "star_brand_revenue": star_brand_revenue,
+    "star_idle_customers": star_idle_customers,
+}
+
+
+_BRAND_OR = " OR ".join(
+    f"(p_brand = '{b}' AND l_quantity >= {qlo} AND l_quantity <= {qhi}"
+    f" AND p_size >= {slo} AND p_size <= {shi})"
+    for b, qlo, qhi, slo, shi in BRAND_BANDS
+)
+
+ORACLE = {
+    "star_late_order_priority": f"""
+        SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders o
+        WHERE o_orderdate >= '{LATE_QUARTER[0]}'
+          AND o_orderdate < '{LATE_QUARTER[1]}'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+          )
+        GROUP BY 1
+    """,
+    "star_nation_trade": f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               year(l_shipdate)::BIGINT AS l_year,
+               sum({DUCK_DISC_CENTS})::BIGINT AS revenue_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE l_shipdate >= '{TRADE_RANGE[0]}' AND l_shipdate < '{TRADE_RANGE[1]}'
+          AND sn.n_name IN ('{TRADE_NATION_A}', '{TRADE_NATION_B}')
+          AND cn.n_name IN ('{TRADE_NATION_A}', '{TRADE_NATION_B}')
+          AND sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "star_market_share": f"""
+        SELECT year(o_orderdate)::BIGINT AS o_year,
+               sum(CASE WHEN sn.n_name = '{SHARE_NATION}'
+                        THEN {DUCK_DISC_CENTS} ELSE 0 END)::BIGINT AS nation_cents,
+               sum({DUCK_DISC_CENTS})::BIGINT AS total_cents,
+               (sum(CASE WHEN sn.n_name = '{SHARE_NATION}'
+                         THEN {DUCK_DISC_CENTS} ELSE 0 END)::BIGINT)
+               / (sum({DUCK_DISC_CENTS})::BIGINT)::DOUBLE AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = '{SHARE_TYPE}' AND r_name = '{SHARE_REGION}'
+          AND o_orderdate >= '{SHARE_RANGE[0]}'
+          AND o_orderdate < '{SHARE_RANGE[1]}'
+        GROUP BY 1
+    """,
+    "star_profit_by_nation": f"""
+        SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+               sum({DUCK_DISC_CENTS}
+                   - round(p_retailprice * l_quantity * 100)::BIGINT)::BIGINT
+                   AS profit_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%{PROFIT_NAME_FRAGMENT}%'
+        GROUP BY 1, 2
+    """,
+    "star_returned_revenue": f"""
+        WITH rev AS (
+            SELECT c_custkey, c_name, n_name,
+                   sum({DUCK_DISC_CENTS})::BIGINT AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= '{RETURNED_QUARTER[0]}'
+              AND o_orderdate < '{RETURNED_QUARTER[1]}'
+            GROUP BY 1, 2, 3
+        )
+        SELECT c_custkey, c_name, n_name, revenue_cents
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY revenue_cents DESC, c_custkey ASC) AS rk
+            FROM rev
+        ) WHERE rk <= {RETURNED_TOP}
+    """,
+    "star_order_count_distribution": f"""
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority <> '{DIST_EXCLUDED_PRIORITY}'
+            GROUP BY 1
+        )
+        SELECT c_count, count(*)::BIGINT AS custdist
+        FROM per_cust GROUP BY 1
+    """,
+    "star_promo_revenue": f"""
+        SELECT sum(CASE WHEN p_type = '{SHARE_TYPE}'
+                        THEN {DUCK_DISC_CENTS} ELSE 0 END)::BIGINT AS promo_cents,
+               sum({DUCK_DISC_CENTS})::BIGINT AS total_cents,
+               (sum(CASE WHEN p_type = '{SHARE_TYPE}'
+                         THEN {DUCK_DISC_CENTS} ELSE 0 END)::BIGINT)
+               / (sum({DUCK_DISC_CENTS})::BIGINT)::DOUBLE AS promo_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '{PROMO_MONTH[0]}' AND l_shipdate < '{PROMO_MONTH[1]}'
+    """,
+    "star_top_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum({DUCK_DISC_CENTS})::BIGINT AS total_revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= '{TOP_SUPPLIER_QUARTER[0]}'
+              AND l_shipdate < '{TOP_SUPPLIER_QUARTER[1]}'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, total_revenue_cents
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+    """,
+    "star_small_qty_revenue": f"""
+        WITH brand_li AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = '{SMALL_QTY_BRAND}'
+        ),
+        per_part AS (
+            SELECT l_partkey AS pp_key,
+                   sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty_cents,
+                   count(*)::BIGINT AS n_li
+            FROM brand_li GROUP BY 1
+        )
+        SELECT sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS revenue_cents,
+               count(*)::BIGINT AS n_small
+        FROM brand_li
+        JOIN per_part ON l_partkey = pp_key
+        WHERE 5 * round(l_quantity * 100)::BIGINT * n_li < sum_qty_cents
+    """,
+    "star_big_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey AS bo_key,
+                   sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty_cents
+            FROM lineitem GROUP BY 1
+            HAVING sum(round(l_quantity * 100)::BIGINT) > {BIG_ORDER_MIN_QTY * 100}
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               sum_qty_cents
+        FROM orders
+        JOIN big ON o_orderkey = bo_key
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "star_brand_revenue": f"""
+        SELECT sum({DUCK_DISC_CENTS})::BIGINT AS revenue_cents,
+               count(*)::BIGINT AS n_li
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE {_BRAND_OR}
+    """,
+    "star_idle_customers": f"""
+        WITH bal AS (
+            SELECT *, round(c_acctbal * 100)::BIGINT AS bal_cents
+            FROM customer
+        ),
+        pos AS (
+            SELECT sum(bal_cents)::BIGINT AS pos_sum_cents,
+                   count(*)::BIGINT AS pos_cnt
+            FROM bal WHERE bal_cents > 0
+        )
+        SELECT n_name, count(*)::BIGINT AS numcust,
+               sum(bal_cents)::BIGINT AS total_bal_cents
+        FROM bal
+        CROSS JOIN pos
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE bal_cents * pos_cnt > pos_sum_cents
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderpriority = '{DIST_EXCLUDED_PRIORITY}'
+          )
+        GROUP BY 1
+    """,
+}

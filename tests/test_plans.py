@@ -233,3 +233,51 @@ def test_q09_argmax_is_hash_aggregated(plans):
     p = plans("q09_max_lane_flow")
     assert "SortAggregate" not in p
     assert p.count("HashAggregate") >= 4
+
+
+def test_semi_join_shapes(plans):
+    """star_late_order_priority (Q4 shape): the EXISTS must plan as a
+    LEFT SEMI join (one output row per qualifying order, lineitem side
+    never widens the orders rows) with the quarter filter pushed."""
+    p = plans("star_late_order_priority")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "GreaterThanOrEqual(o_orderdate," in p
+
+
+def test_anti_join_shapes(plans):
+    """star_idle_customers (Q22 shape): NOT EXISTS -> LEFT ANTI join;
+    the scalar (sum, count) aggregate joins by broadcast; the urgent
+    filter reaches the orders scan."""
+    p = plans("star_idle_customers")
+    assert "LeftAnti" in p
+    assert "EqualTo(o_orderpriority,1-URGENT)" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_outer_join_distribution_shape(plans):
+    """star_order_count_distribution (Q13 shape): the customer-orders
+    join must stay LEFT OUTER (order-less customers produce the zero
+    bucket) and the priority exclusion must be pushed to the scan."""
+    p = plans("star_order_count_distribution")
+    assert "LeftOuter" in p
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in p
+
+
+def test_brand_revenue_disjunction_pushdown(plans):
+    """star_brand_revenue (Q19 shape): Catalyst must derive the
+    per-side disjunctions from the OR-of-ANDs join condition — the
+    part scan prunes on brand/size, the lineitem scan on quantity,
+    and the small part side broadcasts."""
+    p = plans("star_brand_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "Or(" in p  # pushed disjunctive filter on at least one scan
+
+
+def test_small_qty_avg_is_agg_join_not_window(plans):
+    """star_small_qty_revenue (Q17 shape): the per-part average must be
+    aggregate-then-broadcast-join — a window over lineitem would sort
+    every fact partition (no Window operator in this plan)."""
+    p = plans("star_small_qty_revenue")
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
