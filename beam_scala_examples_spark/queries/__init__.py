@@ -21,10 +21,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (autocomplete, cookbook, game, llmdata, relational, sessions,
-               starschema, tfidf, traffic, wordcount)
+               starschema, temporal, tfidf, traffic, wordcount)
 
 _MODULES = (wordcount, cookbook, game, tfidf, autocomplete, sessions, traffic,
-            llmdata, starschema, relational)
+            llmdata, starschema, relational, temporal)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}

@@ -1,0 +1,128 @@
+"""Temporal / interval join queries over the events and orders tables.
+
+Two operators Spark lacks natively, built scale-first
+(``operators/asof.py``, ``operators/rangejoin.py``) and pinned here
+against genuinely different oracle algorithms (DuckDB LATERAL pick /
+non-equi interval join — not a restatement of the engine's plan):
+
+ - ``events_asof_click``: for every purchase event, the same user's
+   latest *prior* click (strict as-of, left-outer).  One shuffle on
+   user_id, one per-partition sort; no range fan-out.
+ - ``orders_price_bands``: orders equi-joined into half-open price
+   bands via bin replication — the non-equi predicate never reaches the
+   join, so no broadcast nested loop survives in the plan.
+
+Beyond the reference's surface: beam-scala-examples has no temporal or
+interval join (SURVEY §2.4); these are the timeseries staples a user
+would otherwise leave the engine for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.rangejoin import range_join_binned
+from ..tables import load
+
+ASOF_LEFT_TYPE = "purchase"
+ASOF_RIGHT_TYPE = "click"
+
+# (band, lo, hi): half-open price intervals, deliberately unaligned with
+# the bin width so bands span multiple bins and bins split bands.
+PRICE_BANDS = (
+    ("micro", 0.0, 25_000.0),
+    ("small", 25_000.0, 75_000.0),
+    ("mid", 75_000.0, 150_000.0),
+    ("large", 150_000.0, 300_000.0),
+    ("jumbo", 300_000.0, 500_000.0),
+)
+PRICE_BIN_WIDTH = 50_000.0
+
+
+def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest prior click per purchase (strict backward as-of join on
+    user_id; ties on click ts broken by highest event_id).  The gap
+    rides exact integer microseconds — no float time arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE)
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload={"event_id": "click_event_id", "ts": "click_ts"},
+        strict=True,
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_event_id",
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order count and exact-cents volume per price band (binned range
+    join; the band dim replicates ~2x under the chosen bin width while
+    orders compute a single bin each)."""
+    orders = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        list(PRICE_BANDS), schema="band string, lo double, hi double"
+    )
+    joined = range_join_binned(
+        orders, "o_totalprice", bands, "lo", "hi", PRICE_BIN_WIDTH
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("volume_cents"),
+    )
+
+
+QUERIES = {
+    "events_asof_click": events_asof_click,
+    "orders_price_bands": orders_price_bands,
+}
+
+_BAND_VALUES = ", ".join(
+    f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS
+)
+
+ORACLE = {
+    # A genuinely different algorithm: per-left-row LATERAL pick of the
+    # max-(ts, event_id) prior click, vs the engine's union+running-last.
+    "events_asof_click": f"""
+        SELECT p.event_id, p.user_id, p.ts,
+               c.click_event_id, c.click_ts,
+               epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+        FROM events p
+        LEFT JOIN LATERAL (
+            SELECT b.event_id AS click_event_id, b.ts AS click_ts
+            FROM events b
+            WHERE b.user_id = p.user_id
+              AND b.event_type = '{ASOF_RIGHT_TYPE}'
+              AND b.ts < p.ts
+            ORDER BY b.ts DESC, b.event_id DESC
+            LIMIT 1
+        ) c ON TRUE
+        WHERE p.event_type = '{ASOF_LEFT_TYPE}'
+    """,
+    "orders_price_bands": f"""
+        SELECT band, count(*)::BIGINT AS n_orders,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS volume_cents
+        FROM orders
+        JOIN (VALUES {_BAND_VALUES}) AS bands(band, lo, hi)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY 1
+    """,
+}

@@ -1,0 +1,131 @@
+"""As-of join and binned range join: edge-case semantics + plan shape.
+
+The sf0.01 oracle parity (``events_asof_click`` / ``orders_price_bands``
+in ``test_parity.py``) covers the bulk path; these tests pin the corner
+semantics a random fixture may never hit: exact-timestamp ties under
+strict/non-strict, duplicate right timestamps, unmatched left rows,
+bands ending exactly on bin edges, and overlapping bands.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from beam_scala_examples_spark.operators.asof import asof_join
+from beam_scala_examples_spark.operators.rangejoin import range_join_binned
+from beam_scala_examples_spark.queries import QUERIES
+from tests.test_plans import plan_str
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T00:10:00")),  # after r10/r11 tie
+            (2, 1, _ts("2024-01-01T00:05:00")),  # exactly at r5
+            (3, 1, _ts("2024-01-01T00:01:00")),  # before any right row
+            (4, 2, _ts("2024-01-01T09:00:00")),  # key with no right rows
+        ],
+        schema="event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, _ts("2024-01-01T00:05:00"), 1.0),  # r5
+            (20, 1, _ts("2024-01-01T00:08:00"), 2.0),  # r8 (tie, lower id)
+            (21, 1, _ts("2024-01-01T00:08:00"), 3.0),  # r8 (tie, higher id)
+        ],
+        schema="event_id long, user_id long, ts timestamp, value double",
+    )
+    return left, right
+
+
+def test_asof_strict_semantics(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload={"event_id": "m_id", "value": "m_value"},
+        strict=True, tiebreak="event_id",
+    )
+    got = {r.event_id: (r.m_id, r.m_value) for r in out.collect()}
+    assert got == {
+        1: (21, 3.0),  # tie at 00:08 -> highest event_id wins
+        2: (None, None),  # strict: simultaneous right row invisible
+        3: (None, None),  # nothing before
+        4: (None, None),  # key absent on right
+    }
+
+
+def test_asof_non_strict_semantics(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload={"event_id": "m_id"}, strict=False, tiebreak="event_id",
+    )
+    got = {r.event_id: r.m_id for r in out.collect()}
+    assert got == {1: 21, 2: 10, 3: None, 4: None}
+
+
+def test_asof_preserves_left_rowcount(spark):
+    """Left-outer semantics: duplicate right timestamps must never fan
+    out the left side."""
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right.unionAll(right), on=["user_id"], left_ts="ts",
+        right_ts="ts", payload={"event_id": "m_id"}, tiebreak="event_id",
+    )
+    assert out.count() == left.count()
+
+
+def test_asof_plan_is_single_shuffle_no_join(spark, sf_dir):
+    """The as-of query must plan as ONE exchange (the key partitioning)
+    feeding a window — no join operator, no range fan-out."""
+    p = plan_str(QUERIES["events_asof_click"](spark, sf_dir))
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in p
+    assert p.count("hashpartitioning(") == 1  # the single key exchange
+    assert "Window" in p
+
+
+def _bands(spark, rows):
+    return spark.createDataFrame(rows, schema="band string, lo double, hi double")
+
+
+def _points(spark, values):
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], schema="id long, x double"
+    )
+
+
+def test_range_join_half_open_and_bin_edges(spark):
+    """Band ending exactly on a bin edge must not claim the edge value;
+    points on a band's lo are included, on hi excluded."""
+    bands = _bands(spark, [("a", 0.0, 10.0), ("b", 10.0, 25.0)])
+    pts = _points(spark, [0.0, 9.999, 10.0, 24.999, 25.0, -1.0])
+    out = range_join_binned(pts, "x", bands, "lo", "hi", bin_width=10.0)
+    got = sorted((r.x, r.band) for r in out.collect())
+    assert got == [(0.0, "a"), (9.999, "a"), (10.0, "b"), (24.999, "b")]
+
+
+def test_range_join_overlapping_and_empty_bands(spark):
+    bands = _bands(
+        spark,
+        [("wide", 0.0, 100.0), ("narrow", 40.0, 60.0), ("empty", 50.0, 50.0)],
+    )
+    pts = _points(spark, [45.0, 5.0])
+    out = range_join_binned(pts, "x", bands, "lo", "hi", bin_width=30.0)
+    got = sorted((r.x, r.band) for r in out.collect())
+    assert got == [(5.0, "wide"), (45.0, "narrow"), (45.0, "wide")]
+
+
+def test_range_join_plan_has_no_nested_loop(spark, sf_dir):
+    """The interval predicate must ride the bin equi-join — a surviving
+    nested-loop/cartesian means the binning failed."""
+    p = plan_str(QUERIES["orders_price_bands"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
