@@ -20,11 +20,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import (autocomplete, cookbook, game, llmdata, relational, sessions,
-               starschema, temporal, tfidf, traffic, wordcount)
+from . import (autocomplete, behavior, clustering, cookbook, game, llmdata,
+               relational, sessions, starschema, temporal, tfidf, traffic,
+               wordcount)
 
 _MODULES = (wordcount, cookbook, game, tfidf, autocomplete, sessions, traffic,
-            llmdata, starschema, relational, temporal)
+            llmdata, starschema, relational, temporal, clustering, behavior)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}

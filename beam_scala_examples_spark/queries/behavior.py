@@ -1,0 +1,254 @@
+"""User-behavior OLAP over the events table: funnel, cohort retention,
+running/moving window analytics, pivot, exact percentiles.
+
+Beyond the reference's surface (its event pipelines stop at windowed
+sums, SURVEY §2.12 Q11-Q15); this is the product-analytics workload a
+user of a general engine runs daily.  Every query is ANSI-expressible
+and oracle-checked.
+
+Determinism: money/value maths in exact cents; week truncation uses
+``date_trunc('week', ...)`` (ISO Monday start in both engines); the
+percentile query interpolates over exact integer cents so both engines
+interpolate between the same two integers.
+
+Scale posture: funnel and cohorts aggregate per user first (high
+cardinality — a real shuffle key) and only then reduce to the tiny
+output; the daily window query aggregates to one row per day *before*
+its unpartitioned window (30 rows here; at 100 TB the same plan holds
+because the window input is O(days), not O(events) — documented trap:
+never window over the raw fact table without partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.agg import cents
+from ..tables import load
+
+FUNNEL_STAGES = ("signup", "view", "purchase")
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+PERCENTILES = (0.5, 0.9, 0.99)
+MOVING_DAYS = 7
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first signup precedes a later view
+    precedes a later purchase.  Three per-user conditional aggregates —
+    each stage's timestamp is the min event time strictly after the
+    previous stage — then one global count.  Single shuffle on user_id;
+    the stage logic is conditional aggregation, not three self-joins.
+    """
+    s1, s2, s3 = FUNNEL_STAGES
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s1, F.col("ts"))).alias("t1"),
+        F.collect_list(
+            F.when(
+                F.col("event_type").isin(s2, s3),
+                F.struct("ts", "event_type"),
+            )
+        ).alias("later"),
+    )
+    # second stage: min ts of s2 strictly after t1; third: min ts of s3
+    # strictly after t2 — computed over the per-user event list (bounded
+    # by that user's event count) with array expressions, JVM-side.
+    def _next_after(prev_col: str, etype: str) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.filter(
+                    F.col("later"),
+                    lambda e: (e["event_type"] == etype)
+                    & F.col(prev_col).isNotNull()
+                    & (e["ts"] > F.col(prev_col)),
+                ),
+                lambda e: e["ts"],
+            )
+        )
+
+    staged = per_user.withColumn("t2", _next_after("t1", s2)).withColumn(
+        "t3", _next_after("t2", s3)
+    )
+    return staged.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("reached_signup"),
+        F.count("t2").alias("reached_view"),
+        F.count("t3").alias("reached_purchase"),
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per week offset they were active in.  Per-user first week
+    joins back to the distinct (user, week) activity set on user_id —
+    no forced broadcast (the cohort relation is data-dependent,
+    VERDICT r01 item 1)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    activity = ev.distinct()
+    first = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.datediff(F.col("week"), F.col("cohort_week"))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .withColumn("week_offset", (F.col("week_offset") / 7).cast("long"))
+    )
+
+
+def events_daily_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase value with running total, day-over-day delta and
+    a 7-day trailing average — the window runs over the per-day
+    aggregate (O(days) rows), never the raw events."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(cents("value")).alias("day_cents")
+    )
+    w = Window.orderBy("day")
+    trail = w.rowsBetween(-(MOVING_DAYS - 1), 0)
+    return daily.select(
+        "day",
+        "day_cents",
+        F.sum("day_cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_cents"),
+        (F.col("day_cents") - F.lag("day_cents", 1).over(w)).alias("delta_cents"),
+        (F.sum("day_cents").over(trail) / F.count("*").over(trail))
+        .alias("trailing_avg_cents"),
+    )
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts pivoted wide per user decile — Spark's pivot with an
+    explicit value list (deterministic columns, single pass)."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("decile"), "event_type"
+    )
+    out = (
+        ev.groupBy("decile")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .count()
+    )
+    # pivot leaves NULL for absent combinations; the oracle's
+    # conditional aggregation yields 0 — align on 0.
+    for t in PIVOT_TYPES:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).alias(t))
+    return out
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value per type, interpolated over
+    exact integer cents so both engines interpolate between the same
+    two integers.  Exact percentile is a sort-based aggregate — fine
+    per group at any scale because groups are value-bounded (5 types);
+    for high-cardinality keys switch to approx_percentile."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("value_cents")
+    )
+    aggs = [
+        F.expr(f"percentile(value_cents, {p})").alias(
+            f"p{int(round(p * 100))}"
+        )
+        for p in PERCENTILES
+    ]
+    return ev.groupBy("event_type").agg(*aggs)
+
+
+QUERIES = {
+    "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_daily_revenue_window": events_daily_revenue_window,
+    "events_type_pivot": events_type_pivot,
+    "events_value_percentiles": events_value_percentiles,
+}
+
+_PIVOT_COLS = ", ".join(
+    f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS {t}"
+    for t in PIVOT_TYPES
+)
+
+_PCT_COLS = ", ".join(
+    f"quantile_cont(value_cents, {p}) AS p{int(round(p * 100))}"
+    for p in PERCENTILES
+)
+
+ORACLE = {
+    "events_funnel": f"""
+        WITH t1 AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}'
+                            THEN ts END) AS t1
+            FROM events GROUP BY 1
+        ),
+        t2 AS (
+            SELECT t1.user_id, t1.t1,
+                   min(CASE WHEN e.event_type = '{FUNNEL_STAGES[1]}'
+                            AND e.ts > t1.t1 THEN e.ts END) AS t2
+            FROM t1 LEFT JOIN events e ON e.user_id = t1.user_id
+            GROUP BY 1, 2
+        ),
+        t3 AS (
+            SELECT t2.user_id, t2.t1, t2.t2,
+                   min(CASE WHEN e.event_type = '{FUNNEL_STAGES[2]}'
+                            AND e.ts > t2.t2 THEN e.ts END) AS t3
+            FROM t2 LEFT JOIN events e ON e.user_id = t2.user_id
+            GROUP BY 1, 2, 3
+        )
+        SELECT count(*)::BIGINT AS n_users,
+               count(t1)::BIGINT AS reached_signup,
+               count(t2)::BIGINT AS reached_view,
+               count(t3)::BIGINT AS reached_purchase
+        FROM t3
+    """,
+    "events_retention_cohorts": """
+        WITH activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS week
+            FROM events
+        ),
+        first AS (
+            SELECT user_id, min(week) AS cohort_week
+            FROM activity GROUP BY 1
+        )
+        SELECT cohort_week,
+               (date_diff('day', cohort_week, week) // 7)::BIGINT AS week_offset,
+               count(*)::BIGINT AS n_users
+        FROM activity JOIN first USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "events_daily_revenue_window": f"""
+        WITH daily AS (
+            SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS day_cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT day, day_cents,
+               sum(day_cents) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS running_cents,
+               (day_cents - lag(day_cents, 1) OVER (ORDER BY day))::BIGINT
+                   AS delta_cents,
+               (sum(day_cents) OVER (ORDER BY day
+                    ROWS BETWEEN {MOVING_DAYS - 1} PRECEDING AND CURRENT ROW))
+               / (count(*) OVER (ORDER BY day
+                    ROWS BETWEEN {MOVING_DAYS - 1} PRECEDING AND CURRENT ROW))::DOUBLE
+                   AS trailing_avg_cents
+        FROM daily
+    """,
+    "events_type_pivot": f"""
+        SELECT (user_id % 10)::BIGINT AS decile, {_PIVOT_COLS}
+        FROM events GROUP BY 1
+    """,
+    "events_value_percentiles": f"""
+        SELECT event_type, {_PCT_COLS}
+        FROM (SELECT event_type, round(value * 100)::BIGINT AS value_cents
+              FROM events)
+        GROUP BY 1
+    """,
+}

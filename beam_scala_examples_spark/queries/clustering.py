@@ -1,0 +1,162 @@
+"""K-means clustering over the embeddings table.
+
+Beyond the reference's surface (beam-scala-examples has no iterative
+ML operator); this is the document-clustering step of a training-data
+pipeline (dedup QA, domain discovery, stratified sampling all consume
+cluster labels).
+
+Algorithm (Lloyd's, deterministic end to end):
+ - init: the ``KM_K`` rows with the smallest vec_ids, cluster ids
+   assigned in vec_id order;
+ - assign: per-row argmin of squared L2 distance against the centroid
+   set, ties broken by lowest cluster id.  Centroids ride into the plan
+   as *literal* arrays (MLlib-style broadcast of collected centers) so
+   assignment is a narrow map — no join fan-out, no shuffle;
+ - recompute: element-wise mean per cluster via posexplode ->
+   (cluster, dim) partial sums — one slim shuffle of at most
+   ``K x DIM x partitions`` rows per iteration.  Clusters that lose all
+   members drop out (both engines derive the live set the same way).
+
+Determinism rule (README rule 3): double summation is order-dependent,
+so the recompute sums exact fixed-point longs — each member dim is
+quantized once as ``round(x * 2^20)`` (identical in both engines, same
+convention as ``emb_quantize_int8``) and the mean divides two exact
+integers.  Every centroid coordinate is therefore bit-identical across
+partitionings and engines, and the per-iteration driver collect carries
+the exact state the DuckDB oracle's unrolled CTE chain reproduces.
+
+Scale posture: per iteration — one narrow assignment pass over the
+corpus (literal centroids, whole-stage codegen except the higher-order
+fold) plus one partial-aggregated shuffle of slim (cluster, dim, sum)
+rows; driver traffic is O(K x DIM) per iteration, independent of corpus
+size.  This is the same loop structure Spark MLlib's KMeans uses at
+cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+KM_K = 10
+KM_ITERS = 3
+KM_SCALE = 1 << 20  # fixed-point quantum for the exact centroid sums
+EMB_DIM = 64
+
+
+def _dist_sq(centroid: list[float]) -> F.Column:
+    """Squared L2 distance from the float embedding column to one
+    literal centroid, summed in index order (matches the oracle's
+    ``list_sum(list_transform(...))`` evaluation)."""
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            lit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(vec_id, cluster): argmin distance, ties to the lowest cluster id
+    — array_min over (dist, cid) structs compares field-wise."""
+    packed = F.array(
+        *[
+            F.struct(
+                _dist_sq(c).alias("d"), F.lit(cid).cast("long").alias("c")
+            )
+            for cid, c in centroids
+        ]
+    )
+    return emb.select(
+        "vec_id", F.array_min(packed)["c"].alias("cluster"), "embedding"
+    )
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final cluster assignment after ``KM_ITERS`` Lloyd iterations."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = emb.orderBy("vec_id").limit(KM_K).collect()
+    centroids = [
+        (cid, [float(v) for v in row.embedding])
+        for cid, row in enumerate(init)
+    ]
+    q = F.round(F.col("val").cast("double") * KM_SCALE, 0).cast("long")
+    for _ in range(KM_ITERS):
+        assigned = _assign(emb, centroids)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum(q).alias("s"), F.count("*").alias("cnt"))
+            .collect()
+        )
+        by_cluster: dict[int, list[float]] = {}
+        for row in sums:
+            vec = by_cluster.setdefault(int(row.cluster), [0.0] * EMB_DIM)
+            # exact longs divided by an exact double — the identical
+            # IEEE op the oracle's unrolled SQL performs
+            vec[int(row.dim)] = row.s / (row.cnt * float(KM_SCALE))
+        centroids = sorted(by_cluster.items())
+    return _assign(emb, centroids).select("vec_id", "cluster")
+
+
+QUERIES = {"emb_kmeans": emb_kmeans}
+
+
+def _oracle_kmeans() -> str:
+    """Unrolled Lloyd iterations as a CTE chain (assignment via windowed
+    argmin, recompute via the same fixed-point sums)."""
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (e.embedding[i]::DOUBLE - c.c[i])"
+        " * (e.embedding[i]::DOUBLE - c.c[i])))"
+    )
+    parts = [
+        f"""emb AS (SELECT vec_id, embedding FROM embeddings),
+        c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                   list_transform(embedding, x -> x::DOUBLE) AS c
+            FROM emb ORDER BY vec_id LIMIT {KM_K}
+        )"""
+    ]
+    for t in range(KM_ITERS):
+        parts.append(f"""a{t} AS (
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {dist}, c.cluster) AS rn
+                FROM emb e CROSS JOIN c{t} c
+            ) WHERE rn = 1
+        )""")
+        parts.append(f"""c{t + 1} AS (
+            SELECT cluster, list(sv ORDER BY i) AS c FROM (
+                SELECT a.cluster, gs.i,
+                       sum(round(e.embedding[gs.i]::DOUBLE * {KM_SCALE})::BIGINT)
+                       / (count(*) * {KM_SCALE}.0) AS sv
+                FROM a{t} a
+                JOIN emb e USING (vec_id)
+                CROSS JOIN generate_series(1, {EMB_DIM}) gs(i)
+                GROUP BY a.cluster, gs.i
+            ) GROUP BY cluster
+        )""")
+    final = f"""
+        SELECT vec_id, cluster::BIGINT AS cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dist}, c.cluster) AS rn
+            FROM emb e CROSS JOIN c{KM_ITERS} c
+        ) WHERE rn = 1
+    """
+    return "WITH " + ",\n".join(parts) + final
+
+
+ORACLE = {"emb_kmeans": _oracle_kmeans()}
