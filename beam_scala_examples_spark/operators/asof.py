@@ -67,6 +67,16 @@ def asof_join(
     on = list(on)
     left_side, right_side = (0, 1) if strict else (1, 0)
 
+    # SQL join semantics: a right row with a NULL key or NULL timestamp
+    # can never satisfy `r.key = l.key AND r.ts < l.ts` — drop them
+    # before the union (otherwise partitionBy groups NULL keys together
+    # and a NULL ts sorts first, acting as a universal earliest match).
+    # Left rows with NULL key/ts stay and get NULL payload: with the
+    # matching right rows gone they simply never see one.
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
+    right = right.filter(F.col(right_ts).isNotNull())
+
     packed = F.struct(
         *[F.col(src).alias(dst) for src, dst in payload.items()]
     )

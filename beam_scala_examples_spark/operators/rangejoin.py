@@ -41,13 +41,17 @@ def range_join_binned(
         raise ValueError(f"bin_width must be positive, got {bin_width}")
     w = F.lit(float(bin_width))
     # Last bin that can contain a band value: hi is exclusive, so a band
-    # ending exactly on a bin edge stops one bin earlier.  The CASE guard
-    # mirrors the engine-wide sequence() rule (an empty band lo >= hi
-    # must yield no bins, not a descending sequence).
+    # ending EXACTLY on a bin edge stops one bin earlier — tested with an
+    # exact equality, not a float epsilon (an epsilon both drops true
+    # matches when hi sits within eps above an edge and degrades to a
+    # no-op when ulp(hi) exceeds it).  The CASE guard mirrors the
+    # engine-wide sequence() rule (an empty band lo >= hi must yield no
+    # bins, not a descending sequence).
     first_bin = F.floor(F.col(lo) / w).cast("long")
-    last_bin = F.floor(
-        (F.col(hi) - F.lit(1e-9) * w) / w
-    ).cast("long")
+    hi_bin = F.floor(F.col(hi) / w).cast("long")
+    last_bin = F.when(
+        F.col(hi) == hi_bin.cast("double") * w, hi_bin - 1
+    ).otherwise(hi_bin)
     binned = bands.withColumn(
         _BIN,
         F.explode(

@@ -39,11 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
+from .llmdata import EMB_DIM
 
 KM_K = 10
 KM_ITERS = 3
 KM_SCALE = 1 << 20  # fixed-point quantum for the exact centroid sums
-EMB_DIM = 64
 
 
 def _dist_sq(centroid: list[float]) -> F.Column:

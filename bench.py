@@ -50,6 +50,12 @@ HEADLINE = [
     "star_shipping_priority",
     "star_volume_by_nation",
     "star_revenue_forecast",
+    "star_returned_revenue",
+    "star_late_order_priority",
+    "events_asof_click",
+    "orders_price_bands",
+    "events_funnel",
+    "emb_kmeans",
     "text_logfreq_score",
     "dedup_components",
 ]

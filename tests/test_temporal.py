@@ -129,3 +129,38 @@ def test_range_join_plan_has_no_nested_loop(spark, sf_dir):
     p = plan_str(QUERIES["orders_price_bands"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_range_join_hi_just_above_bin_edge(spark):
+    """Regression: a band whose hi sits a hair above a bin edge must
+    still replicate into the next bin (an epsilon-based last-bin
+    computation dropped the point exactly on the edge)."""
+    bands = _bands(spark, [("a", 0.0, 10.000000001)])
+    pts = _points(spark, [10.0, 5.0, 10.000000001])
+    out = range_join_binned(pts, "x", bands, "lo", "hi", bin_width=10.0)
+    got = sorted(r.x for r in out.collect())
+    assert got == [5.0, 10.0]
+
+
+def test_asof_null_keys_and_null_ts_never_match(spark):
+    """SQL semantics: NULL join keys and NULL right timestamps never
+    match (no NULL-key partition pairing, no universal-earliest row)."""
+    left = spark.createDataFrame(
+        [(1, None, _ts("2024-01-01T01:00:00")),
+         (2, 7, _ts("2024-01-01T01:00:00")),
+         (3, 7, None)],
+        schema="event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, None, _ts("2024-01-01T00:00:00")),   # NULL key
+         (11, 7, None),                            # NULL ts
+         (12, 8, _ts("2024-01-01T00:00:00"))],     # other key
+        schema="event_id long, user_id long, ts timestamp",
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload={"event_id": "m_id"}, tiebreak="event_id",
+    )
+    got = {r.event_id: r.m_id for r in out.collect()}
+    assert got == {1: None, 2: None, 3: None}
+    assert out.count() == 3  # left rows all survive (left-outer)
