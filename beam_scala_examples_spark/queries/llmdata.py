@@ -1791,3 +1791,98 @@ ORACLE["text_logfreq_score"] = f"""
     FROM toks t JOIN vocab v USING (token) CROSS JOIN total
     GROUP BY t.doc_id
 """
+
+
+def text_crossdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate signal: per doc, the fraction of its
+    distinct shingles that also appear in at least one other document —
+    the per-doc view of corpus-level n-gram duplication (the survivor
+    set's complement ranks boilerplate-heavy docs for removal).
+
+    Scale: one shuffle on the shingle for the document-frequency
+    aggregate, then a key-co-partitioned join back (the df relation is
+    vocabulary-sized and data-dependent — NO broadcast hint), then the
+    per-doc reduce.  Nothing fans out beyond the shingle explosion the
+    dedup family already pays.
+    """
+    sh = _shingles(spark, sf_dir, distinct=True).select("doc_id", "shingle")
+    df_per_shingle = sh.groupBy("shingle").agg(
+        F.count("*").alias("df")
+    )
+    return (
+        sh.join(df_per_shingle, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_shingles")).alias("shared_frac"),
+        )
+    )
+
+
+ADAPTIVE_QUANTILE = 0.10
+
+
+def text_quality_filter_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality gate: drop each source's bottom
+    ``ADAPTIVE_QUANTILE`` of quality scores (sources differ in baseline
+    quality, so one global threshold over- or under-filters).  The
+    per-source exact percentile is aggregate-then-join — the threshold
+    relation is one row per source; both engines interpolate the same
+    rounded-6dp doubles, so the keep verdict is boundary-stable.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = text_quality_score(spark, sf_dir).join(docs, "doc_id")
+    thresholds = scored.groupBy("source").agg(
+        F.expr(f"percentile(quality_score, {ADAPTIVE_QUANTILE})").alias(
+            "threshold"
+        )
+    )
+    return (
+        scored.join(thresholds, "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.round("threshold", 6).alias("threshold"),
+            (F.col("quality_score") >= F.col("threshold")).alias("keep"),
+        )
+    )
+
+
+QUERIES["text_crossdoc_ngrams"] = text_crossdoc_ngrams
+QUERIES["text_quality_filter_adaptive"] = text_quality_filter_adaptive
+
+ORACLE["text_crossdoc_ngrams"] = f"""
+    WITH {_duck_shingle_cte()},
+    dfs AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+           sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+               / count(*)::DOUBLE AS shared_frac
+    FROM sh JOIN dfs USING (shingle)
+    GROUP BY doc_id
+"""
+
+ORACLE["text_quality_filter_adaptive"] = f"""
+    WITH scored0 AS ({ORACLE["text_quality_score"]}),
+    scored AS (
+        SELECT s.doc_id, d.source, s.quality_score
+        FROM scored0 s JOIN documents d USING (doc_id)
+    ),
+    thr AS (
+        SELECT source,
+               quantile_cont(quality_score, {ADAPTIVE_QUANTILE}) AS threshold
+        FROM scored GROUP BY source
+    )
+    SELECT doc_id, source, quality_score,
+           round(threshold, 6) AS threshold,
+           quality_score >= threshold AS keep
+    FROM scored JOIN thr USING (source)
+"""

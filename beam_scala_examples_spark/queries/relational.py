@@ -483,6 +483,33 @@ def star_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_QUARTILES = 4
+
+
+def star_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer balance quartiles per market segment (ntile ranking —
+    the one window rank family the engine had not yet exercised).  The
+    tie order is total (balance cents, then custkey) so tile edges are
+    deterministic in both engines; the window partitions on the segment
+    key, so each partition sorts independently — no global sort."""
+    from ..operators.agg import cents as _cents
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", _cents("c_acctbal").alias("bal_cents")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("bal_cents"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_cents",
+        F.ntile(N_QUARTILES).over(w).cast("long").alias("quartile"),
+    )
+
+
 QUERIES = {
     "star_late_order_priority": star_late_order_priority,
     "star_nation_trade": star_nation_trade,
@@ -496,6 +523,7 @@ QUERIES = {
     "star_big_orders": star_big_orders,
     "star_brand_revenue": star_brand_revenue,
     "star_idle_customers": star_idle_customers,
+    "star_balance_quartiles": star_balance_quartiles,
 }
 
 
@@ -662,6 +690,15 @@ ORACLE = {
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         WHERE {_BRAND_OR}
+    """,
+    "star_balance_quartiles": f"""
+        SELECT c_custkey, c_mktsegment,
+               round(c_acctbal * 100)::BIGINT AS bal_cents,
+               ntile({N_QUARTILES}) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY round(c_acctbal * 100)::BIGINT ASC, c_custkey ASC
+               )::BIGINT AS quartile
+        FROM customer
     """,
     "star_idle_customers": f"""
         WITH bal AS (

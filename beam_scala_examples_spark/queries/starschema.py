@@ -132,6 +132,25 @@ def star_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def star_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over the full CUBE of (returnflag, linestatus)
+    with the grouping_id bitmask — completes the grouping-sets surface
+    beside ``star_pricing_rollup`` (Catalyst expands to one Expand +
+    partial/final hash aggregate; leftmost cube column is the most
+    significant grouping bit in both engines)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < PRICING_CUTOFF
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(_disc_cents()).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
 FORECAST_LO = "1998-01-01"
 FORECAST_HI = "1999-01-01"
 FORECAST_DISC_LO = 0.05
@@ -167,6 +186,7 @@ def star_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "star_pricing_summary": star_pricing_summary,
     "star_pricing_rollup": star_pricing_rollup,
+    "star_pricing_cube": star_pricing_cube,
     "star_shipping_priority": star_shipping_priority,
     "star_volume_by_nation": star_volume_by_nation,
     "star_revenue_forecast": star_revenue_forecast,
@@ -229,6 +249,17 @@ ORACLE = {
         GROUP BY 1
     """,
 }
+
+ORACLE["star_pricing_cube"] = f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+           sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+               AS sum_disc_cents,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate < '{PRICING_CUTOFF}'
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
 
 ORACLE["star_revenue_forecast"] = f"""
     SELECT round(sum(round(l_extendedprice * l_discount * 100)::BIGINT)

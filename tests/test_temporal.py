@@ -164,3 +164,63 @@ def test_asof_null_keys_and_null_ts_never_match(spark):
     got = {r.event_id: r.m_id for r in out.collect()}
     assert got == {1: None, 2: None, 3: None}
     assert out.count() == 3  # left rows all survive (left-outer)
+
+
+def test_asof_matches_brute_force_random(spark):
+    """Seeded randomized check: the union+running-last formulation must
+    equal the O(L*R) brute-force definition on keys with duplicate
+    timestamps, gaps, and unmatched rows."""
+    import random
+
+    rng = random.Random(42)
+    left_rows = [
+        (i, rng.randrange(6), _ts("2024-01-01T00:00:00")
+         .replace(minute=rng.randrange(60)))
+        for i in range(120)
+    ]
+    right_rows = [
+        (1000 + i, rng.randrange(6), _ts("2024-01-01T00:00:00")
+         .replace(minute=rng.randrange(60)))
+        for i in range(120)
+    ]
+    left = spark.createDataFrame(
+        left_rows, schema="event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        right_rows, schema="event_id long, user_id long, ts timestamp"
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload={"event_id": "m_id"}, strict=True, tiebreak="event_id",
+    )
+    got = {r.event_id: r.m_id for r in out.collect()}
+    expect = {}
+    for lid, lk, lts in left_rows:
+        cands = [(rts, rid) for rid, rk, rts in right_rows
+                 if rk == lk and rts < lts]
+        expect[lid] = max(cands)[1] if cands else None
+    assert got == expect
+
+
+def test_range_join_matches_brute_force_random(spark):
+    """Seeded randomized check vs the O(P*B) definition, with band
+    widths spanning a fraction of a bin to many bins."""
+    import random
+
+    rng = random.Random(7)
+    band_rows = []
+    for i in range(40):
+        lo = round(rng.uniform(-50, 150), 2)
+        band_rows.append((f"b{i}", lo, round(lo + rng.uniform(0.1, 80), 2)))
+    point_rows = [(i, round(rng.uniform(-60, 240), 2)) for i in range(300)]
+    bands = _bands(spark, band_rows)
+    pts = _points(spark, [v for _, v in point_rows])
+    out = range_join_binned(pts, "x", bands, "lo", "hi", bin_width=25.0)
+    got = sorted((r.id, r.band) for r in out.collect())
+    expect = sorted(
+        (pid, name)
+        for pid, (_, v) in enumerate(point_rows)
+        for name, lo, hi in band_rows
+        if lo <= v < hi
+    )
+    assert got == expect
