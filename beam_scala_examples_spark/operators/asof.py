@@ -43,6 +43,7 @@ _SIDE = "__asof_side"
 _TS = "__asof_ts"
 _PAYLOAD = "__asof_payload"
 _TIE = "__asof_tie"
+_BUCKET = "__asof_bucket"
 
 
 def asof_join(
@@ -106,3 +107,93 @@ def asof_join(
     for _, dst in payload.items():
         out = out.withColumn(dst, F.col(_PAYLOAD)[dst])
     return out.drop(_PAYLOAD)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    *,
+    bucket: "F.Column | str",
+    strict: bool = True,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Skew-hardened :func:`asof_join`: identical semantics, but the
+    per-partition sort runs per ``(key, bucket)`` instead of per key, so
+    one whale key's history spreads across buckets instead of landing in
+    a single task.
+
+    ``bucket`` maps a timestamp column to a coarse bucket id (e.g.
+    ``F.date_trunc('day', ...)`` or ``F.floor(F.unix_micros(...) / W)``)
+    and MUST be monotone in the timestamp (equal timestamps -> equal
+    buckets), or matches would leak across the carry boundary.
+
+    Two passes, both bounded:
+      1. *within-bucket*: the union+running-last formulation partitioned
+         by ``(key, bucket)`` — finds the match when it lives in the
+         left row's own bucket;
+      2. *carry*: per (key, bucket) the latest right payload is reduced
+         to ONE row, and a bucket-granularity as-of (same union trick
+         over O(distinct buckets) rows) supplies the fallback for left
+         rows whose match lives in an earlier bucket.
+
+    Exchange volume: pass 1 shuffles both inputs once on (key, bucket);
+    pass 2 shuffles only the bucket-level reductions.  Strictness is
+    inherited unchanged: an equal-timestamp right row shares the left
+    row's bucket by the monotonicity requirement, so the carry pass
+    (strictly-earlier buckets) never sees it.
+    """
+    on = list(on)
+
+    def _b(ts_col: str) -> F.Column:
+        return bucket(F.col(ts_col)) if callable(bucket) else F.col(bucket)
+
+    lb = left.withColumn(_BUCKET, _b(left_ts))
+    rb = right.withColumn(_BUCKET, _b(right_ts))
+
+    within = asof_join(
+        lb, rb, on + [_BUCKET], left_ts, right_ts,
+        {src: f"__within_{dst}" for src, dst in payload.items()},
+        strict=strict, tiebreak=tiebreak,
+    )
+
+    # One row per (key, bucket): the bucket's last right payload.
+    order_key = F.struct(
+        F.col(right_ts).alias("ts"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("tie"),
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in payload.items()]
+        ).alias("p"),
+    )
+    for k in on:
+        rb = rb.filter(F.col(k).isNotNull())
+    rb = rb.filter(F.col(right_ts).isNotNull())
+    bucket_last = (
+        rb.groupBy(*on, _BUCKET).agg(F.max(order_key).alias("__ok"))
+        .select(*on, _BUCKET, F.col("__ok")["p"].alias("__carry_p"))
+    )
+    left_buckets = lb.select(*on, _BUCKET).distinct()
+    # Bucket-granularity as-of, always strict (same-bucket rights are
+    # pass 1's job): carry for left bucket b = last payload of any
+    # right bucket < b.
+    carry = asof_join(
+        left_buckets,
+        bucket_last,
+        on,
+        _BUCKET,
+        _BUCKET,
+        {"__carry_p": "__carry"},
+        strict=True,
+        tiebreak=None,
+    )
+
+    out = within.join(carry, on + [_BUCKET], "left")
+    for _, dst in payload.items():
+        out = out.withColumn(
+            dst,
+            F.coalesce(F.col(f"__within_{dst}"), F.col("__carry")[dst]),
+        ).drop(f"__within_{dst}")
+    return out.drop(_BUCKET, "__carry")

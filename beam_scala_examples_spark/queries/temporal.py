@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join, asof_join_bucketed
 from ..operators.rangejoin import range_join_binned
 from ..tables import load
 
@@ -70,6 +70,36 @@ def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_click_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened two-pass form of ``events_asof_click`` (daily
+    time buckets): identical output, pinned by the same LATERAL oracle —
+    the path to take when single keys carry whale histories."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE)
+    out = asof_join_bucketed(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload={"event_id": "click_event_id", "ts": "click_ts"},
+        bucket=lambda c: F.date_trunc("day", c),
+        strict=True,
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_event_id",
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
 def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order count and exact-cents volume per price band (binned range
     join; the band dim replicates ~2x under the chosen bin width while
@@ -91,6 +121,7 @@ def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_asof_click": events_asof_click,
+    "events_asof_click_bucketed": events_asof_click_bucketed,
     "orders_price_bands": orders_price_bands,
 }
 
@@ -101,6 +132,7 @@ _BAND_VALUES = ", ".join(
 ORACLE = {
     # A genuinely different algorithm: per-left-row LATERAL pick of the
     # max-(ts, event_id) prior click, vs the engine's union+running-last.
+    "events_asof_click_bucketed": None,  # set below: same oracle as the flat form
     "events_asof_click": f"""
         SELECT p.event_id, p.user_id, p.ts,
                c.click_event_id, c.click_ts,
@@ -126,3 +158,6 @@ ORACLE = {
         GROUP BY 1
     """,
 }
+
+# The bucketed variant must produce the identical result — same oracle.
+ORACLE["events_asof_click_bucketed"] = ORACLE["events_asof_click"]

@@ -692,3 +692,46 @@ def test_streaming_windowed_file_write(spark, sf_dir, event_rows, tmpdir):
         for r in spark.read.parquet(out).select("win_start").distinct().collect()
     }
     assert got_windows == expected_windows
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, event_rows, tmpdir):
+    """Stream-static join: the event stream enriches each micro-batch
+    against a static dimension snapshot (customer -> nation) — the
+    Structured Streaming capability behind dim-table enrichment at
+    ingest. Final per-nation purchase totals must equal the equivalent
+    batch join (exact cents; users map onto custkeys by id)."""
+    from beam_scala_examples_spark.operators.agg import cents
+    from beam_scala_examples_spark.tables import load
+
+    stream = _feed(spark, event_rows, tmpdir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    enriched = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withColumn("ts", F.to_timestamp("ts"))
+        .join(cust, "user_id")  # static side: re-read per micro-batch
+        .groupBy("c_nationkey")
+        .agg(F.sum(cents("value")).alias("total_cents"))
+    )
+    state: dict[int, int] = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():  # test sink only: final-state capture
+            state[r.c_nationkey] = r.total_cents
+
+    _run_stream(enriched, "update", sink, tmpdir)
+
+    batch = (
+        spark.createDataFrame(
+            [(r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+             for r in event_rows],
+            schema="event_id long, ts string, user_id long, event_type string, value double",
+        )
+        .filter(F.col("event_type") == "purchase")
+        .join(cust, "user_id")
+        .groupBy("c_nationkey")
+        .agg(F.sum(cents("value")).alias("total_cents"))
+    )
+    expect = {r.c_nationkey: r.total_cents for r in batch.collect()}
+    assert state == expect

@@ -224,3 +224,48 @@ def test_range_join_matches_brute_force_random(spark):
         if lo <= v < hi
     )
     assert got == expect
+
+
+def test_bucketed_asof_equals_plain_with_whale_key(spark):
+    """The two-pass bucketed form must equal the single-sort form on a
+    fixture with a whale key (one key holding most of the history),
+    sparse buckets (matches crossing empty buckets), and ties — in both
+    strict modes."""
+    import random
+
+    from beam_scala_examples_spark.operators.asof import asof_join_bucketed
+
+    rng = random.Random(99)
+
+    def rows(n, start_id, whale_share=0.7):
+        out = []
+        for i in range(n):
+            key = 1 if rng.random() < whale_share else rng.randrange(2, 6)
+            t = _ts("2024-01-01T00:00:00").replace(
+                day=1 + rng.randrange(9), hour=rng.randrange(24),
+                minute=rng.randrange(60),
+            )
+            out.append((start_id + i, key, t))
+        return out
+
+    left = spark.createDataFrame(
+        rows(150, 0), schema="event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        rows(150, 1000), schema="event_id long, user_id long, ts timestamp"
+    )
+    for strict in (True, False):
+        plain = asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            payload={"event_id": "m_id", "ts": "m_ts"},
+            strict=strict, tiebreak="event_id",
+        )
+        bucketed = asof_join_bucketed(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            payload={"event_id": "m_id", "ts": "m_ts"},
+            bucket=lambda c: F.date_trunc("day", c),
+            strict=strict, tiebreak="event_id",
+        )
+        a = {(r.event_id, r.m_id, r.m_ts) for r in plain.collect()}
+        b = {(r.event_id, r.m_id, r.m_ts) for r in bucketed.collect()}
+        assert a == b, f"strict={strict}"
