@@ -34,7 +34,7 @@ frame never needs to peek backwards:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -117,7 +117,7 @@ def asof_join_bucketed(
     right_ts: str,
     payload: dict[str, str],
     *,
-    bucket: "F.Column | str",
+    bucket: "Callable[[F.Column], F.Column] | str",
     strict: bool = True,
     tiebreak: str | None = None,
 ) -> DataFrame:

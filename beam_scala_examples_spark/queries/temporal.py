@@ -132,7 +132,6 @@ _BAND_VALUES = ", ".join(
 ORACLE = {
     # A genuinely different algorithm: per-left-row LATERAL pick of the
     # max-(ts, event_id) prior click, vs the engine's union+running-last.
-    "events_asof_click_bucketed": None,  # set below: same oracle as the flat form
     "events_asof_click": f"""
         SELECT p.event_id, p.user_id, p.ts,
                c.click_event_id, c.click_ts,
