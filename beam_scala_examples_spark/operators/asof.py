@@ -44,6 +44,7 @@ _TS = "__asof_ts"
 _PAYLOAD = "__asof_payload"
 _TIE = "__asof_tie"
 _BUCKET = "__asof_bucket"
+_HIT = "__asof_hit"
 
 
 def asof_join(
@@ -152,28 +153,41 @@ def asof_join_bucketed(
         return bucket(F.col(ts_col)) if callable(bucket) else F.col(bucket)
 
     lb = left.withColumn(_BUCKET, _b(left_ts))
-    rb = right.withColumn(_BUCKET, _b(right_ts))
+    # A constant marker travels with the within-pass payload so "no
+    # within-bucket match" (struct NULL -> marker NULL) is
+    # distinguishable from "matched a right row whose payload fields
+    # are NULL" — a per-field coalesce would conflate the two and could
+    # even stitch fields from two different right rows.
+    rb = right.withColumn(_BUCKET, _b(right_ts)).withColumn(
+        _HIT, F.lit(True)
+    )
 
     within = asof_join(
         lb, rb, on + [_BUCKET], left_ts, right_ts,
-        {src: f"__within_{dst}" for src, dst in payload.items()},
+        {
+            **{src: f"__within_{dst}" for src, dst in payload.items()},
+            _HIT: "__within_hit",
+        },
         strict=strict, tiebreak=tiebreak,
     )
 
     # One row per (key, bucket): the bucket's last right payload.
-    order_key = F.struct(
-        F.col(right_ts).alias("ts"),
-        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("tie"),
-        F.struct(
-            *[F.col(src).alias(dst) for src, dst in payload.items()]
-        ).alias("p"),
-    )
+    # max_by keeps the payload OUT of the ordering key (payload types
+    # need no ordering, and ordering must never fall through to payload
+    # values when (ts, tiebreak) ties — give a unique tiebreak for a
+    # deterministic pick, exactly as in asof_join).
     for k in on:
         rb = rb.filter(F.col(k).isNotNull())
     rb = rb.filter(F.col(right_ts).isNotNull())
-    bucket_last = (
-        rb.groupBy(*on, _BUCKET).agg(F.max(order_key).alias("__ok"))
-        .select(*on, _BUCKET, F.col("__ok")["p"].alias("__carry_p"))
+    carry_payload = F.struct(
+        *[F.col(src).alias(dst) for src, dst in payload.items()]
+    )
+    order_key = F.struct(
+        F.col(right_ts).alias("ts"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("tie"),
+    )
+    bucket_last = rb.groupBy(*on, _BUCKET).agg(
+        F.max_by(carry_payload, order_key).alias("__carry_p")
     )
     left_buckets = lb.select(*on, _BUCKET).distinct()
     # Bucket-granularity as-of, always strict (same-bucket rights are
@@ -194,6 +208,8 @@ def asof_join_bucketed(
     for _, dst in payload.items():
         out = out.withColumn(
             dst,
-            F.coalesce(F.col(f"__within_{dst}"), F.col("__carry")[dst]),
+            F.when(
+                F.col("__within_hit"), F.col(f"__within_{dst}")
+            ).otherwise(F.col("__carry")[dst]),
         ).drop(f"__within_{dst}")
-    return out.drop(_BUCKET, "__carry")
+    return out.drop(_BUCKET, "__carry", "__within_hit")

@@ -1832,15 +1832,27 @@ def text_quality_filter_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source adaptive quality gate: drop each source's bottom
     ``ADAPTIVE_QUANTILE`` of quality scores (sources differ in baseline
     quality, so one global threshold over- or under-filters).  The
-    per-source exact percentile is aggregate-then-join — the threshold
-    relation is one row per source; both engines interpolate the same
-    rounded-6dp doubles, so the keep verdict is boundary-stable.
+    per-source exact percentile is aggregate-then-join.
+
+    Determinism: the percentile interpolates over integer micro-scores
+    (``round(score * 1e6)``) — Spark and DuckDB use algebraically equal
+    but differently-ordered interpolation formulas, so feeding them the
+    same integers keeps any FP discrepancy at ~1 ulp while the nearest
+    integer score sits >= 0.1 micro-units away; the ``keep`` verdict is
+    therefore boundary-stable.  The raw interpolated threshold is NOT
+    emitted (rounding an ulp-uncertain double is exactly the
+    cross-engine divergence the determinism contract excludes).
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    scored = text_quality_score(spark, sf_dir).join(docs, "doc_id")
+    micro = F.round(F.col("quality_score") * 1e6, 0).cast("long")
+    scored = (
+        text_quality_score(spark, sf_dir)
+        .join(docs, "doc_id")
+        .withColumn("score_u", micro)
+    )
     thresholds = scored.groupBy("source").agg(
-        F.expr(f"percentile(quality_score, {ADAPTIVE_QUANTILE})").alias(
-            "threshold"
+        F.expr(f"percentile(score_u, {ADAPTIVE_QUANTILE})").alias(
+            "threshold_u"
         )
     )
     return (
@@ -1849,8 +1861,7 @@ def text_quality_filter_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "quality_score",
-            F.round("threshold", 6).alias("threshold"),
-            (F.col("quality_score") >= F.col("threshold")).alias("keep"),
+            (F.col("score_u") >= F.col("threshold_u")).alias("keep"),
         )
     )
 
@@ -1873,16 +1884,16 @@ ORACLE["text_crossdoc_ngrams"] = f"""
 ORACLE["text_quality_filter_adaptive"] = f"""
     WITH scored0 AS ({ORACLE["text_quality_score"]}),
     scored AS (
-        SELECT s.doc_id, d.source, s.quality_score
+        SELECT s.doc_id, d.source, s.quality_score,
+               round(s.quality_score * 1e6)::BIGINT AS score_u
         FROM scored0 s JOIN documents d USING (doc_id)
     ),
     thr AS (
         SELECT source,
-               quantile_cont(quality_score, {ADAPTIVE_QUANTILE}) AS threshold
+               quantile_cont(score_u, {ADAPTIVE_QUANTILE}) AS threshold_u
         FROM scored GROUP BY source
     )
     SELECT doc_id, source, quality_score,
-           round(threshold, 6) AS threshold,
-           quality_score >= threshold AS keep
+           score_u >= threshold_u AS keep
     FROM scored JOIN thr USING (source)
 """

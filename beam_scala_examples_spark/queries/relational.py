@@ -42,7 +42,7 @@ a window over the fact table (a window would sort every fact partition).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.agg import cents
@@ -492,13 +492,9 @@ def star_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie order is total (balance cents, then custkey) so tile edges are
     deterministic in both engines; the window partitions on the segment
     key, so each partition sorts independently — no global sort."""
-    from ..operators.agg import cents as _cents
-
     cust = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", _cents("c_acctbal").alias("bal_cents")
+        "c_custkey", "c_mktsegment", cents("c_acctbal").alias("bal_cents")
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.asc("bal_cents"), F.asc("c_custkey")
     )

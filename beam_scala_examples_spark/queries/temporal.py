@@ -19,6 +19,8 @@ would otherwise leave the engine for.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,16 +43,16 @@ PRICE_BANDS = (
 PRICE_BIN_WIDTH = 50_000.0
 
 
-def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest prior click per purchase (strict backward as-of join on
-    user_id; ties on click ts broken by highest event_id).  The gap
-    rides exact integer microseconds — no float time arithmetic."""
+def _asof_click(spark: SparkSession, sf_dir: str, join_fn) -> DataFrame:
+    """Shared body of the flat/bucketed click-attribution pair — one
+    place defines the purchase/click shape and the exact-microsecond
+    gap, so the 'identical output, same oracle' invariant cannot drift."""
     ev = load(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
         "event_id", "user_id", "ts"
     )
     clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE)
-    out = asof_join(
+    out = join_fn(
         purchases,
         clicks,
         on=["user_id"],
@@ -68,35 +70,25 @@ def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
+
+
+def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest prior click per purchase (strict backward as-of join on
+    user_id; ties on click ts broken by highest event_id).  The gap
+    rides exact integer microseconds — no float time arithmetic."""
+    return _asof_click(spark, sf_dir, asof_join)
 
 
 def events_asof_click_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-hardened two-pass form of ``events_asof_click`` (daily
     time buckets): identical output, pinned by the same LATERAL oracle —
     the path to take when single keys carry whale histories."""
-    ev = load(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE)
-    out = asof_join_bucketed(
-        purchases,
-        clicks,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        payload={"event_id": "click_event_id", "ts": "click_ts"},
-        bucket=lambda c: F.date_trunc("day", c),
-        strict=True,
-        tiebreak="event_id",
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "click_event_id",
-        "click_ts",
-        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    return _asof_click(
+        spark,
+        sf_dir,
+        functools.partial(
+            asof_join_bucketed, bucket=lambda c: F.date_trunc("day", c)
+        ),
     )
 
 

@@ -709,7 +709,6 @@ def test_stream_static_enrichment_join(spark, sf_dir, event_rows, tmpdir):
     )
     enriched = (
         stream.filter(F.col("event_type") == "purchase")
-        .withColumn("ts", F.to_timestamp("ts"))
         .join(cust, "user_id")  # static side: re-read per micro-batch
         .groupBy("c_nationkey")
         .agg(F.sum(cents("value")).alias("total_cents"))

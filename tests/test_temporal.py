@@ -269,3 +269,32 @@ def test_bucketed_asof_equals_plain_with_whale_key(spark):
         a = {(r.event_id, r.m_id, r.m_ts) for r in plain.collect()}
         b = {(r.event_id, r.m_id, r.m_ts) for r in bucketed.collect()}
         assert a == b, f"strict={strict}"
+
+
+def test_bucketed_asof_null_payload_field_not_conflated(spark):
+    """Regression: a within-bucket match whose payload FIELD is NULL
+    must stay NULL — the carry fallback fires only when no within-bucket
+    match exists, never per-field (which could stitch two right rows)."""
+    from beam_scala_examples_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-05T11:00:00"))],
+        schema="event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            # earlier bucket: full payload
+            (100, 7, _ts("2024-01-01T00:00:00"), 5.0),
+            # same bucket, before left ts: NULL value field
+            (101, 7, _ts("2024-01-05T10:00:00"), None),
+        ],
+        schema="event_id long, user_id long, ts timestamp, value double",
+    )
+    out = asof_join_bucketed(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload={"event_id": "m_id", "value": "m_value"},
+        bucket=lambda c: F.date_trunc("day", c),
+        strict=True, tiebreak="event_id",
+    )
+    row = out.collect()[0]
+    assert (row.m_id, row.m_value) == (101, None)
