@@ -252,3 +252,85 @@ ORACLE = {
         GROUP BY 1
     """,
 }
+
+
+Z_SIGMA = 3
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|v - mean| > Z_SIGMA * stddev) with the
+    test restated as an integer cross-multiplication over exact cents —
+    ``(v*n - s)^2 > Z^2 * (n*ss - s^2)`` — so no float mean/stddev ever
+    materializes and both engines (and any partitioning) agree exactly.
+    Population variance; bounds: v <= ~1e4 cents, n <= ~2e5 rows per
+    type at sf0.1 keep every product far inside int64.
+
+    Scale: one partial-aggregated shuffle for the per-type moments (5
+    rows), broadcast back over the scan — the same two-pass shape as
+    any sufficient-statistics screen.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("v")
+    )
+    moments = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    dev = F.col("v") * F.col("n") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        ev.join(F.broadcast(moments), "event_type")
+        .filter(dev * dev > (Z_SIGMA * Z_SIGMA) * var_n2)
+        .select("event_id", "event_type", (F.col("v") / 100.0).alias("value"))
+    )
+
+
+def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: each user's latest event (ties by highest
+    event_id) — the upsert-view over an append log.  Rank + filter rides
+    WindowGroupLimit, so each shuffle partition forwards one row per
+    user, not the user's history."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
+QUERIES["events_value_outliers"] = events_value_outliers
+QUERIES["events_latest_state"] = events_latest_state
+
+ORACLE["events_value_outliers"] = f"""
+    WITH ev AS (
+        SELECT event_id, event_type, round(value * 100)::BIGINT AS v
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+               sum(v * v)::BIGINT AS ss
+        FROM ev GROUP BY 1
+    )
+    SELECT event_id, ev.event_type, v / 100.0 AS value
+    FROM ev JOIN m USING (event_type)
+    WHERE (v * n - s) * (v * n - s) > {Z_SIGMA * Z_SIGMA} * (n * ss - s * s)
+"""
+
+ORACLE["events_latest_state"] = """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           ts AS last_ts
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+"""

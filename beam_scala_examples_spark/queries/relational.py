@@ -720,3 +720,36 @@ ORACLE = {
         GROUP BY 1
     """,
 }
+
+
+EXCLUDED_BRAND = "Brand#9"
+
+
+def star_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (parts/supplier relationship, restated without
+    partsupp): distinct suppliers that shipped each (brand, type, size)
+    family, excluding one brand — the count-distinct-per-group shape.
+    Spark expands distinct aggregation into a two-level aggregate
+    (group by keys+suppkey, then count) — both levels HashAggregate,
+    both partial-combined."""
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand") != EXCLUDED_BRAND
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+QUERIES["star_part_supplier_counts"] = star_part_supplier_counts
+
+ORACLE["star_part_supplier_counts"] = f"""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> '{EXCLUDED_BRAND}'
+    GROUP BY 1, 2, 3
+"""

@@ -281,3 +281,20 @@ def test_small_qty_avg_is_agg_join_not_window(plans):
     p = plans("star_small_qty_revenue")
     assert "Window" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_latest_state_is_partial_topk(plans):
+    """events_latest_state: the rank-1 filter must push below the
+    shuffle (WindowGroupLimit) — one row per user crosses the exchange,
+    not the user's history."""
+    p = plans("events_latest_state")
+    assert "WindowGroupLimit" in p
+
+
+def test_outliers_moments_broadcast_back(plans):
+    """events_value_outliers: the 5-row moments relation broadcasts into
+    the re-scan; the screen itself is integer-only (no float stddev in
+    the plan)."""
+    p = plans("events_value_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "stddev" not in p and "sqrt" not in p
