@@ -4,8 +4,9 @@ The round-1 star queries (``starschema.py``) pinned the scan/agg/top-k
 pipeline (Q1/Q3/Q5/Q6 shapes).  This module adds the *join shapes* the
 engine had not yet exercised end-to-end — each query is the classic
 TPC-H pattern restated for the fixture's columns (no partsupp/comment
-columns exist, so Q2/Q11/Q16/Q20/Q21 are out of reach; their join
-mechanics are covered by the shapes below):
+columns exist, so Q2/Q11/Q20 are out of reach; Q16/Q12/Q21 are restated
+on the columns that do exist; the remaining join mechanics are covered
+by the shapes below):
 
  - EXISTS semi-join            -> ``star_late_order_priority``  (Q4)
  - multi-nation 6-way join     -> ``star_nation_trade``         (Q7)
@@ -19,6 +20,9 @@ mechanics are covered by the shapes below):
  - HAVING + join-back          -> ``star_big_orders``           (Q18)
  - OR-of-ANDs join predicate   -> ``star_brand_revenue``        (Q19)
  - NOT EXISTS anti-join        -> ``star_idle_customers``       (Q22)
+ - conditional two-way count   -> ``star_linestatus_priority``  (Q12)
+ - double-EXISTS self-join,
+   restated as one aggregate   -> ``star_sole_late_supplier``   (Q21)
 
 Beyond the reference's surface: beam-scala-examples has no relational
 workload (SURVEY §2.4 tops out at two-input CoGroupByKey,
@@ -752,4 +756,149 @@ ORACLE["star_part_supplier_counts"] = f"""
     JOIN part ON l_partkey = p_partkey
     WHERE p_brand <> '{EXCLUDED_BRAND}'
     GROUP BY 1, 2, 3
+"""
+
+
+SHIPMODE_YEAR = ("1997-01-01", "1998-01-01")
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def star_linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping-mode priority, restated on ``l_linestatus`` —
+    the fixture lineitem has no shipmode/receiptdate columns): for lines
+    shipped within one year, per line status, how many came from
+    high-priority orders vs the rest — the conditional two-way count
+    aggregation over an orders⋈lineitem join (``TPC-H Q12``).
+
+    Scale posture: the year filter pushes to the lineitem scan and the
+    fact⋈fact join shuffles only (orderkey, linestatus) against
+    (orderkey, priority) — both sides pruned to two columns.  The
+    CASE-counts are a single HashAggregate pass; no second join or
+    pivot.  This join is also the engine's runtime-bloom-filter
+    demonstrator: with ``spark.sql.optimizer.runtime.bloomFilter.enabled``
+    (on by default in ``session.get_spark``) a selective creation side
+    semi-reduces the fact scan before the shuffle
+    (``tests/test_plans.py::test_runtime_bloom_filter_prunes_fact_join``).
+    """
+    lo, hi = SHIPMODE_YEAR
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select("l_orderkey", "l_linestatus")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(*HIGH_PRIORITIES)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+QUERIES["star_linestatus_priority"] = star_linestatus_priority
+
+_HIGH_IN = ", ".join(f"'{p}'" for p in HIGH_PRIORITIES)
+
+ORACLE["star_linestatus_priority"] = f"""
+    SELECT l_linestatus,
+           count(CASE WHEN o_orderpriority IN ({_HIGH_IN}) THEN 1 END)::BIGINT
+               AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ({_HIGH_IN}) THEN 1 END)::BIGINT
+               AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= '{SHIPMODE_YEAR[0]}'
+      AND l_shipdate < '{SHIPMODE_YEAR[1]}'
+    GROUP BY 1
+"""
+
+
+WAIT_DAYS = 60
+WAIT_STATUS = "F"
+
+
+def star_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): for finished
+    orders served by more than one supplier, the suppliers that were the
+    *only* one to ship late — per supplier, the count of such orders.
+
+    TPC-H writes this as a correlated EXISTS + NOT EXISTS double
+    self-join of lineitem (the DuckDB oracle keeps that literal form);
+    two extra shuffles of the fact table at 100 TB.  The engine restates
+    it as one per-order aggregate — ``countDistinct(supplier)`` and
+    ``countDistinct(supplier) FILTER (late)`` in a single HashAggregate
+    pass — then joins the distinct late (order, supplier) pairs back on
+    orderkey.  lineitem is shuffled once on orderkey; AQE reuses the
+    exchange for both consumers where sizes allow; supplier names ride a
+    broadcast.
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == WAIT_STATUS
+    ).select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {WAIT_DAYS} DAYS")
+        ).alias("late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sole_late = (
+        lines.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(
+            F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+QUERIES["star_sole_late_supplier"] = star_sole_late_supplier
+
+# The literal TPC-H correlated form — a genuinely different algorithm
+# from the engine's aggregate rewrite.  count(DISTINCT l_orderkey): the
+# engine counts each (order, supplier) once even when the supplier
+# shipped several late lines in the same order.
+ORACLE["star_sole_late_supplier"] = f"""
+    SELECT s_name, count(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE o_orderstatus = '{WAIT_STATUS}'
+      AND l1.l_shipdate > o_orderdate + INTERVAL {WAIT_DAYS} DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL {WAIT_DAYS} DAY
+      )
+    GROUP BY 1
 """

@@ -51,6 +51,13 @@ def get_spark(
         # Scan hygiene: pushdown + pruning verified in tests/test_plans.py.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Runtime row-level filtering: when a selective small side feeds a
+        # shuffle join, inject a bloom filter on the fact side before the
+        # exchange (semi-join reduction without a hand-rolled sketch).
+        # Inert at fixture scale (thresholds keep it off for broadcastable
+        # sides); the injection itself is pinned by
+        # tests/test_plans.py::test_runtime_bloom_filter_prunes_fact_join.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

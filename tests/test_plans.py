@@ -298,3 +298,53 @@ def test_outliers_moments_broadcast_back(plans):
     p = plans("events_value_outliers")
     assert "BroadcastHashJoin" in p
     assert "stddev" not in p and "sqrt" not in p
+
+
+def test_q12_conditional_counts_single_agg(plans):
+    """star_linestatus_priority (Q12 shape): both CASE-counts ride one
+    HashAggregate pass over the join (no pivot, no second join), and the
+    ship-year filter reaches the lineitem scan."""
+    p = plans("star_linestatus_priority")
+    assert p.count("HashAggregate") >= 2  # partial + final of ONE aggregate
+    assert "GreaterThanOrEqual(l_shipdate," in p
+    assert "Window" not in p
+
+
+def test_q21_is_aggregate_rewrite_not_self_join(plans):
+    """star_sole_late_supplier (Q21 shape): the engine form must carry
+    no correlated-EXISTS residue — no LeftSemi/LeftAnti of lineitem
+    against itself; supplier names join by broadcast."""
+    p = plans("star_sole_late_supplier")
+    assert "LeftSemi" not in p and "LeftAnti" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_runtime_bloom_filter_prunes_fact_join(plans):
+    """The engine session enables runtime row-level bloom filtering
+    (session.py).  With the size thresholds dropped to fixture scale and
+    broadcast suppressed (at 100 TB neither side broadcasts), Catalyst
+    must inject a bloom_filter_agg on the selective orders side and a
+    might_contain probe into the lineitem scan of the Q12-shape join."""
+    spark = plans.__wrapped_spark__
+    sf_dir = plans.__wrapped_sf_dir__
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = QUERIES["star_linestatus_priority"](spark, sf_dir)
+        p = plan_str(df)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in p
+    assert "might_contain" in p
