@@ -111,10 +111,54 @@ def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIBUTION_WINDOW = "1 HOUR"
+
+
+def events_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL clicks within the attribution window before (or at) each
+    purchase by the same user — the interval join, vs the as-of join's
+    latest-only pick.  This is the batch twin of the stream-stream join
+    (``streaming/joins.py::clicks_before_purchases``); the streaming
+    test pins the two equal on a bounded replay.
+
+    Scale posture: a plain equi-join on user_id with the time band as a
+    residual predicate — one shuffle each side, no range fan-out (the
+    band filters pairs after the hash match; per-user histories are the
+    unit of work, same as the as-of join)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE).select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.click_user_id)
+        & (clicks.click_ts <= purchases.ts)
+        & (
+            clicks.click_ts
+            > purchases.ts - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        ),
+        "inner",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_event_id",
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
 QUERIES = {
     "events_asof_click": events_asof_click,
     "events_asof_click_bucketed": events_asof_click_bucketed,
     "orders_price_bands": orders_price_bands,
+    "events_clicks_before_purchase": events_clicks_before_purchase,
 }
 
 _BAND_VALUES = ", ".join(
@@ -152,3 +196,16 @@ ORACLE = {
 
 # The bucketed variant must produce the identical result — same oracle.
 ORACLE["events_asof_click_bucketed"] = ORACLE["events_asof_click"]
+
+ORACLE["events_clicks_before_purchase"] = f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS click_event_id, c.ts AS click_ts,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = '{ASOF_LEFT_TYPE}'
+     AND c.event_type = '{ASOF_RIGHT_TYPE}'
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL {ATTRIBUTION_WINDOW}
+"""

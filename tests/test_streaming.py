@@ -440,11 +440,13 @@ def test_streaming_word_extract_matches_batch(spark, tmpdir):
     assert sorted(seen) == sorted(r.word_upper for r in batch.collect())
 
 
-def test_stream_static_enrichment_join(spark, sf_dir, event_rows, tmpdir):
-    """Stream-static join: the event stream enriched against the static
-    customer dim (J1's shape with an unbounded probe side) — per-batch
-    the static side broadcasts; final enriched totals equal the batch
-    join."""
+def test_stream_static_left_count_join(spark, sf_dir, event_rows, tmpdir):
+    """Stream-static LEFT join (J1's shape with an unbounded probe side
+    and unmatched rows kept): per-batch the static side broadcasts;
+    final per-nation event counts equal the batch join.  (Named apart
+    from test_stream_static_enrichment_join below — that one is the
+    inner-join exact-cents variant; an earlier revision gave both the
+    same name and pytest silently ran only the second.)"""
     static_dim = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
@@ -734,3 +736,37 @@ def test_stream_static_enrichment_join(spark, sf_dir, event_rows, tmpdir):
     )
     expect = {r.c_nationkey: r.total_cents for r in batch.collect()}
     assert state == expect
+
+
+def test_stream_stream_interval_join(spark, sf_dir, event_rows, tmpdir):
+    """Stream-stream interval self-join (streaming/joins.py): clicks
+    within 1 hour before each purchase, correlated across two watermarked
+    views of one unbounded stream.  Inner joins emit eagerly, so the
+    bounded replay's full output must equal the batch twin
+    (events_clicks_before_purchase) row for row — same oracle, per the
+    engine's twin rule."""
+    from beam_scala_examples_spark.queries.temporal import (
+        events_clicks_before_purchase,
+    )
+    from beam_scala_examples_spark.streaming.joins import (
+        clicks_before_purchases,
+    )
+
+    stream = _feed(spark, event_rows, tmpdir, chunk_size=500)
+    joined = clicks_before_purchases(stream)
+    got: list[tuple] = []
+
+    def sink(batch_df, _bid):
+        got.extend(
+            (r.event_id, r.click_event_id, r.gap_us)
+            for r in batch_df.collect()
+        )
+
+    _run_stream(joined, "append", sink, tmpdir)
+
+    expect = [
+        (r.event_id, r.click_event_id, r.gap_us)
+        for r in events_clicks_before_purchase(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(expect)
+    assert len(got) == len(set(got))  # eager emit must not duplicate pairs
