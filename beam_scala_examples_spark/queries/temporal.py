@@ -114,17 +114,9 @@ def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 ATTRIBUTION_WINDOW = "1 HOUR"
 
 
-def events_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL clicks within the attribution window before (or at) each
-    purchase by the same user — the interval join, vs the as-of join's
-    latest-only pick.  This is the batch twin of the stream-stream join
-    (``streaming/joins.py::clicks_before_purchases``); the streaming
-    test pins the two equal on a bounded replay.
-
-    Scale posture: a plain equi-join on user_id with the time band as a
-    residual predicate — one shuffle each side, no range fan-out (the
-    band filters pairs after the hash match; per-user histories are the
-    unit of work, same as the as-of join)."""
+def _clicks_before_purchase(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """Shared body of the inner/left-outer attribution pair — one place
+    defines the window predicate so the streaming twins cannot drift."""
     ev = load(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
         "event_id", "user_id", "ts"
@@ -142,7 +134,7 @@ def events_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
             clicks.click_ts
             > purchases.ts - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
         ),
-        "inner",
+        how,
     )
     return joined.select(
         "event_id",
@@ -154,11 +146,34 @@ def events_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def events_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL clicks within the attribution window before (or at) each
+    purchase by the same user — the interval join, vs the as-of join's
+    latest-only pick.  This is the batch twin of the stream-stream join
+    (``streaming/joins.py::clicks_before_purchases``); the streaming
+    test pins the two equal on a bounded replay.
+
+    Scale posture: a plain equi-join on user_id with the time band as a
+    residual predicate — one shuffle each side, no range fan-out (the
+    band filters pairs after the hash match; per-user histories are the
+    unit of work, same as the as-of join)."""
+    return _clicks_before_purchase(spark, sf_dir, "inner")
+
+
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEFT OUTER form: every purchase, attributed clicks where they
+    exist, null click columns where none fell in the window — the batch
+    twin of the streaming outer join (whose null rows emit only after
+    the watermark proves no match can arrive)."""
+    return _clicks_before_purchase(spark, sf_dir, "left_outer")
+
+
 QUERIES = {
     "events_asof_click": events_asof_click,
     "events_asof_click_bucketed": events_asof_click_bucketed,
     "orders_price_bands": orders_price_bands,
     "events_clicks_before_purchase": events_clicks_before_purchase,
+    "events_purchase_attribution": events_purchase_attribution,
 }
 
 _BAND_VALUES = ", ".join(
@@ -208,4 +223,17 @@ ORACLE["events_clicks_before_purchase"] = f"""
      AND c.event_type = '{ASOF_RIGHT_TYPE}'
      AND c.ts <= p.ts
      AND c.ts > p.ts - INTERVAL {ATTRIBUTION_WINDOW}
+"""
+
+ORACLE["events_purchase_attribution"] = f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS click_event_id, c.ts AS click_ts,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events p
+    LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = '{ASOF_RIGHT_TYPE}'
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL {ATTRIBUTION_WINDOW}
+    WHERE p.event_type = '{ASOF_LEFT_TYPE}'
 """

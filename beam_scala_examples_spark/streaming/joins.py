@@ -35,6 +35,7 @@ def clicks_before_purchases(
     events: DataFrame,
     window: str = "1 HOUR",
     lateness: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Every (purchase, click) pair for the same user where the click
     happened within ``window`` before (or at) the purchase — the
@@ -44,6 +45,17 @@ def clicks_before_purchases(
     event_type, ...); both sides are filtered views of it, which Spark
     plans as a genuine stream-stream join (two state stores, one
     exchange per side).
+
+    ``how="left_outer"`` keeps click-less purchases with null click
+    columns.  Outer rows emit only once the watermark passes the end of
+    a purchase's attribution window (Spark must prove no match can
+    still arrive) — and the join's global watermark is the MIN of the
+    two sides' watermarks (``spark.sql.streaming.multipleWatermarkPolicy``
+    default), so BOTH streams must keep flowing for null rows to flush.
+    On a bounded replay the tail of the stream therefore needs
+    sentinels on both sides across two micro-batches (advance, then
+    evict) before its unmatched purchases surface — the streaming test
+    feeds them; an unbounded production stream advances naturally.
     """
     clicks = (
         events.filter(F.col("event_type") == CLICK_TYPE)
@@ -64,7 +76,7 @@ def clicks_before_purchases(
         (purchases.user_id == clicks.click_user_id)
         & (clicks.click_ts <= purchases.ts)
         & (clicks.click_ts > purchases.ts - F.expr(f"INTERVAL {window}")),
-        "inner",
+        how,
     )
     return joined.select(
         "event_id",

@@ -770,3 +770,62 @@ def test_stream_stream_interval_join(spark, sf_dir, event_rows, tmpdir):
     ]
     assert sorted(got) == sorted(expect)
     assert len(got) == len(set(got))  # eager emit must not duplicate pairs
+
+
+def test_stream_stream_outer_interval_join(spark, sf_dir, event_rows, tmpdir):
+    """LEFT OUTER stream-stream join: click-less purchases must surface
+    with null click columns — but only after the watermark proves no
+    match can arrive, so the replay appends a far-future sentinel click
+    to flush the tail.  Final output (sentinel rows dropped) must equal
+    the batch twin events_purchase_attribution."""
+    from beam_scala_examples_spark.queries.temporal import (
+        events_purchase_attribution,
+    )
+    from beam_scala_examples_spark.streaming.joins import (
+        clicks_before_purchases,
+    )
+
+    from beam_scala_examples_spark.streaming.sources import (
+        write_arrival_groups,
+    )
+
+    # Two sentinel chunks, each its own micro-batch, each advancing BOTH
+    # sides: the join's global watermark is the MIN of the click-side and
+    # purchase-side watermarks (Spark's multipleWatermarkPolicy default),
+    # so a click-only sentinel leaves the purchase watermark — and the
+    # tail purchase's null row — stuck.  And the watermark only advances
+    # at a batch boundary with eviction running in the batch AFTER, so
+    # two sentinel batches are needed, not one.
+    sentinels = []
+    for n, ts in enumerate(("2025-06-01 00:00:00", "2025-06-01 01:00:00")):
+        group = []
+        for k, etype in enumerate(("click", "purchase")):
+            s = dict(event_rows[-1])
+            s["event_id"] = 10_000_000 + 2 * n + k
+            s["event_type"] = etype
+            s["user_id"] = -1 - k  # matches nothing real
+            s["ts"] = ts
+            group.append(s)
+        sentinels.append(group)
+    groups = [
+        event_rows[i : i + 500] for i in range(0, len(event_rows), 500)
+    ] + sentinels
+    write_arrival_groups(groups, f"{tmpdir}/feed")
+    stream = read_event_stream(spark, f"{tmpdir}/feed")
+    joined = clicks_before_purchases(stream, how="left_outer")
+    got: list[tuple] = []
+
+    def sink(batch_df, _bid):
+        got.extend(
+            (r.event_id, r.click_event_id, r.gap_us)
+            for r in batch_df.collect()
+            if r.event_id < 10_000_000  # sentinels' own rows
+        )
+
+    _run_stream(joined, "append", sink, tmpdir)
+
+    expect = [
+        (r.event_id, r.click_event_id, r.gap_us)
+        for r in events_purchase_attribution(spark, sf_dir).collect()
+    ]
+    assert sorted(got, key=repr) == sorted(expect, key=repr)
