@@ -334,3 +334,32 @@ ORACLE["events_latest_state"] = """
         FROM events
     ) WHERE rn = 1
 """
+
+
+def events_reach_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily distinct-user reach per event type — the baseline the
+    sketch surface is tested against (``operators/sketches.py``; the
+    HLL estimates themselves are DataSketches-implementation-specific
+    and so live under unit accuracy bands, not a DuckDB oracle).
+
+    Exact countDistinct expands to a two-level aggregate: dedup on
+    (day, type, user), then count — both levels HashAggregate with
+    partial combine.  At 100 TB this is the expensive form the sketches
+    replace; it stays correct at any scale, just not rollup-able."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("reach"))
+    )
+
+
+QUERIES["events_reach_daily"] = events_reach_daily
+
+ORACLE["events_reach_daily"] = """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+           count(DISTINCT user_id)::BIGINT AS reach
+    FROM events
+    GROUP BY 1, 2
+"""
