@@ -253,3 +253,44 @@ def test_parse_json_lines_drops_null_lines(spark):
 def test_checksum_empty_dataframe(spark):
     empty = spark.createDataFrame([], "w string, n int")
     assert metrics.checksum(empty) == 0
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Data-layout contract: a day-partitioned parquet table must prune
+    to the matching partition directories at read time — the scan's
+    partition filters carry the predicate and the other days' files are
+    never listed into the plan.  At 100 TB this is the difference
+    between scanning one day and scanning three years."""
+    from beam_scala_examples_spark.io import write_windowed_files
+    from beam_scala_examples_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    write_windowed_files(ev, str(tmp_path / "t"), "day", num_shards=2)
+
+    back = spark.read.parquet(str(tmp_path / "t"))
+    one_day = back.filter(F.col("window_start") == "2024-01-05-00-00")
+    plan = one_day._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "window_start" in pf_line and "2024-01-05-00-00" in pf_line
+    # and the data still round-trips
+    n_expected = ev.filter(
+        F.date_format("day", "yyyy-MM-dd-HH-mm") == "2024-01-05-00-00"
+    ).count()
+    assert one_day.count() == n_expected > 0
+    # pruning must reach the file listing, not just the plan text: the
+    # executed scan reads exactly the selected day's shard files
+    # (inputFiles() is NOT filter-aware — it lists the whole relation)
+    one_day.collect()
+    scan = one_day._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    n_files_read = scan.metrics().apply("numFiles").value()
+    assert n_files_read == 2  # num_shards of one day
+    n_days = len(
+        {f.split("window_start=")[1].split("/")[0] for f in back.inputFiles()}
+    )
+    assert n_days > 1  # there was something to prune
