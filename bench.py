@@ -58,6 +58,11 @@ HEADLINE = [
     "emb_kmeans",
     "text_logfreq_score",
     "dedup_components",
+    "star_linestatus_priority",
+    "star_sole_late_supplier",
+    "events_clicks_before_purchase",
+    "text_boilerplate_removal",
+    "events_reach_daily",
 ]
 
 
