@@ -2025,3 +2025,147 @@ ORACLE["text_boilerplate_removal"] = f"""
     FROM flagged
     GROUP BY doc_id
 """
+
+
+# Incremental dedup: the "new batch" is a deterministic doc_id slice —
+# in production it is the day's crawl; the corpus is everything already
+# accepted.  Precedence: exact text match beats near-dup; best near-dup
+# candidate = highest Jaccard, ties to the lowest corpus doc_id.
+INCR_NEW_MOD = 10
+INCR_NEW_REM = 7
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup: for each document in the new
+    batch, find whether it duplicates the EXISTING corpus — exact text
+    match first, else the best shingle-Jaccard near-dup over threshold —
+    without ever comparing corpus docs to each other (that work is
+    already paid; this is the nightly-ingest shape, not the full-corpus
+    backfill of ``dedup_minhash_pairs``).
+
+    Scale posture: the corpus side is touched twice, both times pruned —
+    the exact join carries only (text_md5, min doc_id) per distinct
+    corpus text, and the shingle join is keyed on the NEW batch's
+    shingles (a day's crawl, orders of magnitude smaller than the
+    corpus), which is precisely the shape the engine's runtime bloom
+    filter semi-reduces.  Candidate selection is one partial top-1
+    (max_by) per new doc, not a window sort over candidates.
+    """
+    docs = load(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % INCR_NEW_MOD) == INCR_NEW_REM
+    new = docs.filter(is_new)
+    corpus = docs.filter(~is_new)
+
+    exact = (
+        corpus.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    new_exact = new.select(
+        "doc_id", F.md5("text").alias("text_md5")
+    ).join(exact, "text_md5", "left").select("doc_id", "exact_dup_of")
+
+    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
+    sh_new = sh.filter((F.col("doc_id") % INCR_NEW_MOD) == INCR_NEW_REM)
+    sh_corpus = sh.filter((F.col("doc_id") % INCR_NEW_MOD) != INCR_NEW_REM)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh_new.alias("a")
+        .join(sh_corpus.alias("b"), "shingle")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("cand"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_new") + F.col("n_cand") - F.col("inter"))
+    cands = (
+        inter.join(
+            sizes.select(F.col("doc_id"), F.col("n").alias("n_new")), "doc_id"
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("cand"), F.col("n").alias("n_cand")
+            ),
+            "cand",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    # best candidate: max (jaccard, -cand) — one hash-agg, no window sort
+    best = cands.groupBy("doc_id").agg(
+        F.max_by(
+            F.struct("cand", "jaccard"), F.struct("jaccard", -F.col("cand"))
+        ).alias("b")
+    ).select("doc_id", F.col("b.cand").alias("near_dup_of"),
+             F.round("b.jaccard", 6).alias("near_jaccard"))
+
+    return (
+        new.select("doc_id")
+        .join(new_exact, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
+            F.when(F.col("exact_dup_of").isNotNull(), "exact")
+            .when(F.col("near_dup_of").isNotNull(), "near")
+            .otherwise("unique")
+            .alias("method"),
+            F.when(
+                F.col("exact_dup_of").isNull(), F.col("near_jaccard")
+            ).alias("jaccard"),
+        )
+    )
+
+
+QUERIES["dedup_incremental"] = dedup_incremental
+
+ORACLE["dedup_incremental"] = f"""
+    WITH {_duck_shingle_cte()},
+    new_docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % {INCR_NEW_MOD} = {INCR_NEW_REM}
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % {INCR_NEW_MOD} <> {INCR_NEW_REM}
+    ),
+    exact AS (
+        SELECT md5(text) AS text_md5, min(doc_id) AS exact_dup_of
+        FROM corpus GROUP BY 1
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS cand, count(*) AS i
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id % {INCR_NEW_MOD} = {INCR_NEW_REM}
+          AND b.doc_id % {INCR_NEW_MOD} <> {INCR_NEW_REM}
+        GROUP BY 1, 2
+    ),
+    cands AS (
+        SELECT inter.doc_id AS doc_id, inter.cand AS cand,
+               i * 1.0 / (sn.n + sc.n - i) AS jaccard
+        FROM inter
+        JOIN sizes sn ON inter.doc_id = sn.doc_id
+        JOIN sizes sc ON inter.cand = sc.doc_id
+        WHERE i * 1.0 / (sn.n + sc.n - i) >= {JACCARD_THRESHOLD}
+    ),
+    best AS (
+        SELECT doc_id, cand AS near_dup_of, round(jaccard, 6) AS near_jaccard
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY jaccard DESC, cand ASC
+            ) AS rn
+            FROM cands
+        ) WHERE rn = 1
+    )
+    SELECT n.doc_id,
+           coalesce(e.exact_dup_of, b.near_dup_of) AS dup_of,
+           CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact'
+                WHEN b.near_dup_of IS NOT NULL THEN 'near'
+                ELSE 'unique' END AS method,
+           CASE WHEN e.exact_dup_of IS NULL THEN b.near_jaccard END
+               AS jaccard
+    FROM new_docs n
+    LEFT JOIN exact e ON md5(n.text) = e.text_md5
+    LEFT JOIN best b ON n.doc_id = b.doc_id
+"""

@@ -243,3 +243,40 @@ def test_q09_ignores_null_rows(spark, tmp_path):
     # only the non-null row can win; the job must not abort
     winners = {(r.station, r.max_flow, r.event_id) for r in out.collect()}
     assert winners == {(1, 5.0, 1)}
+
+
+def test_dedup_incremental_exact_beats_near(spark, tmp_path):
+    """Planted-fixture check of the branch the synthetic corpus never
+    exercises: a new doc whose text exactly matches a corpus doc must
+    report method='exact' with the MIN matching corpus id and a null
+    jaccard, even though its shingle overlap would also clear the
+    near-dup threshold; a merely-similar doc reports 'near'; an
+    unrelated doc reports 'unique'."""
+    from beam_scala_examples_spark.queries.llmdata import dedup_incremental
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [
+        # corpus (doc_id % 10 != 7); two identical corpus docs: min wins
+        (3, base, "en", "src0", len(base)),
+        (13, base, "en", "src0", len(base)),
+        (23, near, "en", "src0", len(near)),
+        (33, "totally different words entirely unrelated content here",
+         "en", "src0", 52),
+        # new batch (doc_id % 10 == 7)
+        (7, base, "en", "src1", len(base)),      # exact dup of 3 (not 13)
+        (17, near + " extra", "en", "src1", 5),  # near dup, not exact
+        (27, "nothing shares any shingle with corpus text at all",
+         "en", "src1", 49),                      # unique
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.dup_of, r.method, r.jaccard)
+        for r in dedup_incremental(spark, str(tmp_path)).collect()
+    }
+    assert got[7] == (3, "exact", None)
+    assert got[17][1] == "near" and got[17][0] == 23 and got[17][2] > 0.3
+    assert got[27] == (None, "unique", None)
