@@ -9,9 +9,10 @@ Algorithm (Lloyd's, deterministic end to end):
  - init: the ``KM_K`` rows with the smallest vec_ids, cluster ids
    assigned in vec_id order;
  - assign: per-row argmin of squared L2 distance against the centroid
-   set, ties broken by lowest cluster id.  Centroids ride into the plan
-   as *literal* arrays (MLlib-style broadcast of collected centers) so
-   assignment is a narrow map — no join fan-out, no shuffle;
+   set, ties broken by lowest cluster id.  Centroids ride along as a
+   closure matrix inside an Arrow-vectorized kernel (MLlib-style
+   broadcast of collected centers) so assignment is a narrow map — no
+   join fan-out, no shuffle;
  - recompute: element-wise mean per cluster via posexplode ->
    (cluster, dim) partial sums — one slim shuffle of at most
    ``K x DIM x partitions`` rows per iteration.  Clusters that lose all
@@ -26,15 +27,16 @@ partitionings and engines, and the per-iteration driver collect carries
 the exact state the DuckDB oracle's unrolled CTE chain reproduces.
 
 Scale posture: per iteration — one narrow assignment pass over the
-corpus (literal centroids, whole-stage codegen except the higher-order
-fold) plus one partial-aggregated shuffle of slim (cluster, dim, sum)
-rows; driver traffic is O(K x DIM) per iteration, independent of corpus
-size.  This is the same loop structure Spark MLlib's KMeans uses at
-cluster scale.
+corpus (ArrowEvalPython, numpy-vectorized over Arrow batches) plus one
+partial-aggregated shuffle of slim (cluster, dim, sum) rows; driver
+traffic is O(K x DIM) per iteration, independent of corpus size.  This
+is the same loop structure Spark MLlib's KMeans uses at cluster scale.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,41 +48,63 @@ KM_ITERS = 3
 KM_SCALE = 1 << 20  # fixed-point quantum for the exact centroid sums
 
 
-def _dist_sq(centroid: list[float]) -> F.Column:
-    """Squared L2 distance from the float embedding column to one
-    literal centroid, summed in index order (matches the oracle's
-    ``list_sum(list_transform(...))`` evaluation)."""
-    lit = F.array(*[F.lit(float(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            lit,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """(vec_id, cluster): argmin distance, ties to the lowest cluster id
-    — array_min over (dist, cid) structs compares field-wise."""
-    packed = F.array(
-        *[
-            F.struct(
-                _dist_sq(c).alias("d"), F.lit(cid).cast("long").alias("c")
-            )
-            for cid, c in centroids
-        ]
-    )
+    """(vec_id, cluster): argmin of squared L2 distance, ties to the
+    lowest cluster id.
+
+    Arrow-vectorized kernel (the sanctioned Python path for iterative
+    numeric ops): centroids ride into the closure as a (K, DIM) float64
+    matrix, so the pass is a narrow map with no join fan-out and no
+    giant Catalyst literal tree (a K x DIM expression form spends more
+    time in analysis/codegen than in evaluation).
+
+    Exactness (README rule 3): the distance accumulates one dimension
+    per step in index order — ``acc += (x_d - c_d)^2`` is a single IEEE
+    double add per element — which is bit-identical to the oracle's
+    left-to-right ``list_sum(list_transform(...))`` fold.  numpy argmin
+    returns the first minimum, i.e. the lowest cluster id, matching the
+    oracle's ``ORDER BY dist, cluster`` tie-break.
+    """
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    cmat = np.array([c for _, c in centroids], dtype=np.float64)
+
+    @F.pandas_udf("long")
+    def nearest(col: pd.Series) -> pd.Series:
+        x = np.vstack(col.to_numpy()).astype(np.float64)
+        acc = np.zeros((x.shape[0], cmat.shape[0]))
+        for d in range(cmat.shape[1]):
+            diff = x[:, d : d + 1] - cmat[None, :, d]
+            acc += diff * diff
+        return pd.Series(cids[np.argmin(acc, axis=1)])
+
     return emb.select(
-        "vec_id", F.array_min(packed)["c"].alias("cluster"), "embedding"
+        "vec_id", nearest("embedding").alias("cluster"), "embedding"
     )
+
+
+# keeps the repartitioned corpus cached for the lifetime of the returned
+# plan (same pattern as llmdata._MINHASH_CACHE); re-running the query
+# pops the stale entry so the ContextCleaner reclaims the old blocks
+_KM_CACHE: dict[str, DataFrame] = {}
 
 
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final cluster assignment after ``KM_ITERS`` Lloyd iterations."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    prev = _KM_CACHE.pop("emb", None)
+    if prev is not None:
+        prev.unpersist()
+    # The corpus is scanned 2*ITERS+1 times (assign + recompute per
+    # iteration, then the final assign) and the source may be a single
+    # parquet file: spread it across the cluster once and cache it.
+    # Safe under README rule 3 — every recompute sums exact fixed-point
+    # longs, so results are bit-identical across partitionings.
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
+    _KM_CACHE["emb"] = emb
     init = emb.orderBy("vec_id").limit(KM_K).collect()
     centroids = [
         (cid, [float(v) for v in row.embedding])

@@ -34,10 +34,16 @@ def test_kmeans_partitioning_independent(spark, sf_dir):
 
 def test_kmeans_assignment_is_narrow(spark, sf_dir):
     """The final assignment plan must not contain any join operator —
-    centroids are literals, so the only exchange belongs to upstream
-    aggregation steps already executed."""
+    centroids ride in the kernel closure.  The only Exchange allowed is
+    the one-time repartition *inside* the cached corpus relation (spreads
+    a single parquet file across the cluster once); everything above the
+    InMemoryTableScan must be a narrow Arrow-vectorized map."""
     p = plan_str(QUERIES["emb_kmeans"](spark, sf_dir))
     for join_op in ("SortMergeJoin", "BroadcastHashJoin",
                     "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join_op not in p
-    assert "Exchange" not in p  # narrow: scan -> project, nothing else
+    assert "ArrowEvalPython" in p       # vectorized, not row-at-a-time
+    assert "BatchEvalPython" not in p
+    above_cache = p.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in above_cache  # assignment reads the cache
+    assert "Exchange" not in above_cache  # narrow above the cached corpus
