@@ -16,6 +16,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Exact integer epoch-microseconds of a timestamp column.
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ, and the driver's parquet
+    fixtures carry tz-naive ``timestamp[us]`` columns (which Spark 4
+    reads as NTZ by default).  NTZ wall-clock arithmetic against the NTZ
+    epoch literal is session-timezone-independent and matches DuckDB's
+    ``epoch_us`` on the same naive values exactly; a TIMESTAMP(LTZ)
+    input is first cast to NTZ (session-tz rendering), which is the
+    identity under the UTC sessions the engine runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
+
+
 def tumbling(df: DataFrame, ts: str, duration: str, out: str = "win") -> DataFrame:
     """FixedWindows (W1, e.g. 10-min words ``WindowedWordCount.scala:69-70``)."""
     return df.withColumn(out, F.window(F.col(ts), duration))

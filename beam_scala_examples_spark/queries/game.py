@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.agg import cents, duck_sum_cents, sum_cents
-from ..operators.windows import duck_sessions_cte, duck_tumbling_start
+from ..operators.windows import duck_sessions_cte, duck_tumbling_start, epoch_us
 from ..tables import load
 
 # Q12's [start, stop) event-time filter (``HourlyTeamScore.scala:82-95``);
@@ -153,7 +153,7 @@ def q14_session_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Exact integer microseconds -> deterministic mean across engines and
     # across shuffle orders (double summation is not associative).
-    dur_us = F.unix_micros("s_end") - F.unix_micros("s_start")
+    dur_us = epoch_us("s_end") - epoch_us("s_start")
     return (
         sess.select(F.window("s_end", "1 day").alias("win"), dur_us.alias("dur_us"))
         .groupBy(F.col("win.start").alias("win_start"))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join, asof_join_bucketed
 from ..operators.rangejoin import range_join_binned
+from ..operators.windows import epoch_us
 from ..tables import load
 
 ASOF_LEFT_TYPE = "purchase"
@@ -68,7 +69,7 @@ def _asof_click(spark: SparkSession, sf_dir: str, join_fn) -> DataFrame:
         "ts",
         "click_event_id",
         "click_ts",
-        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        (epoch_us("ts") - epoch_us("click_ts")).alias("gap_us"),
     )
 
 
@@ -142,7 +143,7 @@ def _clicks_before_purchase(spark: SparkSession, sf_dir: str, how: str) -> DataF
         "ts",
         "click_event_id",
         "click_ts",
-        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        (epoch_us("ts") - epoch_us("click_ts")).alias("gap_us"),
     )
 
 

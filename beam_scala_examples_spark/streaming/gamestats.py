@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.agg import cents
+from ..operators.windows import epoch_us
 from .leaderboard import ALLOWED_LATENESS
 
 
@@ -46,7 +47,7 @@ def session_mean(events: DataFrame, gap: str = "3600 seconds",
     )
     # window_time(sw) (= sw.end - 1µs) keeps the event-time watermark tag
     # across the chained aggregation; selecting sw.end would strip it.
-    dur_us = F.unix_micros("sw.end") - F.unix_micros("sw.start")
+    dur_us = epoch_us("sw.end") - epoch_us("sw.start")
     return (
         sess.select(
             F.window(F.window_time("sw"), out_window).alias("win"),

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.windows import epoch_us
+
 CLICK_TYPE = "click"
 PURCHASE_TYPE = "purchase"
 
@@ -84,5 +86,5 @@ def clicks_before_purchases(
         "ts",
         "click_event_id",
         "click_ts",
-        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        (epoch_us("ts") - epoch_us("click_ts")).alias("gap_us"),
     )

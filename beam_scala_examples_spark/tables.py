@@ -28,10 +28,14 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Columns stored as TIMESTAMP(NANOS) in the driver parquet. With
-# ``spark.sql.legacy.parquet.nanosAsLong`` they surface as bigint nanos;
-# we floor-divide to micros (integer DIV — nanos exceed double's exact
-# range) which matches DuckDB's nanos->micros truncation exactly.
+# Timestamp columns in the driver parquet. The driver has generated two
+# on-disk formats across rounds and the loader must accept both:
+#  - TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong`` they
+#    surface as bigint nanos; we floor-divide to micros (integer DIV —
+#    nanos exceed double's exact range), matching DuckDB's truncation.
+#  - tz-naive timestamp[us]: Spark 4 reads these as TIMESTAMP_NTZ, which
+#    passes through unchanged — downstream epoch arithmetic goes through
+#    ``operators.windows.epoch_us`` (NTZ-safe, session-tz-independent).
 _NANOS_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
