@@ -363,3 +363,46 @@ ORACLE["events_reach_daily"] = """
     FROM events
     GROUP BY 1, 2
 """
+
+
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 compaction of the append log: every event becomes a validity
+    interval ``[valid_from, valid_to)`` of the user's state, closed by
+    the user's next event (``lead``) and open (``is_current``) on the
+    last — the type-2 slowly-changing-dimension build step that turns a
+    CDC stream into an as-of-queryable dimension table.  Complements
+    ``events_latest_state`` (which keeps only the open rows).
+
+    Scale: one shuffle on user_id (high cardinality, balanced); the
+    per-user sort is bounded by that user's history.  At 100 TB this is
+    the standard log->dimension compaction plan; whale users fall to
+    AQE skew handling, and the output partitions cleanly by
+    ``valid_from`` day for downstream as-of pruning.  Ties inside a
+    user's history are totally ordered by (ts, event_id)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+QUERIES["events_scd2"] = events_scd2
+
+ORACLE["events_scd2"] = """
+    SELECT user_id, event_id, event_type, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL AS is_current
+    FROM events
+"""

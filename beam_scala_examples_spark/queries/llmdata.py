@@ -2169,3 +2169,110 @@ ORACLE["dedup_incremental"] = f"""
     LEFT JOIN exact e ON md5(n.text) = e.text_md5
     LEFT JOIN best b ON n.doc_id = b.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Per-source cap sampling + random-projection dimensionality reduction
+# --------------------------------------------------------------------------
+
+SOURCE_CAP = 40          # max documents kept per source
+RP_OUT_DIMS = 8          # random-projection output dimensionality
+_RP_SCALE = 1_000_000    # float components fixed to exact integer 1e-6 units
+
+
+def _rp_weight(i: int, j: int) -> int:
+    """Deterministic pseudo-random projection weight in [-9, 9] for
+    input dim ``i`` (1-based) and output dim ``j`` (0-based).  A fixed
+    arithmetic formula rather than an RNG so the Spark and DuckDB sides
+    derive the identical matrix from code, not from shipped state."""
+    return ((i * 37 + j * 101 + (i * j) % 13) % 19) - 9
+
+
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document cap (hash-ranked reservoir):
+    keep at most ``SOURCE_CAP`` docs per source, chosen by md5-hash
+    order — the "no domain may dominate the mixture" guard of a
+    training-data pipeline, reproducible across engines and reruns
+    (an RNG reservoir would re-deal every run).
+
+    Scale: rank-then-filter rides WindowGroupLimit, so each shuffle
+    partition forwards at most CAP rows per source rather than the
+    source's full corpus; one shuffle on source.  Skewed sources (web
+    crawl >> curated sets) are exactly the case the group-limit
+    pushdown exists for."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_H.format(col="cast(doc_id as string)"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id", "source", F.col("rn").alias("sample_rank"))
+    )
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss
+    shape): project the 64-dim embedding onto ``RP_OUT_DIMS`` fixed
+    pseudo-random integer directions — the cheap dim-reduction step
+    before clustering / coarse ANN when the full width is overkill.
+
+    Exactness: each float component is first fixed to integer 1e-6
+    units, so every dot product is int64 arithmetic — associative,
+    order-independent, and bit-identical across engines and
+    partitionings (the same exact-integer discipline as the cents
+    rule); the final divide restores the scale.  Map-only: no shuffle,
+    no UDF — the projection is a JVM-side array expression pipeline
+    that scales linearly with corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = F.expr(
+        f"transform(embedding,"
+        f" x -> cast(round(cast(x as double) * {_RP_SCALE}) as bigint))"
+    )
+    base = emb.select("vec_id", qvec.alias("qvec"))
+    cols = [F.col("vec_id")]
+    for j in range(RP_OUT_DIMS):
+        ws = ", ".join(str(_rp_weight(i, j)) for i in range(1, EMB_DIM + 1))
+        dot = F.expr(
+            f"aggregate(zip_with(qvec, array({ws}), (x, w) -> x * w),"
+            f" 0L, (acc, v) -> acc + v)"
+        )
+        cols.append((dot / float(_RP_SCALE)).alias(f"p{j}"))
+    return base.select(*cols)
+
+
+QUERIES["sample_cap_per_source"] = sample_cap_per_source
+QUERIES["emb_random_projection"] = emb_random_projection
+
+ORACLE["sample_cap_per_source"] = f"""
+    SELECT doc_id, source, rn AS sample_rank
+    FROM (
+        SELECT doc_id, source, row_number() OVER (
+            PARTITION BY source
+            ORDER BY {_DUCK_H.format(col="doc_id::VARCHAR")}, doc_id
+        ) AS rn
+        FROM documents
+    ) WHERE rn <= {SOURCE_CAP}
+"""
+
+_RP_DUCK_COLS = ",\n           ".join(
+    "(list_sum(list_transform(generate_series(1, {d}),"
+    " i -> qvec[i] * ([{ws}])[i])))::BIGINT / {scale}.0 AS p{j}".format(
+        d=EMB_DIM,
+        ws=", ".join(str(_rp_weight(i, j)) for i in range(1, EMB_DIM + 1)),
+        scale=_RP_SCALE,
+        j=j,
+    )
+    for j in range(RP_OUT_DIMS)
+)
+
+ORACLE["emb_random_projection"] = f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> round(x::DOUBLE * {_RP_SCALE})::BIGINT) AS qvec
+        FROM embeddings
+    )
+    SELECT vec_id,
+           {_RP_DUCK_COLS}
+    FROM q
+"""

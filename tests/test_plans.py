@@ -348,3 +348,25 @@ def test_runtime_bloom_filter_prunes_fact_join(plans):
                 spark.conf.set(k, v)
     assert "bloom_filter_agg" in p
     assert "might_contain" in p
+
+
+def test_scd2_single_shuffle(plans):
+    """SCD2 compaction: exactly one exchange (hash on user_id) feeds the
+    lead() window — no second shuffle, no join."""
+    p = plans("events_scd2")
+    assert p.count("hashpartitioning(") == 1
+    assert "Join" not in p
+
+
+def test_sample_cap_rides_window_group_limit(plans):
+    """Per-source cap: the rank filter must push a WindowGroupLimit so a
+    skewed source forwards CAP rows per partition, not its full corpus."""
+    p = plans("sample_cap_per_source")
+    assert "WindowGroupLimit" in p
+
+
+def test_random_projection_is_map_only(plans):
+    """Dim reduction is a pure projection: no exchange, no Python."""
+    p = plans("emb_random_projection")
+    assert "Exchange" not in p
+    assert "Python" not in p and "ArrowEval" not in p
