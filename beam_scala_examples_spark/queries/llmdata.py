@@ -2276,3 +2276,56 @@ ORACLE["emb_random_projection"] = f"""
            {_RP_DUCK_COLS}
     FROM q
 """
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs: |A∩B| / min(|A|, |B|) —
+    catches a document embedded inside a larger one (quote farms,
+    boilerplate-wrapped reposts), which symmetric Jaccard under-scores:
+    a 50-shingle doc fully contained in a 500-shingle doc has Jaccard
+    0.1 but containment 1.0.
+
+    Same scale shape as the Jaccard verify: join on shingle, so only
+    pairs sharing a shingle materialize; at 100 TB the input is the LSH
+    candidate set, not the corpus cross-product."""
+    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b").hint("SHUFFLE_HASH")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    cont = F.col("inter") / F.least("n1", "n2")
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc1", "doc2", F.round(cont, 6).alias("containment"))
+    )
+
+
+QUERIES["dedup_containment_pairs"] = dedup_containment_pairs
+
+ORACLE["dedup_containment_pairs"] = f"""
+    WITH {_duck_shingle_cte()},
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*)::BIGINT AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           round(i * 1.0 / least(s1.n, s2.n), 6) AS containment
+    FROM inter
+    JOIN sizes s1 ON inter.doc1 = s1.doc_id
+    JOIN sizes s2 ON inter.doc2 = s2.doc_id
+    WHERE i * 1.0 / least(s1.n, s2.n) >= {CONTAINMENT_THRESHOLD}
+"""

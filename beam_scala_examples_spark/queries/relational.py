@@ -902,3 +902,57 @@ ORACLE["star_sole_late_supplier"] = f"""
       )
     GROUP BY 1
 """
+
+
+BASKET_TOP_N = 50
+
+
+def star_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: the top co-purchased part pairs by order
+    co-occurrence count — the association-rule candidate generation
+    step (frequent pairs) restated on the fixture schema.
+
+    Scale: the self-join keys both sides on l_orderkey, so the shuffle
+    co-partitions and each order's pair expansion happens locally,
+    bounded by its basket size squared (TPC-H baskets are <= 7 lines);
+    distinct parts per order first so multi-line items don't inflate
+    counts.  The global top-N is a TakeOrderedAndProject — only N rows
+    per partition reach the driver-side merge, never the pair space.
+    Ties are totally ordered by (count desc, part1, part2)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part1"),
+            F.col("b.l_partkey").alias("part2"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.desc("n_orders"), F.asc("part1"), F.asc("part2")
+    ).limit(BASKET_TOP_N)
+
+
+QUERIES["star_copurchase_pairs"] = star_copurchase_pairs
+
+ORACLE["star_copurchase_pairs"] = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part1, b.l_partkey AS part2,
+               count(*)::BIGINT AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part1, part2, n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, part1, part2
+    LIMIT {BASKET_TOP_N}
+"""
