@@ -63,6 +63,11 @@ HEADLINE = [
     "events_clicks_before_purchase",
     "text_boilerplate_removal",
     "events_reach_daily",
+    "events_scd2",
+    "sample_cap_per_source",
+    "emb_random_projection",
+    "dedup_containment_pairs",
+    "star_copurchase_pairs",
 ]
 
 

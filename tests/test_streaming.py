@@ -16,13 +16,13 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from beam_scala_examples_spark.streaming import gamestats, leaderboard, stateful
+from beam_scala_examples_spark.streaming import cdc, gamestats, leaderboard, stateful
 from beam_scala_examples_spark.streaming.panes import PaneSink, PaneTagger
 from beam_scala_examples_spark.streaming.sources import (
     read_event_stream,
     write_arrival_chunks,
 )
-from beam_scala_examples_spark.queries import game
+from beam_scala_examples_spark.queries import behavior, game
 
 from .oracle_harness import duck_connect
 
@@ -829,3 +829,45 @@ def test_stream_stream_outer_interval_join(spark, sf_dir, event_rows, tmpdir):
         for r in events_purchase_attribution(spark, sf_dir).collect()
     ]
     assert sorted(got, key=repr) == sorted(expect, key=repr)
+
+
+def test_cdc_latest_state_sink_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """Streaming CDC compaction: the distributed foreachBatch upsert view
+    (contribution log + re-compaction, zero driver state) converges to
+    the batch events_latest_state oracle after the bounded replay."""
+    stream = _feed(spark, event_rows, tmpdir, chunk_size=300)
+    sink = cdc.LatestStateSink(f"{tmpdir}/cdc_log", f"{tmpdir}/cdc_out")
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(
+        (r.user_id, r.last_event_id, r.last_type, r.last_ts)
+        for r in spark.read.parquet(f"{tmpdir}/cdc_out").collect()
+    )
+    con = duck_connect(sf_dir)
+    expected = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.sql(behavior.ORACLE["events_latest_state"]).fetchall()
+    )
+    con.close()
+    assert got == expected
+
+
+def test_cdc_latest_state_replay_idempotent(spark, event_rows, tmpdir):
+    """Replaying a batch (same batch_id) must leave the serving view
+    unchanged — the log partition is replaced, not appended."""
+    rows = event_rows[:600]
+    sink = cdc.LatestStateSink(f"{tmpdir}/cdc_log", f"{tmpdir}/cdc_out")
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+         for r in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sink(batch, 0)
+    once = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/cdc_out").collect()
+    )
+    sink(batch, 0)  # replay
+    twice = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/cdc_out").collect()
+    )
+    assert once == twice
