@@ -1,0 +1,62 @@
+"""Streaming sketch maintenance: an incrementally-updated distinct-reach
+view (HLL) in the same distributed foreachBatch shape as
+``cdc.LatestStateSink`` — this is the operational payoff of *mergeable*
+sketch state (``operators/sketches.py``): each micro-batch sketches only
+its own rows, and the serving view is a register-wise union of the
+per-batch parts, never a rescan of history.
+
+Because HLL union is exact over sketch state (register-wise max), the
+streamed view is bit-identical to sketching the full table in one batch
+pass — the invariant the test pins.  State per (group, batch) is a
+fixed-size binary (4 KiB at lgk=12), so the log grows O(groups x
+batches) regardless of event volume; periodic major compaction folds
+the log into one row per group with the same union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketches import HLL_LGK
+
+
+class ReachViewSink:
+    """foreachBatch sink maintaining per-(day, event_type) distinct-user
+    reach.  Batch replay replaces the batch's own log partition
+    (dynamic partition overwrite), so the view is exactly-once."""
+
+    def __init__(self, log_path: str, out_path: str, lgk: int = HLL_LGK):
+        self.log_path = log_path
+        self.out_path = out_path
+        self.lgk = lgk
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        contrib = (
+            batch_df.groupBy(
+                F.date_trunc("day", "ts").alias("day"), "event_type"
+            )
+            .agg(
+                F.hll_sketch_agg("user_id", F.lit(self.lgk)).alias(
+                    "reach_sketch"
+                )
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        (
+            contrib.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.log_path)
+        )
+        spark = batch_df.sparkSession
+        merged = F.hll_union_agg(F.col("reach_sketch"), F.lit(True))
+        view = (
+            spark.read.parquet(self.log_path)
+            .groupBy("day", "event_type")
+            .agg(
+                merged.alias("reach_sketch"),
+                F.hll_sketch_estimate(merged).cast("long").alias("reach_est"),
+            )
+        )
+        view.write.mode("overwrite").parquet(self.out_path)

@@ -871,3 +871,31 @@ def test_cdc_latest_state_replay_idempotent(spark, event_rows, tmpdir):
         tuple(r) for r in spark.read.parquet(f"{tmpdir}/cdc_out").collect()
     )
     assert once == twice
+
+
+def test_streaming_reach_view_equals_batch_sketch(spark, sf_dir, event_rows, tmpdir):
+    """Mergeable-sketch maintenance: the streamed per-(day, type) HLL
+    reach view (per-batch sketch parts + register-wise union) must be
+    BIT-IDENTICAL in estimate to sketching the full table in one batch
+    pass — the union-of-parts == sketch-of-whole invariant, end-to-end
+    through the foreachBatch log."""
+    from beam_scala_examples_spark.operators.sketches import hll_reach
+    from beam_scala_examples_spark.streaming.sketchview import ReachViewSink
+    from beam_scala_examples_spark.tables import load
+
+    stream = _feed(spark, event_rows, tmpdir, chunk_size=300)
+    sink = ReachViewSink(f"{tmpdir}/reach_log", f"{tmpdir}/reach_out")
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(
+        (r.day, r.event_type, r.reach_est)
+        for r in spark.read.parquet(f"{tmpdir}/reach_out").collect()
+    )
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "event_type", "user_id"
+    )
+    expected = sorted(
+        (r.day, r.event_type, r.reach_est)
+        for r in hll_reach(ev, ["day", "event_type"], "user_id").collect()
+    )
+    assert got == expected
