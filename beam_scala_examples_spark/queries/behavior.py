@@ -406,3 +406,59 @@ ORACLE["events_scd2"] = """
                IS NULL AS is_current
     FROM events
 """
+
+
+ACTIVITY_WINDOW_DAYS = 7
+
+
+def events_user_activity_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling engagement: for each day a user is active, the
+    number of distinct active days in the trailing 7-day window — the
+    RANGE-frame window shape (frame bounded by *values* of the order
+    key, not row offsets, so gaps in a user's history count correctly).
+
+    Scale: events collapse to one row per (user, day) FIRST, so the
+    window input is O(user-days), not O(events) — the same
+    pre-aggregate-before-window discipline as the daily revenue query;
+    then one shuffle on user_id and a per-user frame bounded by 7
+    values.  Day arithmetic rides exact integer epoch days."""
+    ev = load(spark, sf_dir, "events")
+    user_days = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .distinct()
+        .withColumn("day_num", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rangeBetween(-(ACTIVITY_WINDOW_DAYS - 1), 0)
+    )
+    return user_days.select(
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(w).alias("active_days_7d"),
+    )
+
+
+QUERIES["events_user_activity_7d"] = events_user_activity_7d
+
+ORACLE["events_user_activity_7d"] = f"""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS day
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, day, datediff('day', DATE '1970-01-01', day) AS day_num
+        FROM user_days
+    )
+    SELECT user_id, day,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY day_num
+               RANGE BETWEEN {ACTIVITY_WINDOW_DAYS - 1} PRECEDING
+                     AND CURRENT ROW
+           )::BIGINT AS active_days_7d
+    FROM numbered
+"""

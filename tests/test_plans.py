@@ -370,3 +370,13 @@ def test_random_projection_is_map_only(plans):
     p = plans("emb_random_projection")
     assert "Exchange" not in p
     assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_activity_window_is_range_frame_over_preagg(plans):
+    """Rolling 7-day activity: a RANGE frame (value-bounded, so gaps in
+    a user's history count correctly) whose input is the pre-aggregated
+    user-day relation, never raw events — the first exchange carries
+    map-side-deduped user-days."""
+    p = plans("events_user_activity_7d")
+    assert "RangeFrame" in p
+    assert "HashAggregate" in p
