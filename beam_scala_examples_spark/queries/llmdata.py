@@ -2329,3 +2329,67 @@ ORACLE["dedup_containment_pairs"] = f"""
     JOIN sizes s2 ON inter.doc2 = s2.doc_id
     WHERE i * 1.0 / least(s1.n, s2.n) >= {CONTAINMENT_THRESHOLD}
 """
+
+
+# Epoch weights in percent: >100 oversamples (whole copies + a
+# hash-deterministic fractional copy), <100 downsamples, absent drops.
+EPOCH_WEIGHTS = {"src0": 250, "src1": 130, "src2": 100, "src3": 60}
+
+
+def sample_epoch_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction with oversampling: a source weighted w%
+    contributes floor(w/100) full copies of every doc plus one more for
+    the hash-chosen (w mod 100)% — how high-quality domains are repeated
+    across training epochs while bulk crawl is thinned, in one op.
+    Complements ``sample_by_source`` (thin-only) and
+    ``sample_cap_per_source`` (hard cap); the copy index is emitted so a
+    downstream packer can spread repeats across epochs.
+
+    Deterministic: the fractional copy rides the same md5 bucket as the
+    other sampling ops — reproducible anywhere, no RNG re-deal.  Scale:
+    map-only; the explode happens inside the scan stage (narrow), and
+    output volume is exactly the mixture's token budget by construction.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = [x for kv in EPOCH_WEIGHTS.items() for x in kv]
+    weights = F.create_map(*[F.lit(x) for x in pairs])
+    bucket = F.expr(_SPARK_H.format(col="cast(doc_id as string)")) % 100
+    n_copies = (F.col("w") / 100).cast("int") + (
+        bucket < F.col("w") % 100
+    ).cast("int")
+    return (
+        docs.withColumn("w", F.coalesce(weights[F.col("source")], F.lit(0)))
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias(
+                "copy"
+            ),
+        )
+    )
+
+
+QUERIES["sample_epoch_oversample"] = sample_epoch_oversample
+
+_EPOCH_W_CASE = " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in EPOCH_WEIGHTS.items()
+)
+
+ORACLE["sample_epoch_oversample"] = f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CASE source {_EPOCH_W_CASE} ELSE 0 END AS w,
+               {_DUCK_H.format(col="doc_id::VARCHAR")} % 100 AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source,
+               (w // 100) + CASE WHEN b < (w % 100) THEN 1 ELSE 0 END AS n
+        FROM d
+    )
+    SELECT doc_id, source, unnest(generate_series(0, (n - 1)::INT))::INT
+               AS copy
+    FROM c WHERE n > 0
+"""
