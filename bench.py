@@ -68,6 +68,8 @@ HEADLINE = [
     "emb_random_projection",
     "dedup_containment_pairs",
     "star_copurchase_pairs",
+    "events_user_activity_7d",
+    "sample_epoch_oversample",
 ]
 
 

@@ -294,3 +294,21 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
         {f.split("window_start=")[1].split("/")[0] for f in back.inputFiles()}
     )
     assert n_days > 1  # there was something to prune
+
+
+def test_epoch_us_handles_both_timestamp_types(spark):
+    """The driver fixtures have shipped both TIMESTAMP (round 1 nanos
+    path) and TIMESTAMP_NTZ (round 2 tz-naive micros) — epoch_us must
+    return identical exact micros for either representation of the same
+    wall-clock instant under the engine's UTC sessions."""
+    from beam_scala_examples_spark.operators.windows import epoch_us
+
+    df = spark.sql(
+        "SELECT TIMESTAMP'2024-01-01 00:00:01.5' AS ltz,"
+        "       TIMESTAMP_NTZ'2024-01-01 00:00:01.5' AS ntz"
+    )
+    row = df.select(
+        epoch_us("ltz").alias("a"), epoch_us("ntz").alias("b")
+    ).first()
+    expected = 1704067201500000
+    assert row.a == expected and row.b == expected
