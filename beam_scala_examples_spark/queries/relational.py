@@ -956,3 +956,71 @@ ORACLE["star_copurchase_pairs"] = f"""
     ORDER BY n_orders DESC, part1, part2
     LIMIT {BASKET_TOP_N}
 """
+
+
+RFM_TILES = 4
+
+
+def star_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile each customer on Recency
+    (latest order date), Frequency (order count) and Monetary (exact
+    cents spend), and emit the composite segment code — the standard
+    marketing-analytics cut, and the multi-window shape (three ntile
+    rankings over one aggregated relation) the suite lacked.
+
+    Scale: orders pre-aggregate to one row per customer FIRST (one
+    keyed shuffle with map-side combine); the three global ntile
+    windows then rank the per-customer relation, which is O(customers),
+    not O(orders).  A truly global rank cannot avoid a single-partition
+    sort in any engine — the discipline is ranking the aggregate, never
+    the fact table.  All three tie orders are total (metric, custkey),
+    so tile edges are deterministic cross-engine."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("spend_cents"),
+    )
+    w_r = Window.orderBy(F.desc("last_order"), F.asc("c_custkey"))
+    w_f = Window.orderBy(F.desc("n_orders"), F.asc("c_custkey"))
+    w_m = Window.orderBy(F.desc("spend_cents"), F.asc("c_custkey"))
+    tiles = per_cust.select(
+        "c_custkey",
+        "n_orders",
+        "spend_cents",
+        F.ntile(RFM_TILES).over(w_r).cast("long").alias("r_tile"),
+        F.ntile(RFM_TILES).over(w_f).cast("long").alias("f_tile"),
+        F.ntile(RFM_TILES).over(w_m).cast("long").alias("m_tile"),
+    )
+    return tiles.withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_tile"), F.col("f_tile"), F.col("m_tile")
+        ),
+    )
+
+
+QUERIES["star_customer_rfm"] = star_customer_rfm
+
+ORACLE["star_customer_rfm"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey AS c_custkey,
+               max(o_orderdate) AS last_order,
+               count(*)::BIGINT AS n_orders,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS spend_cents
+        FROM orders GROUP BY 1
+    ),
+    tiles AS (
+        SELECT c_custkey, n_orders, spend_cents,
+               ntile({RFM_TILES}) OVER (
+                   ORDER BY last_order DESC, c_custkey)::BIGINT AS r_tile,
+               ntile({RFM_TILES}) OVER (
+                   ORDER BY n_orders DESC, c_custkey)::BIGINT AS f_tile,
+               ntile({RFM_TILES}) OVER (
+                   ORDER BY spend_cents DESC, c_custkey)::BIGINT AS m_tile
+        FROM per_cust
+    )
+    SELECT c_custkey, n_orders, spend_cents, r_tile, f_tile, m_tile,
+           r_tile::VARCHAR || f_tile::VARCHAR || m_tile::VARCHAR AS segment
+    FROM tiles
+"""
