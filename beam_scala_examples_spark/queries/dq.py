@@ -1,0 +1,149 @@
+"""Data-quality audit: declarative expectations evaluated as one pass
+per table — the pre-ingest gate a 100 TB pipeline runs before promoting
+a batch (null rates, domain ranges, uniqueness, referential integrity).
+
+Shape: each table's row-level rules compact into a single conditional
+aggregation (one scan, no shuffle beyond the final tiny agg); the
+referential-integrity checks are anti-join counts with the dimension
+side broadcast at fixture scale and AQE-chosen beyond.  Output is one
+row per rule — (table, rule, n_checked, n_violations, pass) — so the
+report itself is O(rules), trivially collectable and diffable across
+runs at any data scale.
+
+The rule list is data, not code: ``ROW_RULES`` maps straight to both
+the Spark conditional aggregates and the DuckDB oracle, so adding an
+expectation is one tuple.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+# (table, rule_name, SQL predicate that GOOD rows satisfy) — the
+# predicate strings are shared verbatim between Spark and the oracle.
+ROW_RULES = (
+    ("orders", "totalprice_positive", "o_totalprice > 0"),
+    ("orders", "orderdate_in_range",
+     "o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'"
+     " AND o_orderdate < TIMESTAMP '2002-01-01 00:00:00'"),
+    ("orders", "custkey_not_null", "o_custkey IS NOT NULL"),
+    ("lineitem", "quantity_positive", "l_quantity > 0"),
+    ("lineitem", "discount_fraction",
+     "l_discount >= 0 AND l_discount <= 0.2"),
+    ("lineitem", "returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ("events", "value_not_null", "value IS NOT NULL"),
+    ("events", "type_domain",
+     "event_type IN ('click', 'error', 'purchase', 'signup', 'view')"),
+)
+
+
+def _row_rule_report(df: DataFrame, table: str) -> DataFrame:
+    """All of a table's row rules in ONE conditional aggregation pass."""
+    rules = [(r, p) for t, r, p in ROW_RULES if t == table]
+    aggs = [F.count(F.lit(1)).alias("n_checked")]
+    for rule, pred in rules:
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 0).otherwise(1)).alias(rule)
+        )
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into (rule, n_violations)
+    stack = F.expr(
+        "stack({n}, {args}) AS (rule, n_violations)".format(
+            n=len(rules),
+            args=", ".join(f"'{r}', {r}" for r, _ in rules),
+        )
+    )
+    return wide.select(F.lit(table).alias("tbl"), "n_checked", stack)
+
+
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full expectation report: row rules per table, plus
+    uniqueness and referential-integrity checks that need more than a
+    row predicate.  One row per rule."""
+    parts = [
+        _row_rule_report(load(spark, sf_dir, "orders"), "orders"),
+        _row_rule_report(load(spark, sf_dir, "lineitem"), "lineitem"),
+        _row_rule_report(load(spark, sf_dir, "events"), "events"),
+    ]
+
+    orders = load(spark, sf_dir, "orders")
+    # uniqueness: primary key must not repeat
+    dup = orders.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+    parts.append(
+        orders.agg(F.count(F.lit(1)).alias("n_checked")).crossJoin(
+            dup.agg(F.count(F.lit(1)).alias("n_violations"))
+        ).select(
+            F.lit("orders").alias("tbl"),
+            "n_checked",
+            F.lit("orderkey_unique").alias("rule"),
+            "n_violations",
+        )
+    )
+
+    # referential integrity: every order's customer must exist
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    orphans = orders.join(cust, "o_custkey", "left_anti")
+    parts.append(
+        orders.agg(F.count(F.lit(1)).alias("n_checked")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_violations"))
+        ).select(
+            F.lit("orders").alias("tbl"),
+            "n_checked",
+            F.lit("custkey_references_customer").alias("rule"),
+            "n_violations",
+        )
+    )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "tbl",
+        "rule",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("pass"),
+    )
+
+
+def _duck_row_rules(table: str) -> str:
+    rules = [(r, p) for t, r, p in ROW_RULES if t == table]
+    selects = [
+        f"SELECT '{table}' AS tbl, '{rule}' AS rule,"
+        f" count(*)::BIGINT AS n_checked,"
+        f" sum(CASE WHEN {pred} THEN 0 ELSE 1 END)::BIGINT AS n_violations"
+        f" FROM {table}"
+        for rule, pred in rules
+    ]
+    return " UNION ALL ".join(selects)
+
+
+ORACLE_SQL = f"""
+    WITH rows_report AS (
+        {_duck_row_rules("orders")}
+        UNION ALL {_duck_row_rules("lineitem")}
+        UNION ALL {_duck_row_rules("events")}
+        UNION ALL
+        SELECT 'orders', 'orderkey_unique', count(*)::BIGINT,
+               (SELECT count(*)::BIGINT FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY 1 HAVING count(*) > 1))
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'custkey_references_customer', count(*)::BIGINT,
+               (SELECT count(*)::BIGINT FROM orders o
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        FROM orders
+    )
+    SELECT tbl, rule, n_checked, n_violations, n_violations = 0 AS pass
+    FROM rows_report
+"""
+
+QUERIES = {"dq_report": dq_report}
+ORACLE = {"dq_report": ORACLE_SQL}
