@@ -184,3 +184,72 @@ def _oracle_kmeans() -> str:
 
 
 ORACLE = {"emb_kmeans": _oracle_kmeans()}
+
+
+SEMANTIC_THRESHOLD = 0.2  # same cosine bar as dedup_embedding_pairs
+
+
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup: near-duplicate pairs restricted to
+    vectors in the SAME k-means cluster — the composition of the
+    clustering step with exact-cosine verification.  Versus the
+    hyperplane-LSH candidate generator (``dedup_embedding_pairs``),
+    cluster buckets are data-adaptive: they follow the corpus's density
+    rather than fixed random cuts, the trade SemDeDup makes (recall
+    bounded by co-clustering, no hash tables).
+
+    Scale: candidate pairs are Σ|cluster|² — the k-means assignment IS
+    the bucketer, so the join keys on the cluster id and never goes
+    all-pairs; exact cosine then verifies inside each bucket, the same
+    verify-after-candidates discipline as every other dedup path."""
+    from .llmdata import _SPARK_DOT
+
+    assign = emb_kmeans(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = emb.join(assign, "vec_id").select(
+        "vec_id", "cluster", "embedding", norm.alias("nrm")
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    dot = F.expr(_SPARK_DOT.format(a="a.embedding", b="b.embedding"))
+    cos = dot / F.sqrt(F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMANTIC_THRESHOLD)
+        .select("v1", "v2", F.round("cos", 6).alias("cosine"))
+    )
+
+
+QUERIES["dedup_semantic_pairs"] = dedup_semantic_pairs
+
+
+def _oracle_semantic_pairs() -> str:
+    from .llmdata import _duck_dot
+
+    return f"""
+        WITH km AS ({_oracle_kmeans()}),
+        base AS (
+            SELECT e.vec_id, km.cluster, e.embedding,
+                   {_duck_dot("e.embedding", "e.embedding")} AS nrm
+            FROM embeddings e JOIN km USING (vec_id)
+        ),
+        p AS (
+            SELECT a.vec_id AS v1, b.vec_id AS v2,
+                   {_duck_dot("a.embedding", "b.embedding")}
+                       / sqrt(a.nrm * b.nrm) AS cos
+            FROM base a JOIN base b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        )
+        SELECT v1, v2, round(cos, 6) AS cosine
+        FROM p WHERE cos >= {SEMANTIC_THRESHOLD}
+    """
+
+
+ORACLE["dedup_semantic_pairs"] = _oracle_semantic_pairs()
