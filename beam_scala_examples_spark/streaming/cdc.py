@@ -71,3 +71,45 @@ class LatestStateSink:
             "last_ts",
         )
         compacted.write.mode("overwrite").parquet(self.out_path)
+
+
+class QuarantineSink:
+    """Dead-letter routing: per micro-batch, rows failing the DQ row
+    rules land in a quarantine table (with the failed rule name), clean
+    rows in the main table — both appends partitioned by batch_id with
+    dynamic partition overwrite, so a replayed batch replaces itself on
+    BOTH sides (the two writes stay consistent under retry).
+
+    The rule predicates are the same strings `queries/dq.py` evaluates
+    batch-side, so the stream gate and the audit report cannot drift.
+    At scale this is the standard ingest quarantine: the main table
+    only ever sees validated rows, and the quarantine table carries
+    enough context (rule, full row) to replay after a fix."""
+
+    def __init__(self, rules: list[tuple[str, str]], main_path: str,
+                 quarantine_path: str):
+        self.rules = rules          # [(rule_name, good-row predicate)]
+        self.main_path = main_path
+        self.quarantine_path = quarantine_path
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        failed = F.array_compact(
+            F.array(
+                *[
+                    F.when(~F.expr(pred), F.lit(name))
+                    for name, pred in self.rules
+                ]
+            )
+        )
+        tagged = batch_df.withColumn("failed_rules", failed).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        bad = tagged.filter(F.size("failed_rules") > 0)
+        good = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+        for df, path in ((good, self.main_path), (bad, self.quarantine_path)):
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )

@@ -70,6 +70,9 @@ HEADLINE = [
     "star_copurchase_pairs",
     "events_user_activity_7d",
     "sample_epoch_oversample",
+    "star_customer_rfm",
+    "dq_report",
+    "dedup_semantic_pairs",
 ]
 
 
