@@ -312,3 +312,30 @@ def test_epoch_us_handles_both_timestamp_types(spark):
     ).first()
     expected = 1704067201500000
     assert row.a == expected and row.b == expected
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution: a table whose newer partitions carry an added
+    column must read as the union schema with mergeSchema, old rows
+    NULL-filled — the append-only contract that lets a 100 TB table
+    gain columns without rewriting history. Pruned reads of old
+    partitions stay narrow (the new column never materializes there)."""
+    old = spark.range(3).select(
+        F.col("id").alias("k"), F.lit("v1").alias("a")
+    ).withColumn("part", F.lit(0))
+    new = spark.range(3, 6).select(
+        F.col("id").alias("k"),
+        F.lit("v2").alias("a"),
+        F.lit(42).alias("b"),
+    ).withColumn("part", F.lit(1))
+    path = str(tmp_path / "evolving")
+    old.write.partitionBy("part").parquet(path)
+    new.write.mode("append").partitionBy("part").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"k", "a", "b", "part"}
+    rows = {r.k: (r.a, r.b) for r in merged.collect()}
+    assert rows[0] == ("v1", None) and rows[5] == ("v2", 42)
+    # old-partition reads never touch the new column's (absent) data
+    old_only = merged.filter(F.col("part") == 0).select("k", "a")
+    assert old_only.count() == 3
