@@ -207,9 +207,16 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = emb_kmeans(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    prev = _KM_CACHE.pop("sem_base", None)
+    if prev is not None:
+        prev.unpersist()
+    # The self-join references this subplan twice and AQE does not reuse
+    # query stages across self-join aliases — persist the assigned base
+    # so the (Arrow-kernel) final assignment pass runs once, not twice.
     base = emb.join(assign, "vec_id").select(
         "vec_id", "cluster", "embedding", norm.alias("nrm")
-    )
+    ).persist()
+    _KM_CACHE["sem_base"] = base
     a = base.alias("a")
     b = base.alias("b")
     dot = F.expr(_SPARK_DOT.format(a="a.embedding", b="b.embedding"))
