@@ -930,3 +930,57 @@ def test_quarantine_sink_routes_and_matches_batch_rules(spark, sf_dir, event_row
     assert main_ids == expected_good
     assert quar_ids == expected_bad
     assert main_ids.isdisjoint(quar_ids)
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, event_rows, tmpdir):
+    """Recovery contract: a query restarted on the SAME checkpoint after
+    new chunks arrive must process only the unseen files — already-
+    consumed batches are not re-read (the source offset log), the
+    replay-idempotent sink absorbs any boundary overlap, and the final
+    serving view still equals the batch oracle over all rows."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from beam_scala_examples_spark.streaming import cdc
+    from beam_scala_examples_spark.streaming.sources import read_event_stream
+
+    half = len(event_rows) // 2
+    feed = f"{tmpdir}/feed"
+    write_arrival_chunks(event_rows[:half], 300, feed)
+    sink = cdc.LatestStateSink(f"{tmpdir}/cdc_log", f"{tmpdir}/cdc_out")
+    _run_stream(read_event_stream(spark, feed), "append", sink, tmpdir)
+    n_batches_run1 = (
+        spark.read.parquet(f"{tmpdir}/cdc_log")
+        .select("batch_id").distinct().count()
+    )
+
+    # new chunks arrive while the query is down (names continue the
+    # sequence; mtimes strictly later than run 1's files)
+    base = _time.time()
+    rows2 = event_rows[half:]
+    for n, i in enumerate(range(0, len(rows2), 300)):
+        path = _os.path.join(feed, f"chunk_1{n:04d}.json")
+        with open(path, "w") as f:
+            for r in rows2[i : i + 300]:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(path, (base + n, base + n))
+
+    # restart on the same checkpoint
+    _run_stream(read_event_stream(spark, feed), "append", sink, tmpdir)
+
+    log = spark.read.parquet(f"{tmpdir}/cdc_log")
+    n_batches_run2 = log.select("batch_id").distinct().count()
+    assert n_batches_run2 > n_batches_run1  # resumed, with NEW batch ids
+
+    got = sorted(
+        (r.user_id, r.last_event_id, r.last_type, r.last_ts)
+        for r in spark.read.parquet(f"{tmpdir}/cdc_out").collect()
+    )
+    con = duck_connect(sf_dir)
+    expected = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.sql(behavior.ORACLE["events_latest_state"]).fetchall()
+    )
+    con.close()
+    assert got == expected
