@@ -92,3 +92,60 @@ def connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
             break
     edges.unpersist(blocking=False)
     return labels, rounds
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int,
+    scale: int = 10**9,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """PageRank in exact integer fixed point (per-node normalization:
+    every node starts with ``scale`` units; classic PR times N).
+
+    ``edges`` is directed (src, dst) — pass both directions for an
+    undirected graph.  Every arithmetic step is integer (contribution =
+    rank DIV out-degree; damping = ``damp_num * sum DIV damp_den``), so
+    the result is bit-identical across engines, partitionings and
+    reruns — no float summation anywhere, the same determinism rule as
+    the cents/k-means fixed-point paths.  Nodes are the edge sources
+    (an undirected graph has deg >= 1 everywhere, so no dangling-mass
+    term).
+
+    Per iteration: one shuffle join (ranks onto edges by src) and one
+    partial-combined sum per dst — both keyed on node ids; ranks are
+    ``localCheckpoint``-ed per round (see module docstring for why).
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    nodes = deg.select(F.col("src").alias("node"))
+    base = (scale * (damp_den - damp_num)) // damp_den
+    ranks = nodes.withColumn(
+        "rank", F.lit(scale).cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contribs = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank DIV deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{damp_num} * coalesce(s, 0L) DIV {damp_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    deg.unpersist()
+    return ranks

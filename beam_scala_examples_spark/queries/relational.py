@@ -1024,3 +1024,82 @@ ORACLE["star_customer_rfm"] = f"""
            r_tile::VARCHAR || f_tile::VARCHAR || m_tile::VARCHAR AS segment
     FROM tiles
 """
+
+
+PR_ITERS = 5
+PR_SCALE = 10**9
+
+
+def star_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the co-purchase graph (parts are nodes,
+    orders containing both parts are edges) — "which parts anchor the
+    catalog" — the iterative graph-analytics shape beyond connected
+    components, in exact integer fixed point end to end
+    (``operators/graph.py::pagerank_int``), so even after
+    ``PR_ITERS`` iterations the ranks hash-match the oracle's unrolled
+    CTE chain exactly.
+
+    Scale: the edge list is the co-purchase pair relation (bounded by
+    Σ basket² per order, built co-partitioned on the order key); each
+    iteration is one ranks-onto-edges join plus one partial-combined
+    sum, both keyed on part ids.  Rank mass is per-node normalized
+    (classic PR × N) — the ordering, which is what centrality is for,
+    is unaffected."""
+    from ..operators.graph import pagerank_int
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_int(pairs, PR_ITERS, PR_SCALE)
+    return ranks.select(F.col("node").alias("part"), "rank")
+
+
+QUERIES["star_part_pagerank"] = star_part_pagerank
+
+
+def _oracle_pagerank() -> str:
+    base = (PR_SCALE * 15) // 100
+    parts = [
+        """e AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+        )""",
+        "deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1)",
+        f"r0 AS (SELECT src AS node, {PR_SCALE}::BIGINT AS rank FROM deg)",
+    ]
+    for t in range(PR_ITERS):
+        parts.append(f"""r{t + 1} AS (
+            SELECT n.node,
+                   ({base} + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
+            FROM (SELECT node FROM r0) n
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS s
+                FROM e
+                JOIN r{t} r ON e.src = r.node
+                JOIN deg d ON e.src = d.src
+                GROUP BY 1
+            ) s USING (node)
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f" SELECT node AS part, rank FROM r{PR_ITERS}"
+    )
+
+
+ORACLE["star_part_pagerank"] = _oracle_pagerank()

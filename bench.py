@@ -73,6 +73,7 @@ HEADLINE = [
     "star_customer_rfm",
     "dq_report",
     "dedup_semantic_pairs",
+    "star_part_pagerank",
 ]
 
 
