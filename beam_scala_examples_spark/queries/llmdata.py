@@ -2393,3 +2393,60 @@ ORACLE["sample_epoch_oversample"] = f"""
                AS copy
     FROM c WHERE n > 0
 """
+
+
+FUZZY_PREFIX_CHARS = 48
+FUZZY_MAX_EDITS = 24
+FUZZY_BAND_CHARS = 64
+
+
+def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution-shaped fuzzy dedup: document pairs whose
+    normalized text prefixes are within ``FUZZY_MAX_EDITS`` edit
+    distance — the fuzzy-match-with-blocking join every ER/record-
+    linkage pipeline runs, restated on the corpus.
+
+    Blocking discipline (the scale story of all ER): candidate pairs
+    come from an equi-join on cheap blocking keys — (lang, length
+    band) — so the quadratic edit-distance only runs inside blocks
+    (Σ|block|²), never corpus × corpus; the band width trades recall
+    near band edges for block size, exactly like the LSH band
+    parameterization.  Levenshtein on a fixed 48-char prefix bounds
+    per-pair cost regardless of document length."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.lower(F.substring("text", 1, FUZZY_PREFIX_CHARS)).alias("k"),
+        (F.col("n_chars") / FUZZY_BAND_CHARS).cast("long").alias("band"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    dist = F.levenshtein(F.col("a.k"), F.col("b.k"))
+    return (
+        a.join(b, ["lang", "band"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            dist.cast("long").alias("edits"),
+        )
+        .filter(F.col("edits") <= FUZZY_MAX_EDITS)
+    )
+
+
+QUERIES["dedup_fuzzy_pairs"] = dedup_fuzzy_pairs
+
+ORACLE["dedup_fuzzy_pairs"] = f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               lower(substr(text, 1, {FUZZY_PREFIX_CHARS})) AS k,
+               n_chars // {FUZZY_BAND_CHARS} AS band
+        FROM documents
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           levenshtein(a.k, b.k)::BIGINT AS edits
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.k, b.k) <= {FUZZY_MAX_EDITS}
+"""
