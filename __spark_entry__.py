@@ -20,8 +20,10 @@ from beam_scala_examples_spark.queries import ORACLE, QUERIES  # noqa: E402
 
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply engine-required session confs (the driver may hand us a bare
-    session; the testdata parquet uses TIMESTAMP(NANOS) which needs the
-    nanosAsLong legacy read, and all query semantics assume UTC)."""
+    session; all query semantics assume UTC, and the fixtures have
+    shipped TIMESTAMP(NANOS) parquet in past rounds — nanosAsLong keeps
+    that read path alive; current tz-naive micros read as TIMESTAMP_NTZ,
+    handled by ``tables.load`` + ``operators.windows.epoch_us``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")

