@@ -280,3 +280,48 @@ def test_dedup_incremental_exact_beats_near(spark, tmp_path):
     assert got[7] == (3, "exact", None)
     assert got[17][1] == "near" and got[17][0] == 23 and got[17][2] > 0.3
     assert got[27] == (None, "unique", None)
+
+
+def test_pagerank_rounds_do_not_reshuffle_edges(spark):
+    """The iterate-on-the-small-side contract: after the setup
+    repartition+persist, a round's contribution join must reuse the
+    edge list's in-memory partitioning — the only runtime-required
+    exchange (ENSURE_REQUIREMENTS) is the O(nodes) rank side; the
+    persisted edges and the degree aggregate ride the cache's
+    REPARTITION_BY_COL partitioning with no re-shuffle."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from beam_scala_examples_spark.operators.graph import pagerank_int
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    pairs = [(i, i + 1) for i in range(50)] + [(i + 1, i) for i in range(50)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    e = edges.repartition("src").persist()
+    try:
+        e.count()
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        ranks = deg.select(F.col("src").alias("node")).withColumn(
+            "rank", F.lit(10**9).cast("long")
+        ).localCheckpoint(eager=True)
+        per_src = ranks.withColumnRenamed("node", "src").join(deg, "src") \
+            .select("src", F.expr("rank DIV deg").alias("c"))
+        plan = e.join(per_src, "src")._jdf.queryExecution() \
+            .executedPlan().toString()
+        ensure = _re.findall(
+            r"Exchange hashpartitioning\(src#\d+L?, \d+\), ENSURE_REQUIREMENTS",
+            plan,
+        )
+        assert len(ensure) == 1, plan  # rank side only; edges never re-shuffle
+        assert "InMemoryTableScan" in plan
+
+        # end-to-end mass invariant: integer floors only lose mass, so
+        # 0 < sum(rank) <= N * scale after any number of rounds
+        n = 51
+        total = pagerank_int(edges, 3).agg(F.sum("rank")).first()[0]
+        assert 0 < total <= n * 10**9
+    finally:
+        e.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
