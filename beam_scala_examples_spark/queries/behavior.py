@@ -462,3 +462,87 @@ ORACLE["events_user_activity_7d"] = f"""
            )::BIGINT AS active_days_7d
     FROM numbered
 """
+
+
+FUNNEL_CONVERSION_DAYS = 7
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: like ``events_funnel`` but each stage
+    must land within ``FUNNEL_CONVERSION_DAYS`` of the previous one —
+    the form product analytics actually reports ("viewed within a week
+    of signup, purchased within a week of that").  Greedy
+    earliest-match semantics (each stage takes its first qualifying
+    event), the standard definition.  Same single-shuffle shape: the
+    window bound is one more predicate on the per-user array filter."""
+    s1, s2, s3 = FUNNEL_STAGES
+    bound = F.expr(f"INTERVAL {FUNNEL_CONVERSION_DAYS} DAYS")
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s1, F.col("ts"))).alias("t1"),
+        F.collect_list(
+            F.when(
+                F.col("event_type").isin(s2, s3),
+                F.struct("ts", "event_type"),
+            )
+        ).alias("later"),
+    )
+
+    def _next_within(prev_col: str, etype: str) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.filter(
+                    F.col("later"),
+                    lambda e: (e["event_type"] == etype)
+                    & F.col(prev_col).isNotNull()
+                    & (e["ts"] > F.col(prev_col))
+                    & (e["ts"] <= F.col(prev_col) + bound),
+                ),
+                lambda e: e["ts"],
+            )
+        )
+
+    staged = per_user.withColumn("t2", _next_within("t1", s2)).withColumn(
+        "t3", _next_within("t2", s3)
+    )
+    return staged.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("reached_signup"),
+        F.count("t2").alias("reached_view"),
+        F.count("t3").alias("reached_purchase"),
+    )
+
+
+QUERIES["events_funnel_windowed"] = events_funnel_windowed
+
+ORACLE["events_funnel_windowed"] = f"""
+    WITH t1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}'
+                        THEN ts END) AS t1
+        FROM events GROUP BY 1
+    ),
+    t2 AS (
+        SELECT t1.user_id, t1.t1,
+               min(CASE WHEN e.event_type = '{FUNNEL_STAGES[1]}'
+                        AND e.ts > t1.t1
+                        AND e.ts <= t1.t1 + INTERVAL {FUNNEL_CONVERSION_DAYS} DAY
+                        THEN e.ts END) AS t2
+        FROM t1 LEFT JOIN events e ON e.user_id = t1.user_id
+        GROUP BY 1, 2
+    ),
+    t3 AS (
+        SELECT t2.user_id, t2.t1, t2.t2,
+               min(CASE WHEN e.event_type = '{FUNNEL_STAGES[2]}'
+                        AND e.ts > t2.t2
+                        AND e.ts <= t2.t2 + INTERVAL {FUNNEL_CONVERSION_DAYS} DAY
+                        THEN e.ts END) AS t3
+        FROM t2 LEFT JOIN events e ON e.user_id = t2.user_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           count(t1)::BIGINT AS reached_signup,
+           count(t2)::BIGINT AS reached_view,
+           count(t3)::BIGINT AS reached_purchase
+    FROM t3
+"""
