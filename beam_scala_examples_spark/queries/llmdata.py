@@ -2454,3 +2454,50 @@ ORACLE["dedup_fuzzy_pairs"] = f"""
       ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
     WHERE levenshtein(a.k, b.k) <= {FUZZY_MAX_EDITS}
 """
+
+
+def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration: the Gini coefficient of token mass across
+    sources — the one-number answer to "is the mixture dominated by a
+    few domains?", the monitoring twin of the cap/oversample mixture
+    ops.  G = (2*Σ(i*x_i) - (n+1)*Σx_i) / (n*Σx_i) over ascending-
+    ranked per-source token totals: every term is exact int64 until the
+    single final division (ties contribute the same Σi*x under any
+    permutation, so the rank's tie order cannot change the result).
+
+    Scale: one map-side-combined aggregation to O(sources) rows; the
+    rank window runs on that tiny relation, never the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.expr(_SPARK_TOKS)
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("long").alias("x")
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("source"))
+    ranked = per_source.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("x"))
+             - (F.count("*") + 1) * F.sum("x"))
+            / (F.count("*") * F.sum("x")),
+            6,
+        ).alias("gini"),
+    )
+
+
+QUERIES["corpus_source_gini"] = corpus_source_gini
+
+ORACLE["corpus_source_gini"] = f"""
+    WITH per_source AS (
+        SELECT source, sum(len({_DUCK_TOKS}))::BIGINT AS x
+        FROM documents GROUP BY 1
+    ),
+    ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x, source)::BIGINT AS i
+        FROM per_source
+    )
+    SELECT count(*)::BIGINT AS n_sources,
+           round((2 * sum(i * x) - (count(*) + 1) * sum(x))
+                 * 1.0 / (count(*) * sum(x)), 6) AS gini
+    FROM ranked
+"""
