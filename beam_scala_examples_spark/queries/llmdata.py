@@ -2501,3 +2501,66 @@ ORACLE["corpus_source_gini"] = f"""
                  * 1.0 / (count(*) * sum(x)), 6) AS gini
     FROM ranked
 """
+
+
+def text_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe percentile transform: each document's corpus
+    percentile of token count, computed from a histogram ECDF — the
+    calibration step behind length-normalized quality gates ("drop the
+    shortest 5% per source" style policies).
+
+    The discipline: NEVER percent_rank over the fact table (a global
+    window is a global sort of the corpus).  Instead aggregate to the
+    O(distinct-lengths) histogram, running-sum THAT tiny relation, and
+    join the cumulative counts back — the join side is bounded by the
+    length domain, so the planner can broadcast it from size estimates
+    (no forced hint; it is data-dependent).  Every count is exact
+    int64; the single division happens last."""
+    docs = load(spark, sf_dir, "documents")
+    x = F.expr("size(filter(split(text, ' +'), x -> x <> ''))")
+    lengths = docs.select("doc_id", x.cast("long").alias("n_tokens"))
+    hist = lengths.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "n_tokens", F.sum("cnt").over(w).cast("long").alias("cum")
+    )
+    total = lengths.agg(F.count("*").alias("n_total"))
+    return (
+        lengths.join(cum, "n_tokens")
+        .join(F.broadcast(total))  # provably-1-row scalar (J4 pattern)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("cum") / F.col("n_total"), 6).alias(
+                "length_pctile"
+            ),
+        )
+    )
+
+
+QUERIES["text_length_percentile"] = text_length_percentile
+
+ORACLE["text_length_percentile"] = f"""
+    WITH lengths AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, ' +'),
+                               x -> x <> ''))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    hist AS (
+        SELECT n_tokens, count(*)::BIGINT AS cnt FROM lengths GROUP BY 1
+    ),
+    cum AS (
+        SELECT n_tokens,
+               sum(cnt) OVER (ORDER BY n_tokens
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)::BIGINT AS cum
+        FROM hist
+    )
+    SELECT l.doc_id, l.n_tokens,
+           round(c.cum * 1.0 / (SELECT count(*) FROM lengths), 6)
+               AS length_pctile
+    FROM lengths l JOIN cum c USING (n_tokens)
+"""

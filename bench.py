@@ -75,6 +75,9 @@ HEADLINE = [
     "dedup_semantic_pairs",
     "star_part_pagerank",
     "dedup_fuzzy_pairs",
+    "events_funnel_windowed",
+    "corpus_source_gini",
+    "text_length_percentile",
 ]
 
 
