@@ -99,6 +99,27 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # referential integrity on the fact table: lineitems must point at
+    # existing orders and parts (anti-join counts; the dim side is left
+    # to AQE size estimates, same hint policy as everywhere)
+    li = load(spark, sf_dir, "lineitem")
+    for rule, dim, key, dim_key in (
+        ("orderkey_references_orders", "orders", "l_orderkey", "o_orderkey"),
+        ("partkey_references_part", "part", "l_partkey", "p_partkey"),
+    ):
+        d = load(spark, sf_dir, dim).select(F.col(dim_key).alias(key))
+        orphan = li.join(d, key, "left_anti")
+        parts.append(
+            li.agg(F.count(F.lit(1)).alias("n_checked")).crossJoin(
+                orphan.agg(F.count(F.lit(1)).alias("n_violations"))
+            ).select(
+                F.lit("lineitem").alias("tbl"),
+                "n_checked",
+                F.lit(rule).alias("rule"),
+                "n_violations",
+            )
+        )
+
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -140,6 +161,18 @@ ORACLE_SQL = f"""
                 WHERE NOT EXISTS (
                     SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         FROM orders
+        UNION ALL
+        SELECT 'lineitem', 'orderkey_references_orders', count(*)::BIGINT,
+               (SELECT count(*)::BIGINT FROM lineitem l
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'partkey_references_part', count(*)::BIGINT,
+               (SELECT count(*)::BIGINT FROM lineitem l
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        FROM lineitem
     )
     SELECT tbl, rule, n_checked, n_violations, n_violations = 0 AS pass
     FROM rows_report
