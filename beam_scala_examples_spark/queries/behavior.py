@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.agg import cents
+from ..operators.windows import epoch_us
 from ..tables import load
 
 FUNNEL_STAGES = ("signup", "view", "purchase")
@@ -545,4 +546,112 @@ ORACLE["events_funnel_windowed"] = f"""
            count(t2)::BIGINT AS reached_view,
            count(t3)::BIGINT AS reached_purchase
     FROM t3
+"""
+
+
+SESSION_GAP_MINUTES = 30
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the raw event log: one row per (user,
+    30-min-gap session) with its start, event count and duration — the
+    W3 session operator applied to the engine's own events table rather
+    than the reference's gaming fixtures.
+
+    ``session_window`` merges an event into the open session iff its
+    timestamp falls strictly inside ``last_ts + gap`` (end-exclusive);
+    the DuckDB oracle reproduces exactly that with a gaps-and-islands
+    ``lag`` scan (new session when the gap is >= the threshold).
+
+    Scale: one shuffle on user_id (high-cardinality, balanced) and a
+    per-user timestamp sort bounded by that user's history — the same
+    plan at any corpus size; outputs ride exact integer epoch-us."""
+    ev = load(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id",
+        F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("sw"),
+    ).agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+    )
+    return sess.select(
+        "user_id",
+        epoch_us("first_ts").alias("session_start_us"),
+        "n_events",
+        (epoch_us("last_ts") - epoch_us("first_ts")).alias("duration_us"),
+    )
+
+
+QUERIES["events_sessions"] = events_sessions
+
+ORACLE["events_sessions"] = f"""
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w
+                            >= INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           count(*)::BIGINT AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us
+    FROM i GROUP BY user_id, sid
+"""
+
+
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every consecutive (prev_type -> next_type) pair, the
+    transition count and its share of the prev_type row in exact basis
+    points (integer division — order-independent, hash-stable).
+
+    Scale: the lag runs inside the per-user sort (one shuffle on
+    user_id); the transition matrix is |types|^2 rows, so the share
+    window costs nothing.  Ties are totally ordered by (ts, event_id)
+    on both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    return pairs.withColumn(
+        "share_bp", F.expr("(n * 10000) div sum(n) over (partition by prev_type)")
+    ).select("prev_type", "next_type", "n", "share_bp")
+
+
+QUERIES["events_type_transitions"] = events_type_transitions
+
+ORACLE["events_type_transitions"] = """
+    WITH p AS (
+        SELECT user_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type,
+               event_type AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, next_type, count(*)::BIGINT AS n
+        FROM p WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           ((n * 10000) // sum(n) OVER (PARTITION BY prev_type))::BIGINT
+               AS share_bp
+    FROM c
 """

@@ -216,6 +216,115 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 60-bit fingerprint for the Hamming-LSH pair search (15 md5 hex chars
+# fits a signed BIGINT in both engines); 4 bands of 15 bits each.  By
+# pigeonhole, any pair within SIMHASH_HAMMING_MAX=3 flipped bits leaves
+# at least one band untouched, so the banded candidate join has recall 1
+# for the <=3 ball and the result equals the brute-force pair set.
+SIMHASH_PAIR_BITS = 60
+SIMHASH_PAIR_BANDS = 4
+SIMHASH_HAMMING_MAX = 3
+_SPARK_H60 = "cast(conv(substr(md5({col}), 1, 15), 16, 10) as bigint)"
+_DUCK_H60 = "('0x' || substr(md5({col}), 1, 15))::BIGINT"
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within Hamming distance 3 of a 60-bit SimHash,
+    found by banding (Manku et al., WWW'07 shape) — never all-pairs.
+
+    The signature relation is O(docs) fixed-width rows; the candidate
+    join keys on (band, 15-bit bucket), cost sum over buckets of
+    |bucket|^2.  At 100 TB widen the fingerprint/bands (the constants
+    above) so bucket occupancy stays bounded; the plan is unchanged.
+    The signature subplan feeds both self-join sides, so it is persisted
+    once (exchange reuse does not fire across self-join aliases) with
+    the same one-live-entry discipline as ``dedup_minhash_pairs``.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("word"))
+        .distinct()
+        .withColumn("h", F.expr(_SPARK_H60.format(col="word")))
+    )
+    votes = (
+        toks.select(
+            "doc_id",
+            "h",
+            F.explode(
+                F.expr(f"sequence(0, {SIMHASH_PAIR_BITS - 1})")
+            ).alias("pos"),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(h, pos) & 1) = 1"), 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("cast(pow(2, pos) as bigint)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("sig")
+    )
+    prev = _MINHASH_CACHE.pop("simhash_sigs", None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    sig = sig.persist()
+    _MINHASH_CACHE["simhash_sigs"] = sig
+    width = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BANDS
+    mask = (1 << width) - 1
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(F.expr(f"sequence(0, {SIMHASH_PAIR_BANDS - 1})")).alias("band"),
+    ).withColumn("bucket", F.expr(f"shiftright(sig, band * {width}) & {mask}"))
+    a = bands.alias("a")
+    b = bands.alias("b").hint("SHUFFLE_HASH")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.expr("bit_count(a.sig ^ b.sig)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
+    )
+
+
+# Training-order shuffle: shard count is a demo parameter; on a cluster
+# set it to O(writer parallelism) — the plan (one hash shuffle + one
+# within-shard sort) is unchanged.
+SHUFFLE_SHARDS = 8
+
+
+def data_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training-order assignment: each
+    doc gets a content-stable pseudorandom key, a shard, and its position
+    within the shard — reproducible across reruns/engines (an RNG would
+    re-deal every run).
+
+    Scale posture: this is the scale-safe form of "ORDER BY random()" —
+    the work is one hash shuffle on ``shard`` plus a sort *within* each
+    shard (window over the shard partition), never a global single-node
+    sort.  Readers consume shards round-robin and observe a uniform
+    document order.
+    """
+    docs = load(spark, sf_dir, "documents")
+    key = F.expr(_SPARK_H.format(col="cast(doc_id as string)"))
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        docs.select(
+            "doc_id", key.alias("key"), (key % SHUFFLE_SHARDS).alias("shard")
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard near-dup pairs (the verify step after LSH).
 
@@ -1159,6 +1268,8 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "data_global_shuffle": data_global_shuffle,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_components": dedup_components,
@@ -1284,6 +1395,48 @@ ORACLE = {
                sum(CASE WHEN vote > 0 THEN power(2, pos)::BIGINT ELSE 0 END)::BIGINT
                    AS simhash
         FROM v GROUP BY doc_id
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH toks0 AS (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS word FROM documents
+        ),
+        toks AS (SELECT DISTINCT doc_id, word FROM toks0),
+        th AS (SELECT doc_id, {_DUCK_H60.format(col='word')} AS h FROM toks),
+        votes AS (
+            SELECT doc_id,
+                   unnest(generate_series(0, {SIMHASH_PAIR_BITS - 1})) AS pos,
+                   h
+            FROM th
+        ),
+        v AS (
+            SELECT doc_id, pos,
+                   sum(CASE WHEN ((h >> pos) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+            FROM votes GROUP BY doc_id, pos
+        ),
+        sig AS (
+            SELECT doc_id,
+                   sum(CASE WHEN vote > 0 THEN power(2, pos)::BIGINT
+                            ELSE 0 END)::BIGINT AS sig
+            FROM v GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               bit_count(xor(a.sig, b.sig))::INTEGER AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_HAMMING_MAX}
+    """,
+    "data_global_shuffle": f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   {_DUCK_H.format(col='doc_id::VARCHAR')} AS key
+            FROM documents
+        )
+        SELECT doc_id,
+               (key % {SHUFFLE_SHARDS})::BIGINT AS shard,
+               row_number() OVER (
+                   PARTITION BY key % {SHUFFLE_SHARDS}
+                   ORDER BY key, doc_id
+               )::INTEGER AS pos
+        FROM keyed
     """,
     "dedup_jaccard_pairs": f"""
         WITH {_duck_shingle_cte()},

@@ -1151,3 +1151,55 @@ ORACLE["star_monthly_growth"] = """
            END::BIGINT AS growth_bp
     FROM monthly
 """
+
+def star_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative revenue per market segment by month — the
+    year-to-date / lifetime-to-date window shape every finance dashboard
+    layers on the monthly cut.
+
+    Scale discipline: the fact table collapses to O(segments x months)
+    rows FIRST (orders shuffle once on custkey to pick up the segment,
+    then one keyed aggregate with map-side combine); the running-sum
+    window runs over that tiny relation partitioned by segment, so the
+    window input is bounded regardless of corpus size.  Money maths in
+    exact integer cents end-to-end."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return monthly.select(
+        "segment",
+        "month",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+    )
+
+
+QUERIES["star_cumulative_revenue"] = star_cumulative_revenue
+
+ORACLE["star_cumulative_revenue"] = """
+    WITH monthly AS (
+        SELECT c_mktsegment AS segment,
+               date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT segment, month, rev_cents,
+           sum(rev_cents) OVER (
+               PARTITION BY segment ORDER BY month
+               ROWS UNBOUNDED PRECEDING
+           )::BIGINT AS cum_rev_cents
+    FROM monthly
+"""

@@ -380,3 +380,40 @@ def test_activity_window_is_range_frame_over_preagg(plans):
     p = plans("events_user_activity_7d")
     assert "RangeFrame" in p
     assert "HashAggregate" in p
+
+
+def test_simhash_pairs_is_bucket_join(plans):
+    """Hamming-LSH pairs: the candidate join keys on (band, bucket) —
+    never a cartesian/broadcast-nested-loop all-pairs comparison."""
+    p = plans("dedup_simhash_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_global_shuffle_is_single_exchange(plans):
+    """Training-order shuffle: one hash exchange on shard + per-shard
+    sort — never a global single-partition sort (no rangepartitioning
+    on a 1-partition exchange, no Sort over an unpartitioned window)."""
+    p = plans("data_global_shuffle")
+    assert p.count("hashpartitioning(") == 1
+    assert "SinglePartition" not in p
+
+
+def test_events_sessions_single_shuffle(plans):
+    """Batch sessionization: one exchange on user_id; the session merge
+    runs inside the per-user sort, no join, no Python."""
+    p = plans("events_sessions")
+    assert p.count("hashpartitioning(") == 1
+    assert "Join" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_cumulative_revenue_window_over_preagg(plans):
+    """Running revenue: the window input is the (segment, month)
+    aggregate — HashAggregate below the Window, and the frame is
+    row-bounded (running sum), not a re-scan of orders."""
+    p = plans("star_cumulative_revenue")
+    assert "HashAggregate" in p
+    assert "Window" in p
+    assert "RangeFrame" not in p  # running sum = row frame
