@@ -655,3 +655,46 @@ ORACLE["events_type_transitions"] = """
                AS share_bp
     FROM c
 """
+
+
+ASOF_TS = "2024-01-15 12:00:00"
+
+
+def events_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state read: every user's latest event as of
+    ``ASOF_TS`` — the query the SCD2 dimension (``events_scd2``) exists
+    to answer, run directly against the log.
+
+    Plan shape: the as-of filter is pushed into the parquet scan, then
+    one shuffle on user_id with a rank-1 window that rides
+    WindowGroupLimit (each partition forwards one row per user, not the
+    user's history).  At 100 TB a day-partitioned log additionally
+    partition-prunes everything after the snapshot date."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.filter(F.col("ts") <= F.lit(ASOF_TS).cast("timestamp_ntz"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("asof_event_id"),
+            F.col("event_type").alias("asof_type"),
+            F.col("ts").alias("asof_ts"),
+        )
+    )
+
+
+QUERIES["events_asof_snapshot"] = events_asof_snapshot
+
+ORACLE["events_asof_snapshot"] = f"""
+    SELECT user_id, event_id AS asof_event_id, event_type AS asof_type,
+           ts AS asof_ts
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{ASOF_TS}'
+    ) WHERE rn = 1
+"""

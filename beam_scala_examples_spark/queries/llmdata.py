@@ -2717,3 +2717,189 @@ ORACLE["text_length_percentile"] = f"""
                AS length_pctile
     FROM lengths l JOIN cum c USING (n_tokens)
 """
+
+BPE_TOP_K = 50
+_SPARK_TOK_PAIRS = (
+    "CASE WHEN size(toks) >= 2 THEN"
+    " transform(sequence(0, size(toks) - 2),"
+    " i -> concat_ws(' ', toks[i], toks[i+1]))"
+    " ELSE array() END"
+)
+
+
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-token-pair counts over the corpus — the statistic a
+    BPE/WordPiece tokenizer trainer computes every merge round (the
+    highest-count pair becomes the next merge rule).
+
+    Scale shape: the pair stream is generated inside the scan stage
+    (narrow explode), aggregated with map-side combine, and the top-K
+    rides TakeOrdered (per-partition top-K then a K-row merge on the
+    driver) — never a global sort of the pair vocabulary.  Ties at the
+    cut are totally ordered by (count desc, pair)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.select(F.expr(_SPARK_TOKS).alias("toks")).select(
+        F.explode(F.expr(_SPARK_TOK_PAIRS)).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP_K)
+    )
+
+
+QUERIES["text_bpe_merge_candidates"] = text_bpe_merge_candidates
+
+ORACLE["text_bpe_merge_candidates"] = f"""
+    WITH t AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+    p AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1]
+               )) AS pair
+        FROM t WHERE len(toks) >= 2
+    )
+    SELECT pair, count(*)::BIGINT AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_TOP_K}
+"""
+
+
+BM25_QUERY = ("join", "vector", "stream")
+BM25_K = 20
+# k1 = 1.2, b = 0.75 as exact rationals: the per-term score
+#   idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/total_len))
+# multiplies out to
+#   idf_micro * 44*tf*total_len / (20*tf*total_len + 6*total_len + 18*dl*N)
+# — one IEEE division over exact integers, rounded once to micro-units,
+# so the per-doc sum is integer arithmetic (order-independent).
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-``BM25_K`` documents for a literal term query
+    — the lexical-search scoring loop of a RAG/data-curation stack, run
+    as one declarative plan.
+
+    Scale shape: document lengths and the query-term postings aggregate
+    with map-side combine (one shuffle each on doc_id); the df/N/avgdl
+    statistics are O(|query|) and broadcast; the final top-K is a
+    TakeOrdered over per-doc integer micro-scores.  All score products
+    stay below 2^53 for corpora up to ~10^12 tokens — beyond that,
+    rescale the micro unit."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("token")
+    )
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf_micro = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * 1e6
+    ).cast("long")
+    term_micro = F.round(
+        idf_micro
+        * (44.0 * F.col("tf") * F.col("total_len"))
+        / (
+            20 * F.col("tf") * F.col("total_len")
+            + 6 * F.col("total_len")
+            + 18 * F.col("dl") * F.col("n_docs")
+        )
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(dfq), "token")
+        .join(lens, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", term_micro.alias("tm"))
+        .groupBy("doc_id")
+        .agg(F.sum("tm").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(BM25_K)
+    )
+
+
+QUERIES["text_bm25_topk"] = text_bm25_topk
+
+ORACLE["text_bm25_topk"] = f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ),
+    lens AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY 1),
+    stats AS (
+        SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len
+        FROM lens
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*)::BIGINT AS tf
+        FROM t WHERE token IN {BM25_QUERY!r}
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    terms AS (
+        SELECT tf.doc_id,
+               round(
+                   round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * 1e6)
+                   * (44.0 * tf * total_len)
+                   / (20 * tf * total_len + 6 * total_len + 18 * dl * n_docs)
+               )::BIGINT AS tm
+        FROM tf
+        JOIN dfq USING (token)
+        JOIN lens USING (doc_id)
+        CROSS JOIN stats
+    )
+    SELECT doc_id, sum(tm)::BIGINT AS score_micro
+    FROM terms GROUP BY 1
+    ORDER BY score_micro DESC, doc_id LIMIT {BM25_K}
+"""
+
+
+MIX_ALPHA_SQRT = True  # alpha = 0.5: weight ∝ sqrt(corpus share)
+
+
+def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source (alpha = 0.5):
+    weight ∝ n_docs^alpha, normalized — the multilingual/multi-domain
+    rebalancing rule (upsample small sources, downsample bulk crawl)
+    that precedes mixture sampling.
+
+    Determinism: each source's sqrt rides one round to integer
+    micro-units; the normalizing total and the basis-point weights are
+    then exact integer arithmetic — no order-dependent float sum.
+    Scale: one count per source (map-side combine), then an O(sources)
+    unpartitioned window over the tiny aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    s_micro = F.round(F.sqrt(F.col("n_docs")) * 1e6).cast("long")
+    return (
+        counts.withColumn("s_micro", s_micro)
+        .withColumn(
+            "weight_bp",
+            F.expr("(s_micro * 10000) div sum(s_micro) over ()"),
+        )
+        .select("source", "n_docs", "weight_bp")
+    )
+
+
+QUERIES["sample_temperature_weights"] = sample_temperature_weights
+
+ORACLE["sample_temperature_weights"] = """
+    WITH counts AS (
+        SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+    ),
+    m AS (
+        SELECT source, n_docs,
+               round(sqrt(n_docs) * 1e6)::BIGINT AS s_micro
+        FROM counts
+    )
+    SELECT source, n_docs,
+           ((s_micro * 10000) // sum(s_micro) OVER ())::BIGINT AS weight_bp
+    FROM m
+"""

@@ -417,3 +417,26 @@ def test_cumulative_revenue_window_over_preagg(plans):
     assert "HashAggregate" in p
     assert "Window" in p
     assert "RangeFrame" not in p  # running sum = row frame
+
+
+def test_bpe_candidates_ride_take_ordered(plans):
+    """BPE merge candidates: the top-K is TakeOrdered (per-partition
+    top-K, K-row merge), never a global sort of the pair vocabulary."""
+    p = plans("text_bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_bm25_stats_broadcast_topk_partial(plans):
+    """BM25: the O(|query|) df/corpus statistics broadcast; the final
+    top-K is TakeOrdered over per-doc integer scores."""
+    p = plans("text_bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_asof_snapshot_pushdown_and_group_limit(plans):
+    """As-of snapshot: the time bound reaches the parquet scan and the
+    rank-1 window rides WindowGroupLimit."""
+    p = plans("events_asof_snapshot")
+    assert "PushedFilters: [IsNotNull(ts), LessThanOrEqual(ts," in p
+    assert "WindowGroupLimit" in p
