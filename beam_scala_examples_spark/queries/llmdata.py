@@ -198,22 +198,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("h", F.expr(_SPARK_H.format(col="word")))
     )
-    votes = (
-        toks.select("doc_id", "h", F.explode(F.expr("sequence(0, 15)")).alias("pos"))
-        .groupBy("doc_id", "pos")
-        .agg(
+    return _simhash_signatures(toks, 16).select(
+        "doc_id", F.col("sig").alias("simhash")
+    )
+
+
+def _simhash_signatures(toks: DataFrame, n_bits: int) -> DataFrame:
+    """(doc_id, h) token hashes → (doc_id, sig) SimHash signatures.
+
+    The per-bit majority votes are ``n_bits`` conditional sums inside ONE
+    HashAggregate (partial/final combine) — not an explode to
+    rows × n_bits, which at 60 bits would multiply the shuffled token
+    volume 60×.  The oracle keeps the literal per-bit unnest form; both
+    compute the same votes."""
+    votes = toks.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(shiftright(h, pos) & 1) = 1"), 1).otherwise(-1)
-            ).alias("vote")
-        )
+                F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(n_bits)
+        ]
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("cast(pow(2, pos) as bigint)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
-    )
+    packed = None
+    for i in range(n_bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return votes.select("doc_id", packed.cast("long").alias("sig"))
 
 
 # 60-bit fingerprint for the Hamming-LSH pair search (15 md5 hex chars
@@ -246,28 +256,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("h", F.expr(_SPARK_H60.format(col="word")))
     )
-    votes = (
-        toks.select(
-            "doc_id",
-            "h",
-            F.explode(
-                F.expr(f"sequence(0, {SIMHASH_PAIR_BITS - 1})")
-            ).alias("pos"),
-        )
-        .groupBy("doc_id", "pos")
-        .agg(
-            F.sum(
-                F.when(F.expr("(shiftright(h, pos) & 1) = 1"), 1).otherwise(-1)
-            ).alias("vote")
-        )
-    )
-    sig = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("cast(pow(2, pos) as bigint)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("sig")
-    )
+    sig = _simhash_signatures(toks, SIMHASH_PAIR_BITS)
     prev = _MINHASH_CACHE.pop("simhash_sigs", None)
     if prev is not None:
         prev.unpersist(blocking=False)

@@ -78,6 +78,12 @@ HEADLINE = [
     "events_funnel_windowed",
     "corpus_source_gini",
     "text_length_percentile",
+    "dedup_simhash_pairs",
+    "text_bm25_topk",
+    "text_bpe_merge_candidates",
+    "events_sessions",
+    "star_cumulative_revenue",
+    "events_asof_snapshot",
 ]
 
 

@@ -325,3 +325,46 @@ def test_pagerank_rounds_do_not_reshuffle_edges(spark):
     finally:
         e.unpersist()
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_simhash_band_recall_is_exhaustive(spark):
+    """Pigeonhole guarantee of the Hamming-LSH banding: for random
+    60-bit signatures, the (band, bucket) candidate join finds EVERY
+    pair within Hamming distance 3 — banding prunes candidates, never
+    true pairs."""
+    import itertools
+    import random
+
+    from beam_scala_examples_spark.queries.llmdata import (
+        SIMHASH_HAMMING_MAX,
+        SIMHASH_PAIR_BANDS,
+        SIMHASH_PAIR_BITS,
+    )
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(SIMHASH_PAIR_BITS) for _ in range(30)]
+    # plant near-dups: flip 0-3 random bits of existing signatures
+    sigs = list(base)
+    for s in base[:10]:
+        flipped = s
+        for b in rng.sample(range(SIMHASH_PAIR_BITS), rng.randint(0, 3)):
+            flipped ^= 1 << b
+        sigs.append(flipped)
+
+    width = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BANDS
+    mask = (1 << width) - 1
+
+    def bands(s):
+        return {(b, (s >> (b * width)) & mask) for b in range(SIMHASH_PAIR_BANDS)}
+
+    truth = {
+        (i, j)
+        for i, j in itertools.combinations(range(len(sigs)), 2)
+        if bin(sigs[i] ^ sigs[j]).count("1") <= SIMHASH_HAMMING_MAX
+    }
+    candidates = {
+        (i, j)
+        for i, j in itertools.combinations(range(len(sigs)), 2)
+        if bands(sigs[i]) & bands(sigs[j])
+    }
+    assert truth <= candidates
