@@ -2892,3 +2892,93 @@ ORACLE["sample_temperature_weights"] = """
            ((s_micro * 10000) // sum(s_micro) OVER ())::BIGINT AS weight_bp
     FROM m
 """
+
+
+# Prefix filtering (All-Pairs / PPJoin, Bayardo et al. WWW'07): for
+# Jaccard >= t, two shingle sets must share a token within their
+# prefixes of length n - ceil(t*n) + 1 under ANY shared total order.
+# t = 7/10 as an exact rational: ceil(0.7n) = (7n + 9) div 10 — no
+# float ceil at the prefix boundary (a one-off there silently costs
+# recall, not speed).
+PREFIX_JACCARD_T = 0.7
+
+
+def dedup_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold Jaccard pairs via prefix filtering — the
+    set-similarity-join technique that replaces the full shingle
+    self-join when the threshold is high: only each document's
+    ``n - ceil(t*n) + 1`` globally-rarest shingles participate in the
+    candidate join, and the exact Jaccard verify runs per candidate
+    pair on the two documents' own shingle arrays.
+
+    Scale shape: rarest-first ordering (by global shingle frequency)
+    makes the prefix join's buckets the corpus's *smallest* buckets;
+    candidate volume shrinks as t rises (at t=0.7 the prefix is ~30% of
+    each doc).  The verify step is bounded by each doc's own shingle
+    count — no second corpus-wide join.  Same oracle shape as
+    ``dedup_jaccard_pairs`` at the higher threshold: prefix filtering
+    is lossless by the prefix lemma."""
+    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    gfreq = sh.groupBy("shingle").agg(F.count("*").alias("gcnt"))
+    rk = Window.partitionBy("doc_id").orderBy("gcnt", "shingle")
+    prefix = (
+        sh.join(gfreq, "shingle")
+        .withColumn("rk", F.row_number().over(rk))
+        .join(sizes, "doc_id")
+        .filter(F.col("rk") <= F.col("n") - F.expr("(7 * n + 9) div 10") + 1)
+        .select("doc_id", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("toks"), F.count("*").alias("n")
+    )
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc1"),
+                F.col("toks").alias("t1"),
+                F.col("n").alias("n1"),
+            ),
+            "doc1",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc2"),
+                F.col("toks").alias("t2"),
+                F.col("n").alias("n2"),
+            ),
+            "doc2",
+        )
+        .withColumn("i", F.size(F.array_intersect("t1", "t2")))
+        .withColumn("jaccard", F.col("i") / (F.col("n1") + F.col("n2") - F.col("i")))
+        .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
+        .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+QUERIES["dedup_prefix_jaccard_pairs"] = dedup_prefix_jaccard_pairs
+
+ORACLE["dedup_prefix_jaccard_pairs"] = f"""
+    WITH {_duck_shingle_cte()},
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*)::BIGINT AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           round(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON doc1 = s1.doc_id
+    JOIN sizes s2 ON doc2 = s2.doc_id
+    WHERE i * 1.0 / (s1.n + s2.n - i) >= {PREFIX_JACCARD_T}
+"""

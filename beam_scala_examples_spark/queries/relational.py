@@ -1203,3 +1203,119 @@ ORACLE["star_cumulative_revenue"] = """
            )::BIGINT AS cum_rev_cents
     FROM monthly
 """
+
+TRIANGLE_MIN_SUPPORT = 2
+
+
+def star_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the co-purchase graph (edges = part
+    pairs co-bought in >= ``TRIANGLE_MIN_SUPPORT`` orders): edge, wedge
+    and triangle counts plus the global clustering coefficient in exact
+    basis points — the graph-cohesion report beside PageRank and
+    connected components.
+
+    Scale shape (the MPS/Cohen degree-ordering algorithm): every edge is
+    oriented from its lower-(degree, id) endpoint, so each wedge is
+    generated exactly once at its pivot and the per-node out-degree is
+    bounded by O(sqrt(m)) — the wedge join is sum of out-degree^2, not
+    sum of degree^2, which is what makes hub nodes survivable.  Closure
+    is one more equi-join against the canonical edge list; every count
+    is a single-row integer aggregate (closure = 3T/W in basis points,
+    exact integer division)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= TRIANGLE_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e_deg = (
+        edges.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("d", "du")
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"),
+            "v",
+        )
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = (
+        w1.join(w2, "src")
+        .filter(F.col("w1.dst") < F.col("w2.dst"))
+        .select(
+            F.col("w1.dst").alias("x"), F.col("w2.dst").alias("y")
+        )
+    )
+    closed = wedges.join(
+        edges,
+        (F.least("x", "y") == F.col("u")) & (F.greatest("x", "y") == F.col("v")),
+        "inner",
+    )
+    tri = closed.agg(F.count("*").alias("n_triangles"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    return (
+        n_edges.crossJoin(n_wedges)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr("(3 * n_triangles * 10000) div n_wedges").alias(
+                "closure_bp"
+            ),
+        )
+    )
+
+
+QUERIES["star_copurchase_triangles"] = star_copurchase_triangles
+
+ORACLE["star_copurchase_triangles"] = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    E AS (SELECT u, v FROM pairs WHERE n >= {TRIANGLE_MIN_SUPPORT}),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM E UNION ALL SELECT v FROM E
+        ) GROUP BY 1
+    ),
+    tri AS (
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM E ab JOIN E bc ON ab.v = bc.u
+        JOIN E ac ON ac.u = ab.u AND ac.v = bc.v
+    )
+    SELECT (SELECT count(*)::BIGINT FROM E) AS n_edges,
+           (SELECT sum(d * (d - 1) // 2)::BIGINT FROM deg) AS n_wedges,
+           n_triangles,
+           ((3 * n_triangles * 10000)
+            // (SELECT sum(d * (d - 1) // 2) FROM deg))::BIGINT AS closure_bp
+    FROM tri
+"""

@@ -440,3 +440,19 @@ def test_asof_snapshot_pushdown_and_group_limit(plans):
     p = plans("events_asof_snapshot")
     assert "PushedFilters: [IsNotNull(ts), LessThanOrEqual(ts," in p
     assert "WindowGroupLimit" in p
+
+
+def test_triangle_census_has_no_cartesian(plans):
+    """Triangle counting: wedge and closure joins are equi-joins on the
+    pivot/canonical-edge keys — no cartesian products anywhere."""
+    p = plans("star_copurchase_triangles")
+    assert "CartesianProduct" not in p
+
+
+def test_prefix_join_keys_on_shingle(plans):
+    """Prefix-filtered similarity join: candidates come from the prefix
+    shingle equi-join; the verify step joins candidate pairs to per-doc
+    arrays by doc_id — no all-pairs operator."""
+    p = plans("dedup_prefix_jaccard_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -368,3 +368,44 @@ def test_simhash_band_recall_is_exhaustive(spark):
         if bands(sigs[i]) & bands(sigs[j])
     }
     assert truth <= candidates
+
+
+def test_prefix_filter_recall_is_lossless(spark):
+    """Prefix lemma (All-Pairs/PPJoin): under a shared total token
+    order, every pair with Jaccard >= 0.7 shares a token within the
+    first n - ceil(0.7 n) + 1 tokens of each set — the engine's
+    rarest-first prefix join can prune candidates, never true pairs."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    universe = list(range(200))
+    sets = []
+    for _ in range(40):
+        base = rng.sample(universe, rng.randint(4, 30))
+        sets.append(set(base))
+        # plant a near-dup: drop up to 2 elements
+        twin = set(base)
+        for x in rng.sample(base, min(2, len(base) - 1)):
+            if rng.random() < 0.7:
+                twin.discard(x)
+        sets.append(twin)
+
+    # shared total order = (global frequency, token) as in the engine
+    freq = {}
+    for s in sets:
+        for x in s:
+            freq[x] = freq.get(x, 0) + 1
+
+    def prefix(s):
+        n = len(s)
+        plen = n - ((7 * n + 9) // 10) + 1
+        return set(sorted(s, key=lambda x: (freq[x], x))[:plen])
+
+    for s1, s2 in itertools.combinations(sets, 2):
+        if not s1 or not s2:
+            continue
+        inter = len(s1 & s2)
+        j = inter / (len(s1) + len(s2) - inter)
+        if j >= 0.7:
+            assert prefix(s1) & prefix(s2), (s1, s2, j)
