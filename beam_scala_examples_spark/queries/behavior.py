@@ -698,3 +698,52 @@ ORACLE["events_asof_snapshot"] = f"""
         FROM events WHERE ts <= TIMESTAMP '{ASOF_TS}'
     ) WHERE rn = 1
 """
+
+
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity score (0 = one-trick users, ln(5) = uniform).
+
+    Determinism: each type's term c*(ln T - ln c) is rounded once to
+    integer micro-nats; the per-user sum and the final divide by T are
+    then exact integer arithmetic — no order-dependent float sum
+    (same discipline as the log-frequency quality score).  Scale: two
+    hash aggregates on (user, type) then user — the |types|-bounded
+    inner relation makes the window-free form cheap at any size."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("user_id")
+    term_micro = F.round(
+        F.col("c") * (F.log(F.col("T")) - F.log(F.col("c"))) * 1e6
+    ).cast("long")
+    return (
+        per_type.withColumn("T", F.sum("c").over(w))
+        .withColumn("tm", term_micro)
+        .groupBy("user_id")
+        .agg(
+            F.first("T").alias("n_events"),
+            F.expr("sum(tm) div first(T)").alias("entropy_micro"),
+        )
+    )
+
+
+QUERIES["events_user_entropy"] = events_user_entropy
+
+ORACLE["events_user_entropy"] = """
+    WITH per_type AS (
+        SELECT user_id, event_type, count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+    ),
+    with_total AS (
+        SELECT user_id, c,
+               sum(c) OVER (PARTITION BY user_id) AS T
+        FROM per_type
+    )
+    SELECT user_id,
+           min(T)::BIGINT AS n_events,
+           (sum(round(c * (ln(T) - ln(c)) * 1e6)::BIGINT) // min(T))::BIGINT
+               AS entropy_micro
+    FROM with_total GROUP BY user_id
+"""

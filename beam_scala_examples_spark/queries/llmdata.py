@@ -2982,3 +2982,92 @@ ORACLE["dedup_prefix_jaccard_pairs"] = f"""
     JOIN sizes s2 ON doc2 = s2.doc_id
     WHERE i * 1.0 / (s1.n + s2.n - i) >= {PREFIX_JACCARD_T}
 """
+
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): draw ``WEIGHTED_SAMPLE_K`` documents with inclusion odds
+    proportional to length (n_chars) by ranking on -ln(u)/w with a
+    content-stable pseudorandom u — the length-weighted subcorpus
+    draw, reproducible across engines/reruns (an RNG would re-deal).
+
+    Scale shape: one map-side key computation, then a TakeOrdered
+    top-K — per-partition top-K and a K-row driver merge; the corpus
+    is never globally sorted.  u derives from the same md5 hash as
+    every other sampling op; ties broken by doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    h = _SPARK_H.format(col="cast(doc_id as string)")
+    key = F.expr(f"-ln(({h} + 1) / 4294967296.0) / n_chars")
+    return (
+        docs.select("doc_id", "source", key.alias("wkey"))
+        .orderBy("wkey", "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+        .select("doc_id", "source")
+    )
+
+
+QUERIES["sample_weighted_topk"] = sample_weighted_topk
+
+ORACLE["sample_weighted_topk"] = f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               -ln(({_DUCK_H.format(col='doc_id::VARCHAR')} + 1)
+                   / 4294967296.0) / n_chars AS wkey
+        FROM documents
+    )
+    ORDER BY wkey, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
+INDEX_TOP_TOKENS = 20
+POSTINGS_CAP = 20
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index for the corpus's ``INDEX_TOP_TOKENS`` most
+    frequent tokens: token -> document frequency + the first
+    ``POSTINGS_CAP`` doc_ids (sorted) — the posting-list build step of
+    lexical search, beside ``text_bm25_topk``'s scoring.
+
+    Scale shape: distinct (doc, token) then token counts (two hash
+    aggregates with partial combine); the top-token set is O(K) and
+    broadcast back, so postings are collected only for K tokens, each
+    capped — never a full-vocabulary collect_list."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("token")
+    ).distinct()
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    top = dfreq.orderBy(F.desc("df"), "token").limit(INDEX_TOP_TOKENS)
+    return (
+        toks.join(F.broadcast(top), "token")
+        .groupBy("token", "df")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP
+            ).alias("postings")
+        )
+        .select("token", "df", "postings")
+    )
+
+
+QUERIES["text_inverted_index"] = text_inverted_index
+
+ORACLE["text_inverted_index"] = f"""
+    WITH toks0 AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ),
+    toks AS (SELECT DISTINCT doc_id, token FROM toks0),
+    dfreq AS (SELECT token, count(*)::BIGINT AS df FROM toks GROUP BY 1),
+    top AS (
+        SELECT token, df FROM dfreq
+        ORDER BY df DESC, token LIMIT {INDEX_TOP_TOKENS}
+    )
+    SELECT t.token, top.df,
+           (list_sort(list(t.doc_id)))[1:{POSTINGS_CAP}] AS postings
+    FROM toks t JOIN top ON t.token = top.token
+    GROUP BY t.token, top.df
+"""

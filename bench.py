@@ -84,6 +84,11 @@ HEADLINE = [
     "events_sessions",
     "star_cumulative_revenue",
     "events_asof_snapshot",
+    "dedup_prefix_jaccard_pairs",
+    "star_copurchase_triangles",
+    "sample_weighted_topk",
+    "text_inverted_index",
+    "events_user_entropy",
 ]
 
 

@@ -984,3 +984,34 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, event_rows, tmpd
     )
     con.close()
     assert got == expected
+
+
+def test_streaming_sessions_match_batch(spark, sf_dir, event_rows, tmpdir):
+    """W3 on the events log: append-mode session_window sessions emitted
+    as the watermark closes them equal the batch gaps-and-islands
+    answer. A far-future sentinel (its own user) flushes the last open
+    sessions; its session is excluded from the compare."""
+    from beam_scala_examples_spark.streaming import sessions as ssx
+
+    sentinel = dict(event_rows[-1])
+    sentinel["event_id"] = 10_000_001
+    sentinel["user_id"] = 99_999_999
+    sentinel["ts"] = "2025-06-01 00:00:00"
+    stream = _feed(spark, event_rows + [sentinel], tmpdir, chunk_size=500)
+    got: list[tuple] = []
+
+    def sink(batch_df, _bid):
+        got.extend(
+            (r.user_id, r.session_start_us, r.n_events, r.duration_us)
+            for r in batch_df.collect()
+        )
+
+    _run_stream(ssx.user_sessions(stream), "append", sink, tmpdir)
+
+    con = duck_connect(sf_dir)
+    expected = sorted(
+        tuple(r) for r in con.sql(behavior.ORACLE["events_sessions"]).fetchall()
+    )
+    con.close()
+    got = sorted(t for t in got if t[0] != 99_999_999)
+    assert got == expected
