@@ -180,3 +180,63 @@ ORACLE_SQL = f"""
 
 QUERIES = {"dq_report": dq_report}
 ORACLE = {"dq_report": ORACLE_SQL}
+
+
+# (table, key column) pairs audited for join-key skew.
+SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report: for every audited (table, key), the row
+    count, distinct-key count, the heaviest key's row count and the
+    max/mean ratio in exact basis points — the diagnostic that tells an
+    operator which shuffles need AQE skew handling or salting BEFORE a
+    100 TB join runs (`operators/skew.py` is the remediation; this is
+    the detection).
+
+    Shape: one two-level aggregate per key (per-key counts with
+    map-side combine, then a 1-row max/sum reduce); the report is
+    O(keys) rows.  All ratios are integer arithmetic."""
+    outs = []
+    for table, key in SKEW_KEYS:
+        per_key = (
+            load(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count("*").alias("c"))
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(table).alias("table_name"),
+                F.lit(key).alias("key_name"),
+                F.sum("c").alias("n_rows"),
+                F.count("*").alias("n_keys"),
+                F.max("c").alias("max_key_rows"),
+                F.expr("(max(c) * count(*) * 10000) div sum(c)").alias(
+                    "skew_bp"
+                ),
+            )
+        )
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df
+
+
+QUERIES["dq_key_skew"] = dq_key_skew
+
+ORACLE["dq_key_skew"] = " UNION ALL ".join(
+    f"""
+    SELECT '{t}' AS table_name, '{k}' AS key_name,
+           sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+           max(c)::BIGINT AS max_key_rows,
+           ((max(c) * count(*) * 10000) // sum(c))::BIGINT AS skew_bp
+    FROM (SELECT {k}, count(*)::BIGINT AS c FROM {t} GROUP BY 1)
+    """
+    for t, k in SKEW_KEYS
+)

@@ -3071,3 +3071,77 @@ ORACLE["text_inverted_index"] = f"""
     FROM toks t JOIN top ON t.token = top.token
     GROUP BY t.token, top.df
 """
+
+
+def data_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit for the engine's own split
+    (``data_split_assign``): how many test documents share at least one
+    3-shingle with any train document — the leakage check a training
+    pipeline runs before trusting its eval numbers (the within-corpus
+    twin of ``text_contamination``, which screens against an external
+    benchmark).
+
+    Scale shape: the train shingle set is a semi-join-reduced projection
+    of the corpus shingle relation (never collected); leaked test docs
+    are one more semi join on the shingle key; the report is one row of
+    exact integers.  No broadcast hints — both sides are corpus-sized
+    and AQE must stay free to choose."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_H.format(col="cast(doc_id as string)")) % 100
+    split = docs.select(
+        "doc_id",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
+    train_shingles = sh.join(
+        split.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        "semi",
+    ).select("shingle").distinct()
+    test_docs = split.filter(F.col("split") == "test").select("doc_id")
+    leaked = (
+        sh.join(test_docs, "doc_id", "semi")
+        .join(train_shingles, "shingle", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    n_test = test_docs.agg(F.count("*").alias("n_test"))
+    n_leaked = leaked.agg(F.count("*").alias("n_leaked"))
+    return n_test.crossJoin(n_leaked).select(
+        "n_test",
+        "n_leaked",
+        F.expr("(n_leaked * 10000) div n_test").alias("leak_bp"),
+    )
+
+
+QUERIES["data_split_leakage"] = data_split_leakage
+
+ORACLE["data_split_leakage"] = f"""
+    WITH split AS (
+        SELECT doc_id,
+               CASE WHEN ({_DUCK_H.format(col='doc_id::VARCHAR')}) % 100
+                         < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN ({_DUCK_H.format(col='doc_id::VARCHAR')}) % 100
+                         < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    {_duck_shingle_cte()},
+    train_sh AS (
+        SELECT DISTINCT shingle FROM sh
+        WHERE doc_id IN (SELECT doc_id FROM split WHERE split = 'train')
+    ),
+    test_docs AS (SELECT doc_id FROM split WHERE split = 'test'),
+    leaked AS (
+        SELECT DISTINCT sh.doc_id FROM sh
+        WHERE sh.doc_id IN (SELECT doc_id FROM test_docs)
+          AND sh.shingle IN (SELECT shingle FROM train_sh)
+    )
+    SELECT (SELECT count(*)::BIGINT FROM test_docs) AS n_test,
+           (SELECT count(*)::BIGINT FROM leaked) AS n_leaked,
+           (((SELECT count(*) FROM leaked) * 10000)
+            // (SELECT count(*) FROM test_docs))::BIGINT AS leak_bp
+"""
