@@ -3145,3 +3145,153 @@ ORACLE["data_split_leakage"] = f"""
            (((SELECT count(*) FROM leaked) * 10000)
             // (SELECT count(*) FROM test_docs))::BIGINT AS leak_bp
 """
+
+
+PMI_TOP_K = 30
+
+
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the ``PMI_TOP_K`` most frequent bigrams with
+    their pointwise mutual information in integer micro-nats — the
+    statistic that separates true collocations ("machine learning")
+    from chance adjacency, the lexical companion to the BPE pair
+    counts.
+
+    Determinism: PMI = ln((c_xy/N_bi) / ((c_x/N_uni)(c_y/N_uni))) is one
+    ln over a rational of exact integers, rounded once to micro-nats;
+    row selection orders by (count desc, words) — integers only, so the
+    cut is boundary-safe.  Scale: bigram and unigram vocabularies
+    aggregate with map-side combine; the unigram relation joins the
+    top-K bigrams only (broadcast of K rows); totals are 1-row scalars."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.expr(_SPARK_TOKS).alias("toks"))
+    bigrams = (
+        toks.select(F.explode(F.expr(_SPARK_TOK_PAIRS)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+    )
+    unigrams = (
+        docs.select(F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_bi = bigrams.agg(F.sum("n").alias("n_bi"))
+    n_uni = unigrams.agg(F.sum("c").alias("n_uni"))
+    top = (
+        bigrams.orderBy(F.desc("n"), "pair")
+        .limit(PMI_TOP_K)
+        .withColumn("w1", F.expr("split_part(pair, ' ', 1)"))
+        .withColumn("w2", F.expr("split_part(pair, ' ', 2)"))
+    )
+    u1 = unigrams.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = unigrams.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        top.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_bi") * F.col("c1") * F.col("c2"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+
+
+QUERIES["text_bigram_pmi"] = text_bigram_pmi
+
+ORACLE["text_bigram_pmi"] = f"""
+    WITH t AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+    bi AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1]
+               )) AS pair
+        FROM t WHERE len(toks) >= 2
+    ),
+    bigrams AS (SELECT pair, count(*)::BIGINT AS n FROM bi GROUP BY 1),
+    uni AS (
+        SELECT unnest(toks) AS w FROM t
+    ),
+    unigrams AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+    top AS (
+        SELECT pair, n,
+               split_part(pair, ' ', 1) AS w1,
+               split_part(pair, ' ', 2) AS w2
+        FROM bigrams ORDER BY n DESC, pair LIMIT {PMI_TOP_K}
+    )
+    SELECT w1, w2, n,
+           round(ln((n * s.n_uni * s.n_uni * 1.0)
+                    / (s.n_bi * u1.c * u2.c)) * 1e6)::BIGINT AS pmi_micro
+    FROM top
+    JOIN unigrams u1 ON top.w1 = u1.w
+    JOIN unigrams u2 ON top.w2 = u2.w
+    CROSS JOIN (
+        SELECT (SELECT sum(n) FROM bigrams) AS n_bi,
+               (SELECT sum(c) FROM unigrams) AS n_uni
+    ) s
+"""
+
+
+def dedup_survivor_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-shift report after deduplication: per source, raw vs
+    surviving document counts, the survival rate, and the corpus share
+    before/after in exact basis points — the QA table that shows which
+    domains deduplication actually thins (template-heavy crawl shrinks,
+    curated text survives).
+
+    Shape: two per-source counts (raw corpus, ``dedup_survivors``
+    output) joined on the O(sources) key; totals ride a 1-row cross
+    join; every ratio is integer arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.groupBy("source").agg(F.count("*").alias("n_raw"))
+    surv = (
+        dedup_survivors(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_surv"))
+    )
+    totals = raw.agg(
+        F.sum("n_raw").alias("tot_raw")
+    ).crossJoin(surv.agg(F.sum("n_surv").alias("tot_surv")))
+    return (
+        raw.join(surv, "source", "left")
+        .withColumn("n_surv", F.coalesce("n_surv", F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_raw",
+            "n_surv",
+            F.expr("(n_surv * 10000) div n_raw").alias("survival_bp"),
+            F.expr("(n_raw * 10000) div tot_raw").alias("share_raw_bp"),
+            F.expr("(n_surv * 10000) div tot_surv").alias("share_surv_bp"),
+        )
+    )
+
+
+QUERIES["dedup_survivor_mixture"] = dedup_survivor_mixture
+
+ORACLE["dedup_survivor_mixture"] = f"""
+    WITH surv AS ({ORACLE["dedup_survivors"]}),
+    raw AS (SELECT source, count(*)::BIGINT AS n_raw FROM documents GROUP BY 1),
+    sv AS (SELECT source, count(*)::BIGINT AS n_surv FROM surv GROUP BY 1),
+    tot AS (
+        SELECT (SELECT sum(n_raw) FROM raw) AS tot_raw,
+               (SELECT sum(n_surv) FROM sv) AS tot_surv
+    )
+    SELECT raw.source, n_raw,
+           coalesce(n_surv, 0)::BIGINT AS n_surv,
+           ((coalesce(n_surv, 0) * 10000) // n_raw)::BIGINT AS survival_bp,
+           ((n_raw * 10000) // tot_raw)::BIGINT AS share_raw_bp,
+           ((coalesce(n_surv, 0) * 10000) // tot_surv)::BIGINT AS share_surv_bp
+    FROM raw LEFT JOIN sv ON raw.source = sv.source
+    CROSS JOIN tot
+"""
