@@ -3295,3 +3295,214 @@ ORACLE["dedup_survivor_mixture"] = f"""
     FROM raw LEFT JOIN sv ON raw.source = sv.source
     CROSS JOIN tot
 """
+
+
+DEDUP_CURVE_THRESHOLDS = (30, 40, 50, 60, 70, 80, 90)  # percent
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair count as a function of the Jaccard threshold — the
+    sensitivity curve a pipeline owner reads before picking the dedup
+    cutoff (too low merges topical docs, too high leaves templates).
+
+    One shingle self-join computes every candidate pair's exact Jaccard
+    once (the ``dedup_jaccard_pairs`` plan at its lowest threshold);
+    the curve is then a single conditional aggregation over that pair
+    relation — seven thresholds cost one scan, not seven joins."""
+    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b").hint("SHUFFLE_HASH")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    jacc = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc1"), "doc1")
+        .withColumnRenamed("n", "n1")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
+                "n", "n2"
+            ),
+            "doc2",
+        )
+        # integer predicate: J >= t/100  <=>  100*i >= t*(n1+n2-i)
+        .select("i", "n1", "n2")
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("i") * 100 >= t * (F.col("n1") + F.col("n2") - F.col("i")),
+                1,
+            ).otherwise(0)
+        ).alias(f"pairs_t{t}")
+        for t in DEDUP_CURVE_THRESHOLDS
+    ]
+    return jacc.agg(*aggs)
+
+
+QUERIES["dedup_threshold_curve"] = dedup_threshold_curve
+
+ORACLE["dedup_threshold_curve"] = f"""
+    WITH {_duck_shingle_cte()},
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*)::BIGINT AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT i, s1.n AS n1, s2.n AS n2
+        FROM inter
+        JOIN sizes s1 ON doc1 = s1.doc_id
+        JOIN sizes s2 ON doc2 = s2.doc_id
+    )
+    SELECT {", ".join(
+        f"sum(CASE WHEN i * 100 >= {t} * (n1 + n2 - i) THEN 1 ELSE 0 END)"
+        f"::BIGINT AS pairs_t{t}"
+        for t in DEDUP_CURVE_THRESHOLDS)}
+    FROM j
+"""
+
+
+def text_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document length and quality score,
+    from exact integer moments: both signals are fixed to integer units
+    (chars; score in cents), the five moments (n, Σx, Σy, Σxy, Σx²,
+    Σy²) accumulate as int64 — order-independent — and the single
+    float step is the final divide/sqrt, rounded once.  The
+    length-vs-quality sanity check run before using either signal as a
+    filter.  One aggregation pass; output is one row."""
+    q = text_quality_score(spark, sf_dir).select(
+        "doc_id", F.round(F.col("quality_score") * 100).cast("long").alias("y")
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("x")
+    )
+    m = (
+        docs.join(q, "doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(F.col("n").alias("n_docs"), F.round(r, 6).alias("pearson_r"))
+
+
+QUERIES["text_length_quality_corr"] = text_length_quality_corr
+
+ORACLE["text_length_quality_corr"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, ' +'), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_filter(toks, x -> x IN
+                   ({", ".join(repr(s) for s in STOPWORDS)}))) * 1.0
+                   / greatest(len(toks), 1) AS stop_ratio
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id,
+               round(round(ln(1.0 + n_tokens) * 0.2 + stop_ratio, 6) * 100)
+                   ::BIGINT AS y
+        FROM m
+    ),
+    xy AS (
+        SELECT d.n_chars AS x, q.y
+        FROM documents d JOIN q ON d.doc_id = q.doc_id
+    ),
+    mom AS (
+        SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+               sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+               sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        FROM xy
+    )
+    SELECT n AS n_docs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+                 6) AS pearson_r
+    FROM mom
+"""
+
+
+MIX_ORDER_SHARDS = 4
+
+
+def data_mixture_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleave of sources into a training
+    order: doc i of a source with temperature weight w_bp lands at
+    integer key ``pos * 10000 div w_bp`` — heavier sources emit denser
+    key sequences, so a reader consuming by (order_key, source, doc_id)
+    sees each source at its mixture rate without any RNG.  Composes
+    ``sample_temperature_weights`` (the rates) with the
+    ``data_global_shuffle`` discipline (hash-ordered positions).
+
+    Scale: the weight table is O(sources) and broadcast; positions are
+    one window per source (hash-ordered, per-source bounded); the
+    output carries the key — readers range-partition on it, the engine
+    never globally sorts."""
+    docs = load(spark, sf_dir, "documents")
+    weights = sample_temperature_weights(spark, sf_dir).select(
+        "source", "weight_bp"
+    )
+    h = F.expr(_SPARK_H.format(col="cast(doc_id as string)"))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("pos", F.row_number().over(w))
+        .join(F.broadcast(weights), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.expr("(cast(pos as bigint) * 10000) div weight_bp").alias(
+                "order_key"
+            ),
+        )
+    )
+
+
+QUERIES["data_mixture_order"] = data_mixture_order
+
+ORACLE["data_mixture_order"] = f"""
+    WITH counts AS (
+        SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+    ),
+    m AS (
+        SELECT source,
+               round(sqrt(n_docs) * 1e6)::BIGINT AS s_micro
+        FROM counts
+    ),
+    wt AS (
+        SELECT source,
+               ((s_micro * 10000) // sum(s_micro) OVER ())::BIGINT AS weight_bp
+        FROM m
+    ),
+    pos AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_DUCK_H.format(col='doc_id::VARCHAR')}, doc_id
+               )::BIGINT AS pos
+        FROM documents
+    )
+    SELECT doc_id, pos.source,
+           ((pos * 10000) // weight_bp)::BIGINT AS order_key
+    FROM pos JOIN wt ON pos.source = wt.source
+"""

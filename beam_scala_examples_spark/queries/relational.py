@@ -1319,3 +1319,46 @@ ORACLE["star_copurchase_triangles"] = f"""
             // (SELECT sum(d * (d - 1) // 2) FROM deg))::BIGINT AS closure_bp
     FROM tri
 """
+
+LATENCY_PCTS = (0.5, 0.9, 0.99)
+
+
+def star_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency p50/p90/p99 in days, per order priority —
+    the fulfillment-SLA cut of the star schema.
+
+    Exactness: latency is an integer day count (datediff), so both
+    engines interpolate exact percentiles between the same two
+    integers (the events_value_percentiles discipline).  Scale: the
+    orders→lineitem join shuffles on orderkey; the percentile groups
+    are value-bounded (5 priorities), so the sort-based exact
+    percentile stays cheap — switch to approx_percentile for
+    high-cardinality keys."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lat_days"),
+    )
+    aggs = [
+        F.expr(f"percentile(lat_days, {p})").alias(f"p{int(round(p * 100))}")
+        for p in LATENCY_PCTS
+    ]
+    return lat.groupBy("o_orderpriority").agg(*aggs)
+
+
+QUERIES["star_ship_latency_percentiles"] = star_ship_latency_percentiles
+
+ORACLE["star_ship_latency_percentiles"] = f"""
+    WITH lat AS (
+        SELECT o_orderpriority,
+               datediff('day', o_orderdate, l_shipdate)::BIGINT AS lat_days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           {", ".join(f"quantile_cont(lat_days, {p}) AS p{int(round(p * 100))}"
+                      for p in LATENCY_PCTS)}
+    FROM lat GROUP BY o_orderpriority
+"""
