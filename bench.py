@@ -89,6 +89,11 @@ HEADLINE = [
     "sample_weighted_topk",
     "text_inverted_index",
     "events_user_entropy",
+    "dq_key_skew",
+    "data_split_leakage",
+    "text_bigram_pmi",
+    "dedup_threshold_curve",
+    "star_ship_latency_percentiles",
 ]
 
 
