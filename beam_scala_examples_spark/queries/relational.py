@@ -1362,3 +1362,58 @@ ORACLE["star_ship_latency_percentiles"] = f"""
                       for p in LATENCY_PCTS)}
     FROM lat GROUP BY o_orderpriority
 """
+
+SETOPS_YEAR_A = 1996
+SETOPS_YEAR_B = 1997
+
+
+def star_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-base movement between two years via the SQL set
+    operators: customers ordering in A only (EXCEPT), B only, both
+    (INTERSECT) and either (UNION) — the churn/retention/acquisition
+    split every yearly business review opens with, and the engine's
+    INTERSECT/EXCEPT coverage (Catalyst plans them as distinct +
+    left-semi/left-anti joins on the shuffled key).
+
+    Scale: each side collapses to distinct custkeys first (map-side
+    combine), so the set operators join O(customers) rows, never
+    orders; output is one row of exact counts."""
+    orders = load(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a, b = year_keys(SETOPS_YEAR_A), year_keys(SETOPS_YEAR_B)
+    return (
+        a.subtract(b).agg(F.count("*").alias("only_a"))
+        .crossJoin(b.subtract(a).agg(F.count("*").alias("only_b")))
+        .crossJoin(a.intersect(b).agg(F.count("*").alias("both_years")))
+        .crossJoin(a.union(b).distinct().agg(F.count("*").alias("either_year")))
+    )
+
+
+QUERIES["star_customer_setops"] = star_customer_setops
+
+ORACLE["star_customer_setops"] = f"""
+    WITH a AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = {SETOPS_YEAR_A}
+    ),
+    b AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE year(o_orderdate) = {SETOPS_YEAR_B}
+    )
+    SELECT
+        (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+            ::BIGINT AS only_a,
+        (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+            ::BIGINT AS only_b,
+        (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+            ::BIGINT AS both_years,
+        (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+            ::BIGINT AS either_year
+"""
