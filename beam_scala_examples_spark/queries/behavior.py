@@ -747,3 +747,131 @@ ORACLE["events_user_entropy"] = """
                AS entropy_micro
     FROM with_total GROUP BY user_id
 """
+
+
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users completing the
+    signup→view and view→purchase funnel hops (greedy
+    earliest-match, the ``events_funnel`` staging), the p50/p90 of each
+    hop's latency in exact integer microseconds — the "how fast do
+    users move" report behind the funnel counts.
+
+    Exactness: latencies are integer epoch-us differences, so both
+    engines interpolate percentiles between the same two integers.
+    Scale: same single user_id shuffle as the funnel; the percentile
+    input is one row per converting user."""
+    s1, s2, s3 = FUNNEL_STAGES
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s1, F.col("ts"))).alias("t1"),
+        F.collect_list(
+            F.when(
+                F.col("event_type").isin(s2, s3),
+                F.struct("ts", "event_type"),
+            )
+        ).alias("later"),
+    )
+
+    def _next_after(prev_col: str, etype: str) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.filter(
+                    F.col("later"),
+                    lambda e: (e["event_type"] == etype)
+                    & F.col(prev_col).isNotNull()
+                    & (e["ts"] > F.col(prev_col)),
+                ),
+                lambda e: e["ts"],
+            )
+        )
+
+    staged = (
+        per_user.withColumn("t2", _next_after("t1", s2))
+        .withColumn("t3", _next_after("t2", s3))
+        .select(
+            (epoch_us("t2") - epoch_us("t1")).alias("hop1_us"),
+            (epoch_us("t3") - epoch_us("t2")).alias("hop2_us"),
+        )
+    )
+    return staged.agg(
+        F.count("hop1_us").alias("n_hop1"),
+        F.expr("percentile(hop1_us, 0.5)").alias("hop1_p50_us"),
+        F.expr("percentile(hop1_us, 0.9)").alias("hop1_p90_us"),
+        F.count("hop2_us").alias("n_hop2"),
+        F.expr("percentile(hop2_us, 0.5)").alias("hop2_p50_us"),
+        F.expr("percentile(hop2_us, 0.9)").alias("hop2_p90_us"),
+    )
+
+
+QUERIES["events_conversion_latency"] = events_conversion_latency
+
+ORACLE["events_conversion_latency"] = f"""
+    WITH t1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}'
+                        THEN ts END) AS t1
+        FROM events GROUP BY 1
+    ),
+    t2 AS (
+        SELECT t1.user_id, t1.t1,
+               min(CASE WHEN e.event_type = '{FUNNEL_STAGES[1]}'
+                        AND e.ts > t1.t1 THEN e.ts END) AS t2
+        FROM t1 LEFT JOIN events e ON e.user_id = t1.user_id
+        GROUP BY 1, 2
+    ),
+    t3 AS (
+        SELECT t2.user_id, t2.t1, t2.t2,
+               min(CASE WHEN e.event_type = '{FUNNEL_STAGES[2]}'
+                        AND e.ts > t2.t2 THEN e.ts END) AS t3
+        FROM t2 LEFT JOIN events e ON e.user_id = t2.user_id
+        GROUP BY 1, 2, 3
+    ),
+    hops AS (
+        SELECT epoch_us(t2) - epoch_us(t1) AS hop1_us,
+               epoch_us(t3) - epoch_us(t2) AS hop2_us
+        FROM t3
+    )
+    SELECT count(hop1_us)::BIGINT AS n_hop1,
+           quantile_cont(hop1_us, 0.5) AS hop1_p50_us,
+           quantile_cont(hop1_us, 0.9) AS hop1_p90_us,
+           count(hop2_us)::BIGINT AS n_hop2,
+           quantile_cont(hop2_us, 0.5) AS hop2_p50_us,
+           quantile_cont(hop2_us, 0.9) AS hop2_p90_us
+    FROM hops
+"""
+
+
+def events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: count and the
+    share of that type's week in exact basis points — the traffic-shape
+    baseline an anomaly monitor compares against.  One conditional
+    aggregate over (type, dow); integer arithmetic throughout (ISO
+    day-of-week, Monday=1, identical in both engines)."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow_raw")
+    ).agg(F.count("*").alias("n"))
+    # normalize Spark's Sunday=1 convention to ISO Monday=1
+    iso = (F.col("dow_raw") + 5) % 7 + 1
+    return (
+        counts.select(
+            "event_type", iso.cast("long").alias("dow"), "n"
+        )
+        .withColumn(
+            "share_bp", F.expr("(n * 10000) div sum(n) over (partition by event_type)")
+        )
+    )
+
+
+QUERIES["events_dow_profile"] = events_dow_profile
+
+ORACLE["events_dow_profile"] = """
+    WITH c AS (
+        SELECT event_type, isodow(ts)::BIGINT AS dow, count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, dow, n,
+           ((n * 10000) // sum(n) OVER (PARTITION BY event_type))::BIGINT
+               AS share_bp
+    FROM c
+"""

@@ -260,3 +260,72 @@ def _oracle_semantic_pairs() -> str:
 
 
 ORACLE["dedup_semantic_pairs"] = _oracle_semantic_pairs()
+
+
+def emb_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise squared L2 distance between per-label embedding
+    centroids, in integer micro units — the class-separation report
+    (which labels are embedding-space neighbors) consumed by labeling
+    QA and by IVF/k-means parameter choices.
+
+    Exactness: member coordinates quantize once to 2^20 fixed-point
+    longs, per-(label, dim) sums are exact integers, each dimension's
+    squared-mean-difference term is rounded once to micro units, and the
+    final per-pair sum is integer — no order-dependent float
+    accumulation anywhere (the k-means recompute discipline).  Scale:
+    the (label, dim) aggregate is |labels| x DIM rows; the pair join is
+    |labels|^2 — both trivially small at any corpus size; the corpus
+    itself is read once, narrowly."""
+    emb = load(spark, sf_dir, "embeddings")
+    sums = (
+        emb.select(
+            "label",
+            F.posexplode(
+                F.expr(
+                    f"transform(embedding,"
+                    f" x -> cast(round(cast(x as double) * {KM_SCALE}) as bigint))"
+                )
+            ).alias("pos", "q"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("c"))
+    )
+    a = sums.alias("a")
+    b = sums.alias("b")
+    term = F.round(
+        F.pow(
+            (F.col("a.s") / F.col("a.c") - F.col("b.s") / F.col("b.c"))
+            / KM_SCALE,
+            2,
+        )
+        * 1e6
+    ).cast("long")
+    return (
+        a.join(b, "pos")
+        .filter(F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            term.alias("tm"),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum("tm").alias("dist_sq_micro"))
+    )
+
+
+QUERIES["emb_label_centroid_dist"] = emb_label_centroid_dist
+
+ORACLE["emb_label_centroid_dist"] = f"""
+    WITH sums AS (
+        SELECT label, i AS pos,
+               sum(round(embedding[i]::DOUBLE * {KM_SCALE})::BIGINT) AS s,
+               count(*)::BIGINT AS c
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY 1, 2
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           sum(round(pow((a.s / a.c - b.s / b.c) / {KM_SCALE}, 2) * 1e6)
+               ::BIGINT)::BIGINT AS dist_sq_micro
+    FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2
+"""
