@@ -456,3 +456,28 @@ def test_prefix_join_keys_on_shingle(plans):
     p = plans("dedup_prefix_jaccard_pairs")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_sample_rides_take_ordered(plans):
+    """A-ES weighted sampling: map-only key + TakeOrdered — the corpus
+    is never globally sorted and never shuffled for a join."""
+    p = plans("sample_weighted_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
+
+
+def test_mixture_order_broadcasts_weights(plans):
+    """Weighted interleave: the O(sources) weight table broadcasts; the
+    only real exchange is the per-source position window."""
+    p = plans("data_mixture_order")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_centroid_dist_aggregates_before_pair_join(plans):
+    """Label-centroid distances: the corpus collapses to the
+    (label, dim) aggregate before any join — the pair join input is
+    |labels| x DIM, pinned by HashAggregate below the join."""
+    p = plans("emb_label_centroid_dist")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
