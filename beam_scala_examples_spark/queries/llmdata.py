@@ -3506,3 +3506,57 @@ ORACLE["data_mixture_order"] = f"""
            ((pos * 10000) // weight_bp)::BIGINT AS order_key
     FROM pos JOIN wt ON pos.source = wt.source
 """
+
+
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality harness for the MinHash-LSH candidate generator:
+    precision/recall of the banded candidate pairs against the exact
+    Jaccard >= threshold ground truth, in exact basis points — the
+    dedup twin of the ANN ``sim_*_recall`` harnesses (is 16 hashes /
+    8 bands enough for THIS corpus?).
+
+    Shape: both pair relations already exist as queries; the harness is
+    two counts plus a join-count on the (doc1, doc2) key — O(pairs),
+    trivial at any scale next to the joins that produced them."""
+    cand = dedup_minhash_pairs(spark, sf_dir).select("doc1", "doc2")
+    truth = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
+    hits = cand.join(truth, ["doc1", "doc2"], "semi")
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_truth = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_hits = hits.agg(F.count("*").alias("n_hits"))
+    return (
+        n_cand.crossJoin(n_truth)
+        .crossJoin(n_hits)
+        .select(
+            "n_candidates",
+            "n_true_pairs",
+            "n_hits",
+            F.expr("(n_hits * 10000) div n_candidates").alias("precision_bp"),
+            F.expr("(n_hits * 10000) div n_true_pairs").alias("recall_bp"),
+        )
+    )
+
+
+QUERIES["dedup_lsh_eval"] = dedup_lsh_eval
+
+ORACLE["dedup_lsh_eval"] = f"""
+    WITH cand AS ({{minhash_pairs}}),
+    truth AS (
+        SELECT doc1, doc2 FROM ({{jaccard_pairs}})
+    ),
+    hits AS (
+        SELECT c.doc1, c.doc2 FROM cand c
+        JOIN truth t ON c.doc1 = t.doc1 AND c.doc2 = t.doc2
+    )
+    SELECT (SELECT count(*)::BIGINT FROM cand) AS n_candidates,
+           (SELECT count(*)::BIGINT FROM truth) AS n_true_pairs,
+           (SELECT count(*)::BIGINT FROM hits) AS n_hits,
+           (((SELECT count(*) FROM hits) * 10000)
+            // (SELECT count(*) FROM cand))::BIGINT AS precision_bp,
+           (((SELECT count(*) FROM hits) * 10000)
+            // (SELECT count(*) FROM truth))::BIGINT AS recall_bp
+"""
+ORACLE["dedup_lsh_eval"] = ORACLE["dedup_lsh_eval"].format(
+    minhash_pairs=ORACLE["dedup_minhash_pairs"],
+    jaccard_pairs=ORACLE["dedup_jaccard_pairs"],
+)

@@ -1015,3 +1015,30 @@ def test_streaming_sessions_match_batch(spark, sf_dir, event_rows, tmpdir):
     con.close()
     got = sorted(t for t in got if t[0] != 99_999_999)
     assert got == expected
+
+
+def test_progress_recorder_captures_batches(spark, sf_dir, event_rows, tmpdir):
+    """Observability: the listener records one row per micro-batch with
+    the fed row count and a state-rows gauge for the stateful agg."""
+    from beam_scala_examples_spark.streaming.observability import (
+        ProgressRecorder,
+    )
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        stream = _feed(spark, event_rows[:600], tmpdir, chunk_size=200)
+        totals = stream.groupBy("user_id").count()
+        _run_stream(totals, "update", lambda df, bid: df.count(), tmpdir)
+        # listener events are delivered asynchronously
+        import time as _t
+
+        for _ in range(60):
+            if sum(b["num_input_rows"] for b in rec.batches) >= 600:
+                break
+            _t.sleep(0.5)
+    finally:
+        spark.streams.removeListener(rec)
+    assert sum(b["num_input_rows"] for b in rec.batches) == 600
+    assert any((b["state_rows"] or 0) > 0 for b in rec.batches)
+    assert all(b["duration_ms"] is not None for b in rec.batches if b["num_input_rows"])
