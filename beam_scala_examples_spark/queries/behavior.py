@@ -875,3 +875,47 @@ ORACLE["events_dow_profile"] = """
                AS share_bp
     FROM c
 """
+
+
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume deviates anomalously (>2σ) from their
+    type's mean daily volume — the alerting rule the day-of-week profile
+    feeds.  The z-test rides the integer cross-multiplication form
+    ``(c·n − s)² > 4·(n·ss − s²)`` (the value-outlier discipline), so no
+    float mean/stddev ever crosses an engine boundary.  Scale: one
+    (type, day) aggregate, then a |types|-row moment join back —
+    the fact table is scanned once."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    mom = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = daily.join(mom, "event_type")
+    dev = F.col("c") * F.col("n") - F.col("s")
+    return (
+        j.filter(dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")))
+        .select("event_type", "day", "c")
+    )
+
+
+QUERIES["events_anomaly_days"] = events_anomaly_days
+
+ORACLE["events_anomaly_days"] = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+               sum(c * c)::BIGINT AS ss
+        FROM daily GROUP BY 1
+    )
+    SELECT daily.event_type, day, c
+    FROM daily JOIN mom USING (event_type)
+    WHERE (c * n - s) * (c * n - s) > 4 * (n * ss - s * s)
+"""

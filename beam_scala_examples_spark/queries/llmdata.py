@@ -3560,3 +3560,70 @@ ORACLE["dedup_lsh_eval"] = ORACLE["dedup_lsh_eval"].format(
     minhash_pairs=ORACLE["dedup_minhash_pairs"],
     jaccard_pairs=ORACLE["dedup_jaccard_pairs"],
 )
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus unigram distribution: the least-squares
+    slope of ln(freq) against ln(rank) — natural text sits near -1;
+    a far-off exponent flags template/boilerplate corpora before any
+    per-document signal does.
+
+    Determinism: ln(rank) and ln(freq) are each rounded once to integer
+    micro-nats per vocabulary row; the five regression moments then
+    accumulate as exact int64 and the slope is one final float divide
+    (the Pearson-moments discipline).  Rank ties are impossible
+    (row_number with a total order).  Scale: one vocabulary aggregate +
+    one O(vocab) window for ranks — the window partitions by nothing
+    but runs over the *aggregated* vocabulary, not the corpus; shard it
+    by frequency band if vocab alone ever exceeds one partition's
+    memory."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    rk = Window.orderBy(F.desc("c"), "w")
+    pts = vocab.withColumn("rank", F.row_number().over(rk)).select(
+        F.round(F.log("rank") * 1e6).cast("long").alias("x"),
+        F.round(F.log("c") * 1e6).cast("long").alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("vocab_size"), F.round(slope, 6).alias("zipf_slope")
+    )
+
+
+QUERIES["text_zipf_fit"] = text_zipf_fit
+
+ORACLE["text_zipf_fit"] = f"""
+    WITH uni AS (
+        SELECT unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    vocab AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+    pts AS (
+        SELECT round(ln(row_number() OVER (ORDER BY c DESC, w)) * 1e6)::BIGINT
+                   AS x,
+               round(ln(c) * 1e6)::BIGINT AS y
+        FROM vocab
+    ),
+    m AS (
+        SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+               sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+               sum(x * x)::BIGINT AS sxx
+        FROM pts
+    )
+    SELECT n AS vocab_size,
+           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+               AS zipf_slope
+    FROM m
+"""
