@@ -3627,3 +3627,92 @@ ORACLE["text_zipf_fit"] = f"""
                AS zipf_slope
     FROM m
 """
+
+
+def data_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus construction pipeline as ONE declarative
+    plan: quality-filter -> dedup survivors -> train/val/test split ->
+    context-window packing.  Each surviving train document comes back
+    with its split and its (bin, bin_offset) packing slot — the exact
+    relation a pretraining writer materializes, composed from the
+    engine's own stages (``text_quality_filter``, ``dedup_survivors``,
+    ``data_split_assign``, the ``data_pack_sequences`` cumsum).
+
+    Every stage is the already-audited plan: the composition adds two
+    semi joins on doc_id and re-runs the packing window over the
+    *filtered* corpus (packing must be computed after filtering — bins
+    shift when documents drop, which is why this is one plan and not a
+    join of the standalone stage outputs).  Catalyst dedupes the shared
+    scans; nothing here collects or re-shuffles beyond the component
+    stages' own keys."""
+    docs = load(spark, sf_dir, "documents")
+    quality_keep = (
+        text_quality_filter(spark, sf_dir).filter("keep").select("doc_id")
+    )
+    survivors = dedup_survivors(spark, sf_dir).select("doc_id")
+    bucket = F.expr(_SPARK_H.format(col="cast(doc_id as string)")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    kept = (
+        docs.join(quality_keep, "doc_id", "semi")
+        .join(survivors, "doc_id", "semi")
+        .select(
+            "doc_id",
+            "source",
+            split.alias("split"),
+            F.size(F.expr(_SPARK_TOKS)).alias("n_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return kept.select(
+        "doc_id",
+        "source",
+        "split",
+        "n_tokens",
+        F.floor(cum_before / PACK_CTX_TOKENS).alias("bin"),
+        (cum_before % PACK_CTX_TOKENS).alias("bin_offset"),
+    )
+
+
+QUERIES["data_corpus_build"] = data_corpus_build
+
+ORACLE["data_corpus_build"] = f"""
+    WITH qf AS ({ORACLE["text_quality_filter"]}),
+    surv AS ({ORACLE["dedup_survivors"]}),
+    toksz AS (
+        SELECT doc_id, len({_DUCK_TOKS})::INTEGER AS n_tokens FROM documents
+    ),
+    kept AS (
+        SELECT d.doc_id, d.source,
+               CASE WHEN ({_DUCK_H.format(col='d.doc_id::VARCHAR')}) % 100
+                         < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN ({_DUCK_H.format(col='d.doc_id::VARCHAR')}) % 100
+                         < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               t.n_tokens
+        FROM documents d
+        JOIN toksz t ON d.doc_id = t.doc_id
+        WHERE d.doc_id IN (SELECT doc_id FROM qf WHERE keep)
+          AND d.doc_id IN (SELECT doc_id FROM surv)
+    ),
+    packed AS (
+        SELECT doc_id, source, split, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY split, source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM kept
+    )
+    SELECT doc_id, source, split, n_tokens,
+           (cum_before // {PACK_CTX_TOKENS})::BIGINT AS bin,
+           (cum_before % {PACK_CTX_TOKENS})::BIGINT AS bin_offset
+    FROM packed
+"""
