@@ -919,3 +919,80 @@ ORACLE["events_anomaly_days"] = """
     FROM daily JOIN mom USING (event_type)
     WHERE (c * n - s) * (c * n - s) > 4 * (n * ss - s * s)
 """
+
+
+def events_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution per purchasing user: the type of
+    the first event ever and of the last event strictly before the
+    user's first purchase — the two classic marketing attribution
+    models side by side (first_value / last_value window shapes,
+    evaluated in one pass over the per-user sort).
+
+    Scale: one shuffle on user_id; each user's history sorts locally;
+    users without a purchase drop out via the null filter."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(wall)
+    tagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.first("event_type").over(w).alias("first_touch"),
+        first_purchase.alias("fp_ts"),
+    )
+    last_before = (
+        tagged.filter(F.col("fp_ts").isNotNull() & (F.col("ts") < F.col("fp_ts")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "first_touch",
+            F.col("event_type").alias("last_touch_before_purchase"),
+        )
+    )
+    return last_before
+
+
+QUERIES["events_first_last_touch"] = events_first_last_touch
+
+ORACLE["events_first_last_touch"] = """
+    WITH fp0 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp_ts
+        FROM events GROUP BY 1
+    ),
+    ft AS (
+        SELECT user_id, event_type AS first_touch FROM (
+            SELECT user_id, event_type, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    fp AS (
+        SELECT fp0.user_id, fp0.fp_ts, ft.first_touch
+        FROM fp0 JOIN ft ON fp0.user_id = ft.user_id
+    ),
+    lb AS (
+        SELECT e.user_id, e.event_type,
+               row_number() OVER (
+                   PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC
+               ) AS rn
+        FROM events e JOIN fp ON e.user_id = fp.user_id
+        WHERE fp.fp_ts IS NOT NULL AND e.ts < fp.fp_ts
+    )
+    SELECT lb.user_id, fp.first_touch,
+           lb.event_type AS last_touch_before_purchase
+    FROM lb JOIN fp ON lb.user_id = fp.user_id
+    WHERE rn = 1
+"""

@@ -3716,3 +3716,87 @@ ORACLE["data_corpus_build"] = f"""
            (cum_before % {PACK_CTX_TOKENS})::BIGINT AS bin_offset
     FROM packed
 """
+
+
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm distribution (p10/p50/p90 of the squared norm
+    in exact fixed-point units) per label — the health check run before
+    any cosine-based op (a degenerate/zero-norm cluster breaks cosine
+    math silently).
+
+    Exactness: each component quantizes once to 2^20 fixed point; the
+    squared norm is an exact int64 fold in index order on both engines;
+    percentiles interpolate between identical integers.  Map-only until
+    the value-bounded (|labels|) percentile groups."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.expr(
+        f"transform(embedding,"
+        f" x -> cast(round(cast(x as double) * {1 << 20}) as bigint))"
+    )
+    nrm = F.expr(
+        "aggregate(qvec, 0L, (acc, v) -> acc + v * v)"
+    )
+    pts = emb.select("label", q.alias("qvec")).select(
+        "label", nrm.alias("norm_sq")
+    )
+    return pts.groupBy("label").agg(
+        F.expr("percentile(norm_sq, 0.1)").alias("p10"),
+        F.expr("percentile(norm_sq, 0.5)").alias("p50"),
+        F.expr("percentile(norm_sq, 0.9)").alias("p90"),
+    )
+
+
+QUERIES["emb_norm_stats"] = emb_norm_stats
+
+ORACLE["emb_norm_stats"] = f"""
+    WITH q AS (
+        SELECT label,
+               list_transform(embedding,
+                   x -> round(x::DOUBLE * {1 << 20})::BIGINT) AS qvec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT label,
+               list_sum(list_transform(qvec, v -> v * v))::BIGINT AS norm_sq
+        FROM q
+    )
+    SELECT label,
+           quantile_cont(norm_sq, 0.1) AS p10,
+           quantile_cont(norm_sq, 0.5) AS p50,
+           quantile_cont(norm_sq, 0.9) AS p90
+    FROM n GROUP BY label
+"""
+
+
+def text_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-ness profile of the corpus: the distribution of shingle
+    document-frequency in power-of-two buckets (how much text is shared
+    across 1, 2-3, 4-7, 8+ documents) — the one-glance answer to "will
+    near-dup dedup bite here?".
+
+    Shape: shingle doc-frequency is one aggregate (map-side combined),
+    the log2 bucketing is a map, and the profile is an O(buckets)
+    aggregate — the same histogram-over-aggregate discipline as the
+    length percentile."""
+    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    bucket = F.expr("cast(floor(log2(df)) as bigint)")
+    return (
+        freq.groupBy(bucket.alias("log2_df"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("df").alias("n_occurrences"),
+        )
+    )
+
+
+QUERIES["text_shingle_profile"] = text_shingle_profile
+
+ORACLE["text_shingle_profile"] = f"""
+    WITH {_duck_shingle_cte()},
+    freq AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY 1)
+    SELECT floor(log2(df))::BIGINT AS log2_df,
+           count(*)::BIGINT AS n_shingles,
+           sum(df)::BIGINT AS n_occurrences
+    FROM freq GROUP BY 1
+"""

@@ -1417,3 +1417,78 @@ ORACLE["star_customer_setops"] = f"""
         (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
             ::BIGINT AS either_year
 """
+
+
+def star_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift for the top co-purchased pairs:
+    lift = P(a,b) / (P(a)·P(b)) in integer micro units — the statistic
+    that separates genuinely-associated parts from merely-popular ones
+    (the market-basket twin of the bigram PMI).
+
+    Shape: per-part order counts join only the top-K pair rows (K
+    bounded, broadcast); N is a 1-row scalar; the micro rounding
+    happens once per pair — integers end to end afterwards."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders_total")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count("*").alias("part_orders")
+    )
+    top_pairs = star_copurchase_pairs(spark, sf_dir)
+    p1 = per_part.select(
+        F.col("part").alias("part1"), F.col("part_orders").alias("n1")
+    )
+    p2 = per_part.select(
+        F.col("part").alias("part2"), F.col("part_orders").alias("n2")
+    )
+    return (
+        top_pairs.join(p1, "part1")
+        .join(p2, "part2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part1",
+            "part2",
+            "n_orders",
+            F.round(
+                (F.col("n_orders") * F.col("n_orders_total") * 1e6)
+                / (F.col("n1") * F.col("n2"))
+            )
+            .cast("long")
+            .alias("lift_micro"),
+        )
+    )
+
+
+QUERIES["star_basket_lift"] = star_basket_lift
+
+ORACLE["star_basket_lift"] = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nt AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders_total FROM li),
+    per_part AS (
+        SELECT l_partkey AS part, count(*)::BIGINT AS part_orders
+        FROM li GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part1, b.l_partkey AS part2,
+               count(*)::BIGINT AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT part1, part2, n_orders FROM pairs
+        ORDER BY n_orders DESC, part1, part2 LIMIT {BASKET_TOP_N}
+    )
+    SELECT part1, part2, top.n_orders,
+           round((top.n_orders * nt.n_orders_total * 1e6)
+                 / (p1.part_orders * p2.part_orders))::BIGINT AS lift_micro
+    FROM top
+    JOIN per_part p1 ON top.part1 = p1.part
+    JOIN per_part p2 ON top.part2 = p2.part
+    CROSS JOIN nt
+"""
