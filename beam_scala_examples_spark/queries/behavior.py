@@ -996,3 +996,53 @@ ORACLE["events_first_last_touch"] = """
     FROM lb JOIN fp ON lb.user_id = fp.user_id
     WHERE rn = 1
 """
+
+
+ROLLUP_CUTOFF = "2024-01-20 00:00:00"
+
+
+def events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance proof for the daily rollup: the
+    history partition (days before ``ROLLUP_CUTOFF``) is aggregated
+    separately from the fresh partition (days after), then merged by
+    summing per (day, type) — and must equal a from-scratch aggregate,
+    which is exactly what the oracle computes.  This is the nightly
+    backfill pattern: never recompute closed days, merge the increment.
+
+    Scale: both halves aggregate with map-side combine off a
+    scan-pruned read (the cutoff predicate reaches parquet); the merge
+    aggregates the union of two already-tiny rollups.  Additivity holds
+    because the measures are sums/counts in exact cents (a mean or
+    distinct count would need a mergeable sketch instead —
+    ``operators/sketches.py``)."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(ROLLUP_CUTOFF).cast("timestamp_ntz")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+
+    old = rollup(ev.filter(F.col("ts") < cutoff))
+    inc = rollup(ev.filter(F.col("ts") >= cutoff))
+    return (
+        old.unionByName(inc)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
+
+
+QUERIES["events_rollup_merge"] = events_rollup_merge
+
+ORACLE["events_rollup_merge"] = """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+           count(*)::BIGINT AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+    FROM events GROUP BY 1, 2
+"""
