@@ -240,3 +240,53 @@ ORACLE["dq_key_skew"] = " UNION ALL ".join(
     """
     for t, k in SKEW_KEYS
 )
+
+
+PROFILE_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the events table: per column, row count, null
+    count/rate and exact distinct cardinality — the schema-drift /
+    ingest-health report (a column whose null rate or cardinality jumps
+    batch-over-batch is the first sign of an upstream break).
+
+    Shape: one pass computes all null counts (conditional aggregation);
+    exact count(DISTINCT) per column expands to Spark's expand-based
+    multi-distinct aggregate — acceptable for a bounded column list; at
+    100 TB swap in HLL sketches (``operators/sketches.py``) per column
+    and keep the same report schema."""
+    ev = load(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLUMNS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = ev.agg(*aggs)
+    rows = None
+    for c in PROFILE_COLUMNS:
+        one = wide.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"null_{c}").alias("n_null"),
+            F.expr(f"(null_{c} * 10000) div n_rows").alias("null_bp"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+QUERIES["dq_profile_events"] = dq_profile_events
+
+ORACLE["dq_profile_events"] = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS column_name, count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           ((sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 10000)
+            // count(*))::BIGINT AS null_bp,
+           count(DISTINCT {c})::BIGINT AS n_distinct
+    FROM events
+    """
+    for c in PROFILE_COLUMNS
+)

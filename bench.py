@@ -94,6 +94,9 @@ HEADLINE = [
     "text_bigram_pmi",
     "dedup_threshold_curve",
     "star_ship_latency_percentiles",
+    "data_corpus_build",
+    "star_basket_lift",
+    "events_rollup_merge",
 ]
 
 
