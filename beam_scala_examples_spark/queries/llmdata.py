@@ -3800,3 +3800,111 @@ ORACLE["text_shingle_profile"] = f"""
            sum(df)::BIGINT AS n_occurrences
     FROM freq GROUP BY 1
 """
+
+
+BLOOM_BITS = 1 << 16  # 65536-bit demo filter; size to ~10 bits/element in prod
+BLOOM_K = 3
+
+
+def _bloom_positions_spark(col: str) -> list[str]:
+    """K independent bit positions from disjoint md5 slices (exact same
+    integers in the DuckDB twin)."""
+    return [
+        f"cast(conv(substr(md5({col}), {1 + 8 * i}, 8), 16, 10) as bigint)"
+        f" % {BLOOM_BITS}"
+        for i in range(BLOOM_K)
+    ]
+
+
+def _bloom_positions_duck(col: str) -> list[str]:
+    return [
+        f"(('0x' || substr(md5({col}), {1 + 8 * i}, 8))::BIGINT) % {BLOOM_BITS}"
+        for i in range(BLOOM_K)
+    ]
+
+
+def text_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination pre-screen, fully relational: the
+    training corpus's shingles set K md5-derived bits (kept as a SPARSE
+    distinct-positions relation — the scale-native form of a bit
+    array); a benchmark shingle is flagged "maybe present" iff all K of
+    its bits are set.  Output compares the Bloom verdicts with the
+    exact overlap — the false-positive count the ``BLOOM_BITS``/K
+    sizing actually yields on this corpus, next to
+    ``text_contamination``'s exact screen.
+
+    Scale: the bit relation is at most ``BLOOM_BITS`` rows regardless
+    of corpus size (broadcastable by construction — the whole point of
+    shipping a Bloom filter instead of the shingle set); probes join it
+    K times semi-style and count full matches."""
+    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
+    train = sh.filter(F.col("doc_id") >= N_BENCH_DOCS)
+    bench = sh.filter(F.col("doc_id") < N_BENCH_DOCS).select("shingle").distinct()
+    bits = None
+    for expr in _bloom_positions_spark("shingle"):
+        part = train.select(F.expr(expr).alias("bit"))
+        bits = part if bits is None else bits.unionByName(part)
+    bits = bits.distinct()
+    probes = None
+    for expr in _bloom_positions_spark("shingle"):
+        part = bench.select("shingle", F.expr(expr).alias("bit"))
+        probes = part if probes is None else probes.unionByName(part)
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("shingle")
+        .agg(F.count("*").alias("k_set"))
+        .filter(F.col("k_set") == BLOOM_K)
+        .select("shingle")
+    )
+    truth = bench.join(
+        train.select("shingle").distinct(), "shingle", "semi"
+    )
+    n_bench = bench.agg(F.count("*").alias("n_bench_shingles"))
+    n_flag = hits.agg(F.count("*").alias("n_maybe_present"))
+    n_true = truth.agg(F.count("*").alias("n_truly_present"))
+    n_fp = hits.join(truth, "shingle", "anti").agg(
+        F.count("*").alias("n_false_positives")
+    )
+    return (
+        n_bench.crossJoin(n_flag)
+        .crossJoin(n_true)
+        .crossJoin(n_fp)
+    )
+
+
+QUERIES["text_bloom_screen"] = text_bloom_screen
+
+_BLOOM_DUCK_BITS = " UNION ".join(
+    f"SELECT {e} AS bit FROM (SELECT DISTINCT shingle FROM sh"
+    f" WHERE doc_id >= {N_BENCH_DOCS})"
+    for e in _bloom_positions_duck("shingle")
+)
+_BLOOM_DUCK_PROBES = " UNION ALL ".join(
+    f"SELECT shingle, {e} AS bit FROM bench"
+    for e in _bloom_positions_duck("shingle")
+)
+
+ORACLE["text_bloom_screen"] = f"""
+    WITH {_duck_shingle_cte()},
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id < {N_BENCH_DOCS}
+    ),
+    bits AS ({_BLOOM_DUCK_BITS}),
+    probes AS ({_BLOOM_DUCK_PROBES}),
+    hits AS (
+        SELECT shingle FROM probes JOIN bits USING (bit)
+        GROUP BY shingle HAVING count(*) = {BLOOM_K}
+    ),
+    truth AS (
+        SELECT shingle FROM bench
+        WHERE shingle IN (
+            SELECT shingle FROM sh WHERE doc_id >= {N_BENCH_DOCS}
+        )
+    )
+    SELECT (SELECT count(*)::BIGINT FROM bench) AS n_bench_shingles,
+           (SELECT count(*)::BIGINT FROM hits) AS n_maybe_present,
+           (SELECT count(*)::BIGINT FROM truth) AS n_truly_present,
+           (SELECT count(*)::BIGINT FROM hits
+            WHERE shingle NOT IN (SELECT shingle FROM truth))
+               AS n_false_positives
+"""
