@@ -58,3 +58,15 @@ def test_queries_accept_bare_session(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+
+
+def test_bench_headline_names_are_registered():
+    """Every bench.py HEADLINE name must be a registered query — a typo
+    here would crash the driver's per-round benchmark run."""
+    import bench
+
+    from beam_scala_examples_spark.queries import QUERIES
+
+    missing = [q for q in bench.HEADLINE if q not in QUERIES]
+    assert not missing, f"bench names not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench names"
