@@ -1046,3 +1046,45 @@ ORACLE["events_rollup_merge"] = """
            sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
     FROM events GROUP BY 1, 2
 """
+
+
+def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user stream, in power-of-two
+    second buckets — the evidence behind the sessionization gap choice
+    (``events_sessions``' 30-minute threshold should sit in the valley
+    between within-session and between-session modes).
+
+    Shape: one lag over the per-user sort (the sessionization shuffle),
+    integer epoch-second gaps, log2 bucketing, then an O(buckets)
+    aggregate."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            (
+                (epoch_us("ts") - epoch_us("prev_ts")) / 1_000_000
+            ).cast("long").alias("gap_s")
+        )
+        .filter(F.col("gap_s") > 0)
+    )
+    return gaps.groupBy(
+        F.expr("cast(floor(log2(gap_s)) as bigint)").alias("log2_gap_s")
+    ).agg(F.count("*").alias("n_gaps"))
+
+
+QUERIES["events_gap_histogram"] = events_gap_histogram
+
+ORACLE["events_gap_histogram"] = """
+    WITH g AS (
+        SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ))) // 1000000 AS gap_s
+        FROM events
+    )
+    SELECT floor(log2(gap_s))::BIGINT AS log2_gap_s,
+           count(*)::BIGINT AS n_gaps
+    FROM g WHERE gap_s IS NOT NULL AND gap_s > 0
+    GROUP BY 1
+"""

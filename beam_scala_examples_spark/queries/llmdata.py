@@ -3908,3 +3908,107 @@ ORACLE["text_bloom_screen"] = f"""
             WHERE shingle NOT IN (SELECT shingle FROM truth))
                AS n_false_positives
 """
+
+
+EMB_CURVE_THRESHOLDS = (70, 80, 90, 95)  # cosine percent
+
+
+def emb_cosine_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pair count vs cosine threshold — the
+    sensitivity curve for picking ``EMB_NEARDUP_THRESHOLD`` (the
+    embedding twin of ``dedup_threshold_curve``): one hyperplane-bucket
+    candidate join computes each candidate pair's exact cosine once,
+    then a single conditional aggregation counts all thresholds.
+
+    The integer predicate ``100*dot >= t*sqrt(n1*n2)*...`` cannot ride
+    exact ints (cosine is irrational), so the comparison uses the same
+    IEEE doubles both engines derive from identical float inputs — the
+    established cosine discipline of the sim_* family."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (
+            F.when(F.element_at("embedding", d) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j, d in enumerate(LSH_DIMS)
+        ),
+        start=F.lit(0),
+    ).cast("long")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = emb.select(
+        "vec_id", "embedding", bucket.alias("bucket"), norm.alias("nrm")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.expr(_SPARK_DOT.format(a="a.embedding", b="b.embedding"))
+    cos = dot / F.sqrt(F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(cos.alias("cos"))
+    )
+    aggs = [
+        F.sum(F.when(F.col("cos") >= t / 100.0, 1).otherwise(0)).alias(
+            f"pairs_c{t}"
+        )
+        for t in EMB_CURVE_THRESHOLDS
+    ]
+    return pairs.agg(F.count("*").alias("n_candidates"), *aggs)
+
+
+QUERIES["emb_cosine_threshold_curve"] = emb_cosine_threshold_curve
+
+ORACLE["emb_cosine_threshold_curve"] = f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               ({" + ".join(f"(CASE WHEN embedding[{d}] > 0 THEN {1 << j} ELSE 0 END)"
+                            for j, d in enumerate(LSH_DIMS))})::BIGINT AS bucket,
+               {_duck_dot('embedding', 'embedding')} AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT {_duck_dot('a.embedding', 'b.embedding')}
+                   / sqrt(a.nrm * b.nrm) AS cos
+        FROM base a JOIN base b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT count(*)::BIGINT AS n_candidates,
+           {", ".join(
+               f"sum(CASE WHEN cos >= {t / 100.0} THEN 1 ELSE 0 END)"
+               f"::BIGINT AS pairs_c{t}"
+               for t in EMB_CURVE_THRESHOLDS)}
+    FROM pairs
+"""
+
+
+def text_langid_quality_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter verdicts broken down by predicted language — the
+    fairness audit of the filter (a rule that silently drops one
+    language's share of the corpus is a curation bug, not a quality
+    win).  Join of two per-doc relations on doc_id, then an
+    O(langs x verdicts) aggregate with drop share in basis points."""
+    lang = text_language_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    verdict = text_quality_filter(spark, sf_dir).select("doc_id", "verdict")
+    counts = (
+        lang.join(verdict, "doc_id")
+        .groupBy("predicted_lang", "verdict")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.withColumn(
+        "share_bp",
+        F.expr("(n * 10000) div sum(n) over (partition by predicted_lang)"),
+    )
+
+
+QUERIES["text_langid_quality_cross"] = text_langid_quality_cross
+
+ORACLE["text_langid_quality_cross"] = f"""
+    WITH lang AS ({ORACLE["text_language_id"]}),
+    qf AS ({ORACLE["text_quality_filter"]}),
+    c AS (
+        SELECT lang.predicted_lang, qf.verdict, count(*)::BIGINT AS n
+        FROM lang JOIN qf ON lang.doc_id = qf.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT predicted_lang, verdict, n,
+           ((n * 10000) // sum(n) OVER (PARTITION BY predicted_lang))::BIGINT
+               AS share_bp
+    FROM c
+"""
