@@ -1088,3 +1088,91 @@ ORACLE["events_gap_histogram"] = """
     FROM g WHERE gap_s IS NOT NULL AND gap_s > 0
     GROUP BY 1
 """
+
+
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU actives and the stickiness ratios (daily/monthly,
+    weekly/monthly) in basis points, per calendar month — the
+    engagement headline metric.  Exact distinct users at each grain
+    (two-level dedup aggregates); ratios divide exact integers.  The
+    DAU term is the month's *average* daily actives in exact
+    integer arithmetic: sum of per-day distincts div days."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    mau = ev.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    dau = (
+        ev.select("month", "day", "user_id")
+        .distinct()
+        .groupBy("month", "day")
+        .agg(F.count("*").alias("dau"))
+        .groupBy("month")
+        .agg(F.sum("dau").alias("dau_sum"), F.count("*").alias("n_days"))
+    )
+    wau = (
+        ev.select("month", "week", "user_id")
+        .distinct()
+        .groupBy("month", "week")
+        .agg(F.count("*").alias("wau"))
+        .groupBy("month")
+        .agg(F.sum("wau").alias("wau_sum"), F.count("*").alias("n_weeks"))
+    )
+    return (
+        mau.join(dau, "month")
+        .join(wau, "month")
+        .select(
+            "month",
+            "mau",
+            F.expr("dau_sum div n_days").alias("avg_dau"),
+            F.expr("wau_sum div n_weeks").alias("avg_wau"),
+            F.expr("((dau_sum div n_days) * 10000) div mau").alias(
+                "daily_stickiness_bp"
+            ),
+            F.expr("((wau_sum div n_weeks) * 10000) div mau").alias(
+                "weekly_stickiness_bp"
+            ),
+        )
+    )
+
+
+QUERIES["events_stickiness"] = events_stickiness
+
+ORACLE["events_stickiness"] = """
+    WITH base AS (
+        SELECT user_id,
+               date_trunc('month', ts)::TIMESTAMP AS month,
+               date_trunc('week', ts)::TIMESTAMP AS week,
+               date_trunc('day', ts)::TIMESTAMP AS day
+        FROM events
+    ),
+    mau AS (
+        SELECT month, count(DISTINCT user_id)::BIGINT AS mau
+        FROM base GROUP BY 1
+    ),
+    dau AS (
+        SELECT month, sum(d)::BIGINT AS dau_sum, count(*)::BIGINT AS n_days
+        FROM (
+            SELECT month, day, count(DISTINCT user_id)::BIGINT AS d
+            FROM base GROUP BY 1, 2
+        ) GROUP BY 1
+    ),
+    wau AS (
+        SELECT month, sum(w)::BIGINT AS wau_sum, count(*)::BIGINT AS n_weeks
+        FROM (
+            SELECT month, week, count(DISTINCT user_id)::BIGINT AS w
+            FROM base GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+    SELECT mau.month, mau.mau,
+           (dau_sum // n_days)::BIGINT AS avg_dau,
+           (wau_sum // n_weeks)::BIGINT AS avg_wau,
+           (((dau_sum // n_days) * 10000) // mau)::BIGINT
+               AS daily_stickiness_bp,
+           (((wau_sum // n_weeks) * 10000) // mau)::BIGINT
+               AS weekly_stickiness_bp
+    FROM mau JOIN dau ON mau.month = dau.month
+    JOIN wau ON mau.month = wau.month
+"""

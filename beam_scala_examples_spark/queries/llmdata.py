@@ -4012,3 +4012,50 @@ ORACLE["text_langid_quality_cross"] = f"""
                AS share_bp
     FROM c
 """
+
+
+def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation curve: for each document (in doc_id ingestion
+    order), the fraction of its shingles never seen in any earlier
+    document, in basis points — the "is more crawl still adding new
+    text?" report that decides when collection stops paying.
+
+    Shape: each shingle's first-seen doc is one min() aggregate; a doc's
+    novelty is then a join + conditional count on its own shingle rows —
+    two hash aggregates and one equi-join, no window over the corpus."""
+    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(n_novel * 10000) div n_shingles").alias("novelty_bp"),
+        )
+    )
+
+
+QUERIES["text_novelty_curve"] = text_novelty_curve
+
+ORACLE["text_novelty_curve"] = f"""
+    WITH {_duck_shingle_cte()},
+    first_seen AS (
+        SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+    )
+    SELECT sh.doc_id,
+           count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel,
+           ((sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) * 10000)
+            // count(*))::BIGINT AS novelty_bp
+    FROM sh JOIN first_seen USING (shingle)
+    GROUP BY sh.doc_id
+"""
