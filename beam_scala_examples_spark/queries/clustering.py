@@ -329,3 +329,47 @@ ORACLE["emb_label_centroid_dist"] = f"""
     FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
     GROUP BY 1, 2
 """
+
+
+def emb_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster occupancy report for the k-means assignment: per-cluster
+    member count plus the global max/mean occupancy ratio in basis
+    points — the balance diagnostic that decides IVF nprobe and
+    flags degenerate clusterings (one giant cell = the ANN prune does
+    nothing).  One aggregate over the assignment relation; the ratio
+    repeats on every row (a 1-row broadcast join) so the report is
+    self-contained."""
+    assign = emb_kmeans(spark, sf_dir)
+    counts = assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    stats = counts.agg(
+        F.sum("n_members").alias("total"),
+        F.count("*").alias("n_clusters"),
+        F.max("n_members").alias("max_members"),
+    )
+    return counts.crossJoin(F.broadcast(stats)).select(
+        "cluster",
+        "n_members",
+        F.expr("(max_members * n_clusters * 10000) div total").alias(
+            "skew_bp"
+        ),
+    )
+
+
+QUERIES["emb_cluster_balance"] = emb_cluster_balance
+
+ORACLE["emb_cluster_balance"] = f"""
+    WITH assign AS ({ORACLE["emb_kmeans"]}),
+    counts AS (
+        SELECT cluster, count(*)::BIGINT AS n_members
+        FROM assign GROUP BY 1
+    ),
+    stats AS (
+        SELECT sum(n_members)::BIGINT AS total,
+               count(*)::BIGINT AS n_clusters,
+               max(n_members)::BIGINT AS max_members
+        FROM counts
+    )
+    SELECT cluster, n_members,
+           ((max_members * n_clusters * 10000) // total)::BIGINT AS skew_bp
+    FROM counts CROSS JOIN stats
+"""

@@ -1492,3 +1492,58 @@ ORACLE["star_basket_lift"] = f"""
     JOIN per_part p2 ON top.part2 = p2.part
     CROSS JOIN nt
 """
+
+
+def star_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per nation: the Herfindahl-Hirschman index
+    of supplier revenue shares (sum of squared basis-point shares; 10^8
+    = monopoly) — the procurement-risk metric beside the corpus Gini.
+
+    Exactness: shares are integer basis points (exact cents revenue),
+    HHI is a sum of their squares — integers end to end.  Scale: the
+    lineitem-supplier join shuffles on suppkey; everything after is
+    O(suppliers)."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(_disc_cents()).alias("rev_cents"))
+    )
+    shares = rev.withColumn(
+        "share_bp", F.expr("(rev_cents * 10000) div sum(rev_cents) over (partition by s_nationkey)")
+    )
+    return (
+        shares.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("share_bp") * F.col("share_bp")).alias("hhi"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "n_suppliers", "hhi")
+    )
+
+
+QUERIES["star_supplier_hhi"] = star_supplier_hhi
+
+ORACLE["star_supplier_hhi"] = f"""
+    WITH rev AS (
+        SELECT s_nationkey, s_suppkey,
+               sum({DUCK_DISC_CENTS})::BIGINT AS rev_cents
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+    ),
+    shares AS (
+        SELECT s_nationkey,
+               ((rev_cents * 10000)
+                // sum(rev_cents) OVER (PARTITION BY s_nationkey))::BIGINT
+                   AS share_bp
+        FROM rev
+    )
+    SELECT n_name AS nation,
+           count(*)::BIGINT AS n_suppliers,
+           sum(share_bp * share_bp)::BIGINT AS hhi
+    FROM shares JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1
+"""
