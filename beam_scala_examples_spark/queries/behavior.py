@@ -1176,3 +1176,89 @@ ORACLE["events_stickiness"] = """
     FROM mau JOIN dau ON mau.month = dau.month
     JOIN wau ON mau.month = wau.month
 """
+
+
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session conversion: of all (user, 30-min) sessions, how
+    many contain a view and a purchase strictly after that view —
+    the session-scoped funnel (the global ``events_funnel`` asks "ever
+    converted"; this asks "converted in one sitting").
+
+    Shape: one session_window aggregate collects each session's
+    (ts, type) pairs — bounded by the session's own event count — and
+    the stage logic is the same array expressions as the global funnel;
+    one global count afterwards.  Counts are exact integers."""
+    ev = load(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id",
+        F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("sw"),
+    ).agg(
+        F.collect_list(
+            F.when(
+                F.col("event_type").isin("view", "purchase"),
+                F.struct("ts", "event_type"),
+            )
+        ).alias("evs")
+    )
+    first_view = F.array_min(
+        F.transform(
+            F.filter(F.col("evs"), lambda e: e["event_type"] == "view"),
+            lambda e: e["ts"],
+        )
+    )
+    converted = F.array_min(
+        F.transform(
+            F.filter(
+                F.col("evs"),
+                lambda e: (e["event_type"] == "purchase")
+                & F.col("fv").isNotNull()
+                & (e["ts"] > F.col("fv")),
+            ),
+            lambda e: e["ts"],
+        )
+    )
+    staged = sess.withColumn("fv", first_view).withColumn("cv", converted)
+    return staged.agg(
+        F.count("*").alias("n_sessions"),
+        F.count("fv").alias("sessions_with_view"),
+        F.count("cv").alias("converted_sessions"),
+    )
+
+
+QUERIES["events_session_funnel"] = events_session_funnel
+
+ORACLE["events_session_funnel"] = f"""
+    WITH o AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w
+                            >= INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+        SELECT user_id, ts, event_type,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM o
+    ),
+    s AS (
+        SELECT user_id, sid,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS fv
+        FROM i GROUP BY 1, 2
+    ),
+    conv AS (
+        SELECT s.user_id, s.sid, s.fv,
+               min(CASE WHEN i.event_type = 'purchase' AND i.ts > s.fv
+                        THEN i.ts END) AS cv
+        FROM s LEFT JOIN i ON s.user_id = i.user_id AND s.sid = i.sid
+        GROUP BY 1, 2, 3
+    )
+    SELECT count(*)::BIGINT AS n_sessions,
+           count(fv)::BIGINT AS sessions_with_view,
+           count(cv)::BIGINT AS converted_sessions
+    FROM conv
+"""

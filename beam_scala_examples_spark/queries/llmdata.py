@@ -4059,3 +4059,62 @@ ORACLE["text_novelty_curve"] = f"""
     FROM sh JOIN first_seen USING (shingle)
     GROUP BY sh.doc_id
 """
+
+
+def dedup_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's stage-by-stage reduction funnel: raw docs,
+    docs surviving exact dedup, docs surviving exact + near-dup, and
+    each stage's reduction in basis points — the one-row report that
+    says what each stage actually bought (exact dedup is nearly free;
+    near-dup costs the LSH join — is its marginal reduction worth it?).
+
+    Shape: three counts over relations the engine already defines
+    (corpus, exact keepers, ``dedup_survivors``); integer arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    n_raw = docs.agg(F.count("*").alias("n_raw"))
+    exact = docs.groupBy("text").agg(F.min("doc_id")).agg(
+        F.count("*").alias("n_after_exact")
+    )
+    surv = dedup_survivors(spark, sf_dir).agg(
+        F.count("*").alias("n_after_near")
+    )
+    return (
+        n_raw.crossJoin(exact)
+        .crossJoin(surv)
+        .select(
+            "n_raw",
+            "n_after_exact",
+            "n_after_near",
+            F.expr("((n_raw - n_after_exact) * 10000) div n_raw").alias(
+                "exact_reduction_bp"
+            ),
+            F.expr(
+                "((n_after_exact - n_after_near) * 10000) div n_after_exact"
+            ).alias("near_marginal_bp"),
+            F.expr("((n_raw - n_after_near) * 10000) div n_raw").alias(
+                "total_reduction_bp"
+            ),
+        )
+    )
+
+
+QUERIES["dedup_cost_report"] = dedup_cost_report
+
+ORACLE["dedup_cost_report"] = f"""
+    WITH surv AS ({ORACLE["dedup_survivors"]}),
+    c AS (
+        SELECT (SELECT count(*)::BIGINT FROM documents) AS n_raw,
+               (SELECT count(*)::BIGINT FROM (
+                   SELECT min(doc_id) FROM documents GROUP BY text
+               )) AS n_after_exact,
+               (SELECT count(*)::BIGINT FROM surv) AS n_after_near
+    )
+    SELECT n_raw, n_after_exact, n_after_near,
+           (((n_raw - n_after_exact) * 10000) // n_raw)::BIGINT
+               AS exact_reduction_bp,
+           (((n_after_exact - n_after_near) * 10000) // n_after_exact)::BIGINT
+               AS near_marginal_bp,
+           (((n_raw - n_after_near) * 10000) // n_raw)::BIGINT
+               AS total_reduction_bp
+    FROM c
+"""
