@@ -4118,3 +4118,118 @@ ORACLE["dedup_cost_report"] = f"""
                AS total_reduction_bp
     FROM c
 """
+
+
+SWEEP_ROWS_PER_BAND = (1, 2, 4)  # 16, 8, 4 bands respectively
+
+
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep on the live corpus: for each
+    rows-per-band choice (1/2/4 over the same 16 minhashes), the
+    candidate-pair volume and the recall against the exact
+    Jaccard >= threshold truth, in basis points — the measured
+    S-curve trade-off (more rows per band = fewer, higher-precision
+    candidates) that picks production banding from data instead of
+    folklore.
+
+    Shape: ONE signature relation feeds all three bucketings (persisted
+    once); each config is a band self-join whose cost is its own
+    Σ|bucket|²; the truth relation is computed once.  Output is
+    O(configs) rows of exact integers."""
+    prev = _MINHASH_CACHE.pop("sweep_sigs", None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    sigs = _minhash_sigs(spark, sf_dir).persist()
+    _MINHASH_CACHE["sweep_sigs"] = sigs
+    truth = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
+    out = None
+    for r in SWEEP_ROWS_PER_BAND:
+        n_bands = N_HASHES // r
+        stack_args = ", ".join(
+            f"{b}, md5(concat_ws('-', "
+            + ", ".join(f"cast(m{r*b + j} as string)" for j in range(r))
+            + "))"
+            for b in range(n_bands)
+        )
+        banded = sigs.select(
+            "doc_id",
+            F.expr(f"stack({n_bands}, {stack_args})").alias("band", "bucket"),
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"),
+            )
+            .distinct()
+        )
+        n_cand = cand.agg(F.count("*").alias("n_candidates"))
+        n_hit = cand.join(truth, ["doc1", "doc2"], "semi").agg(
+            F.count("*").alias("n_hits")
+        )
+        n_truth = truth.agg(F.count("*").alias("n_true_pairs"))
+        row = (
+            n_cand.crossJoin(n_hit)
+            .crossJoin(n_truth)
+            .select(
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(n_bands).cast("long").alias("n_bands"),
+                "n_candidates",
+                "n_true_pairs",
+                F.expr("(n_hits * 10000) div n_true_pairs").alias(
+                    "recall_bp"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES["dedup_minhash_band_sweep"] = dedup_minhash_band_sweep
+
+
+def _sweep_oracle() -> str:
+    configs = []
+    for r in SWEEP_ROWS_PER_BAND:
+        n_bands = N_HASHES // r
+        band_sel = " UNION ALL ".join(
+            f"SELECT doc_id, {b}::BIGINT AS band, md5("
+            + " || '-' || ".join(f"m{r*b + j}::VARCHAR" for j in range(r))
+            + ") AS bucket FROM sig"
+            for b in range(n_bands)
+        )
+        configs.append(f"""
+        SELECT {r}::BIGINT AS rows_per_band, {n_bands}::BIGINT AS n_bands,
+               (SELECT count(*) FROM (
+                   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                   FROM ({band_sel}) a JOIN ({band_sel}) b
+                     ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+               ))::BIGINT AS n_candidates,
+               (SELECT count(*) FROM truth)::BIGINT AS n_true_pairs,
+               ((SELECT count(*) FROM (
+                   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                   FROM ({band_sel}) a JOIN ({band_sel}) b
+                     ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+               ) c WHERE EXISTS (
+                   SELECT 1 FROM truth t
+                   WHERE t.doc1 = c.doc1 AND t.doc2 = c.doc2
+               )) * 10000 // (SELECT count(*) FROM truth))::BIGINT
+                   AS recall_bp
+        """)
+    return (
+        "WITH "
+        + _DUCK_SIG_CTE.strip().rstrip(",")
+        + f""",
+        truth AS (
+            SELECT doc1, doc2 FROM ({ORACLE["dedup_jaccard_pairs"]})
+        )
+        """
+        + " UNION ALL ".join(configs)
+    )
+
+
+ORACLE["dedup_minhash_band_sweep"] = _sweep_oracle()

@@ -1547,3 +1547,74 @@ ORACLE["star_supplier_hhi"] = f"""
     FROM shares JOIN nation ON s_nationkey = n_nationkey
     GROUP BY 1
 """
+
+
+PARETO_BUCKETS = 10
+
+
+def star_clv_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) curve: customers ranked into
+    revenue deciles, each decile's revenue share and the cumulative
+    share from the top, in exact basis points — "do 20% of customers
+    carry 80% of revenue" as data.
+
+    Shape: the orders fact collapses to per-customer cents first; the
+    ntile ranks the O(customers) aggregate (one shuffle); the decile
+    report and its cumulative window are O(10) rows.  Integer
+    arithmetic end to end."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("rev_cents")
+    )
+    tiled = per_cust.withColumn(
+        "decile",
+        F.ntile(PARETO_BUCKETS).over(
+            Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
+        ),
+    )
+    deciles = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev_cents").alias("rev_cents"),
+    )
+    return deciles.select(
+        "decile",
+        "n_customers",
+        "rev_cents",
+        F.expr("(rev_cents * 10000) div sum(rev_cents) over ()").alias(
+            "share_bp"
+        ),
+        F.expr(
+            "(sum(rev_cents) over (order by decile rows between"
+            " unbounded preceding and current row) * 10000)"
+            " div sum(rev_cents) over ()"
+        ).alias("cum_share_bp"),
+    )
+
+
+QUERIES["star_clv_pareto"] = star_clv_pareto
+
+ORACLE["star_clv_pareto"] = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    tiled AS (
+        SELECT rev_cents,
+               ntile({PARETO_BUCKETS}) OVER (
+                   ORDER BY rev_cents DESC, o_custkey ASC
+               ) AS decile
+        FROM per_cust
+    ),
+    deciles AS (
+        SELECT decile, count(*)::BIGINT AS n_customers,
+               sum(rev_cents)::BIGINT AS rev_cents
+        FROM tiled GROUP BY 1
+    )
+    SELECT decile, n_customers, rev_cents,
+           ((rev_cents * 10000) // sum(rev_cents) OVER ())::BIGINT
+               AS share_bp,
+           ((sum(rev_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             * 10000) // sum(rev_cents) OVER ())::BIGINT AS cum_share_bp
+    FROM deciles
+"""
