@@ -373,3 +373,138 @@ ORACLE["emb_cluster_balance"] = f"""
            ((max_members * n_clusters * 10000) // total)::BIGINT AS skew_bp
     FROM counts CROSS JOIN stats
 """
+
+
+PCA_ITERS = 3
+PCA_Q = 1 << 20          # component quantum (shared with k-means)
+PCA_C_DIV = float(1 << 40)  # returns q^2-scale covariance to x-units
+
+
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — the dominant direction used for whitening, ABTT
+    ("all-but-the-top") embedding post-processing, and drift detection.
+
+    Distributed part: the 64x64 Gram matrix aggregates exact int64
+    products of once-quantized components (the corpus is touched once;
+    the pair fan-out is DIM² per row — at larger widths switch to a
+    per-partition integer Gram kernel, same output).  The covariance in
+    micro units is derived from the Gram/mean integers with one
+    identical IEEE expression per cell.  The 3 power iterations then
+    run on the 64x64 relation: integer matvec (exact), L-infinity
+    normalization by the signed pivot (largest |w|, ties to lowest
+    dim) — ``(w * 1e6) div pivot`` — so every iterate is integer and
+    the sign convention is canonical.  Output: 64 rows
+    (dim, v_micro), pivot component = +1e6.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding,"
+                f" x -> cast(round(cast(x as double) * {PCA_Q}) as bigint))"
+            )
+        ).alias("pos", "qv"),
+    )
+    n = emb.count()
+    sums = q.groupBy("pos").agg(F.sum("qv").alias("s"))
+    q1 = q.select(F.col("pos").alias("p1"), "vec_id", F.col("qv").alias("q1"))
+    q2 = q.select(F.col("pos").alias("p2"), "vec_id", F.col("qv").alias("q2"))
+    gram = (
+        q1.join(q2, "vec_id")
+        .groupBy("p1", "p2")
+        .agg(F.sum(F.col("q1") * F.col("q2")).alias("g"))
+    )
+    s1 = sums.select(F.col("pos").alias("p1"), F.col("s").alias("s1"))
+    s2 = sums.select(F.col("pos").alias("p2"), F.col("s").alias("s2"))
+    cov = (
+        gram.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .select(
+            "p1",
+            "p2",
+            F.round(
+                (
+                    F.col("g") / n
+                    - (F.col("s1") / n) * (F.col("s2") / n)
+                )
+                / PCA_C_DIV
+                * 1e6
+            )
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    v = cov.select(F.col("p1").alias("pos")).distinct().withColumn(
+        "vm", F.lit(1_000_000).cast("long")
+    )
+    for _ in range(PCA_ITERS):
+        w = (
+            cov.join(v.withColumnRenamed("pos", "p2"), "p2")
+            .groupBy("p1")
+            .agg(F.sum(F.col("cq") * F.col("vm")).alias("w"))
+        )
+        pivot = (
+            w.orderBy(F.abs(F.col("w")).desc(), F.col("p1").asc())
+            .limit(1)
+            .select(F.col("w").alias("pivot"))
+        )
+        v = (
+            w.crossJoin(F.broadcast(pivot))
+            .select(
+                F.col("p1").alias("pos"),
+                F.expr("(w * 1000000) div pivot").alias("vm"),
+            )
+        )
+    return v.select(F.col("pos").alias("dim"), F.col("vm").alias("v_micro"))
+
+
+QUERIES["emb_pca_top_component"] = emb_pca_top_component
+
+
+def _pca_oracle() -> str:
+    parts = [
+        f"""q AS (
+            SELECT vec_id, i - 1 AS pos,
+                   round(embedding[i]::DOUBLE * {PCA_Q})::BIGINT AS qv
+            FROM embeddings, range(1, 65) t(i)
+        )""",
+        "n AS (SELECT count(*)::BIGINT AS n FROM embeddings)",
+        "sums AS (SELECT pos, sum(qv)::BIGINT AS s FROM q GROUP BY 1)",
+        """gram AS (
+            SELECT a.pos AS p1, b.pos AS p2, sum(a.qv * b.qv)::BIGINT AS g
+            FROM q a JOIN q b ON a.vec_id = b.vec_id
+            GROUP BY 1, 2
+        )""",
+        f"""cov AS (
+            SELECT p1, p2,
+                   round((g / n.n - (s1.s / n.n) * (s2.s / n.n))
+                         / {PCA_C_DIV} * 1e6)::BIGINT AS cq
+            FROM gram
+            JOIN sums s1 ON gram.p1 = s1.pos
+            JOIN sums s2 ON gram.p2 = s2.pos
+            CROSS JOIN n
+        )""",
+        "v0 AS (SELECT DISTINCT p1 AS pos, 1000000::BIGINT AS vm FROM cov)",
+    ]
+    for t in range(PCA_ITERS):
+        parts.append(f"""w{t} AS (
+            SELECT p1, sum(cq * vm)::BIGINT AS w
+            FROM cov JOIN v{t} ON cov.p2 = v{t}.pos
+            GROUP BY 1
+        )""")
+        parts.append(f"""v{t + 1} AS (
+            SELECT p1 AS pos,
+                   ((w * 1000000) // (
+                       SELECT w FROM w{t} ORDER BY abs(w) DESC, p1 ASC LIMIT 1
+                   ))::BIGINT AS vm
+            FROM w{t}
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f" SELECT pos AS dim, vm AS v_micro FROM v{PCA_ITERS}"
+    )
+
+
+ORACLE["emb_pca_top_component"] = _pca_oracle()
