@@ -508,3 +508,42 @@ def _pca_oracle() -> str:
 
 
 ORACLE["emb_pca_top_component"] = _pca_oracle()
+
+
+def emb_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the top principal component (the
+    score the ABTT post-processing subtracts and drift monitors chart):
+    dot(q, v) over once-quantized components and the fixed-point
+    eigenvector — exact int64 products, broadcast O(DIM) vector, one
+    narrow pass over the corpus."""
+    v = emb_pca_top_component(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding,"
+                f" x -> cast(round(cast(x as double) * {PCA_Q}) as bigint))"
+            )
+        ).alias("dim", "qv"),
+    )
+    return (
+        q.join(F.broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qv") * F.col("v_micro")).alias("proj_fp"))
+    )
+
+
+QUERIES["emb_pca_projection"] = emb_pca_projection
+
+ORACLE["emb_pca_projection"] = f"""
+    WITH v AS ({ORACLE["emb_pca_top_component"]}),
+    q AS (
+        SELECT vec_id, i - 1 AS dim,
+               round(embedding[i]::DOUBLE * {PCA_Q})::BIGINT AS qv
+        FROM embeddings, range(1, 65) t(i)
+    )
+    SELECT vec_id, sum(qv * v_micro)::BIGINT AS proj_fp
+    FROM q JOIN v USING (dim)
+    GROUP BY 1
+"""

@@ -97,6 +97,10 @@ HEADLINE = [
     "data_corpus_build",
     "star_basket_lift",
     "events_rollup_merge",
+    "dedup_minhash_band_sweep",
+    "star_clv_pareto",
+    "emb_pca_top_component",
+    "text_novelty_curve",
 ]
 
 
