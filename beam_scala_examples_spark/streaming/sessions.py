@@ -5,10 +5,14 @@ W3 applied to the engine's own event log: ``session_window`` holds one
 open session per (user, gap) in the state store, merges on arrival, and
 emits a session exactly once — in append mode — when the watermark
 passes its end (last event + gap).  At scale the state is O(open
-sessions), keyed by user_id; lateness is the watermark delay, and a
-late event inside the gap of an already-emitted session is dropped by
-the state store (the Beam allowed-lateness re-fire has no append-mode
-equivalent — SURVEY §7.4, same caveat as X2).
+sessions), keyed by user_id; lateness is the watermark delay.  Late
+events: each micro-batch merges its input into session state FIRST and
+evicts/emits closed sessions after, so a late event landing in the same
+batch where the watermark passes its session's end still merges, while
+one arriving after the state was evicted is dropped outright — no
+re-fire, no fragment session (the Beam allowed-lateness re-fire has no
+append-mode equivalent — SURVEY §7.4, same caveat as X2; pinned by
+``test_streaming_sessions_drop_late_after_eviction``).
 
 Batch equivalence is pinned by
 ``tests/test_streaming.py::test_streaming_sessions_match_batch`` against

@@ -1042,3 +1042,54 @@ def test_progress_recorder_captures_batches(spark, sf_dir, event_rows, tmpdir):
     assert sum(b["num_input_rows"] for b in rec.batches) == 600
     assert any((b["state_rows"] or 0) > 0 for b in rec.batches)
     assert all(b["duration_ms"] is not None for b in rec.batches if b["num_input_rows"])
+
+
+def test_streaming_sessions_drop_late_after_eviction(spark, tmpdir):
+    """W3 + X1 on sessions, the exact eviction semantics: each batch
+    MERGES its input into session state first, then evicts/emits
+    sessions whose end precedes the watermark.  So a late event landing
+    in the batch where the watermark first passes its session's end
+    still merges (batch-2 emission below includes nothing for user 1
+    until its eviction batch), while a late event arriving AFTER the
+    state was evicted is dropped outright — no re-fire, no fragment
+    session (SURVEY §7.4; streaming/sessions.py docstring)."""
+    from beam_scala_examples_spark.streaming import sessions as ssx
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream,
+        write_arrival_groups,
+    )
+
+    def row(eid, ts, uid):
+        return {
+            "event_id": eid, "ts": ts, "user_id": uid,
+            "event_type": "click", "value": 1.0,
+        }
+
+    groups = [
+        [row(1, "2024-01-01 10:00:00", 1), row(2, "2024-01-01 10:05:00", 1)],
+        [row(3, "2024-01-01 13:00:00", 2)],  # watermark -> 13:00 next batch
+        [row(6, "2024-01-01 13:30:00", 2)],  # user 1's session evicted here
+        [row(4, "2024-01-01 10:10:00", 1)],  # late, after eviction: dropped
+        [row(5, "2024-01-01 23:00:00", 3)],  # flush user 2
+    ]
+    write_arrival_groups(groups, f"{tmpdir}/feed")
+    stream = read_event_stream(spark, f"{tmpdir}/feed")
+
+    got: list[tuple] = []
+
+    def sink(batch_df, _bid):
+        got.extend(
+            (r.user_id, r.n_events, r.duration_us) for r in batch_df.collect()
+        )
+
+    _run_stream(ssx.user_sessions(stream), "append", sink, tmpdir)
+
+    by_user = {u: (n, d) for u, n, d in got}
+    # user 1: the 2 on-time events only — the late event neither
+    # re-fired the session nor produced a fragment
+    assert by_user[1] == (2, 300_000_000)
+    # user 2: both events merged into one session (within the gap)
+    assert by_user[2] == (2, 1_800_000_000)
+    # user 3's flush session is still open at stream end (nothing
+    # advanced the watermark past it) — append mode emits nothing for it
+    assert len(got) == 2
