@@ -547,3 +547,111 @@ ORACLE["emb_pca_projection"] = f"""
     FROM q JOIN v USING (dim)
     GROUP BY 1
 """
+
+
+def emb_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How dominant is the top principal direction: the Rayleigh
+    quotient v^T C v / v^T v against the total variance trace(C), in
+    basis points — the number that says whether ABTT/whitening is worth
+    running on this corpus.
+
+    All three scalars are integer sums over the micro-unit covariance
+    relation and the fixed-point eigenvector (O(DIM²) rows); the two
+    divisions happen once at the end with identical IEEE expressions.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding,"
+                f" x -> cast(round(cast(x as double) * {PCA_Q}) as bigint))"
+            )
+        ).alias("pos", "qv"),
+    )
+    n = emb.count()
+    sums = q.groupBy("pos").agg(F.sum("qv").alias("s"))
+    q1 = q.select(F.col("pos").alias("p1"), "vec_id", F.col("qv").alias("q1"))
+    q2 = q.select(F.col("pos").alias("p2"), "vec_id", F.col("qv").alias("q2"))
+    gram = (
+        q1.join(q2, "vec_id")
+        .groupBy("p1", "p2")
+        .agg(F.sum(F.col("q1") * F.col("q2")).alias("g"))
+    )
+    s1 = sums.select(F.col("pos").alias("p1"), F.col("s").alias("s1"))
+    s2 = sums.select(F.col("pos").alias("p2"), F.col("s").alias("s2"))
+    cov = (
+        gram.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .select(
+            "p1",
+            "p2",
+            F.round(
+                (F.col("g") / n - (F.col("s1") / n) * (F.col("s2") / n))
+                / PCA_C_DIV
+                * 1e6
+            )
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    v = emb_pca_top_component(spark, sf_dir)
+    v1 = v.select(F.col("dim").alias("p1"), F.col("v_micro").alias("v1"))
+    v2 = v.select(F.col("dim").alias("p2"), F.col("v_micro").alias("v2"))
+    rayleigh_num = (
+        cov.join(F.broadcast(v1), "p1")
+        .join(F.broadcast(v2), "p2")
+        .agg(F.sum(F.col("cq") * F.col("v1") * F.col("v2")).alias("vcv"))
+    )
+    vv = v.agg(F.sum(F.col("v_micro") * F.col("v_micro")).alias("vv"))
+    trace = cov.filter(F.col("p1") == F.col("p2")).agg(
+        F.sum("cq").alias("tr")
+    )
+    return (
+        rayleigh_num.crossJoin(vv)
+        .crossJoin(trace)
+        .select(
+            F.round((F.col("vcv") / F.col("vv")) / F.col("tr") * 10000)
+            .cast("long")
+            .alias("top_var_bp"),
+            "tr",
+        )
+    )
+
+
+QUERIES["emb_variance_explained"] = emb_variance_explained
+
+ORACLE["emb_variance_explained"] = f"""
+    WITH v AS ({ORACLE["emb_pca_top_component"]}),
+    q AS (
+        SELECT vec_id, i - 1 AS pos,
+               round(embedding[i]::DOUBLE * {PCA_Q})::BIGINT AS qv
+        FROM embeddings, range(1, 65) t(i)
+    ),
+    n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+    sums AS (SELECT pos, sum(qv)::BIGINT AS s FROM q GROUP BY 1),
+    gram AS (
+        SELECT a.pos AS p1, b.pos AS p2, sum(a.qv * b.qv)::BIGINT AS g
+        FROM q a JOIN q b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2
+    ),
+    cov AS (
+        SELECT p1, p2,
+               round((g / n.n - (s1.s / n.n) * (s2.s / n.n))
+                     / {PCA_C_DIV} * 1e6)::BIGINT AS cq
+        FROM gram
+        JOIN sums s1 ON gram.p1 = s1.pos
+        JOIN sums s2 ON gram.p2 = s2.pos
+        CROSS JOIN n
+    ),
+    ray AS (
+        SELECT sum(cq * a.v_micro * b.v_micro)::BIGINT AS vcv
+        FROM cov
+        JOIN v a ON cov.p1 = a.dim
+        JOIN v b ON cov.p2 = b.dim
+    ),
+    vv AS (SELECT sum(v_micro * v_micro)::BIGINT AS vv FROM v),
+    tr AS (SELECT sum(cq)::BIGINT AS tr FROM cov WHERE p1 = p2)
+    SELECT round((vcv / vv) / tr * 10000)::BIGINT AS top_var_bp, tr
+    FROM ray CROSS JOIN vv CROSS JOIN tr
+"""

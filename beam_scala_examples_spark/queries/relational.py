@@ -1618,3 +1618,47 @@ ORACLE["star_clv_pareto"] = f"""
              * 10000) // sum(rev_cents) OVER ())::BIGINT AS cum_share_bp
     FROM deciles
 """
+
+
+def star_basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: orders per distinct-part count — the
+    measured evidence behind every co-purchase scale claim (the pair
+    join is Σ basket², so this histogram IS its cost model).  Two
+    hash aggregates; the profile is O(max basket size) rows with the
+    share in exact basis points."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("basket_size"))
+    return (
+        sizes.groupBy("basket_size")
+        .agg(F.count("*").alias("n_orders"))
+        .withColumn(
+            "share_bp", F.expr("(n_orders * 10000) div sum(n_orders) over ()")
+        )
+        .withColumn(
+            "pair_work", F.expr("n_orders * basket_size * (basket_size - 1) div 2")
+        )
+    )
+
+
+QUERIES["star_basket_size_profile"] = star_basket_size_profile
+
+ORACLE["star_basket_size_profile"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sizes AS (
+        SELECT l_orderkey, count(*)::BIGINT AS basket_size
+        FROM li GROUP BY 1
+    ),
+    hist AS (
+        SELECT basket_size, count(*)::BIGINT AS n_orders
+        FROM sizes GROUP BY 1
+    )
+    SELECT basket_size, n_orders,
+           ((n_orders * 10000) // sum(n_orders) OVER ())::BIGINT AS share_bp,
+           (n_orders * basket_size * (basket_size - 1) // 2)::BIGINT
+               AS pair_work
+    FROM hist
+"""
