@@ -89,3 +89,49 @@ ORACLE = {
         CROSS JOIN td
     """,
 }
+
+
+TOP_TERMS_K = 3
+
+
+def text_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's ``TOP_TERMS_K`` highest
+    TF-IDF terms — the per-doc tag/topic surface built directly on Q7's
+    relation.  Ranking orders by the micro-quantized score (an integer,
+    so the cut is boundary-safe across engines) with the term as the
+    total-order tie-break; the per-doc rank rides WindowGroupLimit, so
+    each shuffle partition forwards K rows per doc, not the doc's whole
+    vocabulary."""
+    from pyspark.sql.window import Window
+
+    scored = q07_tfidf(spark, sf_dir).withColumn(
+        "tfidf_micro", F.round(F.col("tfidf") * 1e6).cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micro"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS_K)
+        .select("doc_id", "rank", "word", "tfidf_micro")
+    )
+
+
+QUERIES["text_top_terms_per_doc"] = text_top_terms_per_doc
+
+ORACLE["text_top_terms_per_doc"] = f"""
+    WITH base AS ({ORACLE["q07_tfidf"]}),
+    scored AS (
+        SELECT doc_id, word,
+               round(tfidf * 1e6)::BIGINT AS tfidf_micro
+        FROM base
+    )
+    SELECT doc_id, rank, word, tfidf_micro FROM (
+        SELECT doc_id, word, tfidf_micro,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tfidf_micro DESC, word ASC
+               )::INTEGER AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_TERMS_K}
+"""

@@ -481,3 +481,10 @@ def test_centroid_dist_aggregates_before_pair_join(plans):
     p = plans("emb_label_centroid_dist")
     assert "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+def test_top_terms_ride_window_group_limit(plans):
+    """Keyword extraction: the per-doc rank pushes WindowGroupLimit so
+    partitions forward K rows per doc, not each doc's vocabulary."""
+    p = plans("text_top_terms_per_doc")
+    assert "WindowGroupLimit" in p
