@@ -488,3 +488,14 @@ def test_top_terms_ride_window_group_limit(plans):
     partitions forward K rows per doc, not each doc's vocabulary."""
     p = plans("text_top_terms_per_doc")
     assert "WindowGroupLimit" in p
+
+
+def test_no_cartesian_or_row_python_anywhere(plans):
+    """Blanket invariant over EVERY registered query: no CartesianProduct
+    and no row-at-a-time Python (BatchEvalPython) in any physical plan.
+    Arrow-batched Python (FlatMapGroupsInPandas/MapInPandas/ArrowEval)
+    is allowed only where sanctioned; row-pickled Python never is."""
+    for name in sorted(QUERIES):
+        p = plans(name)
+        assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+        assert "BatchEvalPython" not in p, f"{name} fell into row-Python"
