@@ -409,3 +409,23 @@ def test_prefix_filter_recall_is_lossless(spark):
         j = inter / (len(s1) + len(s2) - inter)
         if j >= 0.7:
             assert prefix(s1) & prefix(s2), (s1, s2, j)
+
+
+def test_bloom_screen_has_no_false_negatives(spark):
+    """Bloom membership is one-sided: an element inserted into the bit
+    set is ALWAYS flagged by the K-probe check (false positives allowed,
+    false negatives never) — the property the contamination pre-screen
+    relies on.  Pure-Python twin of the engine's md5-slice positions."""
+    import hashlib
+    import random
+
+    from beam_scala_examples_spark.queries.llmdata import BLOOM_BITS, BLOOM_K
+
+    def positions(s):
+        h = hashlib.md5(s.encode()).hexdigest()
+        return [int(h[8 * i : 8 * i + 8], 16) % BLOOM_BITS for i in range(BLOOM_K)]
+
+    rng = random.Random(3)
+    train = [f"shingle {rng.randrange(10**9)}" for _ in range(5000)]
+    bits = {p for s in train for p in positions(s)}
+    assert all(all(p in bits for p in positions(s)) for s in train)
