@@ -4233,3 +4233,141 @@ def _sweep_oracle() -> str:
 
 
 ORACLE["dedup_minhash_band_sweep"] = _sweep_oracle()
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters — completes the mergeable-sketch family
+# (HLL reach, KLL quantiles, Bloom membership, MinHash/SimHash similarity)
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 3    # independent hash rows (disjoint md5 slices)
+CMS_WIDTH = 16   # deliberately tiny: 31 fixture tokens MUST collide, so
+                 # the test corpus exercises the overestimate + min-over-
+                 # depth mechanics; prod sizing is width = ceil(e/eps)
+CMS_HH_DENOM = 64  # heavy hitter iff est * 64 >= total occurrences
+
+
+def _cms_pos_spark(i: int) -> str:
+    return (
+        f"cast(conv(substr(md5(token), {1 + 8 * i}, 8), 16, 10) as bigint)"
+        f" % {CMS_WIDTH}"
+    )
+
+
+def _cms_pos_duck(i: int) -> str:
+    return (
+        f"(('0x' || substr(md5(token), {1 + 8 * i}, 8))::BIGINT)"
+        f" % {CMS_WIDTH}"
+    )
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the token stream: build a
+    ``CMS_DEPTH x CMS_WIDTH`` counter sketch in ONE hash aggregate (each
+    occurrence contributes D (row, bucket) increments via disjoint md5
+    slices; partial aggregation bounds the exchange at D*W rows per
+    task), then answer "which tokens exceed phi = 1/CMS_HH_DENOM of all
+    occurrences" from the sketch alone.  Output exposes the sketch's
+    one-sided error honestly: ``est_count`` (min over depth rows) and
+    ``est_single_row`` (row 0 only) sit beside the exact ``true_count``
+    — ``true <= est <= est_single_row`` always, and the CMS guarantee
+    means NO true heavy hitter is missed (estimates never undercount).
+
+    Scale: the sketch relation is <= D*W rows REGARDLESS of corpus size
+    — that is the point of shipping a sketch instead of the token
+    counts — so the probe join broadcasts it.  At web scale the probe
+    set comes from per-partition candidate generation (Misra-Gries /
+    SpaceSaving top lists), not a full distinct; the fixture vocabulary
+    (31 tokens) makes the full distinct the honest equivalent here.
+    ``true_count`` is joined in only to *report* the estimation error;
+    the heavy-hitter decision itself uses est alone."""
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(F.expr(_SPARK_TOKS)).alias("token"))
+    inc = occ.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        F.expr(_cms_pos_spark(i)).alias("b"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb")
+    )
+    sketch = (
+        inc.select("rb.r", "rb.b").groupBy("r", "b").agg(
+            F.count("*").alias("cnt")
+        )
+    )
+    truth = occ.groupBy("token").agg(F.count("*").alias("true_count"))
+    probes = truth.select(
+        "token",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        F.expr(_cms_pos_spark(i)).alias("b"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "true_count", "rb.r", "rb.b")
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("token")
+        .agg(
+            F.first("true_count").alias("true_count"),
+            F.min("cnt").alias("est_count"),
+            F.min(F.when(F.col("r") == 0, F.col("cnt"))).alias(
+                "est_single_row"
+            ),
+        )
+    )
+    total = occ.agg(F.count("*").alias("n_occ"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") * CMS_HH_DENOM >= F.col("n_occ"))
+        .select("token", "est_count", "est_single_row", "true_count")
+    )
+
+
+QUERIES["text_heavy_hitters"] = text_heavy_hitters
+
+_CMS_DUCK_INC = " UNION ALL ".join(
+    f"SELECT {i} AS r, {_cms_pos_duck(i)} AS b FROM occ"
+    for i in range(CMS_DEPTH)
+)
+_CMS_DUCK_PROBES = " UNION ALL ".join(
+    f"SELECT token, true_count, {i} AS r, {_cms_pos_duck(i)} AS b FROM truth"
+    for i in range(CMS_DEPTH)
+)
+
+ORACLE["text_heavy_hitters"] = f"""
+    WITH occ AS (
+        SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+    ),
+    inc AS ({_CMS_DUCK_INC}),
+    sketch AS (
+        SELECT r, b, count(*)::BIGINT AS cnt FROM inc GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT token, count(*)::BIGINT AS true_count FROM occ GROUP BY 1
+    ),
+    probes AS ({_CMS_DUCK_PROBES}),
+    est AS (
+        SELECT token,
+               min(true_count)::BIGINT AS true_count,
+               min(cnt)::BIGINT AS est_count,
+               min(CASE WHEN r = 0 THEN cnt END)::BIGINT AS est_single_row
+        FROM probes JOIN sketch USING (r, b)
+        GROUP BY token
+    )
+    SELECT token, est_count, est_single_row, true_count
+    FROM est
+    WHERE est_count * {CMS_HH_DENOM} >= (SELECT count(*) FROM occ)
+"""

@@ -1662,3 +1662,109 @@ ORACLE["star_basket_size_profile"] = """
                AS pair_work
     FROM hist
 """
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) — banded two-level evaluation
+# --------------------------------------------------------------------------
+
+# Revenue band width for the first skyline level.  Band count grows with
+# corpus size (revenue range / width), keeping every level-1 window
+# partition bounded; the global level only sees per-band survivors.
+PARETO_BAND_CENTS = 1_000_000_000
+
+
+def _skyline_keep(df: DataFrame, banded: bool) -> DataFrame:
+    """Strict-dominance skyline filter over (revenue_cents max,
+    worst_lag_days min).  A point is dominated iff another point has
+    revenue >= AND lag <= with at least one strict.  Two windows decide
+    it without any self-join:
+
+    - ``rm``: min lag among points with *strictly larger* revenue
+      (DESC range frame ending 1 PRECEDING) — catches dominators strict
+      in revenue;
+    - ``same_min``: min lag among equal-revenue points — catches
+      dominators strict in lag only.
+
+    Keep iff ``(rm IS NULL OR rm > lag) AND lag = same_min``.  Equal
+    (revenue, lag) duplicates are mutually non-dominating and both kept.
+    """
+    part = "PARTITION BY band " if banded else ""
+    same_part = "band, revenue_cents" if banded else "revenue_cents"
+    rm = F.expr(
+        f"min(worst_lag_days) OVER ({part}ORDER BY revenue_cents DESC "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    same = F.expr(f"min(worst_lag_days) OVER (PARTITION BY {same_part})")
+    return (
+        df.withColumn("_rm", rm)
+        .withColumn("_same", same)
+        .filter(
+            (F.col("_rm").isNull() | (F.col("_rm") > F.col("worst_lag_days")))
+            & (F.col("worst_lag_days") == F.col("_same"))
+        )
+        .drop("_rm", "_same")
+    )
+
+
+def star_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier Pareto frontier: the set of suppliers not dominated on
+    (total discounted revenue — higher better, worst ship lag in days —
+    lower better).  The multi-objective vendor-selection shape (skyline
+    operator; no Beam/TPC-H counterpart, standard in SQL:2023 proposals).
+
+    Scale: one suppkey-partitioned aggregate reduces the fact table to
+    O(suppliers); the skyline then runs in two levels — level 1 inside
+    fixed-width revenue bands (window partitioned by band: any one sort
+    is bounded by a band's population), level 2 globally over the
+    per-band survivors only.  Frontier-of-union equals
+    frontier-of-band-frontiers because dominance is transitive and any
+    dominator chain terminates at a band-skyline point; the DuckDB
+    oracle computes the single-level global skyline directly, so parity
+    proves the two-level reduction exact."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    perf = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.sum(_disc_cents()).alias("revenue_cents"),
+            F.max(F.datediff("l_shipdate", "o_orderdate"))
+            .cast("long")
+            .alias("worst_lag_days"),
+        )
+    )
+    banded = perf.withColumn(
+        "band", F.expr(f"revenue_cents div {PARETO_BAND_CENTS}")
+    )
+    survivors = _skyline_keep(banded, banded=True).drop("band")
+    return _skyline_keep(survivors, banded=False).select(
+        "s_suppkey", "revenue_cents", "worst_lag_days"
+    )
+
+
+QUERIES["star_pareto_frontier"] = star_pareto_frontier
+
+ORACLE["star_pareto_frontier"] = f"""
+    WITH perf AS (
+        SELECT l_suppkey AS s_suppkey,
+               sum({DUCK_DISC_CENTS})::BIGINT AS revenue_cents,
+               max(date_diff('day', o_orderdate, l_shipdate))::BIGINT
+                   AS worst_lag_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    ),
+    sky AS (
+        SELECT s_suppkey, revenue_cents, worst_lag_days,
+               min(worst_lag_days) OVER (
+                   ORDER BY revenue_cents DESC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm,
+               min(worst_lag_days) OVER (PARTITION BY revenue_cents)
+                   AS same_min
+        FROM perf
+    )
+    SELECT s_suppkey, revenue_cents, worst_lag_days
+    FROM sky
+    WHERE (rm IS NULL OR rm > worst_lag_days)
+      AND worst_lag_days = same_min
+"""

@@ -101,7 +101,25 @@ HEADLINE = [
     "star_clv_pareto",
     "emb_pca_top_component",
     "text_novelty_curve",
+    "text_heavy_hitters",
+    "star_pareto_frontier",
 ]
+
+
+# The 24 queries BENCH_r01.json timed (its whole headline set).
+_R01_HEADLINE = frozenset(
+    {
+        "q01_minimal_wordcount", "q05_autocomplete", "q07_tfidf",
+        "q08_top_month_sessions", "q09_max_lane_flow", "q10_traffic_routes",
+        "q11_user_score", "q13_leaderboard_user",
+        "q14_spam_filtered_team_score", "q15_threshold_crossings",
+        "q22_trigger_flow", "dedup_minhash_pairs", "dedup_jaccard_pairs",
+        "dedup_simhash", "dedup_embedding_pairs", "sim_cosine_topk",
+        "sim_lsh_topk", "sim_ivf_topk", "text_quality_score",
+        "text_fingerprint", "text_contamination", "star_pricing_summary",
+        "star_shipping_priority", "star_volume_by_nation",
+    }
+)
 
 
 def main() -> None:
@@ -135,6 +153,13 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Aux key for fair round-over-round comparison: the headline set has
+    # grown (24 queries in BENCH_r01 -> the full set above), so the raw
+    # total is not comparable across rounds; this is the total over the
+    # queries BENCH_r01 timed.
+    r01_shared = round(
+        sum(t for n, t in timings.items() if n in _R01_HEADLINE), 3
+    )
     print(
         json.dumps(
             {
@@ -143,6 +168,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "r01_shared_total": r01_shared,
             }
         )
     )

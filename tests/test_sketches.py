@@ -90,3 +90,56 @@ def test_kll_quantiles_within_rank_error(spark, events):
             lo = bisect.bisect_left(vals, q) / len(vals)
             hi = bisect.bisect_right(vals, q) / len(vals)
             assert lo - 0.03 <= p <= hi + 0.03, (etype, p, q, lo, hi)
+
+
+def test_cms_estimates_one_sided_and_depth_tightens(spark, sf_dir):
+    """Count-min guarantees: every estimate >= the true count (no
+    undercount, ever), the min over depth rows never exceeds the
+    single-row estimate, and with a 16-bucket width over the 31-token
+    fixture vocabulary at least one token actually collides (otherwise
+    the test corpus would not exercise the overestimate path at all)."""
+    from beam_scala_examples_spark.queries.llmdata import text_heavy_hitters
+
+    rows = text_heavy_hitters(spark, sf_dir).collect()
+    assert rows, "fixture vocabulary should all be heavy hitters"
+    assert all(r.est_count >= r.true_count for r in rows)
+    assert all(r.est_single_row >= r.est_count for r in rows)
+    assert any(r.est_count > r.true_count for r in rows) or any(
+        r.est_single_row > r.est_count for r in rows
+    )
+
+
+def test_pareto_frontier_is_exactly_the_non_dominated_set(spark, sf_dir):
+    """The banded two-level skyline returns precisely the points no
+    other supplier dominates — checked against an O(n^2) reference
+    over the (tiny) aggregated supplier relation."""
+    from beam_scala_examples_spark.queries.relational import (
+        star_pareto_frontier,
+        _disc_cents,
+    )
+    from beam_scala_examples_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    perf = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.sum(_disc_cents()).alias("rev"),
+            F.max(F.datediff("l_shipdate", "o_orderdate"))
+            .cast("long")
+            .alias("lag"),
+        )
+        .collect()
+    )
+    expected = {
+        p.s_suppkey
+        for p in perf
+        if not any(
+            (q.rev >= p.rev and q.lag <= p.lag)
+            and (q.rev > p.rev or q.lag < p.lag)
+            for q in perf
+        )
+    }
+    got = {r.s_suppkey for r in star_pareto_frontier(spark, sf_dir).collect()}
+    assert got == expected
