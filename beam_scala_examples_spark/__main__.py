@@ -75,11 +75,25 @@ def main(argv: list[str] | None = None) -> int:
                       help="fixed output shard count (withNumShards)")
     runp.add_argument("--show", type=int, default=20)
 
+    exp = sub.add_parser(
+        "explain", help="print a query's formatted physical plan"
+    )
+    exp.add_argument("query")
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     args = p.parse_args(argv)
     if args.cmd == "list":
         for name in sorted(QUERIES):
             oracle = "oracle" if name in ORACLE else "rows-only"
             print(f"{name}  [{oracle}]")
+        return 0
+    if args.cmd == "explain":
+        if args.query not in QUERIES:
+            print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name=f"bese-explain-{args.query}")
+        spark.sparkContext.setLogLevel("ERROR")
+        QUERIES[args.query](spark, args.sf_dir).explain("formatted")
         return 0
     return _run(args)
 

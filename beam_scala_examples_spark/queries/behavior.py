@@ -1262,3 +1262,108 @@ ORACLE["events_session_funnel"] = f"""
            count(cv)::BIGINT AS converted_sessions
     FROM conv
 """
+
+
+MAD_K = 5  # robust outlier: |v - median| > K * MAD
+
+
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen: |value − median| > ``MAD_K`` ×
+    MAD (median absolute deviation) — the companion to
+    ``events_value_outliers``' z-score test that a single whale value
+    cannot poison (mean/stddev move with the outlier; median/MAD do
+    not).
+
+    Exactness AND scale ride the same trick: both medians are computed
+    from the per-(type, value-cents) HISTOGRAM — group-count first, then
+    a cumulative-sum window over the O(distinct cents) histogram rows to
+    pick the lower median (smallest v with 2·cum ≥ n) — so no engine
+    ever sorts the raw fact table per type and every quantity is an
+    integer (cents in, cents out; no float quantile interpolation to
+    disagree over).  Pass 2 re-histograms |v − med| the same way for the
+    MAD.  The (type, med, mad) relation is O(event types) and
+    broadcasts back over one scan for the flag pass."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("v")
+    )
+    hist = ev.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+
+    def _lower_median(h: DataFrame, val: str, out: str) -> DataFrame:
+        wc = Window.partitionBy("event_type").orderBy(val)
+        wn = Window.partitionBy("event_type")
+        return (
+            h.withColumn("cum", F.sum("c").over(wc))
+            .withColumn("n", F.sum("c").over(wn))
+            .filter(F.col("cum") * 2 >= F.col("n"))
+            .groupBy("event_type")
+            .agg(F.min(val).alias(out))
+        )
+
+    med = _lower_median(hist, "v", "med")
+    dh = (
+        hist.join(F.broadcast(med), "event_type")
+        .groupBy(
+            "event_type",
+            "med",
+            F.abs(F.col("v") - F.col("med")).alias("d"),
+        )
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = (
+        _lower_median(dh, "d", "mad")
+        .join(F.broadcast(med), "event_type")
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("v") - F.col("med")) > F.lit(MAD_K) * F.col("mad")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("v") / 100.0).alias("value"),
+            F.col("med").alias("med_cents"),
+            F.col("mad").alias("mad_cents"),
+        )
+    )
+
+
+QUERIES["events_value_mad_outliers"] = events_value_mad_outliers
+
+ORACLE["events_value_mad_outliers"] = f"""
+    WITH ev AS (
+        SELECT event_id, event_type, round(value * 100)::BIGINT AS v
+        FROM events
+    ),
+    hist AS (
+        SELECT event_type, v, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, v, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    ),
+    med AS (
+        SELECT event_type, min(v)::BIGINT AS med
+        FROM cum WHERE cum * 2 >= n GROUP BY 1
+    ),
+    dh AS (
+        SELECT h.event_type, med, abs(v - med) AS d, sum(c)::BIGINT AS c
+        FROM hist h JOIN med USING (event_type) GROUP BY 1, 2, 3
+    ),
+    dcum AS (
+        SELECT event_type, med, d, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM dh
+    ),
+    mad AS (
+        SELECT event_type, min(med)::BIGINT AS med, min(d)::BIGINT AS mad
+        FROM dcum WHERE cum * 2 >= n GROUP BY event_type
+    )
+    SELECT event_id, ev.event_type, v / 100.0 AS value,
+           med AS med_cents, mad AS mad_cents
+    FROM ev JOIN mad ON ev.event_type = mad.event_type
+    WHERE abs(v - med) > {MAD_K} * mad
+"""
