@@ -9,6 +9,8 @@ our job is to not get in its way).
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from beam_scala_examples_spark.queries import QUERIES
@@ -488,6 +490,32 @@ def test_top_terms_ride_window_group_limit(plans):
     partitions forward K rows per doc, not each doc's vocabulary."""
     p = plans("text_top_terms_per_doc")
     assert "WindowGroupLimit" in p
+
+
+def test_cms_sketch_broadcasts_to_probe_join(plans):
+    """CMS heavy hitters: the finished sketch (<= D*W rows) reaches the
+    probe join as a broadcast — the probe side never shuffles for it."""
+    p = plans("text_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+
+
+def test_pareto_skyline_windows_partition_by_band_first(plans):
+    """The level-1 skyline windows are partitioned by revenue band (no
+    single sort sees the whole supplier relation); only the survivor
+    pass runs an unpartitioned window."""
+    p = plans("star_pareto_frontier")
+    assert re.search(r"Arguments: \[band", p) or "band#" in p
+    # two window levels: banded then global
+    assert p.count("Window") >= 2
+
+
+def test_mad_medians_window_histogram_not_facts(plans):
+    """MAD outliers: the cumulative-sum windows run over the grouped
+    (type, cents) histogram — a HashAggregate feeds every Sort/Window,
+    so no window sorts raw fact rows."""
+    p = plans("events_value_mad_outliers")
+    assert "Window" in p and "HashAggregate" in p
+    assert "BroadcastHashJoin" in p  # med/mad broadcast back over the scan
 
 
 def test_no_cartesian_or_row_python_anywhere(plans):

@@ -429,3 +429,40 @@ def test_bloom_screen_has_no_false_negatives(spark):
     train = [f"shingle {rng.randrange(10**9)}" for _ in range(5000)]
     bits = {p for s in train for p in positions(s)}
     assert all(all(p in bits for p in positions(s)) for s in train)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_banded_skyline_equals_brute_force(spark, pts):
+    """The two-level banded skyline (queries/relational.py::_skyline_keep)
+    returns exactly the non-dominated set on arbitrary integer points —
+    including duplicate points, total ties on one axis, and band
+    boundaries (band width 7 over x in [0, 50] forces multi-band runs)."""
+    from beam_scala_examples_spark.queries.relational import _skyline_keep
+
+    rows = [
+        (i, x, y) for i, (x, y) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, revenue_cents long, worst_lag_days long"
+    )
+    banded = df.withColumn("band", F.expr("revenue_cents div 7"))
+    survivors = _skyline_keep(banded, banded=True).drop("band")
+    got = {
+        r.id for r in _skyline_keep(survivors, banded=False).collect()
+    }
+    expected = {
+        i
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            (x2 >= x and y2 <= y) and (x2 > x or y2 < y)
+            for (x2, y2) in pts
+        )
+    }
+    assert got == expected
