@@ -108,3 +108,49 @@ def permissive_csv(
             F.count(F.lit(1)).alias("rows_seen"),
         )
     return parsed.filter("__ok").drop("__ok")
+
+
+# Formats the generic table reader/writer accepts.  Parquet/ORC are the
+# columnar pair (both splittable, predicate-pushdown-capable — ORC reads
+# arrive with the same Catalyst pushdown/pruning as parquet); CSV/JSON
+# are the interchange pair (row formats: no pushdown beyond partition
+# pruning — fine for export, wrong for a 100 TB scan, which is why the
+# engine's own tables stay columnar).
+TABLE_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Generic sink: the S8 shape for any supported format.  CSV writes
+    a header so the roundtrip is schema-recoverable (types still need
+    the read-side schema — see ``read_table``)."""
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {TABLE_FORMATS}")
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
+               schema=None) -> DataFrame:
+    """Generic source for ``TABLE_FORMATS``.  Columnar formats carry
+    their own schema; CSV/JSON accept an explicit one (pass ``schema``)
+    — inference would scan the data twice and guess types, so prefer
+    explicit schemas anywhere correctness matters."""
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {TABLE_FORMATS}")
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt in ("csv", "json"):
+        r = r.option("inferSchema", "true")
+    return r.load(path)

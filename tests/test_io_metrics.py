@@ -339,3 +339,45 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     # old-partition reads never touch the new column's (absent) data
     old_only = merged.filter(F.col("part") == 0).select("k", "a")
     assert old_only.count() == 3
+
+
+def test_table_format_roundtrips(spark, sf_dir, tmp_path):
+    """S6/S8 generalized: nation survives a write/read roundtrip in every
+    supported format — ORC exercises the second columnar path (same
+    Catalyst pushdown machinery as parquet); CSV/JSON roundtrip with an
+    explicit read schema."""
+    from beam_scala_examples_spark.io import (
+        TABLE_FORMATS,
+        read_table,
+        write_table,
+    )
+    from beam_scala_examples_spark.tables import load
+
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    expect = sorted(tuple(r) for r in src.collect())
+    for fmt in TABLE_FORMATS:
+        path = str(tmp_path / f"t_{fmt}")
+        write_table(src, path, fmt)
+        back = read_table(
+            spark, path, fmt,
+            schema=src.schema if fmt in ("csv", "json") else None,
+        )
+        got = sorted(tuple(r) for r in back.select(*src.columns).collect())
+        assert got == expect, fmt
+
+
+def test_orc_scan_gets_pushdown(spark, sf_dir, tmp_path):
+    """ORC reads plan with predicate pushdown + column pruning exactly
+    like parquet — the point of supporting the second columnar format."""
+    from beam_scala_examples_spark.io import read_table, write_table
+    from beam_scala_examples_spark.tables import load
+
+    path = str(tmp_path / "orders_orc")
+    write_table(load(spark, sf_dir, "orders"), path, "orc")
+    df = read_table(spark, path, "orc").filter("o_custkey = 7").select(
+        "o_orderkey"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_custkey" in plan
