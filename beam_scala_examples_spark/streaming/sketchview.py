@@ -60,3 +60,74 @@ class ReachViewSink:
             )
         )
         view.write.mode("overwrite").parquet(self.out_path)
+
+
+CMS_VIEW_DEPTH = 3
+CMS_VIEW_WIDTH = 64
+
+
+def _cms_increments(df: DataFrame, key_expr: str,
+                    depth: int, width: int) -> DataFrame:
+    """(r, b) increment rows for a count-min sketch over ``key_expr`` —
+    depth disjoint md5 slices, the portable hash family shared with
+    ``queries/llmdata.py::text_heavy_hitters``."""
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    F.expr(
+                        f"cast(conv(substr(md5({key_expr}), {1 + 8 * i}, 8),"
+                        f" 16, 10) as bigint) % {width}"
+                    ).alias("b"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    return df.select(rb.alias("rb")).select("rb.r", "rb.b")
+
+
+class TopTalkersViewSink:
+    """foreachBatch sink maintaining a count-min sketch of per-user
+    event counts (the "top talkers" serving view).  CMS merge is exact
+    counter ADDITION, so the streamed view — per-batch partial counters
+    summed across the log — is BIT-IDENTICAL to sketching the whole
+    table in one pass, the same union-of-parts invariant as the HLL
+    reach view but over integer counters instead of registers.
+
+    Scale/replay posture matches ``ReachViewSink``: each batch writes
+    its own O(depth x width) counter partition (dynamic partition
+    overwrite => replay-idempotent), the serving view is one bounded
+    aggregation of the log, and a major compaction would fold the log
+    into a single partition with the identical sum."""
+
+    def __init__(self, log_path: str, out_path: str,
+                 depth: int = CMS_VIEW_DEPTH, width: int = CMS_VIEW_WIDTH):
+        self.log_path = log_path
+        self.out_path = out_path
+        self.depth = depth
+        self.width = width
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        contrib = (
+            _cms_increments(
+                batch_df, "cast(user_id as string)", self.depth, self.width
+            )
+            .groupBy("r", "b")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        (
+            contrib.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.log_path)
+        )
+        spark = batch_df.sparkSession
+        view = (
+            spark.read.parquet(self.log_path)
+            .groupBy("r", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        view.write.mode("overwrite").parquet(self.out_path)

@@ -1093,3 +1093,62 @@ def test_streaming_sessions_drop_late_after_eviction(spark, tmpdir):
     # user 3's flush session is still open at stream end (nothing
     # advanced the watermark past it) — append mode emits nothing for it
     assert len(got) == 2
+
+
+def test_streaming_cms_view_equals_batch_sketch(spark, sf_dir, event_rows, tmpdir):
+    """CMS maintenance: per-batch partial counters summed across the
+    foreachBatch log must equal sketching the full table in one batch
+    pass, counter for counter (CMS merge is exact addition) — and every
+    per-user estimate read off the maintained view must upper-bound the
+    user's true event count (the sketch's one-sided guarantee survives
+    incremental maintenance)."""
+    from beam_scala_examples_spark.streaming.sketchview import (
+        CMS_VIEW_DEPTH,
+        CMS_VIEW_WIDTH,
+        TopTalkersViewSink,
+        _cms_increments,
+    )
+    from beam_scala_examples_spark.tables import load
+
+    stream = _feed(spark, event_rows, tmpdir, chunk_size=300)
+    sink = TopTalkersViewSink(f"{tmpdir}/cms_log", f"{tmpdir}/cms_out")
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(
+        (r.r, r.b, r.cnt)
+        for r in spark.read.parquet(f"{tmpdir}/cms_out").collect()
+    )
+    ev = load(spark, sf_dir, "events")
+    expected = sorted(
+        (r.r, r.b, r.cnt)
+        for r in _cms_increments(
+            ev, "cast(user_id as string)", CMS_VIEW_DEPTH, CMS_VIEW_WIDTH
+        )
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    assert got == expected
+
+    sketch = {(r.r, r.b): r.cnt
+              for r in spark.read.parquet(f"{tmpdir}/cms_out").collect()}
+    truth = ev.groupBy("user_id").count().collect()
+    import hashlib
+
+    for row in truth:
+        est = min(
+            sketch.get(
+                (
+                    i,
+                    int(
+                        hashlib.md5(str(row.user_id).encode())
+                        .hexdigest()[8 * i: 8 * i + 8],
+                        16,
+                    )
+                    % CMS_VIEW_WIDTH,
+                ),
+                0,
+            )
+            for i in range(CMS_VIEW_DEPTH)
+        )
+        assert est >= row["count"], row
