@@ -103,6 +103,7 @@ HEADLINE = [
     "text_novelty_curve",
     "text_heavy_hitters",
     "star_pareto_frontier",
+    "events_value_mad_outliers",
 ]
 
 
