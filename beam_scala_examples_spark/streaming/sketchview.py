@@ -131,3 +131,62 @@ class TopTalkersViewSink:
             .agg(F.sum("cnt").alias("cnt"))
         )
         view.write.mode("overwrite").parquet(self.out_path)
+
+
+KLL_VIEW_K = 200
+KLL_VIEW_PROBS = (0.5, 0.9, 0.99)
+
+
+class LatencyQuantilesViewSink:
+    """foreachBatch sink maintaining per-event-type value quantiles via
+    KLL sketches — the third mergeable-sketch view beside HLL reach and
+    the CMS counters.  Each batch sketches only its own rows
+    (``kll_sketch_agg_double``); the serving view merges the per-batch
+    sketch parts (``kll_merge_agg_double``).
+
+    Contract difference from the HLL/CMS views: KLL merge preserves the
+    rank-error GUARANTEE (~0.8% at k=200), not bit-equality with a
+    one-shot sketch — so the test pins (a) the merged sketch's n equals
+    the exact row count (nothing lost or double-counted through the
+    log, the replay-idempotency witness) and (b) every served quantile
+    sits within the rank band of the exact percentile, not exact
+    equality.  State per (type, batch) is O(k log n) bytes."""
+
+    def __init__(self, log_path: str, out_path: str, k: int = KLL_VIEW_K):
+        self.log_path = log_path
+        self.out_path = out_path
+        self.k = k
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        contrib = (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.kll_sketch_agg_double("value", F.lit(self.k)).alias(
+                    "kll"
+                )
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        (
+            contrib.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.log_path)
+        )
+        spark = batch_df.sparkSession
+        merged = F.kll_merge_agg_double("kll")
+        qcols = [
+            F.kll_sketch_get_quantile_double(merged, F.lit(p)).alias(
+                f"q{str(p).replace('0.', '')}"
+            )
+            for p in KLL_VIEW_PROBS
+        ]
+        view = (
+            spark.read.parquet(self.log_path)
+            .groupBy("event_type")
+            .agg(
+                *qcols,
+                F.kll_sketch_get_n_double(merged).alias("n"),
+            )
+        )
+        view.write.mode("overwrite").parquet(self.out_path)

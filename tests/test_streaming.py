@@ -1152,3 +1152,43 @@ def test_streaming_cms_view_equals_batch_sketch(spark, sf_dir, event_rows, tmpdi
             for i in range(CMS_VIEW_DEPTH)
         )
         assert est >= row["count"], row
+
+
+def test_streaming_kll_view_n_exact_and_quantiles_in_band(
+    spark, sf_dir, event_rows, tmpdir
+):
+    """KLL quantile maintenance: the merged view must account for every
+    row exactly once through the batch_id-partitioned log (merged n ==
+    exact count per type — the replay/idempotency witness), and every
+    served quantile must sit within the sketch's normalized rank error
+    of the exact percentile (3x the ~0.8%-at-k=200 bound, same band as
+    the batch KLL test)."""
+    from beam_scala_examples_spark.streaming.sketchview import (
+        KLL_VIEW_PROBS,
+        LatencyQuantilesViewSink,
+    )
+    from beam_scala_examples_spark.tables import load
+
+    stream = _feed(spark, event_rows, tmpdir, chunk_size=300)
+    sink = LatencyQuantilesViewSink(f"{tmpdir}/kll_log", f"{tmpdir}/kll_out")
+    _run_stream(stream, "append", sink, tmpdir)
+
+    view = {
+        r.event_type: r
+        for r in spark.read.parquet(f"{tmpdir}/kll_out").collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    eps = 3 * 0.008  # 3x normalized rank error at k=200
+    for t, vals in (
+        (r.event_type, r.vals)
+        for r in ev.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("vals"))
+        .collect()
+    ):
+        row = view[t]
+        assert int(row.n) == len(vals), t
+        for p in KLL_VIEW_PROBS:
+            est = row[f"q{str(p).replace('0.', '')}"]
+            lo = vals[max(0, int((p - eps) * len(vals)) - 1)]
+            hi = vals[min(len(vals) - 1, int((p + eps) * len(vals)))]
+            assert lo <= est <= hi, (t, p, est, lo, hi)
