@@ -38,13 +38,23 @@ PROBES = (
     "dedup_exact",           # one hash shuffle
     "text_quality_score",    # map-only scan
     "text_vocabulary",       # explode + hash agg + top-k
+    "events_sessions",       # session-window sessionization
+    "events_asof_click",     # as-of join (union + running-last)
+    "events_user_activity_7d",  # RANGE frame over user-day aggregate
 )
 BASE = "/tmp/scale_probe"
 
 
 def build_dirs(spark, sf_dir: str) -> dict[int, str]:
+    """Probe dirs with `documents` and `events` inflated by each factor
+    (decorrelated copies: rotated text / disjoint user+event id ranges),
+    all other tables symlinked."""
     docs = load(spark, sf_dir, "documents")
+    ev = load(spark, sf_dir, "events")
     n_docs = docs.count()
+    id_span = ev.agg(
+        F.max("event_id").alias("e"), F.max("user_id").alias("u")
+    ).collect()[0]
     lower = string.ascii_lowercase
     dirs = {}
     for f in FACTORS:
@@ -52,15 +62,15 @@ def build_dirs(spark, sf_dir: str) -> dict[int, str]:
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d)
         for t in TABLES:
-            if t != "documents":
+            if t not in ("documents", "events"):
                 os.symlink(
                     os.path.join(os.path.abspath(sf_dir), f"{t}.parquet"),
                     os.path.join(d, f"{t}.parquet"),
                 )
-        parts = []
+        doc_parts, ev_parts = [], []
         for k in range(f):
             rot = lower[k % 26:] + lower[: k % 26]
-            parts.append(
+            doc_parts.append(
                 docs.select(
                     (F.col("doc_id") + F.lit(k * n_docs)).alias("doc_id"),
                     F.translate("text", lower, rot).alias("text"),
@@ -69,11 +79,32 @@ def build_dirs(spark, sf_dir: str) -> dict[int, str]:
                     "n_chars",
                 )
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(
+            ev_parts.append(
+                ev.select(
+                    (F.col("event_id") + F.lit(k * (id_span.e + 1))).alias(
+                        "event_id"
+                    ),
+                    "ts",
+                    (F.col("user_id") + F.lit(k * (id_span.u + 1))).alias(
+                        "user_id"
+                    ),
+                    "event_type",
+                    "value",
+                    "props",
+                )
+            )
+
+        def _union(parts):
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        _union(doc_parts).write.mode("overwrite").parquet(
             os.path.join(d, "documents.parquet")
+        )
+        _union(ev_parts).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
         )
         dirs[f] = d
     return dirs
