@@ -1768,3 +1768,99 @@ ORACLE["star_pareto_frontier"] = f"""
     WHERE (rm IS NULL OR rm > worst_lag_days)
       AND worst_lag_days = same_min
 """
+
+
+ITEM_SIM_K = 5
+
+
+def star_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for every part, its top-K
+    most-similar parts by co-purchase cosine —
+    ``n_both / sqrt(deg_a * deg_b)`` over the order co-occurrence graph
+    — the classic neighborhood-method recommender ("customers who
+    bought this also bought").
+
+    Determinism: similarities divide exact integers and sqrt/div are
+    IEEE-correctly-rounded, so both engines order identical doubles;
+    ties break on part2.  Scale: the pair expansion is the co-purchase
+    self-join co-partitioned on l_orderkey (bounded by basket² per
+    order); the degree joins key on part ids (no hint — the part
+    relation is data-sized, AQE decides); the per-part top-K rides
+    WindowGroupLimit so K rows per part cross the final exchange."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count("*").alias("deg")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part1"),
+            F.col("b.l_partkey").alias("part2"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sim = (
+        pairs.join(
+            deg.select(
+                F.col("part").alias("part1"), F.col("deg").alias("deg1")
+            ),
+            "part1",
+        )
+        .join(
+            deg.select(
+                F.col("part").alias("part2"), F.col("deg").alias("deg2")
+            ),
+            "part2",
+        )
+        .withColumn(
+            "sim", F.col("n_both") / F.sqrt(F.col("deg1") * F.col("deg2"))
+        )
+    )
+    return top_k_per_key(
+        sim, ["part1"], [F.desc("sim"), F.asc("part2")], ITEM_SIM_K
+    ).select(
+        "part1",
+        "part2",
+        F.round("sim", 6).alias("cosine_sim"),
+        "n_both",
+    )
+
+
+QUERIES["star_item_similarity"] = star_item_similarity
+
+ORACLE["star_item_similarity"] = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (
+        SELECT l_partkey AS part, count(*)::BIGINT AS deg FROM li GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part1, b.l_partkey AS part2,
+               count(*)::BIGINT AS n_both
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    sim AS (
+        SELECT part1, part2, n_both,
+               n_both / sqrt(d1.deg * d2.deg) AS sim
+        FROM pairs
+        JOIN deg d1 ON part1 = d1.part
+        JOIN deg d2 ON part2 = d2.part
+    ),
+    rk AS (
+        SELECT part1, part2, n_both, sim,
+               row_number() OVER (
+                   PARTITION BY part1 ORDER BY sim DESC, part2 ASC
+               ) AS rn
+        FROM sim
+    )
+    SELECT part1, part2, round(sim, 6) AS cosine_sim, n_both
+    FROM rk WHERE rn <= {ITEM_SIM_K}
+"""

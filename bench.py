@@ -104,6 +104,7 @@ HEADLINE = [
     "text_heavy_hitters",
     "star_pareto_frontier",
     "events_value_mad_outliers",
+    "star_item_similarity",
 ]
 
 
