@@ -1367,3 +1367,104 @@ ORACLE["events_value_mad_outliers"] = f"""
     FROM ev JOIN mad ON ev.event_type = mad.event_type
     WHERE abs(v - med) > {MAD_K} * mad
 """
+
+
+PATH_MAX_EVENTS = 8   # path prefix cap — bounds per-session state
+PATH_TOP_N = 20
+
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: the top event-type paths users take
+    within a session (first ``PATH_MAX_EVENTS`` steps, '>'-joined),
+    split by whether the session converted — the "what journeys lead to
+    purchase" report beside the funnel and Markov-transition views.
+
+    Scale: the path string is built from at most ``PATH_MAX_EVENTS``
+    rows per session (rank-filtered BEFORE the collect — a whale
+    session contributes 8 structs, not its history), sessions come from
+    the same gaps-and-islands scan as ``events_sessions`` (one user_id
+    shuffle + per-user sort), and the final report is a hash aggregate
+    over O(distinct paths) with a TakeOrdered top-N.  Conversion is
+    judged over the WHOLE session (not just the prefix), so truncation
+    never mislabels a late purchase."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    base = ev.withColumn("us", epoch_us("ts"))
+    lag_us = F.lag("us").over(wu)
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    sid = F.sum(
+        (lag_us.isNull() | (F.col("us") - lag_us >= gap_us)).cast("long")
+    ).over(wu)
+    wrn = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    ranked = base.withColumn("sid", sid).withColumn(
+        "rn", F.row_number().over(wrn)
+    )
+    per_session = ranked.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= PATH_MAX_EVENTS,
+                            F.struct("rn", "event_type"),
+                        )
+                    )
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("converted"),
+    )
+    return (
+        per_session.groupBy("path", "converted")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"), F.asc("converted"))
+        .limit(PATH_TOP_N)
+    )
+
+
+QUERIES["events_session_paths"] = events_session_paths
+
+ORACLE["events_session_paths"] = f"""
+    WITH o AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ),
+    s AS (
+        SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w
+                               >= {SESSION_GAP_MINUTES} * 60 * 1000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    t AS (
+        SELECT *, sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY us, event_id) AS sid
+        FROM s
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+        FROM t
+    ),
+    p AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY rn)
+                   FILTER (rn <= {PATH_MAX_EVENTS}) AS path,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   ::BIGINT AS converted
+        FROM r GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT path, converted, count(*)::BIGINT AS n_sessions
+        FROM p GROUP BY 1, 2
+    )
+    SELECT path, converted, n_sessions FROM c
+    ORDER BY n_sessions DESC, path ASC, converted ASC
+    LIMIT {PATH_TOP_N}
+"""

@@ -105,6 +105,7 @@ HEADLINE = [
     "star_pareto_frontier",
     "events_value_mad_outliers",
     "star_item_similarity",
+    "events_session_paths",
 ]
 
 
