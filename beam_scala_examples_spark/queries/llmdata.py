@@ -4371,3 +4371,165 @@ ORACLE["text_heavy_hitters"] = f"""
     FROM est
     WHERE est_count * {CMS_HH_DENOM} >= (SELECT count(*) FROM occ)
 """
+
+
+# --------------------------------------------------------------------------
+# MMR diversified retrieval — greedy maximal marginal relevance
+# --------------------------------------------------------------------------
+
+MMR_POOL = 30    # relevance candidate pool (top-N by query cosine)
+MMR_K = 5        # diversified results to select
+# lambda / (1 - lambda) written as the literals 0.7 / 0.3 in BOTH engines
+# (never `1 - 0.7`, whose double differs from the literal 0.3)
+
+
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance retrieval (Carbonell & Goldstein '98):
+    greedily pick ``MMR_K`` results maximizing
+    ``0.7*cos(q, d) - 0.3*max_{s in selected} cos(d, s)`` from the
+    top-``MMR_POOL`` relevance pool of query vector 0 — the RAG
+    diversification step that plain cosine top-k (which happily returns
+    five near-duplicates) cannot express.
+
+    The greedy argmax is inherently sequential, so this is an iterative
+    operator like k-means/pagerank: the POOL is built distributively
+    (query broadcast, corpus scanned once, WindowGroupLimit) and
+    persisted; each of the K rounds evaluates the penalty against the
+    so-far-selected vectors as broadcast literals (driver traffic
+    O(K x DIM), kmeans-style) and collects exactly ONE argmax row.
+    Scale: rounds touch only the bounded pool; the corpus is read once.
+    Determinism: scores are IEEE doubles from identical float inputs
+    with literal 0.7/0.3 coefficients; ties break on vec_id; the DuckDB
+    oracle unrolls the same K greedy steps as chained CTEs."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    q = base.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    dot_q = F.expr(_SPARK_DOT.format(a="embedding", b="qe"))
+    scored = (
+        base.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            (dot_q / F.sqrt(F.col("nrm") * F.col("qn"))).alias("cosq"),
+        )
+    )
+    cand = (
+        top_k_per_key(
+            scored.withColumn("g", F.lit(1)),
+            ["g"],
+            [F.desc("cosq"), F.asc("vec_id")],
+            MMR_POOL,
+        )
+        .drop("g")
+        .persist()
+    )
+    sel: list = []
+    out: list[tuple[int, int, float]] = []
+    for k in range(MMR_K):
+        c = (
+            cand.filter(
+                ~F.col("vec_id").isin([int(r["vec_id"]) for r in sel])
+            )
+            if sel
+            else cand
+        )
+        score = F.lit(0.7) * F.col("cosq")
+        if sel:
+            pens = []
+            for r in sel:
+                arr = "array({})".format(
+                    ",".join(
+                        f"cast({float(v)!r} as double)"
+                        for v in r["embedding"]
+                    )
+                )
+                d = F.expr(_SPARK_DOT.format(a="embedding", b=arr))
+                pens.append(
+                    d / F.sqrt(F.col("nrm") * F.lit(float(r["nrm"])))
+                )
+            pen = F.greatest(*pens) if len(pens) > 1 else pens[0]
+            score = score - F.lit(0.3) * pen
+        pick = (
+            c.select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                F.round(score, 6).alias("mmr_rounded"),
+                score.alias("s"),
+            )
+            .orderBy(F.desc("s"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        sel.append(pick)
+        out.append((k + 1, int(pick["vec_id"]), float(pick["mmr_rounded"])))
+    cand.unpersist(blocking=False)
+    return spark.createDataFrame(
+        out, "rank long, vec_id long, mmr_score double"
+    )
+
+
+QUERIES["sim_mmr_topk"] = sim_mmr_topk
+
+
+def _oracle_mmr() -> str:
+    parts = [
+        f"""base AS (
+            SELECT vec_id, embedding,
+                   {_duck_dot('embedding', 'embedding')} AS nrm
+            FROM embeddings
+        )""",
+        "q AS (SELECT embedding, nrm FROM base WHERE vec_id = 0)",
+        f"""scored AS (
+            SELECT c.vec_id, c.embedding, c.nrm,
+                   {_duck_dot('c.embedding', 'q.embedding')}
+                       / sqrt(c.nrm * q.nrm) AS cosq
+            FROM base c, q WHERE c.vec_id <> 0
+        )""",
+        f"""cand AS (
+            SELECT vec_id, embedding, nrm, cosq FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY cosq DESC, vec_id ASC) AS rk
+                FROM scored
+            ) WHERE rk <= {MMR_POOL}
+        )""",
+    ]
+    for k in range(1, MMR_K + 1):
+        if k == 1:
+            score = "0.7 * c.cosq"
+            frm = "cand c"
+            where = ""
+        else:
+            pens = ", ".join(
+                f"({_duck_dot('c.embedding', f's{i}.embedding')}"
+                f" / sqrt(c.nrm * s{i}.nrm))"
+                for i in range(1, k)
+            )
+            score = f"0.7 * c.cosq - 0.3 * greatest({pens})"
+            frm = "cand c, " + ", ".join(
+                f"sel{i} s{i}" for i in range(1, k)
+            )
+            where = "WHERE c.vec_id NOT IN ({})".format(
+                ", ".join(f"s{i}.vec_id" for i in range(1, k))
+            )
+        parts.append(
+            f"""sel{k} AS (
+            SELECT c.vec_id, c.embedding, c.nrm, {score} AS score
+            FROM {frm} {where}
+            ORDER BY score DESC, c.vec_id ASC LIMIT 1
+        )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {k}::BIGINT AS rank, vec_id,"
+        f" round(score, 6) AS mmr_score FROM sel{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + " " + finals
+
+
+ORACLE["sim_mmr_topk"] = _oracle_mmr()

@@ -106,6 +106,7 @@ HEADLINE = [
     "events_value_mad_outliers",
     "star_item_similarity",
     "events_session_paths",
+    "sim_mmr_topk",
 ]
 
 
