@@ -238,3 +238,114 @@ ORACLE["events_purchase_attribution"] = f"""
      AND c.ts > p.ts - INTERVAL {ATTRIBUTION_WINDOW}
     WHERE p.event_type = '{ASOF_LEFT_TYPE}'
 """
+
+
+USHAPE_WINDOW = "7 DAYS"  # longer lookback than the 1h as-of window:
+# multi-touch models attribute over the consideration period, and the
+# 1h window degenerates to single-touch ('first' only) on the fixture
+
+
+def events_attribution_ushaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each purchase's
+    value is credited 40% to the first click, 40% to the last, and 20%
+    split over the middles — the multi-touch model beside the first/
+    last-touch (``behavior.events_first_last_touch``) and latest-only
+    as-of pick.  Report: total credited value per touch position.
+
+    Exactness: credits are integer basis points of exact value cents
+    (``credit_microcents = v_cents * bp``); the middle split uses
+    integer division with the remainder assigned to the first middle,
+    so every purchase's credits sum to exactly 10000 bp — both engines
+    compute the identical integers.  Degenerate baskets follow the
+    standard convention (1 touch -> 100% first; 2 -> 50/50 first/last).
+
+    Scale: the same user-keyed interval join as
+    ``events_clicks_before_purchase`` (hash join + band residual, no
+    range fan-out); windows partition by purchase id — bounded by one
+    purchase's touch count — and the report is a 3-row aggregate."""
+    from pyspark.sql import Window
+
+    from ..operators.agg import cents
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        "ts",
+        cents("value").alias("v_cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE).select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.cts <= purchases.ts)
+        & (clicks.cts > purchases.ts - F.expr(f"INTERVAL {USHAPE_WINDOW}")),
+    )
+    w = Window.partitionBy("pid").orderBy("cts", "cid")
+    ranked = joined.select(
+        "pid",
+        "v_cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("pid")).alias("n"),
+    )
+    bp = F.expr(
+        """CASE WHEN n = 1 THEN 10000
+                WHEN n = 2 THEN 5000
+                WHEN rn = 1 OR rn = n THEN 4000
+                WHEN rn = 2 THEN (2000 div (n - 2))
+                                 + (2000 - (2000 div (n - 2)) * (n - 2))
+                ELSE 2000 div (n - 2) END"""
+    )
+    pos = F.expr(
+        "CASE WHEN rn = 1 THEN 'first' WHEN rn = n THEN 'last'"
+        " ELSE 'middle' END"
+    )
+    return (
+        ranked.select(pos.alias("position"), "v_cents", bp.alias("bp"))
+        .groupBy("position")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum(F.col("v_cents") * F.col("bp")).alias("credit_microcents"),
+        )
+    )
+
+
+QUERIES["events_attribution_ushaped"] = events_attribution_ushaped
+
+ORACLE["events_attribution_ushaped"] = f"""
+    WITH j AS (
+        SELECT p.event_id AS pid, round(p.value * 100)::BIGINT AS v_cents,
+               c.event_id AS cid, c.ts AS cts
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = '{ASOF_LEFT_TYPE}'
+         AND c.event_type = '{ASOF_RIGHT_TYPE}'
+         AND c.ts <= p.ts
+         AND c.ts > p.ts - INTERVAL {USHAPE_WINDOW}
+    ),
+    r AS (
+        SELECT pid, v_cents,
+               row_number() OVER (PARTITION BY pid ORDER BY cts, cid) AS rn,
+               count(*) OVER (PARTITION BY pid) AS n
+        FROM j
+    ),
+    b AS (
+        SELECT v_cents,
+               CASE WHEN rn = 1 THEN 'first' WHEN rn = n THEN 'last'
+                    ELSE 'middle' END AS position,
+               CASE WHEN n = 1 THEN 10000
+                    WHEN n = 2 THEN 5000
+                    WHEN rn = 1 OR rn = n THEN 4000
+                    WHEN rn = 2 THEN (2000 // (n - 2))
+                                     + (2000 - (2000 // (n - 2)) * (n - 2))
+                    ELSE 2000 // (n - 2) END AS bp
+        FROM r
+    )
+    SELECT position, count(*)::BIGINT AS n_touches,
+           sum(v_cents * bp)::BIGINT AS credit_microcents
+    FROM b GROUP BY 1
+"""

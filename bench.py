@@ -107,6 +107,7 @@ HEADLINE = [
     "star_item_similarity",
     "events_session_paths",
     "sim_mmr_topk",
+    "events_attribution_ushaped",
 ]
 
 
