@@ -1468,3 +1468,166 @@ ORACLE["events_session_paths"] = f"""
     ORDER BY n_sessions DESC, path ASC, converted ASC
     LIMIT {PATH_TOP_N}
 """
+
+
+def events_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily-volume trend: least-squares slope and
+    intercept of count-per-day against the day index, plus the one-day-
+    ahead forecast — the capacity-planning companion to the 2σ anomaly
+    screen (the screen flags days, this extrapolates the drift).
+
+    Determinism: x is the integer epoch day, y the integer daily count;
+    the five regression moments accumulate as exact int64 per type and
+    slope/intercept/forecast are each ONE float expression over those
+    integers, rounded once (the Pearson-moments discipline).  Scale:
+    one (type, day) aggregate over a single fact scan, then O(types)
+    moment rows — the regression never sees raw events.  A type with a
+    single active day has an undefined slope (zero denominator) and is
+    excluded by the n >= 2 gate on both engines."""
+    ev = load(spark, sf_dir, "events")
+    # integer `div`, never float division + floor: a double quotient can
+    # land one ulp under an exact day boundary and truncate to the wrong
+    # day index
+    day_x = epoch_us("ts").alias("us")
+    daily = (
+        ev.select("event_type", day_x)
+        .select("event_type", F.expr("us div 86400000000").alias("x"))
+        .groupBy("event_type", "x")
+        .agg(F.count("*").alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("last_x"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    forecast = intercept + slope * (F.col("last_x") + 1)
+    return m.filter(F.col("n") >= 2).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(forecast, 4).alias("next_day_forecast"),
+    )
+
+
+QUERIES["events_volume_trend"] = events_volume_trend
+
+ORACLE["events_volume_trend"] = """
+    WITH daily AS (
+        SELECT event_type,
+               (epoch_us(ts) // 86400000000)::BIGINT AS x,
+               count(*)::BIGINT AS y
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+               sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+               sum(x * x)::BIGINT AS sxx, max(x)::BIGINT AS last_x
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+               AS slope_per_day,
+           round(((sy - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                       * sx) / n)
+                 + ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                   * (last_x + 1), 4) AS next_day_forecast
+    FROM m
+    WHERE n >= 2
+"""
+
+
+# md5-based bucket hash (bit-identical in Spark and DuckDB) — the
+# engine-wide portable hash, local copy of queries/llmdata.py's helper.
+_AB_SPARK_H = "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"
+_AB_DUCK_H = "('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT"
+
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-split into
+    two arms, conversion = any purchase event; reports per-arm rates in
+    exact basis points and the two-proportion z-test verdict at 95%.
+
+    The significance test is the integer cross-multiplied form
+    ``(c1·n2 − c2·n1)²·(n1+n2)·100 > 384·n1·n2·C·(N−C)`` (z² > 3.84) —
+    no float mean/variance ever crosses an engine boundary (the 2σ
+    anomaly-screen discipline).  Products stay in int64 while
+    ``(c·n)²·N < 2^63`` (true to ~10⁵ users per arm; at larger
+    experiments promote the four factors to DECIMAL(38) on both
+    engines — the plan is unchanged).
+
+    Scale: one per-user conversion aggregate (single hash shuffle on
+    user_id over one fact scan), then a 2-row arm aggregate; the final
+    report is ONE row.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            (F.expr(_AB_SPARK_H) % 2).alias("arm"),
+            "converted",
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("c")
+    )
+    a = arms.filter("arm = 0").select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = arms.filter("arm = 1").select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    j = a.join(F.broadcast(b))
+    diff = F.col("conv_a") * F.col("n_b") - F.col("conv_b") * F.col("n_a")
+    big_c = F.col("conv_a") + F.col("conv_b")
+    big_n = F.col("n_a") + F.col("n_b")
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        # integer `div` (not float `/` + cast): a double quotient can sit
+        # one ulp under an exact integer and truncate wrong
+        F.expr("conv_a * 10000 div n_a").alias("rate_a_bp"),
+        F.expr("conv_b * 10000 div n_b").alias("rate_b_bp"),
+        (
+            diff * diff * big_n * 100
+            > 384 * F.col("n_a") * F.col("n_b") * big_c * (big_n - big_c)
+        ).alias("significant"),
+    )
+
+
+QUERIES["events_ab_test"] = events_ab_test
+
+ORACLE["events_ab_test"] = f"""
+    WITH per_user AS (
+        SELECT {_AB_DUCK_H} % 2 AS arm,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, count(*)::BIGINT AS n, sum(converted)::BIGINT AS c
+        FROM per_user GROUP BY 1
+    ),
+    a AS (SELECT n AS n_a, c AS conv_a FROM arms WHERE arm = 0),
+    b AS (SELECT n AS n_b, c AS conv_b FROM arms WHERE arm = 1)
+    SELECT n_a, conv_a, n_b, conv_b,
+           (conv_a * 10000 // n_a)::BIGINT AS rate_a_bp,
+           (conv_b * 10000 // n_b)::BIGINT AS rate_b_bp,
+           (conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a)
+               * (n_a + n_b) * 100
+             > 384 * n_a * n_b * (conv_a + conv_b)
+                   * ((n_a + n_b) - (conv_a + conv_b)) AS significant
+    FROM a, b
+"""

@@ -4533,3 +4533,304 @@ def _oracle_mmr() -> str:
 
 
 ORACLE["sim_mmr_topk"] = _oracle_mmr()
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model quality scoring (CCNet-style perplexity filter)
+# --------------------------------------------------------------------------
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean surprisal under the corpus's own unigram LM —
+    the engine-native form of the CCNet/KenLM perplexity filter: train
+    the model on the corpus, score every document, and gate or stratify
+    on the score (documents full of globally-rare tokens score high;
+    repetitive boilerplate scores low).
+
+    Determinism: per-token surprisal is ``ln(N) - ln(c_w)`` with each
+    logarithm rounded ONCE to integer micro-nats; documents then
+    accumulate exact int64 sums and the mean is a single float divide
+    at the end (the Pearson-moments discipline used engine-wide).
+
+    Scale: the vocabulary is a corpus-sized relation, so the token ⋈
+    vocab join is hint-free (AQE decides; never force-broadcast a
+    vocabulary — the round-1 q07 lesson). The join keys on the token,
+    the per-doc aggregate on doc_id: two hash shuffles over the token
+    stream, both with map-side partial aggregation. ``ln(N)`` is a
+    1-row broadcast scalar side input.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+    vocab = toks.groupBy("w").agg(
+        F.round(F.log(F.count("*")) * 1e6).cast("long").alias("lnc")
+    )
+    lnn = toks.agg(
+        F.round(F.log(F.count("*")) * 1e6).cast("long").alias("lnn")
+    )
+    per_doc = (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("lnc").alias("slnc"), F.count("*").alias("n_tokens"))
+    )
+    return per_doc.join(F.broadcast(lnn)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            (F.col("n_tokens") * F.col("lnn") - F.col("slnc"))
+            * 1.0
+            / F.col("n_tokens")
+            / 1e6,
+            6,
+        ).alias("lm_surprisal"),
+    )
+
+
+QUERIES["text_lm_score"] = text_lm_score
+
+ORACLE["text_lm_score"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+    ),
+    vocab AS (
+        SELECT w, round(ln(count(*)) * 1e6)::BIGINT AS lnc
+        FROM toks GROUP BY 1
+    ),
+    tot AS (SELECT round(ln(count(*)) * 1e6)::BIGINT AS lnn FROM toks),
+    d AS (
+        SELECT t.doc_id, sum(v.lnc)::BIGINT AS slnc, count(*)::BIGINT AS n
+        FROM toks t JOIN vocab v USING (w) GROUP BY 1
+    )
+    SELECT doc_id, n AS n_tokens,
+           round((n * lnn - slnc) * 1.0 / n / 1e6, 6) AS lm_surprisal
+    FROM d, tot
+"""
+
+
+# --------------------------------------------------------------------------
+# Contrastive-training triplet mining
+# --------------------------------------------------------------------------
+
+def data_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (anchor, positive, hard-negative) training triplets for
+    embedding-model contrastive training: the positive is the anchor's
+    most-similar near-duplicate (Jaccard >= the dedup threshold), the
+    hard negative its most-similar NON-duplicate that still shares at
+    least one shingle — lexically confusable, semantically distinct,
+    exactly the negatives that make a bi-encoder learn a margin.
+
+    Scale: candidate pairs come from the shingle self-join (at 100 TB,
+    from the LSH candidate set — same relation ``dedup_jaccard_pairs``
+    verifies), never all-pairs; the per-anchor rank-1 windows ride
+    WindowGroupLimit so each partition forwards one row per anchor.
+    Ties are totally ordered (jaccard desc, candidate id asc).
+    """
+    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b").hint("SHUFFLE_HASH")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    pairs = (
+        inter.join(s1, "doc1").join(s2, "doc2")
+        .select("doc1", "doc2", jac.alias("jac"))
+    )
+    sym = pairs.select(
+        F.col("doc1").alias("anchor"), F.col("doc2").alias("other"), "jac"
+    ).unionByName(
+        pairs.select(
+            F.col("doc2").alias("anchor"), F.col("doc1").alias("other"), "jac"
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("jac"), F.asc("other"))
+    pos = (
+        sym.filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(
+            "anchor",
+            F.col("other").alias("positive_id"),
+            F.round("jac", 6).alias("pos_jaccard"),
+        )
+    )
+    neg = (
+        sym.filter(F.col("jac") < JACCARD_THRESHOLD)
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(
+            "anchor",
+            F.col("other").alias("negative_id"),
+            F.round("jac", 6).alias("neg_jaccard"),
+        )
+    )
+    return pos.join(neg, "anchor").select(
+        F.col("anchor").alias("anchor_id"),
+        "positive_id",
+        "pos_jaccard",
+        "negative_id",
+        "neg_jaccard",
+    )
+
+
+QUERIES["data_contrastive_triplets"] = data_contrastive_triplets
+
+ORACLE["data_contrastive_triplets"] = f"""
+    WITH {_duck_shingle_cte()},
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*)::BIGINT AS i
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc1, doc2, i * 1.0 / (s1.n + s2.n - i) AS jac
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+    ),
+    sym AS (
+        SELECT doc1 AS anchor, doc2 AS other, jac FROM pairs
+        UNION ALL
+        SELECT doc2 AS anchor, doc1 AS other, jac FROM pairs
+    ),
+    pos AS (
+        SELECT anchor, other AS positive_id, round(jac, 6) AS pos_jaccard,
+               row_number() OVER (
+                   PARTITION BY anchor ORDER BY jac DESC, other
+               ) AS rk
+        FROM sym WHERE jac >= {JACCARD_THRESHOLD}
+    ),
+    neg AS (
+        SELECT anchor, other AS negative_id, round(jac, 6) AS neg_jaccard,
+               row_number() OVER (
+                   PARTITION BY anchor ORDER BY jac DESC, other
+               ) AS rk
+        FROM sym WHERE jac < {JACCARD_THRESHOLD}
+    )
+    SELECT pos.anchor AS anchor_id, positive_id, pos_jaccard,
+           negative_id, neg_jaccard
+    FROM pos JOIN neg ON pos.anchor = neg.anchor
+    WHERE pos.rk = 1 AND neg.rk = 1
+"""
+
+
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean surprisal under an interpolated bigram LM
+    trained on the corpus itself:
+    ``p(w2|w1) = 0.7·c(w1,w2)/c(w1) + 0.3·c(w2)/N`` — the Jelinek-Mercer
+    smoothing KenLM-style quality filters use, one order up from
+    ``text_lm_score`` (repetitive boilerplate scores even lower here
+    because its bigrams are in-model).
+
+    Every interpolated probability is a ratio of INTEGER products:
+    ``p = (7·c12·N + 3·c1·c2) / (10·c1·N)``, so each bigram type's
+    surprisal is ``ln(den) - ln(num)`` rounded once to integer
+    micro-nats; documents accumulate exact int64 sums.  The products
+    stay within int64 while ``counts² · N < 2^63`` (true at fixture
+    scale; at larger corpora hold the factored counts as DOUBLE —
+    exact to 2^53 — or shard the vocabulary; the plan is unchanged).
+
+    Scale: bigram pairs come from one narrow self-zip of the token
+    array (no self-join); the model relations (bigram counts, unigram
+    counts) are corpus-sized, so both model joins are hint-free single
+    hash shuffles keyed on the bigram/unigram.
+    """
+    docs = load(spark, sf_dir, "documents")
+    big = docs.select(
+        "doc_id", F.expr(_SPARK_TOKS).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] as w1, toks[i+1] as w2))"
+                " ELSE array() END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    toks = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
+    bgc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    n_tot = toks.agg(F.count("*").alias("n"))
+    # per-bigram-type surprisal in micro-nats, computed ONCE on the model
+    # relation (O(distinct bigrams)), then joined back to the doc stream
+    model = (
+        bgc.join(uni, bgc.w1 == uni.w)
+        .select("w1", "w2", "c12", "c1")
+        .join(
+            uni.select(F.col("w").alias("w2x"), F.col("c1").alias("c2")),
+            F.col("w2") == F.col("w2x"),
+        )
+        .join(F.broadcast(n_tot))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                (
+                    F.log(F.lit(10.0) * F.col("c1") * F.col("n"))
+                    - F.log(
+                        F.lit(7.0) * F.col("c12") * F.col("n")
+                        + F.lit(3.0) * F.col("c1") * F.col("c2")
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("surp"),
+        )
+    )
+    per_doc = (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.sum("surp").alias("ssurp"), F.count("*").alias("n_bigrams"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("ssurp") * 1.0 / F.col("n_bigrams") / 1e6, 6).alias(
+            "lm_bigram_surprisal"
+        ),
+    )
+
+
+QUERIES["text_lm_bigram_score"] = text_lm_bigram_score
+
+ORACLE["text_lm_bigram_score"] = f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])
+               )) AS bg
+        FROM tk
+    ),
+    bg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+    toks AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+    uni AS (SELECT w, count(*)::BIGINT AS c1 FROM toks GROUP BY 1),
+    bgc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+    tot AS (SELECT count(*)::BIGINT AS n FROM toks),
+    model AS (
+        SELECT bgc.w1, bgc.w2,
+               round((ln(10.0 * u1.c1 * n) -
+                      ln(7.0 * c12 * n + 3.0 * u1.c1 * u2.c1)) * 1e6)::BIGINT
+                   AS surp
+        FROM bgc
+        JOIN uni u1 ON bgc.w1 = u1.w
+        JOIN uni u2 ON bgc.w2 = u2.w
+        CROSS JOIN tot
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(sum(surp) * 1.0 / count(*) / 1e6, 6) AS lm_bigram_surprisal
+    FROM bg JOIN model USING (w1, w2)
+    GROUP BY doc_id
+"""

@@ -1864,3 +1864,128 @@ ORACLE["star_item_similarity"] = f"""
     SELECT part1, part2, round(sim, 6) AS cosine_sim, n_both
     FROM rk WHERE rn <= {ITEM_SIM_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Label-propagation community detection on the co-purchase graph
+# --------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+LPA_MIN_SUPPORT = 2
+
+# one live cached edge relation (see dedup_minhash_pairs for the
+# one-entry discipline rationale: the contract returns a lazy DataFrame,
+# so the previous invocation's cache is dropped on the next call)
+_LPA_CACHE: dict = {}
+
+
+def star_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the part co-purchase graph: synchronous
+    label propagation (LPA), ``LPA_ROUNDS`` rounds, each node adopting
+    the most frequent label among its neighbors (ties -> smallest
+    label).  Unlike connected components (which collapses everything
+    reachable) LPA finds densely co-purchased part groups — the
+    merchandising "aisles" of the catalog; unlike PageRank it yields a
+    partition, not a ranking.  Fixed round count + total tie order make
+    the result bit-stable across engines and partitionings.
+
+    Scale: edges are basket pairs with support >= LPA_MIN_SUPPORT
+    (co-partitioned self-join on the order key, pair expansion bounded
+    by basket size squared); each round is one edge ⋈ labels hash join
+    on dst + one (node, label) vote aggregate + a rank-1 window that
+    rides WindowGroupLimit over the O(node-degree-distinct-labels) vote
+    relation — never the fact table.  The edge relation feeds every
+    round, so it is persisted once (O(frequent pairs) rows).
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= LPA_MIN_SUPPORT)
+        .select("p1", "p2")
+    )
+    prev = _LPA_CACHE.pop("edges", None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    edges = (
+        und.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionByName(
+            und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+        .persist()
+    )
+    _LPA_CACHE["edges"] = edges
+
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    rk = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(rk))
+            .filter("rn = 1")
+            .select(F.col("src").alias("node"), "label")
+        )
+    return labels.select(
+        F.col("node").alias("part_id"), F.col("label").alias("community")
+    )
+
+
+QUERIES["star_part_communities"] = star_part_communities
+
+
+def _oracle_lpa() -> str:
+    parts = [
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        f"""und AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {LPA_MIN_SUPPORT}
+        )""",
+        """ed AS (
+            SELECT p1 AS src, p2 AS dst FROM und
+            UNION ALL
+            SELECT p2 AS src, p1 AS dst FROM und
+        )""",
+        """l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed)""",
+    ]
+    for r in range(LPA_ROUNDS):
+        parts.append(f"""v{r + 1} AS (
+            SELECT e.src, l.label, count(*)::BIGINT AS c
+            FROM ed e JOIN l{r} l ON e.dst = l.node
+            GROUP BY 1, 2
+        )""")
+        parts.append(f"""l{r + 1} AS (
+            SELECT src AS node, label FROM (
+                SELECT src, label, row_number() OVER (
+                    PARTITION BY src ORDER BY c DESC, label ASC
+                ) AS rn
+                FROM v{r + 1}
+            ) WHERE rn = 1
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f" SELECT node AS part_id, label AS community FROM l{LPA_ROUNDS}"
+    )
+
+
+ORACLE["star_part_communities"] = _oracle_lpa()

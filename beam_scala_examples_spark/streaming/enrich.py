@@ -1,0 +1,47 @@
+"""Stream-static dimension enrichment.
+
+The reference's closest shape is the side-input lookup (SURVEY §2.4 J4–J6:
+a bounded map joined against the main collection); this module adds the
+Structured Streaming counterpart a production ingest pipeline needs:
+joining an unbounded event stream against a *static* dimension table on
+every micro-batch.
+
+Semantics and scale posture:
+ - The static side is re-planned per micro-batch, so a dimension path
+   that is atomically re-written between batches is picked up without
+   restarting the query — the streaming analogue of a slowly-refreshed
+   side input.
+ - The dimension is a bounded catalog relation (customers, routes,
+   configs), so ``F.broadcast`` is correct here — this is exactly the
+   class of provably-bounded side the engine's broadcast policy allows
+   (unlike vocabularies or spammer sets, which grow with the data and
+   stay hint-free).  A broadcast join adds NO shuffle and NO state store
+   to the streaming plan: each micro-batch is a map-side lookup.
+ - A left join keeps events whose key misses the dimension (nulls), so
+   ingest never drops rows on referential gaps — route them with
+   ``QuarantineSink`` if misses must be dead-lettered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_events(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Enrich an event stream with the customer dimension: market
+    segment and nation key, keyed ``user_id -> c_custkey``.
+
+    Returns (event_id, ts, user_id, event_type, value, mktsegment,
+    nationkey); events without a matching customer keep nulls.
+    """
+    d = F.broadcast(
+        dim.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    )
+    return stream.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).join(d, "user_id", "left")

@@ -108,6 +108,12 @@ HEADLINE = [
     "events_session_paths",
     "sim_mmr_topk",
     "events_attribution_ushaped",
+    "text_lm_score",
+    "text_lm_bigram_score",
+    "data_contrastive_triplets",
+    "star_part_communities",
+    "events_volume_trend",
+    "events_ab_test",
 ]
 
 

@@ -1192,3 +1192,35 @@ def test_streaming_kll_view_n_exact_and_quantiles_in_band(
             lo = vals[max(0, int((p - eps) * len(vals)) - 1)]
             hi = vals[min(len(vals) - 1, int((p + eps) * len(vals)))]
             assert lo <= est <= hi, (t, p, est, lo, hi)
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """Stream-static dimension join (streaming/enrich.py): every event
+    enriched with the customer dimension via a broadcast left join — no
+    state store, no shuffle added to the streaming plan.  The bounded
+    replay's full output must equal the same join run as a batch query
+    (stream-static inner/left joins are stateless, so equality is exact,
+    not just final-state)."""
+    from beam_scala_examples_spark.streaming.enrich import enrich_events
+    from beam_scala_examples_spark.tables import load
+
+    dim = load(spark, sf_dir, "customer")
+    stream = _feed(spark, event_rows, tmpdir, chunk_size=500)
+    got: list[tuple] = []
+
+    def sink(batch_df, _bid):
+        got.extend(
+            (r.event_id, r.mktsegment, r.nationkey)
+            for r in batch_df.collect()
+        )
+
+    _run_stream(enrich_events(stream, dim), "append", sink, tmpdir)
+
+    batch_events = load(spark, sf_dir, "events")
+    expect = [
+        (r.event_id, r.mktsegment, r.nationkey)
+        for r in enrich_events(batch_events, dim).collect()
+    ]
+    assert sorted(got, key=str) == sorted(expect, key=str)
+    # the replay must cover every event exactly once (left join drops none)
+    assert len(got) == len(event_rows)
