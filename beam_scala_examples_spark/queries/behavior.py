@@ -1631,3 +1631,55 @@ ORACLE["events_ab_test"] = f"""
                    * ((n_a + n_b) - (conv_a + conv_b)) AS significant
     FROM a, b
 """
+
+
+def events_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase revenue by customer market segment: the enriched
+    additive rollup — events joined to the customer dimension
+    (user_id -> c_custkey, broadcast: a bounded catalog relation), then
+    exact-cents revenue per (segment, day).  This is the batch twin of
+    the incrementally-maintained streaming view
+    (``streaming/viewmaint.py::SegmentRevenueViewSink``); events whose
+    user misses the dimension keep a NULL segment rather than dropping
+    revenue on referential gaps.
+
+    Scale: dim broadcast (no shuffle of the fact side for the join);
+    one hash aggregate on (segment, day) with map-side partials over
+    integer cents."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    dim = F.broadcast(
+        load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        ev.join(dim, "user_id", "left")
+        .groupBy("segment", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            (F.sum(cents("value")) / 100.0).alias("rev"),
+        )
+        .select(
+            "segment",
+            "day",
+            "n_purchases",
+            F.round("rev", 2).alias("revenue"),
+        )
+    )
+
+
+QUERIES["events_segment_revenue"] = events_segment_revenue
+
+ORACLE["events_segment_revenue"] = """
+    SELECT c_mktsegment AS segment,
+           date_trunc('day', ts)::TIMESTAMP AS day,
+           count(*)::BIGINT AS n_purchases,
+           round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS revenue
+    FROM events
+    LEFT JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+"""

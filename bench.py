@@ -114,6 +114,7 @@ HEADLINE = [
     "star_part_communities",
     "events_volume_trend",
     "events_ab_test",
+    "events_segment_revenue",
 ]
 
 

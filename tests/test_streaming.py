@@ -1224,3 +1224,62 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, event_rows, tmpdi
     assert sorted(got, key=str) == sorted(expect, key=str)
     # the replay must cover every event exactly once (left join drops none)
     assert len(got) == len(event_rows)
+
+
+def test_segment_revenue_view_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """Incremental join-view maintenance (streaming/viewmaint.py): the
+    per-batch exact-cents contributions re-aggregate to the SAME
+    (segment, day) revenue rollup the batch twin computes in one shot —
+    additive maintenance, zero driver state."""
+    from beam_scala_examples_spark.streaming.viewmaint import (
+        SegmentRevenueViewSink,
+    )
+    from beam_scala_examples_spark.tables import load
+
+    dim = load(spark, sf_dir, "customer")
+    stream = _feed(spark, event_rows, tmpdir, chunk_size=300)
+    sink = SegmentRevenueViewSink(
+        dim, f"{tmpdir}/segrev_log", f"{tmpdir}/segrev_out"
+    )
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(
+        (r.segment, r.day, r.n_purchases, r.revenue)
+        for r in spark.read.parquet(f"{tmpdir}/segrev_out").collect()
+    )
+    expect = sorted(
+        (r.segment, r.day, r.n_purchases, r.revenue)
+        for r in behavior.events_segment_revenue(spark, sf_dir).collect()
+    )
+    assert got == expect
+
+
+def test_segment_revenue_view_replay_idempotent(spark, sf_dir, event_rows, tmpdir):
+    """Replaying a micro-batch (same batch_id) must leave the serving
+    view unchanged — the contribution partition is replaced, never
+    double-counted (additive views are the ones double-counting would
+    silently corrupt)."""
+    from beam_scala_examples_spark.streaming.viewmaint import (
+        SegmentRevenueViewSink,
+    )
+    from beam_scala_examples_spark.tables import load
+
+    dim = load(spark, sf_dir, "customer")
+    sink = SegmentRevenueViewSink(
+        dim, f"{tmpdir}/segrev_log", f"{tmpdir}/segrev_out"
+    )
+    rows = event_rows[:600]
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+         for r in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sink(batch, 0)
+    once = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/segrev_out").collect()
+    )
+    sink(batch, 0)  # replay
+    twice = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/segrev_out").collect()
+    )
+    assert once == twice
