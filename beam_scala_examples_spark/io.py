@@ -154,3 +154,19 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     elif fmt in ("csv", "json"):
         r = r.option("inferSchema", "true")
     return r.load(path)
+
+
+def read_table_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read across files written under EVOLVED schemas
+    (``mergeSchema``): columns added over time surface as nullable with
+    NULLs for older files — the ingestion posture for long-lived table
+    directories whose producers gain fields.
+
+    Scale note: schema merging footers across millions of files is a
+    driver-side listing cost — on a real deployment pin the merged
+    schema explicitly (``.schema(...)``) once it stabilizes, or manage
+    evolution in a table format (Delta/Iceberg); this reader is the
+    plain-parquet fallback.  Column pruning still reaches the scan:
+    per-file readers project only the requested subset of the merged
+    schema."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

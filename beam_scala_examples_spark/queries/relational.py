@@ -1989,3 +1989,87 @@ def _oracle_lpa() -> str:
 
 
 ORACLE["star_part_communities"] = _oracle_lpa()
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — the Benford micro-proportions,
+# precomputed once and embedded as identical literals in both dialects.
+BENFORD_UP = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def star_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the observed first-digit
+    distribution of ``o_totalprice`` against the log10(1 + 1/d)
+    expectation, with each digit's chi-square contribution — the
+    classic forensic-accounting screen for fabricated or
+    threshold-gamed amounts.
+
+    Determinism: the first digit comes from the exact integer cents
+    (never a float format); expected proportions are fixed integer
+    micro-proportions; the scaled deviation ``obs·1e6 − N·p_µ`` is
+    exact int64 and each chi-square term is one float expression over
+    those integers, rounded once.  (The deviation is squared AFTER a
+    ``* 1.0`` promotion — its int64 square could overflow at ~10⁶⁺
+    orders per digit; the double is exact to 2^53 and identically
+    rounded on both engines beyond that.)
+
+    Scale: one conditional hash aggregate over the fact scan collapses
+    to 9 digit rows + a broadcast 1-row total — the audit report is
+    O(9) at any order volume."""
+    orders = load(spark, sf_dir, "orders")
+    digits = (
+        orders.select(
+            F.substring(cents("o_totalprice").cast("string"), 1, 1)
+            .cast("int")
+            .alias("first_digit")
+        )
+        .groupBy("first_digit")
+        .agg(F.count("*").alias("observed"))
+    )
+    total = digits.agg(F.sum("observed").alias("n"))
+    bp = F.element_at(
+        F.create_map(*[F.lit(x) for kv in BENFORD_UP.items() for x in kv]),
+        F.col("first_digit"),
+    )
+    j = digits.join(F.broadcast(total)).withColumn("bp", bp)
+    ds = F.col("observed") * 1000000 - F.col("n") * F.col("bp")
+    contrib = (ds * 1.0) * (ds * 1.0) / (1000000.0 * F.col("n") * F.col("bp"))
+    return j.select(
+        "first_digit",
+        "observed",
+        F.col("bp").alias("expected_micro_prop"),
+        F.round(contrib, 6).alias("chi2_term"),
+    )
+
+
+QUERIES["star_benford_audit"] = star_benford_audit
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {up}" for d, up in BENFORD_UP.items()
+)
+
+ORACLE["star_benford_audit"] = f"""
+    WITH digits AS (
+        SELECT left((round(o_totalprice * 100)::BIGINT)::VARCHAR, 1)::INTEGER
+                   AS first_digit,
+               count(*)::BIGINT AS observed
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(observed)::BIGINT AS n FROM digits),
+    j AS (
+        SELECT first_digit, observed, n,
+               (CASE first_digit {_BENFORD_CASE} END)::BIGINT AS bp
+        FROM digits, tot
+    )
+    SELECT first_digit, observed, bp AS expected_micro_prop,
+           round((observed * 1000000 - n * bp) * 1.0
+                 * ((observed * 1000000 - n * bp) * 1.0)
+                 / (1000000.0 * n * bp), 6) AS chi2_term
+    FROM j
+"""

@@ -115,6 +115,7 @@ HEADLINE = [
     "events_volume_trend",
     "events_ab_test",
     "events_segment_revenue",
+    "star_benford_audit",
 ]
 
 

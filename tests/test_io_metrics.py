@@ -381,3 +381,24 @@ def test_orc_scan_gets_pushdown(spark, sf_dir, tmp_path):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_custkey" in plan
+
+
+def test_read_table_evolving_merges_added_column(spark, tmp_path):
+    """Schema evolution across a table directory: files written before a
+    column existed read back with NULLs in it; the merged schema is the
+    union.  (io.py::read_table_evolving)"""
+    from beam_scala_examples_spark.io import read_table_evolving
+
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.parquet(p + "/part=v1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(p + "/part=v2")
+
+    df = read_table_evolving(spark, p)
+    assert {f.name for f in df.schema.fields} == {"id", "name", "score", "part"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows[1] == ("a", None)   # pre-evolution file: NULL new column
+    assert rows[2] == ("b", 9.5)

@@ -41,6 +41,8 @@ PROBES = (
     "events_sessions",       # session-window sessionization
     "events_asof_click",     # as-of join (union + running-last)
     "events_user_activity_7d",  # RANGE frame over user-day aggregate
+    "text_lm_score",         # corpus-sized vocab join (hint-free, AQE-sized)
+    "events_segment_revenue",   # broadcast dim join + additive rollup
 )
 BASE = "/tmp/scale_probe"
 
