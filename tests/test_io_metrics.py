@@ -402,3 +402,94 @@ def test_read_table_evolving_merges_added_column(spark, tmp_path):
     rows = {r.id: (r.name, r.score) for r in df.collect()}
     assert rows[1] == ("a", None)   # pre-evolution file: NULL new column
     assert rows[2] == ("b", 9.5)
+
+
+def _file_stats(path, col):
+    """Per-file (min, max) of ``col`` from parquet footer statistics —
+    what a stats-pruning reader consults before opening the file."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(_glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def test_range_sorted_write_files_are_disjoint_and_sorted(spark, tmp_path, sf_dir):
+    """Range-partitioned sorted layout (io.py::write_range_sorted): file
+    footer ranges on the key must be pairwise non-overlapping (a
+    BETWEEN reader opens only intersecting files) and each file
+    internally sorted (row-group pruning)."""
+    from beam_scala_examples_spark import io as bio
+    from beam_scala_examples_spark.tables import load
+
+    out = str(tmp_path / "ranged")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    bio.write_range_sorted(li, out, "l_orderkey", num_files=8)
+
+    stats = _file_stats(out, "l_orderkey")
+    assert len(stats) == 8
+    for (_, hi), (lo2, _) in zip(sorted(stats), sorted(stats)[1:]):
+        assert hi <= lo2  # contiguous, non-overlapping key slices
+    # spot-check within-file ordering on one file
+    import glob as _glob
+    one = sorted(_glob.glob(f"{out}/part-*.parquet"))[0]
+    vals = [r.l_orderkey for r in spark.read.parquet(one).collect()]
+    assert vals == sorted(vals)
+
+
+def test_zorder_write_shrinks_per_file_bounding_boxes(spark, tmp_path):
+    """Z-order clustering (io.py::write_zordered): against a layout
+    sorted on x alone, the summed per-file (x, y) bounding-box area
+    must shrink by at least 2x — the measured form of 'footer stats can
+    prune on EITHER dimension'."""
+    from beam_scala_examples_spark import io as bio
+
+    df = (
+        spark.range(16384)
+        .selectExpr(
+            "cast((id * 37) % 128 as long) as x",
+            "cast((id * 101) % 128 as long) as y",
+        )
+    )
+    z_out, x_out = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    bio.write_zordered(df, z_out, "x", "y", num_files=16, bits=7)
+    bio.write_range_sorted(df, x_out, "x", num_files=16)
+
+    def area(path):
+        xs = _file_stats(path, "x")
+        ys = _file_stats(path, "y")
+        return sum(
+            (hx - lx + 1) * (hy - ly + 1)
+            for (lx, hx), (ly, hy) in zip(xs, ys)
+        )
+
+    assert area(z_out) * 2 <= area(x_out)
+
+
+def test_compact_table_reduces_files_preserving_rows(spark, tmp_path, sf_dir):
+    """Small-files compaction (io.py::compact_table): 64 files -> 4 with
+    identical content, atomically (temp dir + move)."""
+    from beam_scala_examples_spark import io as bio
+    from beam_scala_examples_spark.tables import load
+
+    out = str(tmp_path / "frag")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(out)
+    import glob as _glob
+    assert len(_glob.glob(f"{out}/part-*.parquet")) == 64
+
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    bio.compact_table(spark, out, target_files=4)
+    assert len(_glob.glob(f"{out}/part-*.parquet")) == 4
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert before == after
