@@ -2073,3 +2073,75 @@ ORACLE["star_benford_audit"] = f"""
                  / (1000000.0 * n * bp), 6) AS chi2_term
     FROM j
 """
+
+
+# --------------------------------------------------------------------------
+# Sweep-line open-interval count
+# --------------------------------------------------------------------------
+
+def star_open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order inventory over time: for each change-point day, how
+    many orders were placed but not yet fully shipped (an order stays
+    open from ``o_orderdate`` until its last lineitem ships).  This is
+    the sweep-line / interval-stabbing operator: every interval emits
+    a +1 at its start and a −1 past its end, deltas aggregate per day,
+    and a running sum turns them into the live count — the step
+    function at its change points.
+
+    Scale: the naive form (per-day × open-order join) is quadratic in
+    the busy season; the sweep line is one per-order aggregate (last
+    ship date), a 2×O(orders) delta union, a per-day aggregate, and
+    ONE ordered window over the O(distinct days) relation — never a
+    fact-table sort.  A time-bucketed variant (running sum per bucket +
+    bucket-prefix broadcast) drops in if the day domain itself ever
+    outgrows a partition; at daily grain that is ~36,500 rows a
+    century, so the single window is the right plan."""
+    last_ship = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = o.join(last_ship, o.o_orderkey == last_ship.l_orderkey)
+    starts = j.select(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.lit(1).alias("delta"),
+    )
+    ends = j.select(
+        (F.date_trunc("day", "last_ship") + F.expr("INTERVAL 1 DAY")).alias(
+            "day"
+        ),
+        F.lit(-1).alias("delta"),
+    )
+    daily = (
+        starts.unionByName(ends)
+        .groupBy("day")
+        .agg(F.sum("delta").alias("d"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", F.sum("d").over(w).cast("long").alias("open_orders")
+    )
+
+
+QUERIES["star_open_orders_daily"] = star_open_orders_daily
+
+ORACLE["star_open_orders_daily"] = """
+    WITH last_ship AS (
+        SELECT l_orderkey, max(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY 1
+    ),
+    deltas AS (
+        SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day, 1 AS delta
+        FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+        UNION ALL
+        SELECT date_trunc('day', last_ship)::TIMESTAMP + INTERVAL 1 DAY,
+               -1
+        FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+    ),
+    daily AS (SELECT day, sum(delta)::BIGINT AS d FROM deltas GROUP BY 1)
+    SELECT day,
+           (sum(d) OVER (ORDER BY day
+                         ROWS UNBOUNDED PRECEDING))::BIGINT AS open_orders
+    FROM daily
+"""

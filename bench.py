@@ -116,6 +116,8 @@ HEADLINE = [
     "events_ab_test",
     "events_segment_revenue",
     "star_benford_audit",
+    "star_open_orders_daily",
+    "sim_adc_topk",
 ]
 
 
