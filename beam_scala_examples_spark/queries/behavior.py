@@ -1683,3 +1683,71 @@ ORACLE["events_segment_revenue"] = """
     WHERE event_type = 'purchase'
     GROUP BY 1, 2
 """
+
+
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average event value: each event's value
+    holds until the user's next event, so the average integrates the
+    value curve over observed time instead of counting events — the
+    correct aggregate for state-like signals sampled at irregular
+    intervals (plain AVG over-weights bursts).
+
+    Determinism: duration is exact integer microseconds (lead over the
+    per-user sort), value is exact integer cents; the weighted sum
+    accumulates cents·µs as int64 and the average is one float divide.
+    Int64 bounds: cents·µs per interval < 2^63 while value < ~$9e6 and
+    gaps < ~3 years; promote to DECIMAL(38) past that — same plan.
+
+    Scale: one hash shuffle on user_id; the lead() window sorts only
+    within each user's events (bounded per user); users with a single
+    event have no observed duration and are excluded on both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        cents("value").alias("c"),
+        epoch_us("ts").alias("us"),
+        "ts",
+        "event_id",
+    ).withColumn("next_us", F.lead(epoch_us("ts")).over(w))
+    lived = base.filter(F.col("next_us").isNotNull()).select(
+        "user_id",
+        ((F.col("next_us") - F.col("us")) * F.col("c")).alias("wv"),
+        (F.col("next_us") - F.col("us")).alias("dur"),
+    )
+    return (
+        lived.groupBy("user_id")
+        .agg(F.sum("wv").alias("swv"), F.sum("dur").alias("sdur"))
+        .select(
+            "user_id",
+            F.round(F.col("swv") * 1.0 / F.col("sdur") / 100.0, 6).alias(
+                "tw_avg_value"
+            ),
+            F.col("sdur").alias("observed_us"),
+        )
+    )
+
+
+QUERIES["events_time_weighted_value"] = events_time_weighted_value
+
+ORACLE["events_time_weighted_value"] = """
+    WITH base AS (
+        SELECT user_id,
+               round(value * 100)::BIGINT AS c,
+               epoch_us(ts) AS us,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_us
+        FROM events
+    ),
+    lived AS (
+        SELECT user_id, (next_us - us) * c AS wv, next_us - us AS dur
+        FROM base WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           round(sum(wv)::BIGINT * 1.0 / sum(dur)::BIGINT / 100.0, 6)
+               AS tw_avg_value,
+           sum(dur)::BIGINT AS observed_us
+    FROM lived
+    GROUP BY user_id
+"""

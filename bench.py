@@ -118,6 +118,7 @@ HEADLINE = [
     "star_benford_audit",
     "star_open_orders_daily",
     "sim_adc_topk",
+    "events_time_weighted_value",
 ]
 
 
