@@ -220,8 +220,9 @@ def write_zordered(df: DataFrame, path: str, col_x: str, col_y: str,
     partition + sort on the Morton key, then drop it.  Each output
     file covers a compact rectangle of (x, y) space instead of a full-
     width stripe, so min/max pruning works for predicates on either
-    column — the measured win is pinned by
-    ``test_zorder_write_shrinks_per_file_bounding_boxes``."""
+    column — in an x-sorted layout a y predicate prunes NOTHING (every
+    file spans all of y); here it skips most files.  Pinned by
+    ``test_zorder_write_prunes_on_second_dimension``."""
     keyed = df.withColumn(
         "__zkey", zorder_key(F.col(col_x), F.col(col_y), bits)
     )

@@ -447,33 +447,38 @@ def test_range_sorted_write_files_are_disjoint_and_sorted(spark, tmp_path, sf_di
     assert vals == sorted(vals)
 
 
-def test_zorder_write_shrinks_per_file_bounding_boxes(spark, tmp_path):
-    """Z-order clustering (io.py::write_zordered): against a layout
-    sorted on x alone, the summed per-file (x, y) bounding-box area
-    must shrink by at least 2x — the measured form of 'footer stats can
-    prune on EITHER dimension'."""
+def test_zorder_write_prunes_on_second_dimension(spark, tmp_path):
+    """Z-order clustering (io.py::write_zordered): in a layout sorted on
+    x alone, EVERY file's footer spans the full y domain, so a y
+    predicate prunes nothing; the Morton layout bounds each file's y
+    range too, so a y point-predicate must skip at least half the
+    files while x pruning keeps working.  (Summed bounding-box AREA is
+    the wrong metric here — on a uniform grid, x-stripes and z-cells
+    tie on area; the win is pruning power on the second dimension.)"""
     from beam_scala_examples_spark import io as bio
 
+    # the full 128x128 grid, one point each (id*37 % 128 vs id*101 % 128
+    # would be CORRELATED — both linear in id mod 128 — and an x-sort
+    # would then bound y too, hiding the effect under test)
     df = (
         spark.range(16384)
         .selectExpr(
-            "cast((id * 37) % 128 as long) as x",
-            "cast((id * 101) % 128 as long) as y",
+            "cast(id % 128 as long) as x",
+            "cast((id div 128) % 128 as long) as y",
         )
     )
     z_out, x_out = str(tmp_path / "zord"), str(tmp_path / "xsort")
     bio.write_zordered(df, z_out, "x", "y", num_files=16, bits=7)
     bio.write_range_sorted(df, x_out, "x", num_files=16)
 
-    def area(path):
-        xs = _file_stats(path, "x")
-        ys = _file_stats(path, "y")
-        return sum(
-            (hx - lx + 1) * (hy - ly + 1)
-            for (lx, hx), (ly, hy) in zip(xs, ys)
-        )
+    def files_matching(path, col, val):
+        return sum(1 for lo, hi in _file_stats(path, col) if lo <= val <= hi)
 
-    assert area(z_out) * 2 <= area(x_out)
+    # y = 5: the x-sorted layout cannot prune (all 16 files match)
+    assert files_matching(x_out, "y", 5) == 16
+    assert files_matching(z_out, "y", 5) * 2 <= 16
+    # x pruning must also still work in the z layout
+    assert files_matching(z_out, "x", 5) * 2 <= 16
 
 
 def test_compact_table_reduces_files_preserving_rows(spark, tmp_path, sf_dir):
