@@ -57,6 +57,7 @@ def asof_join(
     *,
     strict: bool = True,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, plus ``payload`` columns
     (``{source_col: output_alias}``) from the latest ``right`` row with
@@ -65,7 +66,19 @@ def asof_join(
     semantics).  ``tiebreak`` (a right column, e.g. an id) makes the
     pick deterministic when several right rows share one timestamp —
     the largest value wins.
+
+    ``direction="forward"`` flips the match to the EARLIEST right row
+    with ``right_ts > left_ts`` (``>=`` when ``strict=False``) — the
+    next-reading/label-lookahead join.  Same single exchange + one
+    per-partition sort: only the timestamp sort direction flips (the
+    running ``last`` then sees larger timestamps first, so the payload
+    standing at each left row is the smallest qualifying right ts; the
+    side ordering encodes strictness identically, and the tie among
+    equal-ts right rows stays "largest tiebreak wins").  The bucketed
+    skew variant is backward-only; negate/bucket-mirror to compose.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     on = list(on)
     left_side, right_side = (0, 1) if strict else (1, 0)
 
@@ -96,9 +109,10 @@ def asof_join(
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
+    ts_order = F.asc(_TS) if direction == "backward" else F.desc(_TS)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.asc(_TS), F.asc(_SIDE), F.asc_nulls_first(_TIE))
+        .orderBy(ts_order, F.asc(_SIDE), F.asc_nulls_first(_TIE))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn(

@@ -349,3 +349,60 @@ ORACLE["events_attribution_ushaped"] = f"""
            sum(v_cents * bp)::BIGINT AS credit_microcents
     FROM b GROUP BY 1
 """
+
+
+def events_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest subsequent purchase per click (strict FORWARD as-of join
+    on user_id) — the label-lookahead shape: every interaction tagged
+    with the next conversion it preceded, the supervised-learning label
+    join for propensity models.  Same single-exchange union +
+    running-last plan as the backward form, timestamp order flipped;
+    ties among simultaneous purchases break to the highest event_id.
+    The gap rides exact integer microseconds."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE).select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE)
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload={"event_id": "purchase_event_id", "ts": "purchase_ts"},
+        strict=True,
+        tiebreak="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_event_id",
+        "purchase_ts",
+        (epoch_us("purchase_ts") - epoch_us("ts")).alias("lead_us"),
+    )
+
+
+QUERIES["events_next_purchase"] = events_next_purchase
+
+# Same genuinely-different-algorithm oracle discipline as the backward
+# form: per-left-row LATERAL pick of the min-(ts), max-(event_id)
+# subsequent purchase.
+ORACLE["events_next_purchase"] = f"""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.purchase_event_id, p.purchase_ts,
+           epoch_us(p.purchase_ts) - epoch_us(c.ts) AS lead_us
+    FROM events c
+    LEFT JOIN LATERAL (
+        SELECT b.event_id AS purchase_event_id, b.ts AS purchase_ts
+        FROM events b
+        WHERE b.user_id = c.user_id
+          AND b.event_type = '{ASOF_LEFT_TYPE}'
+          AND b.ts > c.ts
+        ORDER BY b.ts ASC, b.event_id DESC
+        LIMIT 1
+    ) p ON TRUE
+    WHERE c.event_type = '{ASOF_RIGHT_TYPE}'
+"""

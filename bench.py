@@ -119,6 +119,7 @@ HEADLINE = [
     "star_open_orders_daily",
     "sim_adc_topk",
     "events_time_weighted_value",
+    "events_next_purchase",
 ]
 
 

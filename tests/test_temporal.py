@@ -298,3 +298,29 @@ def test_bucketed_asof_null_payload_field_not_conflated(spark):
     )
     row = out.collect()[0]
     assert (row.m_id, row.m_value) == (101, None)
+
+
+def test_asof_forward_semantics(spark):
+    """Forward as-of: the EARLIEST right row after (strict) / at-or-after
+    (non-strict) each left timestamp; equal-ts ties still break to the
+    highest tiebreak; left rows past the last right row stay NULL."""
+    left, right = _asof_fixture(spark)
+    strict = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload={"event_id": "m_id", "value": "m_value"},
+        strict=True, tiebreak="event_id", direction="forward",
+    )
+    got = {r.event_id: (r.m_id, r.m_value) for r in strict.collect()}
+    assert got == {
+        1: (None, None),   # 00:10 is after every right row
+        2: (21, 3.0),      # strict: r5 at 00:05 invisible -> tie at 00:08
+        3: (10, 1.0),      # earliest right after 00:01
+        4: (None, None),   # key absent on right
+    }
+    loose = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload={"event_id": "m_id", "value": "m_value"},
+        strict=False, tiebreak="event_id", direction="forward",
+    )
+    got = {r.event_id: (r.m_id, r.m_value) for r in loose.collect()}
+    assert got[2] == (10, 1.0)  # non-strict: the simultaneous row matches
