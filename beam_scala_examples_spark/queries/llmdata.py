@@ -4965,3 +4965,78 @@ ORACLE["sim_adc_recall"] = f"""
       ON e.qid = a.qid AND e.vec_id = a.vec_id
     GROUP BY e.qid
 """
+
+
+def text_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed AUC of the quality score as a classifier for
+    English documents — the Mann-Whitney rank-sum with midranks,
+    computed over the SCORE HISTOGRAM instead of a global rank of the
+    corpus (the histogram-ECDF discipline): cumulative counts over the
+    O(distinct scores) relation give every tied group its midrank, and
+    doubling the rank-sum keeps the entire statistic in exact int64
+    until the single final divide.  This is the evaluation operator a
+    filtering pipeline needs at scale — no sklearn, no global sort, no
+    sampling.
+
+    Int64 bounds: the rank-sum term is <= n_docs², exact to ~3e9 docs;
+    promote to DECIMAL(38) past that (plan unchanged).  Scale: one
+    score histogram aggregate, one window over distinct scores, one
+    4-column reduce to a single row."""
+    scored = text_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = scored.join(docs, "doc_id").select(
+        F.round(F.col("quality_score") * 1e6).cast("long").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    h = j.groupBy("s").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("p")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    h2 = h.withColumn("cb", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    m = h2.agg(
+        F.sum(F.col("p") * (2 * F.col("cb") + F.col("cnt") + 1)).alias("r2"),
+        F.sum("p").alias("np"),
+        F.sum("cnt").alias("n"),
+    )
+    auc = (F.col("r2") - F.col("np") * (F.col("np") + 1)) * 1.0 / (
+        2 * F.col("np") * (F.col("n") - F.col("np"))
+    )
+    return m.select(
+        F.col("np").alias("n_pos"),
+        (F.col("n") - F.col("np")).alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+    )
+
+
+QUERIES["text_quality_auc"] = text_quality_auc
+
+ORACLE["text_quality_auc"] = f"""
+    WITH scored0 AS ({ORACLE["text_quality_score"]}),
+    j AS (
+        SELECT round(s.quality_score * 1e6)::BIGINT AS s,
+               (d.lang = 'en')::BIGINT AS pos
+        FROM scored0 s JOIN documents d USING (doc_id)
+    ),
+    h AS (
+        SELECT s, count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS p
+        FROM j GROUP BY 1
+    ),
+    h2 AS (
+        SELECT s, cnt, p,
+               coalesce(sum(cnt) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0)::BIGINT AS cb
+        FROM h
+    ),
+    m AS (
+        SELECT sum(p * (2 * cb + cnt + 1))::BIGINT AS r2,
+               sum(p)::BIGINT AS np, sum(cnt)::BIGINT AS n
+        FROM h2
+    )
+    SELECT np AS n_pos, (n - np) AS n_neg,
+           round((r2 - np * (np + 1)) * 1.0 / (2 * np * (n - np)), 6) AS auc
+    FROM m
+"""

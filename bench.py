@@ -120,6 +120,7 @@ HEADLINE = [
     "sim_adc_topk",
     "events_time_weighted_value",
     "events_next_purchase",
+    "text_quality_auc",
 ]
 
 
