@@ -5040,3 +5040,50 @@ ORACLE["text_quality_auc"] = f"""
            round((r2 - np * (np + 1)) * 1.0 / (2 * np * (n - np)), 6) AS auc
     FROM m
 """
+
+
+def dedup_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: one golden record per duplicate cluster — the step
+    after blocking (LSH), matching (Jaccard verify), and clustering
+    (connected components) that entity resolution actually ships.
+    Attribute-level rules, each deterministic: the canonical id is the
+    cluster minimum (the components keeper), content length keeps the
+    best (max) variant, and the canonical source is the lexicographic
+    minimum across members.
+
+    Scale: one join of the O(docs) component labels back to the
+    documents and one hash aggregate per cluster — attribute rules are
+    plain aggregate functions, so survivorship costs one shuffle
+    regardless of rule count."""
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        comp.join(docs, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max("n_chars").alias("best_n_chars"),
+            F.min("source").alias("canonical_source"),
+        )
+        .select(
+            F.col("component").alias("keeper_doc_id"),
+            "n_members",
+            "best_n_chars",
+            "canonical_source",
+        )
+    )
+
+
+QUERIES["dedup_golden_records"] = dedup_golden_records
+
+ORACLE["dedup_golden_records"] = f"""
+    WITH comp AS ({ORACLE["dedup_components"]})
+    SELECT comp.component AS keeper_doc_id,
+           count(*)::BIGINT AS n_members,
+           max(d.n_chars) AS best_n_chars,
+           min(d.source) AS canonical_source
+    FROM comp JOIN documents d USING (doc_id)
+    GROUP BY 1
+"""

@@ -121,6 +121,7 @@ HEADLINE = [
     "events_time_weighted_value",
     "events_next_purchase",
     "text_quality_auc",
+    "dedup_golden_records",
 ]
 
 
