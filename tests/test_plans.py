@@ -527,3 +527,46 @@ def test_no_cartesian_or_row_python_anywhere(plans):
         p = plans(name)
         assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
         assert "BatchEvalPython" not in p, f"{name} fell into row-Python"
+
+
+def test_lm_vocab_joins_not_forced_broadcast(plans):
+    """LM scores: the vocabulary / bigram model relations are corpus-
+    sized and must carry NO broadcast hint — only the 1-row ln(N)/total
+    scalar is hinted (the q07 broadcast policy applied to the LM
+    family)."""
+    getter = plans
+    spark = getter.__wrapped_spark__
+    sf_dir = getter.__wrapped_sf_dir__
+    for name, scalars in [("text_lm_score", 1), ("text_lm_bigram_score", 1)]:
+        df = QUERIES[name](spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert logical.count("strategy=broadcast") == scalars, (
+            f"{name}: unexpected forced-broadcast hint:\n{logical}"
+        )
+
+
+def test_forward_asof_is_single_exchange_no_join(plans):
+    """events_next_purchase: the forward as-of plans as union +
+    running-last — exactly one keyed exchange pair (AQE may add a
+    post-shuffle read), and NO join operator of any kind."""
+    p = plans("events_next_purchase")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in p, f"unexpected {op} in forward as-of plan"
+    assert "Window" in p
+
+
+def test_auc_windows_over_histogram_not_docs(plans):
+    """text_quality_auc: the rank-sum window must consume the grouped
+    score histogram (HashAggregate feeds the Sort/Window), never raw
+    documents."""
+    p = plans("text_quality_auc")
+    assert "Window" in p and "HashAggregate" in p
+
+
+def test_sweep_line_single_ordered_window(plans):
+    """star_open_orders_daily: the running sum is one Window over the
+    per-day aggregate; no join between days and orders exists."""
+    p = plans("star_open_orders_daily")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
