@@ -5087,3 +5087,86 @@ ORACLE["dedup_golden_records"] = f"""
     FROM comp JOIN documents d USING (doc_id)
     GROUP BY 1
 """
+
+
+N_MULTINOMIAL_DRAWS = 100
+
+
+def sample_multinomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multinomial (with-replacement) source sampling by
+    inverse CDF: each draw maps a hash-uniform integer into the
+    cumulative-weight intervals of the per-source token mass — the
+    distributed form of alias/CDF sampling, used to deal mixture draws
+    reproducibly (an RNG would re-deal every run; the md5 draw stream
+    is the same on every engine and every rerun).
+
+    Scale: the interval table is O(sources) and broadcasts; the draw
+    stream is map-generated (spark.range), so the range join is a
+    broadcast probe per draw — no shuffle of either side at any draw
+    count.  Hash domain: 60-bit md5 prefix, unbiased-enough modulo a
+    token mass < 2^60 (document corpora top out far below)."""
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("wt"))
+    )
+    iw = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    intervals = w.select(
+        "source",
+        "wt",
+        F.coalesce(F.sum("wt").over(iw), F.lit(0)).alias("lo"),
+    ).select(
+        "source", "lo", (F.col("lo") + F.col("wt")).alias("hi")
+    )
+    total = w.agg(F.sum("wt").cast("long").alias("total"))
+    draws = (
+        spark.range(N_MULTINOMIAL_DRAWS)
+        .select(F.col("id").alias("draw_id"))
+        .join(F.broadcast(total))
+        .select(
+            "draw_id",
+            (
+                F.expr(_SPARK_H60.format(col="cast(draw_id as string)"))
+                % F.col("total")
+            ).alias("u"),
+        )
+    )
+    return (
+        draws.join(
+            F.broadcast(intervals),
+            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+        )
+        .select("draw_id", "source")
+    )
+
+
+QUERIES["sample_multinomial"] = sample_multinomial
+
+ORACLE["sample_multinomial"] = f"""
+    WITH w AS (
+        SELECT source, sum(n_chars)::BIGINT AS wt
+        FROM documents GROUP BY 1
+    ),
+    intervals AS (
+        SELECT source,
+               coalesce(sum(wt) OVER (
+                   ORDER BY source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0)::BIGINT AS lo,
+               (coalesce(sum(wt) OVER (
+                   ORDER BY source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + wt)::BIGINT AS hi
+        FROM w
+    ),
+    tot AS (SELECT sum(wt)::BIGINT AS total FROM w),
+    draws AS (
+        SELECT i AS draw_id,
+               ({_DUCK_H60.format(col='i::VARCHAR')}) % total AS u
+        FROM generate_series(0, {N_MULTINOMIAL_DRAWS - 1}) AS t(i), tot
+    )
+    SELECT draw_id, source
+    FROM draws JOIN intervals ON u >= lo AND u < hi
+"""

@@ -2145,3 +2145,61 @@ ORACLE["star_open_orders_daily"] = """
                          ROWS UNBOUNDED PRECEDING))::BIGINT AS open_orders
     FROM daily
 """
+
+
+# --------------------------------------------------------------------------
+# Q5 shape: local supplier volume
+# --------------------------------------------------------------------------
+
+LOCAL_VOLUME_RANGE = ("1995-01-01", "1997-01-01")
+
+
+def star_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape (local supplier volume): discounted revenue per nation
+    where the CUSTOMER and the SUPPLIER sit in the same nation — the
+    join form Q7 lacks: one dimension key constrains BOTH legs of the
+    fact chain (c_nationkey = s_nationkey), turning the nation dim into
+    an equality bridge instead of two independent filters.
+
+    Scale: the fact chain shuffles on its natural keys
+    (lineitem⋈orders⋈customer / lineitem⋈supplier); the nation equality
+    is enforced as a residual on the already-joined row (both nationkey
+    columns are present), so no extra shuffle exists for it, and the
+    nation name arrives by one broadcast at the end."""
+    lo, hi = LOCAL_VOLUME_RANGE
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_disc_cents()).alias("revenue_cents"))
+    )
+
+
+QUERIES["star_local_supplier_volume"] = star_local_supplier_volume
+
+ORACLE["star_local_supplier_volume"] = f"""
+    SELECT n_name AS nation,
+           sum({DUCK_DISC_CENTS})::BIGINT AS revenue_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE c_nationkey = s_nationkey
+      AND o_orderdate >= '{LOCAL_VOLUME_RANGE[0]}'
+      AND o_orderdate < '{LOCAL_VOLUME_RANGE[1]}'
+    GROUP BY 1
+"""

@@ -122,6 +122,8 @@ HEADLINE = [
     "events_next_purchase",
     "text_quality_auc",
     "dedup_golden_records",
+    "star_local_supplier_volume",
+    "sample_multinomial",
 ]
 
 
