@@ -252,3 +252,39 @@ def compact_table(spark: SparkSession, path: str, target_files: int) -> None:
     df.repartition(target_files).write.mode("overwrite").parquet(tmp)
     _shutil.rmtree(path)
     _shutil.move(tmp, path)
+
+
+def table_diff(left: DataFrame, right: DataFrame,
+               key_cols: list[str]) -> DataFrame:
+    """Reconciliation diff between two versions of a relation (e.g. two
+    pipeline runs, or a serving table before/after a backfill): one row
+    per key classed ``added`` (right only), ``removed`` (left only),
+    ``changed`` (both, payload differs) or ``unchanged``.
+
+    The payload comparison is an md5 over every non-key column cast to
+    string (NULLs sentinel-tagged so NULL vs '' differs), computed
+    map-side on each input — the full outer join then carries ONE hash
+    per row instead of the whole payload, so the shuffle is key + 32
+    bytes regardless of row width.  Downstream: ``groupBy('status')``
+    for the reconciliation report, or filter ``status != 'unchanged'``
+    for the change feed."""
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        payload = [c for c in df.columns if c not in key_cols]
+        cells = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in sorted(payload)
+        ]
+        return df.select(
+            *key_cols, F.md5(F.concat_ws("\x01", *cells)).alias(alias)
+        )
+    lh = hashed(left, "__lh")
+    rh = hashed(right, "__rh")
+    status = (
+        F.when(F.col("__lh").isNull(), "added")
+        .when(F.col("__rh").isNull(), "removed")
+        .when(F.col("__lh") != F.col("__rh"), "changed")
+        .otherwise("unchanged")
+    )
+    return lh.join(rh, key_cols, "full_outer").select(
+        *key_cols, status.alias("status")
+    )

@@ -498,3 +498,39 @@ def test_compact_table_reduces_files_preserving_rows(spark, tmp_path, sf_dir):
     assert len(_glob.glob(f"{out}/part-*.parquet")) == 4
     after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert before == after
+
+
+def test_table_diff_classifies_all_change_kinds(spark, sf_dir):
+    """Reconciliation diff (io.py::table_diff): added / removed /
+    changed / unchanged classification over a synthetic second version,
+    with the payload shuffled as one md5 per row."""
+    from beam_scala_examples_spark import io as bio
+    from beam_scala_examples_spark.tables import load
+
+    left = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    right = (
+        left.filter("doc_id != 3")                      # 3 removed
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") == 5, F.col("n_chars") + 1).otherwise(
+                F.col("n_chars")
+            ),                                          # 5 changed
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(10_000_000, "web", 1)], "doc_id long, source string, n_chars int"
+            ).withColumn("n_chars", F.col("n_chars").cast("integer"))
+        )                                               # one added
+    )
+    d = {r.doc_id: r.status for r in bio.table_diff(left, right, ["doc_id"]).collect()}
+    n = left.count()
+    assert d[3] == "removed"
+    assert d[5] == "changed"
+    assert d[10_000_000] == "added"
+    from collections import Counter
+    c = Counter(d.values())
+    assert c == Counter(
+        {"unchanged": n - 2, "removed": 1, "changed": 1, "added": 1}
+    )
