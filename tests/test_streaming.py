@@ -1283,3 +1283,71 @@ def test_segment_revenue_view_replay_idempotent(spark, sf_dir, event_rows, tmpdi
         tuple(r) for r in spark.read.parquet(f"{tmpdir}/segrev_out").collect()
     )
     assert once == twice
+
+
+def _doc_rows(sf_dir):
+    con = duck_connect(sf_dir)
+    rows = con.sql(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return [{"doc_id": r[0], "text": r[1]} for r in rows]
+
+
+def test_ingest_dedup_registry_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming ingest-time dedup (streaming/dedupview.py): feeding the
+    corpus in doc_id order, the incrementally-built content registry
+    must equal the batch dedup_exact keeper mapping exactly — no corpus
+    rescan ever happened, only per-batch anti joins."""
+    from beam_scala_examples_spark.queries.llmdata import dedup_exact
+    from beam_scala_examples_spark.streaming.dedupview import IngestDedupSink
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream, write_arrival_chunks,
+    )
+
+    rows = _doc_rows(sf_dir)
+    write_arrival_chunks(rows, 100, f"{tmpdir}/docfeed")
+    stream = read_event_stream(
+        spark, f"{tmpdir}/docfeed", schema="doc_id long, text string"
+    )
+    sink = IngestDedupSink(f"{tmpdir}/dedup_log", f"{tmpdir}/dedup_out")
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(
+        (r.fp, r.keep_doc_id)
+        for r in spark.read.parquet(f"{tmpdir}/dedup_out").collect()
+    )
+    expect = sorted(
+        (r.fp, r.keep_doc_id)
+        for r in dedup_exact(spark, sf_dir)
+        .select(F.md5("text").alias("fp"), "keep_doc_id")
+        .collect()
+    )
+    assert got == expect
+
+
+def test_ingest_dedup_replay_idempotent(spark, sf_dir, tmpdir):
+    """Replaying a micro-batch must neither lose registry entries (the
+    anti-join-against-own-contribution trap) nor duplicate them."""
+    from beam_scala_examples_spark.streaming.dedupview import IngestDedupSink
+
+    rows = _doc_rows(sf_dir)[:200]
+    sink = IngestDedupSink(f"{tmpdir}/dedup_log", f"{tmpdir}/dedup_out")
+    b0 = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows[:100]],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows[100:]],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    once = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/dedup_out").collect()
+    )
+    sink(b1, 1)  # replay the last batch
+    twice = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/dedup_out").collect()
+    )
+    assert once == twice and len(once) > 0
