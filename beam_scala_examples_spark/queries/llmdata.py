@@ -4141,7 +4141,15 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.unpersist(blocking=False)
     sigs = _minhash_sigs(spark, sf_dir).persist()
     _MINHASH_CACHE["sweep_sigs"] = sigs
-    truth = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
+    # the truth relation feeds a semi join AND a count in EVERY config's
+    # branch of the final union — six evaluations of the shingle
+    # self-join without a persist (exchange reuse does not span the
+    # union branches); it is O(near-dup pairs) rows, so pin it
+    prev = _MINHASH_CACHE.pop("sweep_truth", None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    truth = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2").persist()
+    _MINHASH_CACHE["sweep_truth"] = truth
     out = None
     for r in SWEEP_ROWS_PER_BAND:
         n_bands = N_HASHES // r
