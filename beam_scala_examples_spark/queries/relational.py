@@ -2203,3 +2203,210 @@ ORACLE["star_local_supplier_volume"] = f"""
       AND o_orderdate < '{LOCAL_VOLUME_RANGE[1]}'
     GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Graph structure metrics: assortativity + k-core
+# --------------------------------------------------------------------------
+
+def star_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all (directed) edges — positive
+    means popular parts co-sell with popular parts (hub-clustered
+    catalog), negative means hub-and-spoke.  The one-number structural
+    summary that tells you whether degree-ordered algorithms (the
+    triangle census's orientation trick) will pay off.
+
+    Determinism: degrees are exact integers, the five correlation
+    moments accumulate as exact int64 over the symmetrized edge list,
+    and r is ONE float expression rounded once (the Pearson-moments
+    discipline).  Scale: degrees are an O(nodes) aggregate, the moment
+    pass an O(edges) join-and-reduce — no windows, no sorts."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= LPA_MIN_SUPPORT)
+        .select("p1", "p2")
+    )
+    ed = und.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionByName(
+        und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    deg = ed.groupBy("src").agg(F.count("*").alias("d"))
+    j = (
+        ed.join(deg.select(F.col("src"), F.col("d").alias("dx")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("dy")),
+            "dst",
+        )
+    )
+    m = j.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+QUERIES["star_copurchase_assortativity"] = star_copurchase_assortativity
+
+ORACLE["star_copurchase_assortativity"] = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {LPA_MIN_SUPPORT}
+    ),
+    ed AS (
+        SELECT p1 AS src, p2 AS dst FROM und
+        UNION ALL
+        SELECT p2 AS src, p1 AS dst FROM und
+    ),
+    deg AS (SELECT src, count(*)::BIGINT AS d FROM ed GROUP BY 1),
+    j AS (
+        SELECT dx.d AS dx, dy.d AS dy
+        FROM ed
+        JOIN deg dx ON ed.src = dx.src
+        JOIN deg dy ON ed.dst = dy.src
+    ),
+    m AS (
+        SELECT count(*)::BIGINT AS n, sum(dx)::BIGINT AS sx,
+               sum(dy)::BIGINT AS sy, sum(dx * dy)::BIGINT AS sxy,
+               sum(dx * dx)::BIGINT AS sxx, sum(dy * dy)::BIGINT AS syy
+        FROM j
+    )
+    SELECT (n // 2)::BIGINT AS n_edges,
+           round((n * sxy - sx * sy) /
+                 sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+                 6) AS assortativity
+    FROM m
+"""
+
+
+K_CORE = 3
+KCORE_ROUNDS = 4
+
+
+def star_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core of the co-purchase graph: iteratively peel nodes of degree
+    < K and report survivors with their within-core degree — the
+    robustness filter community detection wants as a preprocessing step
+    (LPA on the raw graph chases low-degree tendrils; on the core it
+    finds the dense heart).
+
+    Fixed ``KCORE_ROUNDS`` synchronous peels (bit-stable and
+    oracle-unrollable); equal to the true k-core whenever peeling
+    converges within R rounds — sparse co-purchase graphs converge in a
+    few, and an unconverged graph yields a documented superset (some
+    reported degrees below K), never a wrong subset.
+
+    Scale: each round is a degree aggregate plus two semi joins keyed on
+    the node — survivors only shrink, so per-round cost is bounded by
+    the previous round's edge count; the edge relation persists once
+    (the LPA discipline)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= LPA_MIN_SUPPORT)
+        .select("p1", "p2")
+    )
+    prev = _LPA_CACHE.pop("kcore_edges", None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    ed = (
+        und.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionByName(
+            und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+        .persist()
+    )
+    _LPA_CACHE["kcore_edges"] = ed
+
+    alive = ed
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= K_CORE)
+            .select("src")
+        )
+        alive = alive.join(keep, "src", "semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "semi"
+        )
+    return alive.groupBy(F.col("src").alias("part_id")).agg(
+        F.count("*").alias("core_degree")
+    )
+
+
+QUERIES["star_copurchase_kcore"] = star_copurchase_kcore
+
+
+def _oracle_kcore() -> str:
+    parts = [
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        f"""und AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {LPA_MIN_SUPPORT}
+        )""",
+        """e0 AS (
+            SELECT p1 AS src, p2 AS dst FROM und
+            UNION ALL
+            SELECT p2 AS src, p1 AS dst FROM und
+        )""",
+    ]
+    for r in range(KCORE_ROUNDS):
+        parts.append(f"""k{r + 1} AS (
+            SELECT src FROM e{r} GROUP BY src
+            HAVING count(*) >= {K_CORE}
+        )""")
+        parts.append(f"""e{r + 1} AS (
+            SELECT e.src, e.dst FROM e{r} e
+            JOIN k{r + 1} a ON e.src = a.src
+            JOIN k{r + 1} b ON e.dst = b.src
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f" SELECT src AS part_id, count(*)::BIGINT AS core_degree"
+        f" FROM e{KCORE_ROUNDS} GROUP BY 1"
+    )
+
+
+ORACLE["star_copurchase_kcore"] = _oracle_kcore()

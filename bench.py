@@ -124,6 +124,8 @@ HEADLINE = [
     "dedup_golden_records",
     "star_local_supplier_volume",
     "sample_multinomial",
+    "star_copurchase_assortativity",
+    "star_copurchase_kcore",
 ]
 
 
