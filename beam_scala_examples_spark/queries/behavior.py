@@ -1751,3 +1751,94 @@ ORACLE["events_time_weighted_value"] = """
     FROM lived
     GROUP BY user_id
 """
+
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix: for each weekly signup cohort and each week of
+    age, the CUMULATIVE purchase revenue per cohort member in exact
+    cents — the curve a growth team reads payback periods off
+    (retention says who came back; this says what they were worth by
+    week N).
+
+    Scale: revenue aggregates per (cohort, age) first — O(cohorts ×
+    ages) rows — and the running sum windows over that matrix, never
+    raw events; cohort sizes join back from the O(cohorts) aggregate
+    (hint-free: cohort relations are data-dependent).  Cumulative
+    cents divide by the cohort size only at the end, so the matrix is
+    exactly additive across backfills."""
+    ev = load(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts").alias("week")
+    activity = ev.select("user_id", week, "event_type", "value")
+    first = activity.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    rev = (
+        activity.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("age_weeks"),
+        )
+        .agg(F.sum(cents("value")).alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            F.round(
+                F.col("cum_cents") * 1.0 / F.col("cohort_users") / 100.0, 4
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+QUERIES["events_cohort_ltv"] = events_cohort_ltv
+
+ORACLE["events_cohort_ltv"] = """
+    WITH activity AS (
+        SELECT user_id, date_trunc('week', ts)::TIMESTAMP AS week,
+               event_type, value
+        FROM events
+    ),
+    first AS (
+        SELECT user_id, min(week) AS cohort_week
+        FROM activity GROUP BY 1
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*)::BIGINT AS cohort_users
+        FROM first GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.cohort_week,
+               (date_diff('day', f.cohort_week, a.week) // 7)::BIGINT
+                   AS age_weeks,
+               sum(round(a.value * 100)::BIGINT)::BIGINT AS rev_cents
+        FROM activity a JOIN first f USING (user_id)
+        WHERE a.event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_week, age_weeks,
+               sum(rev_cents) OVER (
+                   PARTITION BY cohort_week ORDER BY age_weeks
+                   ROWS UNBOUNDED PRECEDING
+               )::BIGINT AS cum_cents
+        FROM rev
+    )
+    SELECT cohort_week, age_weeks, cohort_users,
+           round(cum_cents * 1.0 / cohort_users / 100.0, 4) AS ltv_per_user
+    FROM cum JOIN sizes USING (cohort_week)
+"""

@@ -126,6 +126,7 @@ HEADLINE = [
     "sample_multinomial",
     "star_copurchase_assortativity",
     "star_copurchase_kcore",
+    "events_cohort_ltv",
 ]
 
 
