@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -654,4 +654,66 @@ ORACLE["emb_variance_explained"] = f"""
     tr AS (SELECT sum(cq)::BIGINT AS tr FROM cov WHERE p1 = p2)
     SELECT round((vcv / vv) / tr * 10000)::BIGINT AS top_var_bp, tr
     FROM ray CROSS JOIN vv CROSS JOIN tr
+"""
+
+
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity against the ground-truth labels: per k-means
+    cluster, its majority label and the majority fraction in exact
+    basis points — the external-validity twin of the occupancy report
+    (`emb_cluster_balance` says clusters are usable for ANN; this says
+    they MEAN something).  Low purity across the board flags an
+    embedding space whose clusters cut across labels — re-train before
+    building SemDeDup-style semantic dedup on it.
+
+    Determinism: the majority pick is a rank-1 window totally ordered
+    by (count desc, label asc); purity is an integer `div` over exact
+    counts.  Scale: one (cluster, label) aggregate over the assignment
+    ⋈ labels join (both keyed on vec_id, single shuffle each), then a
+    WindowGroupLimit rank over O(clusters × labels) rows."""
+    assign = emb_kmeans(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        assign.join(emb, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = votes.groupBy("cluster").agg(F.sum("c").alias("n_members"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("c"), F.asc("label"))
+    top = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("cluster", F.col("label").alias("majority_label"), "c")
+    )
+    return top.join(sizes, "cluster").select(
+        "cluster",
+        "majority_label",
+        "n_members",
+        F.expr("(c * 10000) div n_members").alias("purity_bp"),
+    )
+
+
+QUERIES["emb_cluster_purity"] = emb_cluster_purity
+
+ORACLE["emb_cluster_purity"] = f"""
+    WITH assign AS ({ORACLE["emb_kmeans"]}),
+    votes AS (
+        SELECT a.cluster, e.label, count(*)::BIGINT AS c
+        FROM assign a JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cluster, sum(c)::BIGINT AS n_members FROM votes GROUP BY 1
+    ),
+    top AS (
+        SELECT cluster, label AS majority_label, c,
+               row_number() OVER (
+                   PARTITION BY cluster ORDER BY c DESC, label ASC
+               ) AS rn
+        FROM votes
+    )
+    SELECT cluster, majority_label, n_members,
+           (c * 10000 // n_members)::BIGINT AS purity_bp
+    FROM top JOIN sizes USING (cluster)
+    WHERE rn = 1
 """

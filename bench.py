@@ -127,6 +127,7 @@ HEADLINE = [
     "star_copurchase_assortativity",
     "star_copurchase_kcore",
     "events_cohort_ltv",
+    "emb_cluster_purity",
 ]
 
 
