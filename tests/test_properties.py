@@ -466,3 +466,108 @@ def test_banded_skyline_equals_brute_force(spark, pts):
         )
     }
     assert got == expected
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)),
+        min_size=1, max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)),
+        min_size=0, max_size=15,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_reference(spark, left, right):
+    """Both directions x both strictness modes of the as-of join equal
+    the O(n^2) Python reference on random keyed timestamps — including
+    equal-timestamp ties (tiebreak: highest right id) and keys with no
+    match."""
+    from datetime import datetime, timezone
+
+    from beam_scala_examples_spark.operators.asof import asof_join
+
+    def ts(t):
+        return datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None)
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts(t)) for i, (k, t) in enumerate(left)],
+        "lid long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, ts(t)) for i, (k, t) in enumerate(right)],
+        "rid long, k long, ts timestamp",
+    )
+    for direction in ("backward", "forward"):
+        for strict in (True, False):
+            out = asof_join(
+                ldf, rdf, on=["k"], left_ts="ts", right_ts="ts",
+                payload={"rid": "m_rid"}, strict=strict,
+                tiebreak="rid", direction=direction,
+            )
+            got = {r.lid: r.m_rid for r in out.collect()}
+            expected = {}
+            for i, (k, t) in enumerate(left):
+                if direction == "backward":
+                    cand = [
+                        (rt, j) for j, (rk, rt) in enumerate(right)
+                        if rk == k and (rt < t if strict else rt <= t)
+                    ]
+                    # latest ts wins; tie -> highest rid
+                    pick = max(cand) if cand else None
+                else:
+                    cand = [
+                        (rt, j) for j, (rk, rt) in enumerate(right)
+                        if rk == k and (rt > t if strict else rt >= t)
+                    ]
+                    # earliest ts wins; tie -> highest rid
+                    pick = min((rt, -j) for rt, j in cand) if cand else None
+                    pick = (pick[0], -pick[1]) if pick else None
+                expected[i] = pick[1] if pick else None
+            assert got == expected, (direction, strict)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 4095), st.integers(0, 4095)),
+        min_size=1, max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_zorder_key_matches_python_interleave(spark, pts):
+    """The codegen Morton key equals the Python bit-interleave reference
+    (hence injective over the bit range: distinct (x, y) -> distinct
+    keys)."""
+    from beam_scala_examples_spark.io import zorder_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = [
+        r.z for r in df.select(
+            zorder_key(F.col("x"), F.col("y"), bits=12).alias("z")
+        ).collect()
+    ]
+
+    def ref(x, y):
+        z = 0
+        for i in range(12):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    # row order is preserved for a local createDataFrame -> select
+    assert got == [ref(x, y) for x, y in pts]
+
+
+def test_table_diff_identity_and_disjoint(spark, sf_dir):
+    """diff(x, x) is all-unchanged; diff against an empty right is
+    all-removed — the two boundary cases of the reconciliation op."""
+    from beam_scala_examples_spark.io import table_diff
+    from beam_scala_examples_spark.tables import load
+
+    x = load(spark, sf_dir, "region")
+    same = table_diff(x, x, ["r_regionkey"])
+    assert {r.status for r in same.collect()} == {"unchanged"}
+    empty = x.filter("1 = 0")
+    gone = table_diff(x, empty, ["r_regionkey"])
+    assert {r.status for r in gone.collect()} == {"removed"}
