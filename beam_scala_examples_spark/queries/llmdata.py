@@ -5178,3 +5178,128 @@ ORACLE["sample_multinomial"] = f"""
     SELECT draw_id, source
     FROM draws JOIN intervals ON u >= lo AND u < hi
 """
+
+
+def text_quality_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality normalization: each document's quality score
+    mapped to its WITHIN-SOURCE percentile — the calibration that makes
+    one threshold work across heterogeneous sources (a raw score cut
+    keeps the verbose source's boilerplate and drops the terse source's
+    best docs; the per-source percentile is the standard fix, the
+    CCNet-style per-domain bucketing generalized).
+
+    Same histogram-ECDF discipline as ``text_length_percentile``, one
+    level down: running-sum the (source, score) histogram — windows
+    partitioned BY SOURCE, so no single sort ever sees more than one
+    source's distinct scores — and join the cumulative counts back by
+    (source, score).  Exact int64 counts; one divide at the end."""
+    scored = text_quality_score(spark, sf_dir).select(
+        "doc_id", F.round(F.col("quality_score") * 1e6).cast("long").alias("s")
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = scored.join(docs, "doc_id")
+    hist = j.groupBy("source", "s").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "source", "s", F.sum("cnt").over(w).cast("long").alias("cum")
+    )
+    totals = hist.groupBy("source").agg(F.sum("cnt").alias("n_src"))
+    return (
+        j.join(cum, ["source", "s"])
+        .join(totals, "source")
+        .select(
+            "doc_id",
+            "source",
+            F.expr("(cum * 10000) div n_src").alias("quality_pct_bp"),
+        )
+    )
+
+
+QUERIES["text_quality_normalized"] = text_quality_normalized
+
+ORACLE["text_quality_normalized"] = f"""
+    WITH scored0 AS ({ORACLE["text_quality_score"]}),
+    j AS (
+        SELECT s0.doc_id, d.source,
+               round(s0.quality_score * 1e6)::BIGINT AS s
+        FROM scored0 s0 JOIN documents d USING (doc_id)
+    ),
+    hist AS (
+        SELECT source, s, count(*)::BIGINT AS cnt
+        FROM j GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT source, s,
+               sum(cnt) OVER (
+                   PARTITION BY source ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cum
+        FROM hist
+    ),
+    totals AS (
+        SELECT source, sum(cnt)::BIGINT AS n_src FROM hist GROUP BY 1
+    )
+    SELECT j.doc_id, j.source,
+           (cum * 10000 // n_src)::BIGINT AS quality_pct_bp
+    FROM j
+    JOIN cum ON j.source = cum.source AND j.s = cum.s
+    JOIN totals ON j.source = totals.source
+"""
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generator agreement report: how much do the two lexical
+    near-dup detectors (exact shingle-Jaccard >= threshold vs 60-bit
+    SimHash Hamming <= 3) overlap on this corpus?  A one-row pair-set
+    Jaccard in basis points — low agreement means the two methods catch
+    DIFFERENT duplicate classes and the pipeline should run both; high
+    agreement licenses dropping the costlier one.
+
+    Scale: both pair relations are candidate-bounded (never all-pairs);
+    the overlap is one equi-join on (doc1, doc2) plus three counts —
+    O(pairs) work on relations the pipeline computes anyway."""
+    jac = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
+    sim = dedup_simhash_pairs(spark, sf_dir).select("doc1", "doc2")
+    n_jac = jac.agg(F.count("*").alias("n_jaccard"))
+    n_sim = sim.agg(F.count("*").alias("n_simhash"))
+    n_both = jac.join(sim, ["doc1", "doc2"], "semi").agg(
+        F.count("*").alias("n_both")
+    )
+    return (
+        n_jac.join(F.broadcast(n_sim))
+        .join(F.broadcast(n_both))
+        .select(
+            "n_jaccard",
+            "n_simhash",
+            "n_both",
+            F.expr(
+                "(n_both * 10000) div (n_jaccard + n_simhash - n_both)"
+            ).alias("method_jaccard_bp"),
+        )
+    )
+
+
+QUERIES["dedup_method_agreement"] = dedup_method_agreement
+
+ORACLE["dedup_method_agreement"] = f"""
+    WITH jac AS (
+        SELECT doc1, doc2 FROM ({ORACLE["dedup_jaccard_pairs"]})
+    ),
+    sim AS (
+        SELECT doc1, doc2 FROM ({ORACLE["dedup_simhash_pairs"]})
+    ),
+    m AS (
+        SELECT (SELECT count(*) FROM jac)::BIGINT AS n_jaccard,
+               (SELECT count(*) FROM sim)::BIGINT AS n_simhash,
+               (SELECT count(*)
+                FROM jac JOIN sim USING (doc1, doc2))::BIGINT AS n_both
+    )
+    SELECT n_jaccard, n_simhash, n_both,
+           (n_both * 10000 // (n_jaccard + n_simhash - n_both))::BIGINT
+               AS method_jaccard_bp
+    FROM m
+"""

@@ -128,6 +128,8 @@ HEADLINE = [
     "star_copurchase_kcore",
     "events_cohort_ltv",
     "emb_cluster_purity",
+    "text_quality_normalized",
+    "dedup_method_agreement",
 ]
 
 
