@@ -242,16 +242,26 @@ def compact_table(spark: SparkSession, path: str, target_files: int) -> None:
     dominated by per-file open/footer overhead once files drop below
     ~100 MB, so periodic compaction is part of the maintenance loop
     (with Delta/Iceberg this is OPTIMIZE; this is the plain-parquet
-    form).  The rewrite goes through a temp directory then replaces the
-    original, so a crash mid-compaction never leaves a half-written
-    serving path."""
+    form).
+
+    LOCAL-FILESYSTEM utility: the swap uses OS renames, so this is for
+    dev/posix deployments — on an object store use the table format's
+    OPTIMIZE/rewrite instead.  The rewrite lands fully in a temp
+    directory before any destructive step, and the original is moved
+    aside (not deleted) until the swap completes — a crash before the
+    swap leaves the original serving; a crash inside the two renames
+    leaves the full old copy at ``<path>.__compact_old`` to restore
+    from, never a half-written table as the only copy."""
     import shutil as _shutil
 
     tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
     df = spark.read.parquet(path)
     df.repartition(target_files).write.mode("overwrite").parquet(tmp)
-    _shutil.rmtree(path)
+    _shutil.rmtree(old, ignore_errors=True)
+    _shutil.move(path, old)
     _shutil.move(tmp, path)
+    _shutil.rmtree(old)
 
 
 def table_diff(left: DataFrame, right: DataFrame,
@@ -261,22 +271,24 @@ def table_diff(left: DataFrame, right: DataFrame,
     per key classed ``added`` (right only), ``removed`` (left only),
     ``changed`` (both, payload differs) or ``unchanged``.
 
-    The payload comparison is an md5 over every non-key column cast to
-    string (NULLs sentinel-tagged so NULL vs '' differs), computed
-    map-side on each input — the full outer join then carries ONE hash
-    per row instead of the whole payload, so the shuffle is key + 32
-    bytes regardless of row width.  Downstream: ``groupBy('status')``
-    for the reconciliation report, or filter ``status != 'unchanged'``
-    for the change feed."""
+    The payload comparison hashes each cell SEPARATELY (md5, or the
+    literal token ``N`` for NULL — ``N`` is outside the hex alphabet,
+    so the concatenation of fixed-width hex tokens and ``N`` markers is
+    uniquely decodable) and then hashes the token string: injective
+    over rows, unlike a single delimiter-joined concat, where a cell
+    containing the delimiter shifts boundaries and two different rows
+    collide.  Computed map-side on each input — the full outer join
+    carries ONE 32-byte digest per row regardless of row width.
+    Downstream: ``groupBy('status')`` for the reconciliation report,
+    or filter ``status != 'unchanged'`` for the change feed."""
     def hashed(df: DataFrame, alias: str) -> DataFrame:
         payload = [c for c in df.columns if c not in key_cols]
         cells = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N"))
             for c in sorted(payload)
         ]
-        return df.select(
-            *key_cols, F.md5(F.concat_ws("\x01", *cells)).alias(alias)
-        )
+        body = F.concat(*cells) if cells else F.lit("")
+        return df.select(*key_cols, F.md5(body).alias(alias))
     lh = hashed(left, "__lh")
     rh = hashed(right, "__rh")
     status = (

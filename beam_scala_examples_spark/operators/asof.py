@@ -109,7 +109,13 @@ def asof_join(
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    ts_order = F.asc(_TS) if direction == "backward" else F.desc(_TS)
+    # NULL-ts left rows must see NO right rows in either direction:
+    # asc defaults to nulls-first, but desc defaults to nulls-LAST —
+    # which would hand a NULL-ts left row the running-last payload of
+    # the smallest right ts. Force nulls-first for the forward scan.
+    ts_order = (
+        F.asc(_TS) if direction == "backward" else F.desc_nulls_first(_TS)
+    )
     w = (
         Window.partitionBy(*on)
         .orderBy(ts_order, F.asc(_SIDE), F.asc_nulls_first(_TIE))

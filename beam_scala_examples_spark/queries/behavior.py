@@ -1556,10 +1556,10 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     The significance test is the integer cross-multiplied form
     ``(c1·n2 − c2·n1)²·(n1+n2)·100 > 384·n1·n2·C·(N−C)`` (z² > 3.84) —
     no float mean/variance ever crosses an engine boundary (the 2σ
-    anomaly-screen discipline).  Products stay in int64 while
-    ``(c·n)²·N < 2^63`` (true to ~10⁵ users per arm; at larger
-    experiments promote the four factors to DECIMAL(38) on both
-    engines — the plan is unchanged).
+    anomaly-screen discipline).  The ~n⁴ products overflow int64 at
+    only ~1.5·10⁴ users per arm, so BOTH sides evaluate in exact wide
+    integers — DECIMAL(38,0) in Spark, HUGEINT in DuckDB — identical
+    booleans to ~10⁸ users per arm.
 
     Scale: one per-user conversion aggregate (single hash shuffle on
     user_id over one fact scan), then a 2-row arm aggregate; the final
@@ -1588,9 +1588,12 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_b"), F.col("c").alias("conv_b")
     )
     j = a.join(F.broadcast(b))
-    diff = F.col("conv_a") * F.col("n_b") - F.col("conv_b") * F.col("n_a")
-    big_c = F.col("conv_a") + F.col("conv_b")
-    big_n = F.col("n_a") + F.col("n_b")
+    dec = "decimal(38,0)"
+    diff = (
+        F.col("conv_a") * F.col("n_b") - F.col("conv_b") * F.col("n_a")
+    ).cast(dec)
+    big_c = (F.col("conv_a") + F.col("conv_b")).cast(dec)
+    big_n = (F.col("n_a") + F.col("n_b")).cast(dec)
     return j.select(
         "n_a",
         "conv_a",
@@ -1602,7 +1605,11 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("conv_b * 10000 div n_b").alias("rate_b_bp"),
         (
             diff * diff * big_n * 100
-            > 384 * F.col("n_a") * F.col("n_b") * big_c * (big_n - big_c)
+            > F.lit(384).cast(dec)
+            * F.col("n_a").cast(dec)
+            * F.col("n_b").cast(dec)
+            * big_c
+            * (big_n - big_c)
         ).alias("significant"),
     )
 
@@ -1625,9 +1632,9 @@ ORACLE["events_ab_test"] = f"""
     SELECT n_a, conv_a, n_b, conv_b,
            (conv_a * 10000 // n_a)::BIGINT AS rate_a_bp,
            (conv_b * 10000 // n_b)::BIGINT AS rate_b_bp,
-           (conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a)
-               * (n_a + n_b) * 100
-             > 384 * n_a * n_b * (conv_a + conv_b)
+           (conv_a * n_b - conv_b * n_a)::HUGEINT
+               * (conv_a * n_b - conv_b * n_a) * (n_a + n_b) * 100
+             > 384::HUGEINT * n_a * n_b * (conv_a + conv_b)
                    * ((n_a + n_b) - (conv_a + conv_b)) AS significant
     FROM a, b
 """

@@ -1873,10 +1873,67 @@ ORACLE["star_item_similarity"] = f"""
 LPA_ROUNDS = 3
 LPA_MIN_SUPPORT = 2
 
-# one live cached edge relation (see dedup_minhash_pairs for the
-# one-entry discipline rationale: the contract returns a lazy DataFrame,
-# so the previous invocation's cache is dropped on the next call)
+# one live cached edge relation PER CONSUMER (see dedup_minhash_pairs
+# for the one-entry discipline rationale: the contract returns a lazy
+# DataFrame, so the previous invocation's cache entry is dropped on the
+# next call)
 _LPA_CACHE: dict = {}
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str, cache_key: str) -> DataFrame:
+    """Symmetrized, support-thresholded co-purchase edge list — the one
+    graph every structure metric here runs on (LPA, assortativity,
+    k-core).  Persisted under ``cache_key`` with the one-live-entry
+    discipline: every consumer references the edges more than once, and
+    the basket self-join must not re-derive per reference."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= LPA_MIN_SUPPORT)
+        .select("p1", "p2")
+    )
+    prev = _LPA_CACHE.pop(cache_key, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    ed = (
+        und.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionByName(
+            und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+        .persist()
+    )
+    _LPA_CACHE[cache_key] = ed
+    return ed
+
+
+def _copurchase_edges_cte() -> str:
+    """The oracle-side twin of ``_copurchase_edges`` (CTEs ``li``,
+    ``und``, ``ed``) — one definition, three consumers, so the Spark
+    and SQL graphs cannot drift apart per metric."""
+    return f"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        und AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {LPA_MIN_SUPPORT}
+        ),
+        ed AS (
+            SELECT p1 AS src, p2 AS dst FROM und
+            UNION ALL
+            SELECT p2 AS src, p1 AS dst FROM und
+        )"""
 
 
 def star_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1897,34 +1954,7 @@ def star_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation — never the fact table.  The edge relation feeds every
     round, so it is persisted once (O(frequent pairs) rows).
     """
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= LPA_MIN_SUPPORT)
-        .select("p1", "p2")
-    )
-    prev = _LPA_CACHE.pop("edges", None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    edges = (
-        und.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionByName(
-            und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-        )
-        .persist()
-    )
-    _LPA_CACHE["edges"] = edges
+    edges = _copurchase_edges(spark, sf_dir, "edges")
 
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -1953,19 +1983,7 @@ QUERIES["star_part_communities"] = star_part_communities
 
 def _oracle_lpa() -> str:
     parts = [
-        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
-        f"""und AS (
-            SELECT a.l_partkey AS p1, b.l_partkey AS p2
-            FROM li a JOIN li b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-            GROUP BY 1, 2
-            HAVING count(*) >= {LPA_MIN_SUPPORT}
-        )""",
-        """ed AS (
-            SELECT p1 AS src, p2 AS dst FROM und
-            UNION ALL
-            SELECT p2 AS src, p1 AS dst FROM und
-        )""",
+        _copurchase_edges_cte(),
         """l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed)""",
     ]
     for r in range(LPA_ROUNDS):
@@ -2221,27 +2239,10 @@ def star_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame
     moments accumulate as exact int64 over the symmetrized edge list,
     and r is ONE float expression rounded once (the Pearson-moments
     discipline).  Scale: degrees are an O(nodes) aggregate, the moment
-    pass an O(edges) join-and-reduce — no windows, no sorts."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= LPA_MIN_SUPPORT)
-        .select("p1", "p2")
-    )
-    ed = und.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionByName(
-        und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-    )
+    pass an O(edges) join-and-reduce — no windows, no sorts; the edge
+    relation feeds the degree aggregate AND both moment-join sides, so
+    it rides the shared persisted helper."""
+    ed = _copurchase_edges(spark, sf_dir, "assort_edges")
     deg = ed.groupBy("src").agg(F.count("*").alias("d"))
     j = (
         ed.join(deg.select(F.col("src"), F.col("d").alias("dx")), "src")
@@ -2273,19 +2274,7 @@ def star_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame
 QUERIES["star_copurchase_assortativity"] = star_copurchase_assortativity
 
 ORACLE["star_copurchase_assortativity"] = f"""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    und AS (
-        SELECT a.l_partkey AS p1, b.l_partkey AS p2
-        FROM li a JOIN li b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2
-        HAVING count(*) >= {LPA_MIN_SUPPORT}
-    ),
-    ed AS (
-        SELECT p1 AS src, p2 AS dst FROM und
-        UNION ALL
-        SELECT p2 AS src, p1 AS dst FROM und
-    ),
+    WITH {_copurchase_edges_cte()},
     deg AS (SELECT src, count(*)::BIGINT AS d FROM ed GROUP BY 1),
     j AS (
         SELECT dx.d AS dx, dy.d AS dy
@@ -2328,36 +2317,7 @@ def star_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the node — survivors only shrink, so per-round cost is bounded by
     the previous round's edge count; the edge relation persists once
     (the LPA discipline)."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= LPA_MIN_SUPPORT)
-        .select("p1", "p2")
-    )
-    prev = _LPA_CACHE.pop("kcore_edges", None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    ed = (
-        und.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionByName(
-            und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-        )
-        .persist()
-    )
-    _LPA_CACHE["kcore_edges"] = ed
-
-    alive = ed
+    alive = _copurchase_edges(spark, sf_dir, "kcore_edges")
     for _ in range(KCORE_ROUNDS):
         # eager localCheckpoint per round (the PageRank iterative-algo
         # discipline): each round's keep set appears in TWO semi joins
@@ -2385,19 +2345,8 @@ QUERIES["star_copurchase_kcore"] = star_copurchase_kcore
 
 def _oracle_kcore() -> str:
     parts = [
-        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
-        f"""und AS (
-            SELECT a.l_partkey AS p1, b.l_partkey AS p2
-            FROM li a JOIN li b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-            GROUP BY 1, 2
-            HAVING count(*) >= {LPA_MIN_SUPPORT}
-        )""",
-        """e0 AS (
-            SELECT p1 AS src, p2 AS dst FROM und
-            UNION ALL
-            SELECT p2 AS src, p1 AS dst FROM und
-        )""",
+        _copurchase_edges_cte(),
+        """e0 AS (SELECT src, dst FROM ed)""",
     ]
     for r in range(KCORE_ROUNDS):
         parts.append(f"""k{r + 1} AS (

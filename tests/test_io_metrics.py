@@ -534,3 +534,21 @@ def test_table_diff_classifies_all_change_kinds(spark, sf_dir):
     assert c == Counter(
         {"unchanged": n - 2, "removed": 1, "changed": 1, "added": 1}
     )
+
+
+def test_table_diff_detects_delimiter_shifting_payloads(spark):
+    """Rows whose cells would collide under a delimiter-joined concat
+    ('a\\x01b','c' vs 'a','b\\x01c') must report 'changed' — the per-cell
+    hash keeps boundaries unambiguous; NULL vs the literal sentinel
+    string must differ too."""
+    from beam_scala_examples_spark import io as bio
+
+    left = spark.createDataFrame(
+        [(1, "a\x01b", "c"), (2, None, "x")], "k long, p string, q string"
+    )
+    right = spark.createDataFrame(
+        [(1, "a", "b\x01c"), (2, "\x00null", "x")],
+        "k long, p string, q string",
+    )
+    got = {r.k: r.status for r in bio.table_diff(left, right, ["k"]).collect()}
+    assert got == {1: "changed", 2: "changed"}

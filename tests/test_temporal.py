@@ -324,3 +324,34 @@ def test_asof_forward_semantics(spark):
     )
     got = {r.event_id: (r.m_id, r.m_value) for r in loose.collect()}
     assert got[2] == (10, 1.0)  # non-strict: the simultaneous row matches
+
+
+def test_asof_forward_null_left_timestamp_gets_null_payload(spark):
+    """A left row with a NULL timestamp can never satisfy ts-compare
+    against any right row — both directions must return NULL payload
+    for it (forward's desc scan needs nulls-first or the NULL row
+    inherits the smallest right ts's payload)."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2020-01-01T00:00:00")), (2, 1, None)],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, _ts("2020-01-02T00:00:00")),
+         (11, 1, _ts("2020-01-03T00:00:00"))],
+        "rid long, k long, ts timestamp",
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            payload={"rid": "m_rid"}, strict=True, tiebreak="rid",
+            direction=direction,
+        )
+        got = {r.lid: r.m_rid for r in out.collect()}
+        assert got[2] is None, direction
+    # and the non-null forward row still matches the earliest later right
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        payload={"rid": "m_rid"}, strict=True, tiebreak="rid",
+        direction="forward",
+    )
+    assert {r.lid: r.m_rid for r in out.collect()}[1] == 10
