@@ -7,10 +7,16 @@ joining an unbounded event stream against a *static* dimension table on
 every micro-batch.
 
 Semantics and scale posture:
- - The static side is re-planned per micro-batch, so a dimension path
-   that is atomically re-written between batches is picked up without
-   restarting the query — the streaming analogue of a slowly-refreshed
-   side input.
+ - The static side is a SNAPSHOT: the dimension DataFrame's file index
+   is resolved when the plan is built, so overwriting the dim path
+   under a running query does NOT refresh the join — it fails the next
+   micro-batch with FILE_NOT_EXIST (verified empirically; Spark's
+   re-planning per batch reuses the cached file listing).  For a
+   slowly-refreshed dimension, enrich inside ``foreachBatch`` with a
+   FRESH ``spark.read`` of the dim path per batch (the pattern
+   ``tests/test_streaming.py::test_stream_static_enrichment_refreshes_dim``
+   pins) — a new DataFrame lists files anew, so an atomic re-write is
+   picked up on the next trigger.
  - The dimension is a bounded catalog relation (customers, routes,
    configs), so ``F.broadcast`` is correct here — this is exactly the
    class of provably-bounded side the engine's broadcast policy allows

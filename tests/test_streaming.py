@@ -1351,3 +1351,43 @@ def test_ingest_dedup_replay_idempotent(spark, sf_dir, tmpdir):
         tuple(r) for r in spark.read.parquet(f"{tmpdir}/dedup_out").collect()
     )
     assert once == twice and len(once) > 0
+
+
+def test_stream_static_enrichment_refreshes_dim(spark, tmpdir):
+    """The dimension-refresh contract (streaming/enrich.py docstring): a
+    dim DataFrame built ONCE snapshots its file listing — overwriting
+    the path mid-query breaks, NOT refreshes (verified separately) —
+    but a FRESH spark.read per micro-batch inside foreachBatch picks up
+    an atomic re-write on the next trigger."""
+    from beam_scala_examples_spark.streaming.enrich import enrich_events
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream, write_arrival_chunks,
+    )
+
+    dim_path = f"{tmpdir}/dim"
+    spark.createDataFrame(
+        [(0, "OLD", 1)], "c_custkey long, c_mktsegment string, c_nationkey long"
+    ).write.mode("overwrite").parquet(dim_path)
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01 00:00:{i:02d}", "user_id": 0,
+         "event_type": "click", "value": 1.0}
+        for i in range(4)
+    ]
+    write_arrival_chunks(rows, 2, f"{tmpdir}/feed")  # 2 chunks -> 2 batches
+    stream = read_event_stream(spark, f"{tmpdir}/feed")
+    seen: dict[int, set] = {}
+
+    def sink(batch_df, batch_id):
+        fresh_dim = batch_df.sparkSession.read.parquet(dim_path)
+        out = enrich_events(batch_df, fresh_dim)
+        seen[batch_id] = {(r.event_id, r.mktsegment) for r in out.collect()}
+        if batch_id == 0:
+            batch_df.sparkSession.createDataFrame(
+                [(0, "NEW", 1)],
+                "c_custkey long, c_mktsegment string, c_nationkey long",
+            ).write.mode("overwrite").parquet(dim_path)
+
+    _run_stream(stream, "append", sink, tmpdir)
+
+    assert {s for _, s in seen[0]} == {"OLD"}
+    assert {s for _, s in seen[1]} == {"NEW"}  # re-write picked up
