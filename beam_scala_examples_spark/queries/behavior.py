@@ -1548,10 +1548,49 @@ _AB_SPARK_H = "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10) as 
 _AB_DUCK_H = "('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT"
 
 
+def _ab_per_user(ev: DataFrame) -> DataFrame:
+    """Per-user (arm, converted) for the A/B pair: arm = md5 hash split,
+    conversion = ACTIVATION — a purchase within 1 day of the user's
+    first event.  (Plain "ever purchased" saturates to ~100% on any
+    long-lived user base, making every readout degenerate; activation
+    is the standard non-saturating experiment metric.)  One hash
+    aggregate: first event ts and first purchase ts computed in the
+    same per-user pass."""
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+        )
+        .select(
+            (F.expr(_AB_SPARK_H) % 2).alias("arm"),
+            F.when(
+                F.col("first_purchase")
+                <= F.col("first_ts") + F.expr("INTERVAL 1 DAY"),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+
+
+_AB_DUCK_PER_USER = f"""
+        SELECT {_AB_DUCK_H} % 2 AS arm,
+               CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+                         <= min(ts) + INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+"""
+
+
 def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: users deterministically hash-split into
-    two arms, conversion = any purchase event; reports per-arm rates in
-    exact basis points and the two-proportion z-test verdict at 95%.
+    two arms, conversion = activation (purchase within 1 day of first
+    event — see ``_ab_per_user``); reports per-arm rates in exact basis
+    points and the two-proportion z-test verdict at 95%.
 
     The significance test is the integer cross-multiplied form
     ``(c1·n2 − c2·n1)²·(n1+n2)·100 > 384·n1·n2·C·(N−C)`` (z² > 3.84) —
@@ -1565,19 +1604,7 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id over one fact scan), then a 2-row arm aggregate; the final
     report is ONE row.
     """
-    ev = load(spark, sf_dir, "events")
-    per_user = (
-        ev.groupBy("user_id")
-        .agg(
-            F.max(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("converted")
-        )
-        .select(
-            (F.expr(_AB_SPARK_H) % 2).alias("arm"),
-            "converted",
-        )
-    )
+    per_user = _ab_per_user(load(spark, sf_dir, "events"))
     arms = per_user.groupBy("arm").agg(
         F.count("*").alias("n"), F.sum("converted").alias("c")
     )
@@ -1617,12 +1644,7 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["events_ab_test"] = events_ab_test
 
 ORACLE["events_ab_test"] = f"""
-    WITH per_user AS (
-        SELECT {_AB_DUCK_H} % 2 AS arm,
-               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                   AS converted
-        FROM events GROUP BY user_id
-    ),
+    WITH per_user AS ({_AB_DUCK_PER_USER}),
     arms AS (
         SELECT arm, count(*)::BIGINT AS n, sum(converted)::BIGINT AS c
         FROM per_user GROUP BY 1
@@ -1848,4 +1870,61 @@ ORACLE["events_cohort_ltv"] = """
     SELECT cohort_week, age_weeks, cohort_users,
            round(cum_cents * 1.0 / cohort_users / 100.0, 4) AS ltv_per_user
     FROM cum JOIN sizes USING (cohort_week)
+"""
+
+
+def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis for the A/B readout: the minimum detectable
+    effect (MDE) at the current arm sizes — 80% power, two-sided 5%
+    significance (z-factor 2.8 ≈ 1.96 + 0.84) on the pooled activation
+    rate (purchase within 1 day of first event — see ``_ab_per_user``).  The planning number that says whether an experiment is even
+    worth reading yet: if the observed lift is below the MDE, running
+    longer is the only honest action.
+
+    ``mde = 2.8 · sqrt(p̂(1−p̂)(1/n_a + 1/n_b))`` — p̂ and the variance
+    term are ratios of exact int64 counts; the whole expression is ONE
+    float chain over those integers, identically associated on both
+    engines, rounded once.  Same two-aggregate shape as
+    ``events_ab_test``: the report is one row at any event volume."""
+    per_user = _ab_per_user(load(spark, sf_dir, "events"))
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("c")
+    )
+    a = arms.filter("arm = 0").select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = arms.filter("arm = 1").select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    j = a.join(F.broadcast(b))
+    p = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (
+        F.col("n_a") + F.col("n_b")
+    )
+    mde = 2.8 * F.sqrt(
+        p * (1.0 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(p, 6).alias("pooled_rate"),
+        F.round(mde, 6).alias("mde"),
+    )
+
+
+QUERIES["events_ab_power"] = events_ab_power
+
+ORACLE["events_ab_power"] = f"""
+    WITH per_user AS ({_AB_DUCK_PER_USER}),
+    arms AS (
+        SELECT arm, count(*)::BIGINT AS n, sum(converted)::BIGINT AS c
+        FROM per_user GROUP BY 1
+    ),
+    a AS (SELECT n AS n_a, c AS conv_a FROM arms WHERE arm = 0),
+    b AS (SELECT n AS n_b, c AS conv_b FROM arms WHERE arm = 1)
+    SELECT n_a, n_b,
+           round((conv_a + conv_b) * 1.0 / (n_a + n_b), 6) AS pooled_rate,
+           round(2.8 * sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 6) AS mde
+    FROM a, b
 """

@@ -130,6 +130,7 @@ HEADLINE = [
     "emb_cluster_purity",
     "text_quality_normalized",
     "dedup_method_agreement",
+    "events_ab_power",
 ]
 
 
