@@ -1928,3 +1928,42 @@ ORACLE["events_ab_power"] = f"""
                             * (1.0 / n_a + 1.0 / n_b)), 6) AS mde
     FROM a, b
 """
+
+
+def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate for the A/B pair: is the arm split
+    consistent with the intended 50/50?  A skewed split means broken
+    assignment or differential logging loss, and invalidates the
+    readout BEFORE anyone looks at conversion — the first check every
+    experimentation platform runs.  z² = (n_a − n_b)²/N against 3.84
+    (95%), in the integer cross-multiplied form
+    ``(n_a − n_b)²·100 > 384·N`` — exact int64 far beyond any user
+    count (~n², not the readout's ~n⁴).  One per-user aggregate, one
+    2-row arm aggregate, ONE output row."""
+    per_user = _ab_per_user(load(spark, sf_dir, "events"))
+    arms = per_user.groupBy("arm").agg(F.count("*").alias("n"))
+    a = arms.filter("arm = 0").select(F.col("n").alias("n_a"))
+    b = arms.filter("arm = 1").select(F.col("n").alias("n_b"))
+    j = a.join(F.broadcast(b))
+    diff = F.col("n_a") - F.col("n_b")
+    return j.select(
+        "n_a",
+        "n_b",
+        (diff * diff * 100 > 384 * (F.col("n_a") + F.col("n_b"))).alias(
+            "srm_detected"
+        ),
+    )
+
+
+QUERIES["events_ab_srm"] = events_ab_srm
+
+ORACLE["events_ab_srm"] = f"""
+    WITH per_user AS ({_AB_DUCK_PER_USER}),
+    arms AS (SELECT arm, count(*)::BIGINT AS n FROM per_user GROUP BY 1),
+    a AS (SELECT n AS n_a FROM arms WHERE arm = 0),
+    b AS (SELECT n AS n_b FROM arms WHERE arm = 1)
+    SELECT n_a, n_b,
+           (n_a - n_b) * (n_a - n_b) * 100 > 384 * (n_a + n_b)
+               AS srm_detected
+    FROM a, b
+"""

@@ -131,6 +131,7 @@ HEADLINE = [
     "text_quality_normalized",
     "dedup_method_agreement",
     "events_ab_power",
+    "events_ab_srm",
 ]
 
 
