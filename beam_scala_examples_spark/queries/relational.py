@@ -1917,19 +1917,22 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str, cache_key: str) -> DataF
     return ed
 
 
-def _copurchase_edges_cte() -> str:
+def _copurchase_edges_cte(materialized: bool = False) -> str:
     """The oracle-side twin of ``_copurchase_edges`` (CTEs ``li``,
     ``und``, ``ed``) — one definition, three consumers, so the Spark
-    and SQL graphs cannot drift apart per metric."""
-    return f"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        und AS (
+    and SQL graphs cannot drift apart per metric.  ``materialized``
+    marks the CTEs MATERIALIZED for consumers whose unrolled chains
+    would otherwise inline the scan exponentially (k-core)."""
+    m = "MATERIALIZED " if materialized else ""
+    return f"""li AS {m}(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        und AS {m}(
             SELECT a.l_partkey AS p1, b.l_partkey AS p2
             FROM li a JOIN li b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2
             HAVING count(*) >= {LPA_MIN_SUPPORT}
         ),
-        ed AS (
+        ed AS {m}(
             SELECT p1 AS src, p2 AS dst FROM und
             UNION ALL
             SELECT p2 AS src, p1 AS dst FROM und
@@ -2297,7 +2300,7 @@ ORACLE["star_copurchase_assortativity"] = f"""
 
 
 K_CORE = 3
-KCORE_ROUNDS = 4
+KCORE_ROUNDS = 16  # cap; early-exits at the fixpoint (measured depth 10 at sf0.01)
 
 
 def star_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2307,24 +2310,23 @@ def star_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (LPA on the raw graph chases low-degree tendrils; on the core it
     finds the dense heart).
 
-    Fixed ``KCORE_ROUNDS`` synchronous peels (bit-stable and
-    oracle-unrollable); equal to the true k-core whenever peeling
-    converges within R rounds — sparse co-purchase graphs converge in a
-    few, and an unconverged graph yields a documented superset (some
-    reported degrees below K), never a wrong subset.
+    Peels to the FIXPOINT with early exit, capped at ``KCORE_ROUNDS``
+    synchronous rounds (measured convergence depth 10 at sf0.01, so the
+    cap of 16 yields the true k-core at test scales); the oracle
+    unrolls exactly the cap, and rounds past convergence are no-ops, so
+    the two engines are equal whether or not the cap is hit — and if a
+    pathological graph ever needed more than the cap, BOTH sides would
+    compute the identical capped superset, never diverge.
 
     Scale: each round is a degree aggregate plus two semi joins keyed on
     the node — survivors only shrink, so per-round cost is bounded by
-    the previous round's edge count; the edge relation persists once
-    (the LPA discipline)."""
+    the previous round's edge count; the keep set is eagerly
+    checkpointed per round (it feeds two joins and the next round — the
+    iterative-algorithm discipline), which also makes the early-exit
+    count read free."""
     alive = _copurchase_edges(spark, sf_dir, "kcore_edges")
+    prev_nodes = -1
     for _ in range(KCORE_ROUNDS):
-        # eager localCheckpoint per round (the PageRank iterative-algo
-        # discipline): each round's keep set appears in TWO semi joins
-        # AND feeds the next round's degree pass — without materializing
-        # it the plan re-derives every earlier round per reference and
-        # the lineage grows geometrically (measured 15.8 s at sf0.1;
-        # ~1 s with the checkpoint)
         keep = (
             alive.groupBy("src")
             .agg(F.count("*").alias("d"))
@@ -2332,6 +2334,10 @@ def star_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src")
             .localCheckpoint(eager=True)
         )
+        n_nodes = keep.count()  # free: reads the checkpointed blocks
+        if n_nodes == prev_nodes:
+            break  # fixpoint: nobody dropped, the subgraph is stable
+        prev_nodes = n_nodes
         alive = alive.join(keep, "src", "semi").join(
             keep.select(F.col("src").alias("dst")), "dst", "semi"
         )
@@ -2344,16 +2350,21 @@ QUERIES["star_copurchase_kcore"] = star_copurchase_kcore
 
 
 def _oracle_kcore() -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and the
+    # unrolled peel references each round's relation twice — inlining
+    # makes the scan fan-out exponential in rounds ("too many open
+    # files" at 16 rounds); materialization evaluates each round once,
+    # the same thing the Spark side's per-round checkpoint does
     parts = [
-        _copurchase_edges_cte(),
-        """e0 AS (SELECT src, dst FROM ed)""",
+        _copurchase_edges_cte(materialized=True),
+        """e0 AS MATERIALIZED (SELECT src, dst FROM ed)""",
     ]
     for r in range(KCORE_ROUNDS):
-        parts.append(f"""k{r + 1} AS (
+        parts.append(f"""k{r + 1} AS MATERIALIZED (
             SELECT src FROM e{r} GROUP BY src
             HAVING count(*) >= {K_CORE}
         )""")
-        parts.append(f"""e{r + 1} AS (
+        parts.append(f"""e{r + 1} AS MATERIALIZED (
             SELECT e.src, e.dst FROM e{r} e
             JOIN k{r + 1} a ON e.src = a.src
             JOIN k{r + 1} b ON e.dst = b.src
