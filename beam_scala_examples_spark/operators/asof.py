@@ -141,6 +141,7 @@ def asof_join_bucketed(
     bucket: "Callable[[F.Column], F.Column] | str",
     strict: bool = True,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Skew-hardened :func:`asof_join`: identical semantics, but the
     per-partition sort runs per ``(key, bucket)`` instead of per key, so
@@ -166,6 +167,12 @@ def asof_join_bucketed(
     inherited unchanged: an equal-timestamp right row shares the left
     row's bucket by the monotonicity requirement, so the carry pass
     (strictly-earlier buckets) never sees it.
+
+    ``direction="forward"`` mirrors everything: pass 1 runs the forward
+    within-bucket as-of, the per-bucket reduction keeps each bucket's
+    EARLIEST payload (ts asc, tiebreak desc — rank-1 window, so the
+    tiebreak type needs no negation), and the carry pass is a forward
+    as-of over strictly-later buckets.
     """
     on = list(on)
 
@@ -188,7 +195,7 @@ def asof_join_bucketed(
             **{src: f"__within_{dst}" for src, dst in payload.items()},
             _HIT: "__within_hit",
         },
-        strict=strict, tiebreak=tiebreak,
+        strict=strict, tiebreak=tiebreak, direction=direction,
     )
 
     # One row per (key, bucket): the bucket's last right payload.
@@ -202,26 +209,40 @@ def asof_join_bucketed(
     carry_payload = F.struct(
         *[F.col(src).alias(dst) for src, dst in payload.items()]
     )
-    order_key = F.struct(
-        F.col(right_ts).alias("ts"),
-        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("tie"),
-    )
-    bucket_last = rb.groupBy(*on, _BUCKET).agg(
-        F.max_by(carry_payload, order_key).alias("__carry_p")
-    )
+    tie_col = F.col(tiebreak) if tiebreak else F.lit(0)
+    if direction == "backward":
+        order_key = F.struct(
+            F.col(right_ts).alias("ts"), tie_col.alias("tie")
+        )
+        bucket_pick = rb.groupBy(*on, _BUCKET).agg(
+            F.max_by(carry_payload, order_key).alias("__carry_p")
+        )
+    else:
+        # earliest ts, LARGEST tiebreak — a rank-1 window expresses the
+        # mixed sort directions without negating the tiebreak's type
+        w = Window.partitionBy(*on, _BUCKET).orderBy(
+            F.asc(right_ts), F.desc(tie_col)
+        )
+        bucket_pick = (
+            rb.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .select(*on, _BUCKET, carry_payload.alias("__carry_p"))
+        )
     left_buckets = lb.select(*on, _BUCKET).distinct()
     # Bucket-granularity as-of, always strict (same-bucket rights are
-    # pass 1's job): carry for left bucket b = last payload of any
-    # right bucket < b.
+    # pass 1's job): carry for left bucket b = the last payload of any
+    # right bucket < b (backward) / the first of any bucket > b
+    # (forward).
     carry = asof_join(
         left_buckets,
-        bucket_last,
+        bucket_pick,
         on,
         _BUCKET,
         _BUCKET,
         {"__carry_p": "__carry"},
         strict=True,
         tiebreak=None,
+        direction=direction,
     )
 
     out = within.join(carry, on + [_BUCKET], "left")

@@ -406,3 +406,38 @@ ORACLE["events_next_purchase"] = f"""
     ) p ON TRUE
     WHERE c.event_type = '{ASOF_RIGHT_TYPE}'
 """
+
+
+def events_next_purchase_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened two-pass form of ``events_next_purchase`` (daily
+    time buckets, FORWARD direction): identical output, same LATERAL
+    oracle — the whale-user path for label lookahead."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE).select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE)
+    out = asof_join_bucketed(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload={"event_id": "purchase_event_id", "ts": "purchase_ts"},
+        bucket=lambda c: F.date_trunc("day", c),
+        strict=True,
+        tiebreak="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_event_id",
+        "purchase_ts",
+        (epoch_us("purchase_ts") - epoch_us("ts")).alias("lead_us"),
+    )
+
+
+QUERIES["events_next_purchase_bucketed"] = events_next_purchase_bucketed
+ORACLE["events_next_purchase_bucketed"] = ORACLE["events_next_purchase"]

@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_method_agreement",
     "events_ab_power",
     "events_ab_srm",
+    "events_next_purchase_bucketed",
 ]
 
 

@@ -355,3 +355,35 @@ def test_asof_forward_null_left_timestamp_gets_null_payload(spark):
         direction="forward",
     )
     assert {r.lid: r.m_rid for r in out.collect()}[1] == 10
+
+
+def test_asof_bucketed_forward_carries_across_buckets(spark):
+    """Forward bucketed as-of: a left row whose next right row lives
+    SEVERAL buckets later must get it through the carry pass (the
+    within-bucket pass alone would return NULL); simultaneous rows
+    stay invisible under strict."""
+    from beam_scala_examples_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:00:00")),   # match is 2 days later
+         (2, 1, _ts("2024-01-03T12:00:00")),   # same-bucket match
+         (3, 1, _ts("2024-01-03T13:00:00"))],  # after every right row
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, _ts("2024-01-03T12:00:00"), 1.0),   # equal-ts to lid 2
+         (11, 1, _ts("2024-01-03T12:30:00"), 2.0)],
+        "event_id long, k long, ts timestamp, v double",
+    )
+    out = asof_join_bucketed(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        payload={"event_id": "m_id", "v": "m_v"},
+        bucket=lambda c: F.date_trunc("day", c),
+        strict=True, tiebreak="event_id", direction="forward",
+    )
+    got = {r.lid: (r.m_id, r.m_v) for r in out.collect()}
+    assert got == {
+        1: (10, 1.0),      # carried across empty 2024-01-02 bucket
+        2: (11, 2.0),      # strict: the simultaneous row is invisible
+        3: (None, None),   # nothing later
+    }
