@@ -246,12 +246,16 @@ def compact_table(spark: SparkSession, path: str, target_files: int) -> None:
 
     LOCAL-FILESYSTEM utility: the swap uses OS renames, so this is for
     dev/posix deployments — on an object store use the table format's
-    OPTIMIZE/rewrite instead.  The rewrite lands fully in a temp
-    directory before any destructive step, and the original is moved
-    aside (not deleted) until the swap completes — a crash before the
-    swap leaves the original serving; a crash inside the two renames
-    leaves the full old copy at ``<path>.__compact_old`` to restore
-    from, never a half-written table as the only copy."""
+    OPTIMIZE/rewrite instead.  The swap is NOT atomic: between the two
+    renames there is a window where no table exists at ``path``, so
+    readers must be quiesced during compaction (with Delta/Iceberg the
+    snapshot swap handles this; plain parquet has no commit protocol).
+    The rewrite lands fully in a temp directory before any destructive
+    step, and the full old copy is kept at ``<path>.__compact_old``
+    until the NEXT compaction — a crash before the swap leaves the
+    original serving; a crash inside the two renames (or a bad rewrite)
+    leaves the old copy to restore from, never a half-written table as
+    the only copy."""
     import shutil as _shutil
 
     tmp = path.rstrip("/") + ".__compact_tmp"
@@ -261,7 +265,6 @@ def compact_table(spark: SparkSession, path: str, target_files: int) -> None:
     _shutil.rmtree(old, ignore_errors=True)
     _shutil.move(path, old)
     _shutil.move(tmp, path)
-    _shutil.rmtree(old)
 
 
 def table_diff(left: DataFrame, right: DataFrame,

@@ -75,7 +75,8 @@ def asof_join(
     standing at each left row is the smallest qualifying right ts; the
     side ordering encodes strictness identically, and the tie among
     equal-ts right rows stays "largest tiebreak wins").  The bucketed
-    skew variant is backward-only; negate/bucket-mirror to compose.
+    skew variant (``asof_join_bucketed``) supports the same
+    ``direction`` parameter.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction!r}")

@@ -1665,24 +1665,23 @@ ORACLE["events_ab_test"] = f"""
 def events_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily purchase revenue by customer market segment: the enriched
     additive rollup — events joined to the customer dimension
-    (user_id -> c_custkey, broadcast: a bounded catalog relation), then
-    exact-cents revenue per (segment, day).  This is the batch twin of
-    the incrementally-maintained streaming view
-    (``streaming/viewmaint.py::SegmentRevenueViewSink``); events whose
-    user misses the dimension keep a NULL segment rather than dropping
-    revenue on referential gaps.
+    (user_id -> c_custkey), then exact-cents revenue per (segment,
+    day).  This is the batch twin of the incrementally-maintained
+    streaming view (``streaming/viewmaint.py::SegmentRevenueViewSink``);
+    events whose user misses the dimension keep a NULL segment rather
+    than dropping revenue on referential gaps.
 
-    Scale: dim broadcast (no shuffle of the fact side for the join);
-    one hash aggregate on (segment, day) with map-side partials over
-    integer cents."""
+    Scale: the customer dimension GROWS with scale factor (~1.5M
+    rows/SF), so the join is hint-free by the engine's broadcast policy
+    (ADVICE r02) — AQE broadcasts it while it fits and falls back to a
+    shuffled join when it doesn't; one hash aggregate on (segment, day)
+    with map-side partials over integer cents."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    dim = F.broadcast(
-        load(spark, sf_dir, "customer").select(
-            F.col("c_custkey").alias("user_id"),
-            F.col("c_mktsegment").alias("segment"),
-        )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
     )
     return (
         ev.join(dim, "user_id", "left")

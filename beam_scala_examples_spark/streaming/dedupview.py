@@ -60,7 +60,16 @@ class IngestDedupSink:
         )
         seen = self._registry(spark, exclude_batch=int(batch_id))
         if seen is not None:
-            cand = cand.join(seen.select("fp"), "fp", "left_anti")
+            # Materialize the candidates BEFORE overwriting log_path:
+            # the anti join reads the same path the write below replaces,
+            # and the read-then-overwrite-same-path pattern is rejected
+            # by some committers ("Cannot overwrite a path that is also
+            # being read from") and can race the file listing (ADVICE
+            # r02).  localCheckpoint severs the lineage to the parquet
+            # scan, so the write never references its own target.
+            cand = cand.join(
+                seen.select("fp"), "fp", "left_anti"
+            ).localCheckpoint(eager=True)
         (
             cand.withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")

@@ -17,12 +17,14 @@ Semantics and scale posture:
    ``tests/test_streaming.py::test_stream_static_enrichment_refreshes_dim``
    pins) — a new DataFrame lists files anew, so an atomic re-write is
    picked up on the next trigger.
- - The dimension is a bounded catalog relation (customers, routes,
-   configs), so ``F.broadcast`` is correct here — this is exactly the
-   class of provably-bounded side the engine's broadcast policy allows
-   (unlike vocabularies or spammer sets, which grow with the data and
-   stay hint-free).  A broadcast join adds NO shuffle and NO state store
-   to the streaming plan: each micro-batch is a map-side lookup.
+ - The dimension join is HINT-FREE (ADVICE r02): the customer table
+   grows with scale factor (~1.5M rows/SF), so a forced broadcast is
+   the unconditional-OOM shape the engine's broadcast policy forbids
+   for data-dependent sides.  While the dim fits under
+   ``autoBroadcastJoinThreshold`` Spark still plans the broadcast
+   map-side lookup (no shuffle, no state store per micro-batch); past
+   it, the planner degrades to a shuffled join instead of an executor
+   OOM.  Truly fixed catalogs (routes, configs) may still hint.
  - A left join keeps events whose key misses the dimension (nulls), so
    ingest never drops rows on referential gaps — route them with
    ``QuarantineSink`` if misses must be dead-lettered.
@@ -41,12 +43,10 @@ def enrich_events(stream: DataFrame, dim: DataFrame) -> DataFrame:
     Returns (event_id, ts, user_id, event_type, value, mktsegment,
     nationkey); events without a matching customer keep nulls.
     """
-    d = F.broadcast(
-        dim.select(
-            F.col("c_custkey").alias("user_id"),
-            F.col("c_mktsegment").alias("mktsegment"),
-            F.col("c_nationkey").alias("nationkey"),
-        )
+    d = dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_nationkey").alias("nationkey"),
     )
     return stream.select(
         "event_id", "ts", "user_id", "event_type", "value"

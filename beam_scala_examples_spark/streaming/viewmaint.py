@@ -11,9 +11,10 @@ contribution log — the textbook incremental-view-maintenance shape for
 SUM/COUNT rollups.
 
 Scale posture:
- - The dimension join is the stream-static broadcast enrichment
-   (``enrich.py`` rationale: bounded catalog side) — no shuffle of the
-   event side, no state store.
+ - The dimension join is the stream-static enrichment, hint-free per
+   the broadcast policy (``enrich.py`` rationale: customer grows with
+   SF) — AQE broadcasts it while it fits, so no shuffle of the event
+   side and no state store in the common case.
  - Each batch's contribution is O(segments × days touched), not
    O(events); the log is bounded by batches × touched groups and
    re-compacts to O(segments × days).  With Delta/Iceberg the
@@ -37,9 +38,10 @@ from ..operators.agg import cents
 class SegmentRevenueViewSink:
     """foreachBatch sink maintaining the (segment, day) revenue view.
 
-    Per micro-batch: enrich with the broadcast customer dim, reduce to
-    exact-cents partial sums per (segment, day), write under batch_id
-    (idempotent), then re-aggregate the log into the serving view.
+    Per micro-batch: enrich with the customer dim (hint-free join),
+    reduce to exact-cents partial sums per (segment, day), write under
+    batch_id (idempotent), then re-aggregate the log into the serving
+    view.
     """
 
     def __init__(self, dim: DataFrame, log_path: str, out_path: str):
@@ -53,7 +55,7 @@ class SegmentRevenueViewSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         contrib = (
             batch_df.filter(F.col("event_type") == "purchase")
-            .join(F.broadcast(self.dim), "user_id", "left")
+            .join(self.dim, "user_id", "left")
             .groupBy("segment", F.date_trunc("day", "ts").alias("day"))
             .agg(
                 F.count("*").alias("n_purchases"),

@@ -1,8 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ..., "r01_shared_total": ...}.
+
+Output contract (round-3 fix): the driver tail-captures only the last
+~2000 bytes of stdout, so the stdout line must stay small. The "queries"
+map on stdout therefore carries ONLY the 24-query r01-shared anchor set
+(the stable round-over-round comparison basis, ~850 bytes — the exact
+size that parsed fine in BENCH_r01). The FULL per-query timing map for
+every headline query is written to bench_detail.json next to this file.
 
 Each query is forced end-to-end with the noop sink (full materialization
 JVM-side, no driver collect) — the honest analogue of writing results out
@@ -152,10 +159,30 @@ _R01_HEADLINE = frozenset(
 )
 
 
+def bench_names() -> list[str]:
+    """Every registered query is benched — the curated HEADLINE order
+    first (stable round-over-round positions), then the remaining
+    registered queries sorted by name.  No silent caps: a query added
+    to QUERIES without a HEADLINE entry still gets timed, and a
+    HEADLINE typo fails loudly."""
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    if missing:
+        raise KeyError(f"HEADLINE names not registered: {missing}")
+    rest = sorted(n for n in QUERIES if n not in set(HEADLINE))
+    return list(HEADLINE) + rest
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    spark = get_spark(app_name="bese-bench")
+    names = bench_names()
+    # No console progress bars: they write \r-spam to stdout, and the
+    # driver tail-captures only the last ~2000 bytes — the final JSON
+    # line must own that budget.
+    spark = get_spark(
+        app_name="bese-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm pass at the smallest SF: identical plan structure -> the
@@ -163,7 +190,7 @@ def main() -> None:
     # measured numbers are steady-state engine throughput, not javac.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name in names:
             QUERIES[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
@@ -173,7 +200,7 @@ def main() -> None:
     # queries); the min is the steady-state engine throughput, and three
     # samples make round-over-round regression detection less noisy.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = QUERIES[name]
         best = float("inf")
         for _ in range(3):
@@ -190,8 +217,14 @@ def main() -> None:
     r01_shared = round(
         sum(t for n, t in timings.items() if n in _R01_HEADLINE), 3
     )
-    print(
-        json.dumps(
+
+    # Full per-query map -> file (the driver's stdout tail buffer is
+    # ~2000 bytes; the 111-query map overflowed it in round 2).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": total,
@@ -199,7 +232,29 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "r01_shared_total": r01_shared,
-            }
+                "query_count": len(timings),
+            },
+            f,
+            indent=1,
+        )
+
+    # Compact stdout line: only the r01-shared anchor subset, 2dp.
+    shared_timings = {
+        n: round(t, 2) for n, t in timings.items() if n in _R01_HEADLINE
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": shared_timings,
+                "sf": sf,
+                "r01_shared_total": r01_shared,
+                "query_count": len(timings),
+                "detail": "bench_detail.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

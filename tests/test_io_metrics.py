@@ -483,7 +483,9 @@ def test_zorder_write_prunes_on_second_dimension(spark, tmp_path):
 
 def test_compact_table_reduces_files_preserving_rows(spark, tmp_path, sf_dir):
     """Small-files compaction (io.py::compact_table): 64 files -> 4 with
-    identical content, atomically (temp dir + move)."""
+    identical content; the pre-compaction copy survives at
+    ``<path>.__compact_old`` as the restore point (readers must be
+    quiesced during the swap — the rename pair is not atomic)."""
     from beam_scala_examples_spark import io as bio
     from beam_scala_examples_spark.tables import load
 
@@ -498,6 +500,15 @@ def test_compact_table_reduces_files_preserving_rows(spark, tmp_path, sf_dir):
     assert len(_glob.glob(f"{out}/part-*.parquet")) == 4
     after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert before == after
+    # Restore point: the old copy is kept until the next compaction.
+    old = sorted(
+        tuple(r) for r in spark.read.parquet(out + ".__compact_old").collect()
+    )
+    assert old == before
+    # ...and the next compaction replaces it rather than accreting.
+    bio.compact_table(spark, out, target_files=2)
+    assert len(_glob.glob(f"{out}/part-*.parquet")) == 2
+    assert len(_glob.glob(f"{out}.__compact_old/part-*.parquet")) == 4
 
 
 def test_table_diff_classifies_all_change_kinds(spark, sf_dir):
