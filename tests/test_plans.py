@@ -570,3 +570,15 @@ def test_sweep_line_single_ordered_window(plans):
     p = plans("star_open_orders_daily")
     assert "Window" in p
     assert "CartesianProduct" not in p
+
+
+def test_pq_scan_is_broadcast_lut(plans):
+    """sim_pq_topk: the ADC scan joins the exploded code column against a
+    BROADCAST lookup table (no shuffle of the corpus side for the join);
+    both top-k ranks ride WindowGroupLimit; no cartesian, no row-Python
+    (codebook training/encode is the sanctioned Arrow kernel)."""
+    p = plans("sim_pq_topk")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
