@@ -2755,6 +2755,162 @@ ORACLE["text_bpe_merge_candidates"] = f"""
 """
 
 
+N_BPE_MERGES = 16
+
+# keeps the character-split vocabulary persisted for the training rounds
+_BPE_CACHE: dict[str, DataFrame] = {}
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE: train ``N_BPE_MERGES`` character-level merges over the
+    corpus (the Sennrich subword-nmt algorithm: each round, the
+    highest-frequency adjacent symbol pair across the word vocabulary
+    becomes the next merge rule and is applied to the vocabulary), then
+    report per-document token and BPE-piece counts.  Completes the
+    tokenization family next to ``text_bpe_merge_candidates`` (the
+    single-round statistic) and ``text_token_count``.
+
+    The key identity: applying each learned merge to the whole
+    vocabulary in rank order IS the encoder — after the last training
+    round, the vocabulary's symbol string is each word's encoding, so
+    encode costs nothing beyond the training it already did.
+
+    Symbols live in a single-space-separated string padded with
+    boundary spaces; a merge is one literal ``replace(' a b ' ->
+    ' ab ')`` — left-to-right, non-overlapping, boundary-guarded so a
+    multi-char symbol never false-matches a symbol pair.  Both engines
+    run the identical string op, so parity is exact (consecutive
+    self-overlaps like ``l l l`` merge one pair per round — a
+    documented, deterministic variant of the textbook all-occurrences
+    sweep; later rounds or later merges pick up the remainder).
+
+    Scale: training runs over the WORD VOCABULARY with frequencies,
+    not the corpus — one map-side-combined pair aggregate plus a
+    TakeOrdered(1) per round, O(vocab) each, corpus-size independent
+    after the single vocabulary-building shuffle.  The merge rules are
+    O(rounds) driver rows (same sanction as k-means centroids).  All
+    encoding work is JVM string ops inside whole-stage codegen — no
+    Python anywhere.  The final vocabulary join back to the token
+    stream is hint-free by the broadcast policy (a vocabulary is the
+    canonical data-dependent side)."""
+    docs = load(spark, sf_dir, "documents")
+    stream = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok")
+    )
+    prev = _BPE_CACHE.pop("vocab", None)
+    if prev is not None:
+        prev.unpersist()
+    vocab = (
+        stream.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "tok",
+            "freq",
+            F.concat(
+                F.lit(" "), F.regexp_replace("tok", "(.)", "$1 ")
+            ).alias("s"),
+        )
+        .persist()
+    )
+    _BPE_CACHE["vocab"] = vocab
+    cur = vocab
+    for _ in range(N_BPE_MERGES):
+        syms = cur.select(
+            "freq", F.split(F.trim("s"), " ").alias("syms")
+        ).filter(F.expr("size(syms) >= 2"))
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS a,"
+                    " element_at(syms, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0].a, top[0].b
+        cur = cur.withColumn(
+            "s",
+            F.replace(F.col("s"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")),
+        )
+    encoded = cur.select(
+        "tok", F.size(F.split(F.trim("s"), " ")).alias("np")
+    )
+    return (
+        stream.join(encoded, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("np").alias("n_pieces"),
+        )
+    )
+
+
+QUERIES["text_bpe_encode"] = text_bpe_encode
+
+
+def _bpe_encode_oracle() -> str:
+    """Unrolled BPE training rounds.  Every v/m CTE is MATERIALIZED:
+    each round references the previous vocabulary twice (pair counts +
+    merge application), so un-materialized inlining would be 2^rounds."""
+    parts = [
+        f"""toks AS MATERIALIZED (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        v0 AS MATERIALIZED (
+            SELECT tok, count(*)::BIGINT AS freq,
+                   ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS s
+            FROM toks GROUP BY tok
+        )"""
+    ]
+    for r in range(N_BPE_MERGES):
+        parts.append(f"""p{r} AS (
+            SELECT pr.a AS a, pr.b AS b, sum(freq)::BIGINT AS n FROM (
+                SELECT freq,
+                       unnest(list_transform(
+                           generate_series(1, len(syms) - 1),
+                           i -> struct_pack(a := syms[i], b := syms[i + 1])
+                       )) AS pr
+                FROM (SELECT freq, string_split(trim(s), ' ') AS syms
+                      FROM v{r}) t
+                WHERE len(syms) >= 2
+            ) GROUP BY 1, 2
+        )""")
+        parts.append(f"""m{r} AS MATERIALIZED (
+            SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1
+        )""")
+        parts.append(f"""v{r + 1} AS MATERIALIZED (
+            SELECT v.tok, v.freq,
+                   CASE WHEN m.a IS NULL THEN v.s
+                        ELSE replace(v.s, ' ' || m.a || ' ' || m.b || ' ',
+                                     ' ' || m.a || m.b || ' ')
+                   END AS s
+            FROM v{r} v LEFT JOIN m{r} m ON TRUE
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+               sum(len(string_split(trim(e.s), ' ')))::BIGINT AS n_pieces
+        FROM toks t JOIN v{N_BPE_MERGES} e USING (tok)
+        GROUP BY t.doc_id
+    """
+    )
+
+
+ORACLE["text_bpe_encode"] = _bpe_encode_oracle()
+
+
 BM25_QUERY = ("join", "vector", "stream")
 BM25_K = 20
 # k1 = 1.2, b = 0.75 as exact rationals: the per-term score
