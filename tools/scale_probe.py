@@ -112,7 +112,143 @@ def build_dirs(spark, sf_dir: str) -> dict[int, str]:
     return dirs
 
 
+def whale_probe(spark, sf_dir: str, factor: int = 64,
+                fanout: int = 32) -> dict:
+    """Measured salting effect on a planted whale key (VERDICT r02
+    item 5).  Builds a ``factor``x events relation where 95% of rows
+    carry ONE user_id (the whale) plus a per-user dim, then times:
+
+     - join, unsalted, AQE skew-join disabled — simulates bucketed /
+       storage-partitioned joins where the runtime split is
+       unavailable; every whale row sorts/joins in ONE reducer task;
+     - join, unsalted, AQE skew-join enabled — what AQE recovers by
+       itself (at this payload size the whale partition sits under
+       AQE's default 256 MB skewedPartitionThresholdInBytes, so the
+       split does NOT trigger — the salt is load-bearing even with
+       AQE on);
+     - join, ``operators/skew.py::salted_join`` — the big side keys on
+       (user, salt); the only extra cost is replicating the small dim
+       ``fanout``x, so there is no second full-payload exchange;
+     - collect_list, unsalted vs ``salted_collect`` — the HONEST
+       negative: the two-stage collect re-shuffles the full payload,
+       and on local[32]'s in-memory shuffle that costs more than the
+       straggler saves.  Salted collect pays off only when the
+       straggler dominates (cluster-scale network / memory pressure),
+       which is exactly what its docstring says.
+
+    The dim is kept above the broadcast threshold path by disabling
+    auto-broadcast for the probe (simulating a dim too big to
+    broadcast — the 100 TB posture where salting matters).  Equality
+    of salted and unsalted plans is pinned by tests/test_skew.py;
+    this probe prices them.
+    """
+    from beam_scala_examples_spark.operators.skew import (
+        salted_collect,
+        salted_join,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(F.max("event_id").alias("e")).collect()[0]
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * (span.e + 1))).alias("event_id"),
+            "user_id", "props",
+        )
+        for k in range(factor)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    whale = big.select(
+        "event_id",
+        F.when(F.col("event_id") % 20 != 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "props",
+    )
+    d = os.path.join(BASE, "whale")
+    shutil.rmtree(d, ignore_errors=True)
+    whale.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    df = spark.read.parquet(os.path.join(d, "events.parquet"))
+    df.select("user_id").distinct().withColumn(
+        "segment", F.pmod(F.col("user_id"), F.lit(7))
+    ).write.mode("overwrite").parquet(os.path.join(d, "dim.parquet"))
+    dim = spark.read.parquet(os.path.join(d, "dim.parquet"))
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+        )
+    }
+
+    def timed(fn) -> float:
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def join_unsalted():
+        return df.join(dim, "user_id").select(
+            "event_id", "segment", "props"
+        )
+
+    def join_salted():
+        return salted_join(
+            df, dim, "user_id", fanout=fanout, salt_from="event_id"
+        ).select("event_id", "segment", "props")
+
+    def coll_unsalted():
+        return df.groupBy("user_id").agg(
+            F.collect_list("props").alias("values")
+        )
+
+    def coll_salted():
+        return salted_collect(
+            df, ["user_id"], "props", fanout=fanout, salt_from="event_id"
+        )
+
+    out: dict = {"rows": df.count(), "whale_pct": 95, "fanout": fanout}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        out["join_unsalted"] = timed(join_unsalted)
+        out["join_salted"] = timed(join_salted)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        out["join_unsalted_aqe_skew"] = timed(join_unsalted)
+        out["coll_unsalted"] = timed(coll_unsalted)
+        out["coll_salted"] = timed(coll_salted)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    out["join_speedup"] = round(
+        out["join_unsalted"] / out["join_salted"], 2
+    )
+    out["coll_speedup"] = round(
+        out["coll_unsalted"] / out["coll_salted"], 2
+    )
+    for k, v in out.items():
+        print(f"whale {k}: {v}", flush=True)
+    return out
+
+
 def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--whale"]
+    if "--whale" in sys.argv[1:]:
+        sf_dir = args[0] if args else "/root/testdata/sf0.1"
+        out_json = args[1] if len(args) > 1 else "/tmp/whale_probe.json"
+        spark = get_spark(app_name="whale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        res = whale_probe(spark, sf_dir)
+        with open(out_json, "w") as fh:
+            json.dump(res, fh, indent=2)
+        print(json.dumps(res))
+        spark.stop()
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe.json"
     spark = get_spark(app_name="scale-probe")
