@@ -1391,3 +1391,95 @@ def test_stream_static_enrichment_refreshes_dim(spark, tmpdir):
 
     assert {s for _, s in seen[0]} == {"OLD"}
     assert {s for _, s in seen[1]} == {"NEW"}  # re-write picked up
+
+
+def _doc_rows_with_source(sf_dir):
+    con = duck_connect(sf_dir)
+    rows = con.sql(
+        "SELECT doc_id, text, source FROM documents ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return [{"doc_id": r[0], "text": r[1], "source": r[2]} for r in rows]
+
+
+def test_lm_drift_view_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming LM-drift view (streaming/lmdrift.py): per-batch exact
+    micro-nat surprisal/OOV moments re-aggregate to the SAME per-source
+    drift report the batch twin computes in one shot.  The model is
+    trained on a SLICE of the corpus (the fixture's 31-token global
+    vocabulary needs a single-doc model to leave anything out) so the
+    stream carries genuine OOV tokens — the OOV path is exercised, not
+    just the happy join."""
+    from beam_scala_examples_spark.streaming.lmdrift import (
+        LmDriftViewSink,
+        drift_report,
+        lm_drift_aggregate,
+        lm_unigram_model,
+    )
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream,
+        write_arrival_chunks,
+    )
+    from beam_scala_examples_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    vocab, lnn = lm_unigram_model(docs.filter(F.col("doc_id") == 0))
+    rows = _doc_rows_with_source(sf_dir)
+    write_arrival_chunks(rows, 120, f"{tmpdir}/lmfeed")
+    stream = read_event_stream(
+        spark,
+        f"{tmpdir}/lmfeed",
+        schema="doc_id long, text string, source string",
+    )
+    sink = LmDriftViewSink(
+        vocab, lnn, f"{tmpdir}/lmdrift_log", f"{tmpdir}/lmdrift_out"
+    )
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{tmpdir}/lmdrift_out").collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in drift_report(lm_drift_aggregate(docs, vocab, lnn)).collect()
+    )
+    assert got == expect
+    # the drift timeline exists: one contribution row set per batch
+    log = spark.read.parquet(f"{tmpdir}/lmdrift_log")
+    assert log.select("batch_id").distinct().count() >= 2
+    # OOV genuinely exercised (half-corpus model)
+    assert any(r[3] > 0 for r in got)  # oov_rate column
+
+
+def test_lm_drift_view_replay_idempotent(spark, sf_dir, tmpdir):
+    """Replaying a micro-batch (same batch_id) leaves the drift view
+    unchanged — its contribution partition is replaced, never
+    double-counted."""
+    from beam_scala_examples_spark.streaming.lmdrift import (
+        LmDriftViewSink,
+        lm_unigram_model,
+    )
+    from beam_scala_examples_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    vocab, lnn = lm_unigram_model(docs)
+    sink = LmDriftViewSink(
+        vocab, lnn, f"{tmpdir}/lmdrift_log", f"{tmpdir}/lmdrift_out"
+    )
+    rows = _doc_rows_with_source(sf_dir)[:200]
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["source"]) for r in rows],
+        "doc_id long, text string, source string",
+    )
+    sink(batch, 0)
+    once = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{tmpdir}/lmdrift_out").collect()
+    )
+    sink(batch, 0)  # replay
+    twice = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{tmpdir}/lmdrift_out").collect()
+    )
+    assert once == twice
