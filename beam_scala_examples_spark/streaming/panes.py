@@ -164,3 +164,84 @@ class PaneTagger:
             d["processing_batch"] = batch_id
             d["watermark"] = wm
             self.panes.append(d)
+
+
+class DeltaPaneSink:
+    """Discarding-mode pane emission (X8, ``TriggerExample.scala:178,
+    210,245,291``): converts Spark's update-mode ACCUMULATING
+    refinements into Beam-style per-pane DELTAS — each firing emits
+    only the increment since the key's previous emission, so the sink's
+    output IS the reference's discarding pane table (260|6 then 60|1,
+    30|1, 20|1, 60|1 for the worked regime-2 example) instead of the
+    running totals Spark natively re-emits.
+
+    Log-as-state (the ``IngestDedupSink`` discipline): the emitted
+    deltas are partitioned by ``batch_id``; a key's last-emitted value
+    is the SUM of its deltas in the log EXCLUDING the current batch's
+    partition, so a replayed batch re-derives exactly the delta it
+    owned and dynamic partition overwrite replaces it — idempotent
+    under at-least-once delivery, with no mutable state table to
+    corrupt.  Sum-of-deltas over the log always equals the latest
+    accumulated value (pinned in tests).
+
+    Scale: per batch, one aggregate over the log keyed on the pane key
+    (O(panes emitted), not O(events) — update-mode batches carry
+    pre-aggregated rows) and one left join against the batch's rows.
+    With Delta/Iceberg the log append becomes a MERGE on
+    (key, batch_id).  The batch rows are localCheckpoint-materialized
+    before the write because the join reads the same path the write
+    replaces (the dedupview lesson)."""
+
+    def __init__(self, path: str, key_cols: tuple[str, ...],
+                 value_cols: tuple[str, ...]):
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.value_cols = list(value_cols)
+
+    def _emitted(self, spark, batch_id: int) -> DataFrame | None:
+        try:
+            log = spark.read.parquet(self.path)
+        except AnalysisException:  # first batch: no log yet
+            return None
+        return (
+            log.filter(F.col("batch_id") != batch_id)
+            .groupBy(*self.key_cols)
+            .agg(
+                *[
+                    F.sum(c).alias(f"__prev_{c}")
+                    for c in self.value_cols
+                ]
+            )
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = self._emitted(spark, int(batch_id))
+        out = batch_df.select(*self.key_cols, *self.value_cols)
+        if prev is not None:
+            out = (
+                out.join(prev, self.key_cols, "left")
+                .select(
+                    *self.key_cols,
+                    *[
+                        (
+                            F.col(c)
+                            - F.coalesce(F.col(f"__prev_{c}"), F.lit(0))
+                        ).alias(c)
+                        for c in self.value_cols
+                    ],
+                )
+                .localCheckpoint(eager=True)
+            )
+        (
+            out.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.path)
+        )
+
+    def panes(self, spark) -> DataFrame:
+        """The discarding pane table: one row per (key, firing) with the
+        pane's delta values, ordered by batch_id within a key."""
+        return spark.read.parquet(self.path)

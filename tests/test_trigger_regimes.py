@@ -11,9 +11,11 @@ boundaries) through the chunked file source and assert the documented
 determine them.
 
 Documented deviations (SURVEY §7.4):
- - X8 discarding panes: Spark update mode is accumulating-only; Beam's
-   discarding LATE deltas are asserted as the first differences of the
-   accumulated sequence (regime 2).
+ - X8 discarding panes: Spark update mode is accumulating-only NATIVELY;
+   Beam's discarding LATE deltas are asserted as the first differences
+   of the accumulated sequence (regime 2), and — closing the emission
+   gap — ``streaming/panes.py::DeltaPaneSink`` EMITS the literal
+   discarding pane table (regime-2 delta test below), replay-idempotent.
  - X3: Spark update-mode emissions carry no watermark-relative label
    (all speculative); Beam's EARLY→LATE flip at the watermark is pinned
    via the emission sequence instead (regime 3).
@@ -186,3 +188,83 @@ def test_regime4_composite_early_ontime_late(spark, tmpdir):  # noqa: F811
     ]
     panes = _run(spark, groups, tmpdir, "append", "45 minutes")
     assert panes == [(320.0, 7)]
+
+
+def _run_delta(spark, groups, tmpdir, lateness):
+    """Replay arrival groups through the DeltaPaneSink; return window-A
+    (delta_flow, delta_records) pane rows in firing order."""
+    from beam_scala_examples_spark.streaming.panes import DeltaPaneSink
+
+    write_arrival_groups(groups, f"{tmpdir}/feed")
+    stream = read_event_stream(spark, f"{tmpdir}/feed")
+    sink = DeltaPaneSink(
+        f"{tmpdir}/delta_panes",
+        key_cols=("win_start", "freeway"),
+        value_cols=("total_flow", "n_records"),
+    )
+    (
+        _flow(stream, lateness)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    rows = (
+        sink.panes(spark)
+        .filter(
+            (F.col("freeway") == "5")
+            & (F.col("win_start").cast("string").startswith(WIN_START))
+        )
+        .orderBy("batch_id")
+        .collect()
+    )
+    return [(r.total_flow, r.n_records) for r in rows]
+
+
+def test_regime2_delta_sink_emits_discarding_panes(spark, tmpdir):  # noqa: F811
+    """X8 closed for emission: the DeltaPaneSink turns regime 2's
+    accumulating refinements into the reference's literal DISCARDING
+    pane table (TriggerExample.scala:190-198) — ON_TIME 260|6 then one
+    delta pane per late element: 60|1, 30|1, 20|1, 60|1."""
+    groups = (
+        [[_ev(i) for i in ON_TIME_IDS]]
+        + [[_filler(90, "10:45:00")], [_filler(91, "11:00:00")]]
+        + [[_ev(i)] for i in LATE_IDS]
+    )
+    panes = _run_delta(spark, groups, tmpdir, "1 day")
+    assert panes == [
+        (260.0, 6),  # ON_TIME pane (Beam: 260 | 6)
+        (60.0, 1),   # el5  (Beam LATE discarding pane: 60 | 1)
+        (30.0, 1),   # el3  (Beam LATE discarding pane: 30 | 1)
+        (20.0, 1),   # el6  (Beam LATE discarding pane: 20 | 1)
+        (60.0, 1),   # el10 (Beam LATE discarding pane: 60 | 1)
+    ]
+    # invariant: sum of discarding deltas == final accumulated pane
+    assert sum(p[0] for p in panes) == 430.0
+    assert sum(p[1] for p in panes) == 10
+
+
+def test_delta_sink_replay_idempotent(spark, tmpdir):  # noqa: F811
+    """Replaying a micro-batch (same batch_id) re-derives the identical
+    delta — its log partition is replaced, never double-subtracted (the
+    failure mode of a mutable last-emitted table)."""
+    from beam_scala_examples_spark.streaming.panes import DeltaPaneSink
+
+    sink = DeltaPaneSink(
+        f"{tmpdir}/delta_panes",
+        key_cols=("k",),
+        value_cols=("v",),
+    )
+    b0 = spark.createDataFrame([("a", 100.0)], "k string, v double")
+    b1 = spark.createDataFrame([("a", 130.0)], "k string, v double")
+    sink(b0, 0)
+    sink(b1, 1)
+    once = sorted(tuple(r) for r in sink.panes(spark).collect())
+    sink(b1, 1)  # replay the latest batch
+    twice = sorted(tuple(r) for r in sink.panes(spark).collect())
+    assert once == twice
+    assert sorted((r.k, r.v) for r in sink.panes(spark).collect()) == [
+        ("a", 30.0), ("a", 100.0)
+    ]
