@@ -131,15 +131,21 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures banded for LSH: (doc_id, band, bucket).
-
-    shingle → 16 minhashes → 8 bands of 2 → bucket id = md5 of the band's
-    signature. Deterministic, so the full signature matrix is
-    oracle-checkable. Docs with < 3 tokens have no shingles and drop out
-    (consistent on both engines).
-    """
-    sig = _minhash_sigs(spark, sf_dir)
+def minhash_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) from any (doc_id, text) relation — the
+    banded-LSH signature pipeline factored over a DataFrame so the
+    streaming near-dup registry (``streaming/neardupview.py``) can run
+    it per micro-batch.  Identical expressions to the batch path."""
+    sh = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks")).select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle")
+    ).withColumn("h", F.expr(_SPARK_H.format(col="shingle")))
+    aggs = [
+        F.min(
+            (F.lit(MH_A[j]) * F.col("h") + F.lit(MH_B[j])) % MH_P
+        ).alias(f"m{j}")
+        for j in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
     stack_args = ", ".join(
         f"{b}, md5(concat_ws('-', cast(m{2*b} as string), cast(m{2*b+1} as string)))"
         for b in range(N_BANDS)
@@ -148,6 +154,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"stack({N_BANDS}, {stack_args})").alias("band", "bucket"),
     ).select("doc_id", F.col("band").cast("long").alias("band"), "bucket")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures banded for LSH: (doc_id, band, bucket).
+
+    shingle → 16 minhashes → 8 bands of 2 → bucket id = md5 of the band's
+    signature. Deterministic, so the full signature matrix is
+    oracle-checkable. Docs with < 3 tokens have no shingles and drop out
+    (consistent on both engines).
+    """
+    return minhash_buckets(load(spark, sf_dir, "documents"))
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5463,4 +5480,62 @@ ORACLE["dedup_method_agreement"] = f"""
            (n_both * 10000 // (n_jaccard + n_simhash - n_both))::BIGINT
                AS method_jaccard_bp
     FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# First-seen near-dup novelty (batch twin of the streaming registry)
+# --------------------------------------------------------------------------
+
+def dedup_lsh_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-wins near-duplicate decisions: a document is a dup iff
+    an EARLIER document (smaller doc_id = earlier arrival) shares any
+    LSH band bucket with it; ``dup_of`` is the earliest such document.
+    This is the arrival-order semantics an ingest-time registry applies
+    (``streaming/neardupview.py::NearDupIngestSink`` maintains exactly
+    this relation incrementally — the batch-equality test pins them
+    equal), the near-dup analogue of ``dedup_exact``'s min-id keeper.
+
+    Scale: one bucket-min aggregate over the banded signatures (map-side
+    combine), one equi-join back on (band, bucket) — Σ|bucket| rows, not
+    Σ|bucket|², because the probe joins the 1-row-per-bucket min, never
+    the bucket membership square."""
+    prev = _MINHASH_CACHE.pop("novelty", None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    sigs = dedup_minhash_lsh(spark, sf_dir).persist()
+    _MINHASH_CACHE["novelty"] = sigs
+    bmin = sigs.groupBy("band", "bucket").agg(
+        F.min("doc_id").alias("bmin")
+    )
+    cand = (
+        sigs.join(bmin, ["band", "bucket"])
+        .filter(F.col("bmin") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("bmin").alias("dup_of"))
+    )
+    docs_d = sigs.select("doc_id").distinct()
+    return docs_d.join(cand, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+    )
+
+
+QUERIES["dedup_lsh_novelty"] = dedup_lsh_novelty
+
+ORACLE["dedup_lsh_novelty"] = f"""
+    WITH b AS ({ORACLE["dedup_minhash_lsh"]}),
+    bm AS (
+        SELECT band, bucket, min(doc_id) AS bmin FROM b GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT b.doc_id, min(bm.bmin)::BIGINT AS dup_of
+        FROM b JOIN bm USING (band, bucket)
+        WHERE bm.bmin < b.doc_id
+        GROUP BY 1
+    ),
+    d AS (SELECT DISTINCT doc_id FROM b)
+    SELECT d.doc_id, cand.dup_of IS NOT NULL AS is_dup, cand.dup_of
+    FROM d LEFT JOIN cand USING (doc_id)
 """

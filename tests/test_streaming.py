@@ -1483,3 +1483,70 @@ def test_lm_drift_view_replay_idempotent(spark, sf_dir, tmpdir):
         for r in spark.read.parquet(f"{tmpdir}/lmdrift_out").collect()
     )
     assert once == twice
+
+
+def test_neardup_registry_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming ingest-time NEAR-dup detection (streaming/neardupview.py):
+    feeding the corpus in doc_id order, the incrementally-decided
+    (doc_id, is_dup, dup_of) relation must equal the batch
+    dedup_lsh_novelty first-seen semantics exactly — per batch the sink
+    touched only its own signatures plus one registry join, never the
+    corpus."""
+    from beam_scala_examples_spark.queries.llmdata import dedup_lsh_novelty
+    from beam_scala_examples_spark.streaming.neardupview import (
+        NearDupIngestSink,
+    )
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream,
+        write_arrival_chunks,
+    )
+
+    rows = _doc_rows(sf_dir)
+    write_arrival_chunks(rows, 100, f"{tmpdir}/ndfeed")
+    stream = read_event_stream(
+        spark, f"{tmpdir}/ndfeed", schema="doc_id long, text string"
+    )
+    sink = NearDupIngestSink(f"{tmpdir}/nd_registry", f"{tmpdir}/nd_decisions")
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in dedup_lsh_novelty(spark, sf_dir).collect()
+    )
+    assert got == expect
+    # sanity: the fixture contains real near-dup clusters
+    assert any(r[1] for r in got)
+    # intra-batch priors are exercised (chunk 100 > cluster spacing)
+    assert spark.read.parquet(f"{tmpdir}/nd_decisions").select(
+        "batch_id"
+    ).distinct().count() >= 2
+
+
+def test_neardup_registry_replay_idempotent(spark, sf_dir, tmpdir):
+    """Replaying a micro-batch re-derives exactly the decisions and
+    registry rows it owned (registry read excludes the batch's own
+    partition — the anti-join-own-contribution trap again)."""
+    from beam_scala_examples_spark.streaming.neardupview import (
+        NearDupIngestSink,
+    )
+
+    rows = _doc_rows(sf_dir)
+    sink = NearDupIngestSink(f"{tmpdir}/nd_registry", f"{tmpdir}/nd_decisions")
+    mk = lambda rs: spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rs], "doc_id long, text string"
+    )
+    sink(mk(rows[:100]), 0)
+    sink(mk(rows[100:200]), 1)
+    once = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    reg_once = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{tmpdir}/nd_registry").collect()
+    )
+    sink(mk(rows[100:200]), 1)  # replay the latest batch
+    twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    reg_twice = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{tmpdir}/nd_registry").collect()
+    )
+    assert once == twice
+    assert reg_once == reg_twice
