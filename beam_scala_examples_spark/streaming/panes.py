@@ -245,3 +245,46 @@ class DeltaPaneSink:
         """The discarding pane table: one row per (key, firing) with the
         pane's delta values, ordered by batch_id within a key."""
         return spark.read.parquet(self.path)
+
+
+def compact_delta_log(sink: DeltaPaneSink, spark, upto_batch: int) -> None:
+    """Roll the DeltaPaneSink's history up to ``upto_batch`` into one
+    base partition (``batch_id = -1``) — the log-structured-view
+    compaction that bounds the per-batch re-aggregation cost for
+    long-running streams: after compaction the log holds one row per
+    key (the summed base) plus only the recent delta partitions, and
+    every sink read (``_emitted``, ``panes``) keeps working unchanged
+    because both only ever SUM over partitions.
+
+    Safety contract: compact only batches the stream has COMMITTED
+    (Structured Streaming replays at most the latest uncommitted batch,
+    so ``upto_batch`` must be strictly below it); like
+    ``io.compact_table`` this is the plain-parquet local-FS form —
+    writers quiesced, and with Delta/Iceberg it becomes a MERGE +
+    partition drop in one commit.  The base is materialized via
+    localCheckpoint before any partition is touched (the write reads
+    the same path it modifies)."""
+    import shutil as _shutil
+
+    log = spark.read.parquet(sink.path)
+    base = (
+        log.filter(F.col("batch_id") <= upto_batch)
+        .groupBy(*sink.key_cols)
+        .agg(*[F.sum(c).alias(c) for c in sink.value_cols])
+        .localCheckpoint(eager=True)
+    )
+    (
+        base.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(sink.path)
+    )
+    import os as _os
+
+    for entry in _os.listdir(sink.path):
+        if not entry.startswith("batch_id="):
+            continue
+        bid = int(entry.split("=", 1)[1])
+        if 0 <= bid <= upto_batch:
+            _shutil.rmtree(_os.path.join(sink.path, entry))

@@ -268,3 +268,40 @@ def test_delta_sink_replay_idempotent(spark, tmpdir):  # noqa: F811
     assert sorted((r.k, r.v) for r in sink.panes(spark).collect()) == [
         ("a", 30.0), ("a", 100.0)
     ]
+
+
+def test_delta_log_compaction_preserves_semantics(spark, tmpdir):  # noqa: F811
+    """Compacting committed delta history into the base partition leaves
+    per-key totals unchanged AND later deltas still compute against the
+    full emitted sum — the log-structured-view roll-up."""
+    from beam_scala_examples_spark.streaming.panes import (
+        DeltaPaneSink,
+        compact_delta_log,
+    )
+
+    sink = DeltaPaneSink(
+        f"{tmpdir}/delta_panes", key_cols=("k",), value_cols=("v",)
+    )
+    mk = lambda kv: spark.createDataFrame([kv], "k string, v double")
+    sink(mk(("a", 100.0)), 0)
+    sink(mk(("a", 130.0)), 1)
+    sink(mk(("a", 150.0)), 2)
+    compact_delta_log(sink, spark, upto_batch=1)  # batches 0-1 committed
+    log = spark.read.parquet(f"{tmpdir}/delta_panes")
+    # base partition carries the rolled-up 130; batch 2's delta intact
+    assert sorted((r.batch_id, r.v) for r in log.collect()) == [
+        (-1, 130.0), (2, 20.0)
+    ]
+    # a post-compaction batch still diffs against the full emitted sum
+    sink(mk(("a", 175.0)), 3)
+    rows = sorted(
+        (r.batch_id, r.v)
+        for r in spark.read.parquet(f"{tmpdir}/delta_panes").collect()
+    )
+    assert rows == [(-1, 130.0), (2, 20.0), (3, 25.0)]
+    # replay of the latest (uncompacted) batch stays idempotent
+    sink(mk(("a", 175.0)), 3)
+    assert sorted(
+        (r.batch_id, r.v)
+        for r in spark.read.parquet(f"{tmpdir}/delta_panes").collect()
+    ) == rows
