@@ -255,3 +255,75 @@ def asof_join_bucketed(
             ).otherwise(F.col("__carry")[dst]),
         ).drop(f"__within_{dst}")
     return out.drop(_BUCKET, "__carry", "__within_hit")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest-in-time join: every ``left`` row matched to the right row
+    with the SMALLEST absolute timestamp distance, either side — the
+    sensor-alignment / context-lookup shape (kdb's ``aj`` nearest
+    variant) that neither direction alone expresses.
+
+    Semantics (totally ordered): backward candidate = latest right row
+    with ``right_ts <= left_ts`` (ties → largest ``tiebreak``); forward
+    candidate = earliest right row with ``right_ts > left_ts`` (ties →
+    largest ``tiebreak``); the winner is the smaller gap, an exact
+    equal-distance tie going to the backward (earlier) row.  An
+    exactly-simultaneous right row is the backward candidate at gap 0,
+    so it always wins.
+
+    Cost: one backward + one forward pass = TWO key exchanges + sorts
+    (each the single-shuffle union + running-last plan); the forward
+    pass runs over the backward pass's output, so the payload never
+    widens beyond the two candidate structs.  For whale keys compose
+    ``asof_join_bucketed`` per direction instead.
+    """
+    from .windows import epoch_us
+
+    # The matched timestamp must surface for the gap comparison; a
+    # payload source may itself be right_ts, so the copy rides a
+    # reserved column instead of another dict alias.
+    r2 = right.withColumn("__asof_rts", F.col(right_ts))
+    b_pay = {src: f"__b_{dst}" for src, dst in payload.items()}
+    b_pay["__asof_rts"] = "__b_match_ts"
+    f_pay = {src: f"__f_{dst}" for src, dst in payload.items()}
+    f_pay["__asof_rts"] = "__f_match_ts"
+    b = asof_join(
+        left, r2, on, left_ts, right_ts, b_pay,
+        strict=False, tiebreak=tiebreak, direction="backward",
+    )
+    bf = asof_join(
+        b, r2, on, left_ts, right_ts, f_pay,
+        strict=True, tiebreak=tiebreak, direction="forward",
+    )
+    gap_b = epoch_us(left_ts) - epoch_us("__b_match_ts")
+    gap_f = epoch_us("__f_match_ts") - epoch_us(left_ts)
+    use_fwd = F.col("__f_match_ts").isNotNull() & (
+        F.col("__b_match_ts").isNull() | (gap_f < gap_b)
+    )
+    out = bf
+    for _, dst in payload.items():
+        out = out.withColumn(
+            dst,
+            F.when(use_fwd, F.col(f"__f_{dst}")).otherwise(
+                F.col(f"__b_{dst}")
+            ),
+        )
+    out = out.withColumn(
+        "__asof_gap_us",
+        F.when(use_fwd, gap_f).otherwise(gap_b),
+    )
+    drops = (
+        [f"__b_{d}" for d in payload.values()]
+        + [f"__f_{d}" for d in payload.values()]
+        + ["__b_match_ts", "__f_match_ts"]
+    )
+    return out.drop(*drops)

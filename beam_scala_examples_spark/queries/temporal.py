@@ -24,7 +24,7 @@ import functools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join, asof_join_bucketed
+from ..operators.asof import asof_join, asof_join_bucketed, asof_join_nearest
 from ..operators.rangejoin import range_join_binned
 from ..operators.windows import epoch_us
 from ..tables import load
@@ -441,3 +441,66 @@ def events_next_purchase_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 QUERIES["events_next_purchase_bucketed"] = events_next_purchase_bucketed
 ORACLE["events_next_purchase_bucketed"] = ORACLE["events_next_purchase"]
+
+
+def events_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest purchase in time per click, EITHER side
+    (``operators/asof.py::asof_join_nearest``) — the sensor-alignment /
+    context-lookup shape: "which conversion is this interaction closest
+    to?", where backward-only misses a click seconds before a purchase
+    and forward-only misses one seconds after.  Backward candidate =
+    latest at-or-before (ties → max event_id); forward = earliest
+    strictly-after; smaller |gap| wins, exact ties to the backward row.
+    Two key exchanges total (one per direction); the gap rides exact
+    integer microseconds."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == ASOF_RIGHT_TYPE).select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == ASOF_LEFT_TYPE)
+    out = asof_join_nearest(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload={"event_id": "purchase_event_id", "ts": "purchase_ts"},
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_event_id",
+        "purchase_ts",
+        F.col("__asof_gap_us").alias("gap_us"),
+    )
+
+
+QUERIES["events_nearest_purchase"] = events_nearest_purchase
+
+# Genuinely-different oracle algorithm: one LATERAL pick per click over
+# ALL the user's purchases, totally ordered by (|gap|, backward-first,
+# event_id desc) — the same winner the two-pass compose selects.
+ORACLE["events_nearest_purchase"] = f"""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.purchase_event_id, p.purchase_ts,
+           CASE WHEN p.purchase_ts <= c.ts
+                THEN epoch_us(c.ts) - epoch_us(p.purchase_ts)
+                ELSE epoch_us(p.purchase_ts) - epoch_us(c.ts) END AS gap_us
+    FROM events c
+    LEFT JOIN LATERAL (
+        SELECT b.event_id AS purchase_event_id, b.ts AS purchase_ts
+        FROM events b
+        WHERE b.user_id = c.user_id
+          AND b.event_type = '{ASOF_LEFT_TYPE}'
+        ORDER BY
+            CASE WHEN b.ts <= c.ts
+                 THEN epoch_us(c.ts) - epoch_us(b.ts)
+                 ELSE epoch_us(b.ts) - epoch_us(c.ts) END ASC,
+            (b.ts > c.ts) ASC,
+            b.event_id DESC
+        LIMIT 1
+    ) p ON TRUE
+    WHERE c.event_type = '{ASOF_RIGHT_TYPE}'
+"""

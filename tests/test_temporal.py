@@ -387,3 +387,40 @@ def test_asof_bucketed_forward_carries_across_buckets(spark):
         2: (11, 2.0),      # strict: the simultaneous row is invisible
         3: (None, None),   # nothing later
     }
+
+
+def test_asof_nearest_tie_and_direction_semantics(spark):
+    """asof_join_nearest: backward candidate at gap 0 beats any forward;
+    exact equal-distance ties go backward; a strictly closer forward row
+    wins; equal-ts right rows resolve to the largest tiebreak; unmatched
+    keys keep NULLs."""
+    from beam_scala_examples_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:00:00")),   # simultaneous right -> gap 0
+         (2, 1, _ts("2024-01-01T11:00:00")),   # 30 min both sides -> backward
+         (3, 1, _ts("2024-01-01T12:20:00")),   # fwd 10 min < back 50 min
+         (4, 2, _ts("2024-01-01T10:00:00"))],  # key with no right rows
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, _ts("2024-01-01T10:00:00"), 1.0),
+         (11, 1, _ts("2024-01-01T10:00:00"), 2.0),   # equal ts: max id wins
+         (12, 1, _ts("2024-01-01T10:30:00"), 3.0),
+         (13, 1, _ts("2024-01-01T11:30:00"), 4.0),
+         (14, 1, _ts("2024-01-01T12:30:00"), 5.0)],
+        "event_id long, k long, ts timestamp, v double",
+    )
+    out = asof_join_nearest(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        payload={"event_id": "m_id", "v": "m_v"}, tiebreak="event_id",
+    )
+    got = {
+        r.lid: (r.m_id, r.m_v, r["__asof_gap_us"]) for r in out.collect()
+    }
+    assert got == {
+        1: (11, 2.0, 0),               # gap-0 backward, tiebreak 11 > 10
+        2: (12, 3.0, 30 * 60 * 10**6),  # equidistant (12 vs 13) -> backward
+        3: (14, 5.0, 10 * 60 * 10**6),  # forward strictly closer
+        4: (None, None, None),
+    }
