@@ -56,6 +56,11 @@ SHOWCASE = {
     "sim_adc_topk": "broadcast queries vs int8 corpus codes; top-k rides WindowGroupLimit",
     "events_time_weighted_value": "one user_id exchange; lead() inside the per-user sort",
     "events_next_purchase": "forward as-of: one exchange + running-last, no join operator",
+    "sim_pq_topk": "ADC scan: broadcast LUT over exploded codes; exact re-rank on the shortlist only",
+    "sim_ivfpq_topk": "IVFADC: probes+LUT broadcast; scored relation is slim integers end to end",
+    "text_bpe_encode": "all-JVM string ops; vocab join back hint-free; no Python anywhere",
+    "dedup_lsh_novelty": "bucket-min aggregate + one equi-join back — Σ|bucket| rows, no square",
+    "events_nearest_purchase": "two as-of exchanges (backward+forward), closer match wins",
 }
 
 
