@@ -3567,9 +3567,17 @@ def text_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("y") * F.col("y")).alias("syy"),
         )
     )
+    # The two variance terms are each safely int64, but their PRODUCT is
+    # ~1e28 at sf0.1 — promote to double first (the value feeds sqrt, so
+    # this IS the documented single float step; mirrors the oracle's
+    # `(..) * 1.0 * (..)`).  Caught by the full-coverage bench at sf0.1:
+    # the sf0.01 correctness gate never saw counts big enough.
+    vx = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        vx * vy
     )
     return m.select(F.col("n").alias("n_docs"), F.round(r, 6).alias("pearson_r"))
 

@@ -195,15 +195,19 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    # Best-of-3 per query: a single pass is dominated by GC / page-cache
+    # Best-of-N per query: a single pass is dominated by GC / page-cache
     # noise at this scale (observed ±50% run-to-run on sub-second
-    # queries); the min is the steady-state engine throughput, and three
-    # samples make round-over-round regression detection less noisy.
+    # queries); the min is the steady-state engine throughput.  The
+    # r01-shared anchor set (the round-over-round regression gate) gets
+    # 3 samples; the long tail gets 2 — full coverage at ~210 queries
+    # has to fit a bounded wall-clock budget, and the tail timings are
+    # informational rather than gated.
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
+        reps = 3 if name in _R01_HEADLINE else 2
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

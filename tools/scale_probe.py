@@ -42,7 +42,9 @@ PROBES = (
     "events_asof_click",     # as-of join (union + running-last)
     "events_user_activity_7d",  # RANGE frame over user-day aggregate
     "text_lm_score",         # corpus-sized vocab join (hint-free, AQE-sized)
-    "events_segment_revenue",   # broadcast dim join + additive rollup
+    "events_segment_revenue",   # dim join (hint-free) + additive rollup
+    "text_bpe_encode",       # vocab-sized training rounds + encode join
+    "dedup_lsh_novelty",     # bucket-min + one equi-join back
 )
 BASE = "/tmp/scale_probe"
 
