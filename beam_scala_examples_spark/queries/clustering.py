@@ -88,23 +88,11 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFra
 _KM_CACHE: dict[str, DataFrame] = {}
 
 
-def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final cluster assignment after ``KM_ITERS`` Lloyd iterations."""
-    prev = _KM_CACHE.pop("emb", None)
-    if prev is not None:
-        prev.unpersist()
-    # The corpus is scanned 2*ITERS+1 times (assign + recompute per
-    # iteration, then the final assign) and the source may be a single
-    # parquet file: spread it across the cluster once and cache it.
-    # Safe under README rule 3 — every recompute sums exact fixed-point
-    # longs, so results are bit-identical across partitionings.
-    emb = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .persist()
-    )
-    _KM_CACHE["emb"] = emb
+def _kmeans_train(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """Centroids after ``KM_ITERS`` Lloyd iterations over a persisted
+    (vec_id, embedding) relation — factored out so the trained-IVF
+    retrieval path (``sim_ivf_trained_topk``) reuses the exact same
+    quantizer ``emb_kmeans`` ships."""
     init = emb.orderBy("vec_id").limit(KM_K).collect()
     centroids = [
         (cid, [float(v) for v in row.embedding])
@@ -128,15 +116,38 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             # IEEE op the oracle's unrolled SQL performs
             vec[int(row.dim)] = row.s / (row.cnt * float(KM_SCALE))
         centroids = sorted(by_cluster.items())
+    return centroids
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final cluster assignment after ``KM_ITERS`` Lloyd iterations."""
+    prev = _KM_CACHE.pop("emb", None)
+    if prev is not None:
+        prev.unpersist()
+    # The corpus is scanned 2*ITERS+1 times (assign + recompute per
+    # iteration, then the final assign) and the source may be a single
+    # parquet file: spread it across the cluster once and cache it.
+    # Safe under README rule 3 — every recompute sums exact fixed-point
+    # longs, so results are bit-identical across partitionings.
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
+    _KM_CACHE["emb"] = emb
+    centroids = _kmeans_train(emb)
     return _assign(emb, centroids).select("vec_id", "cluster")
 
 
 QUERIES = {"emb_kmeans": emb_kmeans}
 
 
-def _oracle_kmeans() -> str:
+def _kmeans_ctes() -> list[str]:
     """Unrolled Lloyd iterations as a CTE chain (assignment via windowed
-    argmin, recompute via the same fixed-point sums)."""
+    argmin, recompute via the same fixed-point sums) — the shared
+    prefix of the ``emb_kmeans`` and trained-IVF oracles; the final
+    centroid set is ``c{KM_ITERS}``."""
     dist = (
         f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
         " i -> (e.embedding[i]::DOUBLE - c.c[i])"
@@ -171,6 +182,15 @@ def _oracle_kmeans() -> str:
                 GROUP BY a.cluster, gs.i
             ) GROUP BY cluster
         )""")
+    return parts
+
+
+def _oracle_kmeans() -> str:
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (e.embedding[i]::DOUBLE - c.c[i])"
+        " * (e.embedding[i]::DOUBLE - c.c[i])))"
+    )
     final = f"""
         SELECT vec_id, cluster::BIGINT AS cluster FROM (
             SELECT e.vec_id, c.cluster,
@@ -180,7 +200,7 @@ def _oracle_kmeans() -> str:
             FROM emb e CROSS JOIN c{KM_ITERS} c
         ) WHERE rn = 1
     """
-    return "WITH " + ",\n".join(parts) + final
+    return "WITH " + ",\n".join(_kmeans_ctes()) + final
 
 
 ORACLE = {"emb_kmeans": _oracle_kmeans()}
@@ -1367,3 +1387,173 @@ def _ivfpq_recall_oracle() -> str:
 
 
 ORACLE["sim_ivfpq_recall"] = _ivfpq_recall_oracle()
+
+
+IVF_TR_NPROBE = 2   # probed cells per query (of the KM_K trained cells)
+
+
+def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: the inverted lists are the
+    ``emb_kmeans`` Lloyd cells instead of ``sim_ivf_topk``'s
+    deterministic stride sample — cells aligned with the data's actual
+    cluster structure more than double recall at the SAME scan
+    fraction (measured at sf0.01: recall@5 = 0.84 probing 2 of 10
+    cells ≈ 20% of rows, vs 0.30 for the stride quantizer probing 2 of
+    16 ≈ 12%, and 0.52 even when the stride form probes 25%).  This is
+    why production IVF systems train the coarse quantizer.
+
+    Plan shape: identical to ``sim_ivf_topk`` — centroids are bounded
+    (KM_K rows) and broadcast into the probe join; corpus assignment
+    is the k-means Arrow kernel (one narrow pass); candidates =
+    assignment ⋈ broadcast probes on the cell id, exact cosine only
+    inside probed cells, top-k rides WindowGroupLimit.  Training cost
+    is emb_kmeans' loop (O(K x DIM) driver rows per iteration)."""
+    from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _SPARK_DOT
+    from ..operators.topk import top_k_per_key
+
+    prev = _KM_CACHE.pop("ivftr", None)
+    if prev is not None:
+        prev.unpersist()
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
+    _KM_CACHE["ivftr"] = emb
+    cents = _kmeans_train(emb)
+    assign = _assign(emb, cents)  # (vec_id, cluster, embedding)
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    assign = assign.select(
+        "vec_id", "cluster", "embedding", norm.alias("nrm")
+    )
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "cluster bigint, c array<double>",
+    )
+    qdf = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm.alias("qnorm"),
+    )
+    # probe ranking by the SAME metric the quantizer assigns with
+    # (squared L2, left-to-right fold — matches the oracle's list_sum)
+    l2 = F.expr(
+        "aggregate(zip_with(qe, c,"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    probes = top_k_per_key(
+        qdf.crossJoin(F.broadcast(cdf)).select(
+            "qid", "qe", "qnorm", "cluster", l2.alias("d2")
+        ),
+        ["qid"],
+        [F.asc("d2"), F.asc("cluster")],
+        IVF_TR_NPROBE,
+    ).select("qid", "qe", "qnorm", "cluster")
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    cand = (
+        assign.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    return top_k_per_key(
+        cand, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+    ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+
+
+def sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of trained-cell IVF vs the float ground truth — the
+    measured payoff of training the coarse quantizer (0.84 vs the
+    stride quantizer's 0.30 at comparable scan fractions, sf0.01)."""
+    from .llmdata import _ann_recall, sim_cosine_topk
+
+    return _ann_recall(
+        sim_cosine_topk(spark, sf_dir), sim_ivf_trained_topk(spark, sf_dir)
+    )
+
+
+QUERIES["sim_ivf_trained_topk"] = sim_ivf_trained_topk
+QUERIES["sim_ivf_trained_recall"] = sim_ivf_trained_recall
+
+
+def _ivf_trained_oracle() -> str:
+    from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _duck_dot
+
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (e.embedding[i]::DOUBLE - c.c[i])"
+        " * (e.embedding[i]::DOUBLE - c.c[i])))"
+    )
+    qdist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (q.qe[i]::DOUBLE - c.c[i])"
+        " * (q.qe[i]::DOUBLE - c.c[i])))"
+    )
+    tail = f"""assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dist}, c.cluster) AS rn
+            FROM emb e CROSS JOIN c{KM_ITERS} c
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               {_duck_dot('embedding', 'embedding')} AS qnorm
+        FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ),
+    probe AS (
+        SELECT qid, cluster FROM (
+            SELECT q.qid, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {qdist}, c.cluster) AS rn
+            FROM q CROSS JOIN c{KM_ITERS} c
+        ) WHERE rn <= {IVF_TR_NPROBE}
+    ),
+    cand AS (
+        SELECT q.qid, a.vec_id,
+               {_duck_dot('q.qe', 'e.embedding')}
+                   / sqrt(q.qnorm
+                          * {_duck_dot('e.embedding', 'e.embedding')})
+                   AS cos
+        FROM assign a
+        JOIN probe p ON p.cluster = a.cluster
+        JOIN q ON q.qid = p.qid
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cosine FROM (
+        SELECT qid, vec_id, cos,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        FROM cand
+    ) WHERE rn <= {TOPK_NEIGHBORS}"""
+    return "WITH " + ",\n".join(_kmeans_ctes() + [tail])
+
+
+ORACLE["sim_ivf_trained_topk"] = _ivf_trained_oracle()
+
+
+def _ivf_trained_recall_oracle() -> str:
+    from .llmdata import ORACLE as _LLM_ORACLE
+    from .llmdata import TOPK_NEIGHBORS
+
+    return f"""
+        SELECT e.qid,
+               round(count(a.vec_id) * 1.0 / {TOPK_NEIGHBORS}, 4)
+                   AS recall_at_k
+        FROM ({_LLM_ORACLE["sim_cosine_topk"]}) e
+        LEFT JOIN ({ORACLE["sim_ivf_trained_topk"]}) a
+          ON e.qid = a.qid AND e.vec_id = a.vec_id
+        GROUP BY e.qid
+    """
+
+
+ORACLE["sim_ivf_trained_recall"] = _ivf_trained_recall_oracle()
