@@ -113,30 +113,45 @@ def q20_join_default_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join primitive — it shuffles BOTH sides on the key; the production
     path is ``q20_join_default``'s broadcast left join (zero fact-table
     shuffle). Both hash-match the same oracle.
+
+    The cogroup key is a hash BUCKET of the join key, not the key
+    itself: ``applyInPandas`` pays a per-group Arrow round-trip (~2 ms),
+    so cogrouping per key means one Python call per key in the UNION of
+    both sides (15k calls / 27 s at sf0.1). Bucketing keeps the CoGBK
+    shape — both sides shuffle on the same hash, one function sees both
+    bags — while the per-key bag pairing happens vectorized inside
+    pandas (a ``merge`` on the true key). 256 buckets ≈ 256 calls; at
+    cluster scale raise ``n_buckets`` so each bucket's two sides fit an
+    Arrow batch (buckets ≫ cores keeps AQE balance).
     """
     import pandas as pd
 
+    n_buckets = 256
     ev = load(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"), "event_id"
+        F.col("user_id").alias("k"),
+        "event_id",
+        F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets)).alias("b"),
     )
     cust = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"), "c_name"
+        F.col("c_custkey").alias("k"),
+        "c_name",
+        F.pmod(F.xxhash64(F.col("c_custkey")), F.lit(n_buckets)).alias("b"),
     )
 
     def cogroup_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
-            return pd.DataFrame({"event_id": [], "name": []})
-        if right.empty:
-            return pd.DataFrame({"event_id": left["event_id"], "name": "none"})
-        # all (event x customer) pairs — matches the relational join twin
-        # (and the oracle) if the dim key ever turns out non-unique
-        return left.merge(right, on="k")[["event_id", "c_name"]].rename(
-            columns={"c_name": "name"}
-        )
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "name": pd.Series(dtype="object")})
+        # left join on the true key; all (event x customer) pairs per key
+        # — matches the relational join twin (and the oracle) if the dim
+        # key ever turns out non-unique; misses take the "none" default
+        out = left.merge(right[["k", "c_name"]], on="k", how="left")
+        out["name"] = out["c_name"].fillna("none")
+        return out[["event_id", "name"]]
 
     return (
-        ev.groupby("k")
-        .cogroup(cust.groupby("k"))
+        ev.groupby("b")
+        .cogroup(cust.groupby("b"))
         .applyInPandas(cogroup_fn, schema="event_id long, name string")
     )
 
