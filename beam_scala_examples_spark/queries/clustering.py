@@ -360,7 +360,13 @@ def emb_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeats on every row (a 1-row broadcast join) so the report is
     self-contained."""
     assign = emb_kmeans(spark, sf_dir)
-    counts = assign.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    # O(K) rows, referenced twice (stats + report): checkpoint so each
+    # reference doesn't replay the final assignment pass
+    counts = (
+        assign.groupBy("cluster")
+        .agg(F.count("*").alias("n_members"))
+        .localCheckpoint()
+    )
     stats = counts.agg(
         F.sum("n_members").alias("total"),
         F.count("*").alias("n_clusters"),
@@ -400,22 +406,18 @@ PCA_Q = 1 << 20          # component quantum (shared with k-means)
 PCA_C_DIV = float(1 << 40)  # returns q^2-scale covariance to x-units
 
 
-def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus by power
-    iteration — the dominant direction used for whitening, ABTT
-    ("all-but-the-top") embedding post-processing, and drift detection.
+def _pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 64x64 micro-unit covariance relation (p1, p2, cq), built with
+    exact int64 products of once-quantized components (the corpus is
+    touched once; the pair fan-out is DIM² per row — at larger widths
+    switch to a per-partition integer Gram kernel, same output).  The
+    covariance in micro units derives from the Gram/mean integers with
+    one identical IEEE expression per cell.
 
-    Distributed part: the 64x64 Gram matrix aggregates exact int64
-    products of once-quantized components (the corpus is touched once;
-    the pair fan-out is DIM² per row — at larger widths switch to a
-    per-partition integer Gram kernel, same output).  The covariance in
-    micro units is derived from the Gram/mean integers with one
-    identical IEEE expression per cell.  The 3 power iterations then
-    run on the 64x64 relation: integer matvec (exact), L-infinity
-    normalization by the signed pivot (largest |w|, ties to lowest
-    dim) — ``(w * 1e6) div pivot`` — so every iterate is integer and
-    the sign convention is canonical.  Output: 64 rows
-    (dim, v_micro), pivot component = +1e6.
+    ``localCheckpoint``ed: every consumer (power iteration matvecs,
+    Rayleigh quotient, trace) references this relation several times,
+    and without a materialization boundary each reference replays the
+    full corpus Gram — the DIM²-row result is the natural cut point.
     """
     emb = load(spark, sf_dir, "embeddings")
     q = emb.select(
@@ -438,7 +440,7 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = sums.select(F.col("pos").alias("p1"), F.col("s").alias("s1"))
     s2 = sums.select(F.col("pos").alias("p2"), F.col("s").alias("s2"))
-    cov = (
+    return (
         gram.join(F.broadcast(s1), "p1")
         .join(F.broadcast(s2), "p2")
         .select(
@@ -455,7 +457,17 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cq"),
         )
+        .localCheckpoint()
     )
+
+
+def _pca_power(cov: DataFrame) -> DataFrame:
+    """Power iteration over the checkpointed covariance: integer matvec
+    (exact), L-infinity normalization by the signed pivot (largest |w|,
+    ties to lowest dim) — ``(w * 1e6) div pivot`` — so every iterate is
+    integer and the sign convention is canonical.  Returns 64 rows
+    (dim, v_micro), pivot component = +1e6, ``localCheckpoint``ed for
+    the same multi-reference reason as the covariance."""
     v = cov.select(F.col("p1").alias("pos")).distinct().withColumn(
         "vm", F.lit(1_000_000).cast("long")
     )
@@ -477,7 +489,22 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("(w * 1000000) div pivot").alias("vm"),
             )
         )
-    return v.select(F.col("pos").alias("dim"), F.col("vm").alias("v_micro"))
+    return v.select(
+        F.col("pos").alias("dim"), F.col("vm").alias("v_micro")
+    ).localCheckpoint()
+
+
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — the dominant direction used for whitening, ABTT
+    ("all-but-the-top") embedding post-processing, and drift detection.
+
+    Distributed part: the 64x64 Gram/covariance build (``_pca_cov``);
+    the 3 power iterations then run on the checkpointed 64x64 relation
+    (``_pca_power``).  Output: 64 rows (dim, v_micro), pivot component
+    = +1e6.
+    """
+    return _pca_power(_pca_cov(spark, sf_dir))
 
 
 QUERIES["emb_pca_top_component"] = emb_pca_top_component
@@ -578,44 +605,12 @@ def emb_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three scalars are integer sums over the micro-unit covariance
     relation and the fixed-point eigenvector (O(DIM²) rows); the two
     divisions happen once at the end with identical IEEE expressions.
+    The covariance is built ONCE (checkpointed) and shared between the
+    power iteration and the Rayleigh/trace sums — an earlier form
+    rebuilt the corpus Gram twice.
     """
-    emb = load(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(embedding,"
-                f" x -> cast(round(cast(x as double) * {PCA_Q}) as bigint))"
-            )
-        ).alias("pos", "qv"),
-    )
-    n = emb.count()
-    sums = q.groupBy("pos").agg(F.sum("qv").alias("s"))
-    q1 = q.select(F.col("pos").alias("p1"), "vec_id", F.col("qv").alias("q1"))
-    q2 = q.select(F.col("pos").alias("p2"), "vec_id", F.col("qv").alias("q2"))
-    gram = (
-        q1.join(q2, "vec_id")
-        .groupBy("p1", "p2")
-        .agg(F.sum(F.col("q1") * F.col("q2")).alias("g"))
-    )
-    s1 = sums.select(F.col("pos").alias("p1"), F.col("s").alias("s1"))
-    s2 = sums.select(F.col("pos").alias("p2"), F.col("s").alias("s2"))
-    cov = (
-        gram.join(F.broadcast(s1), "p1")
-        .join(F.broadcast(s2), "p2")
-        .select(
-            "p1",
-            "p2",
-            F.round(
-                (F.col("g") / n - (F.col("s1") / n) * (F.col("s2") / n))
-                / PCA_C_DIV
-                * 1e6
-            )
-            .cast("long")
-            .alias("cq"),
-        )
-    )
-    v = emb_pca_top_component(spark, sf_dir)
+    cov = _pca_cov(spark, sf_dir)
+    v = _pca_power(cov)
     v1 = v.select(F.col("dim").alias("p1"), F.col("v_micro").alias("v1"))
     v2 = v.select(F.col("dim").alias("p2"), F.col("v_micro").alias("v2"))
     rayleigh_num = (
@@ -693,10 +688,14 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit rank over O(clusters × labels) rows."""
     assign = emb_kmeans(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # O(clusters x labels) rows, referenced twice (sizes + majority
+    # rank): checkpoint so each reference doesn't replay the assignment
+    # ⋈ labels join
     votes = (
         assign.join(emb, "vec_id")
         .groupBy("cluster", "label")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
     sizes = votes.groupBy("cluster").agg(F.sum("c").alias("n_members"))
     w = Window.partitionBy("cluster").orderBy(F.desc("c"), F.asc("label"))

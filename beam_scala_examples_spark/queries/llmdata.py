@@ -5466,7 +5466,10 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both pair relations are candidate-bounded (never all-pairs);
     the overlap is one equi-join on (doc1, doc2) plus three counts —
-    O(pairs) work on relations the pipeline computes anyway."""
+    O(pairs) work on relations the pipeline computes anyway.  (The
+    double reference per pair relation is deduped by Spark's
+    ReuseExchange — measured: checkpointing them here serializes the
+    two candidate pipelines and wins nothing.)"""
     jac = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
     sim = dedup_simhash_pairs(spark, sf_dir).select("doc1", "doc2")
     n_jac = jac.agg(F.count("*").alias("n_jaccard"))
