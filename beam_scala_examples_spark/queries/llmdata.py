@@ -5569,3 +5569,77 @@ ORACLE["dedup_lsh_novelty"] = f"""
     SELECT d.doc_id, cand.dup_of IS NOT NULL AS is_dup, cand.dup_of
     FROM d LEFT JOIN cand USING (doc_id)
 """
+
+
+# r-of-b vote threshold for the high-precision novelty variant: a doc is
+# a near-dup only if >= LSH_VOTE_R of its N_BANDS band buckets collide
+# with the SAME earlier document.  r=1 degenerates to the OR-semantics
+# of dedup_lsh_novelty; raising r lifts the effective Jaccard threshold
+# of the decision (P[>=r of b bands agree] = the banded S-curve moved
+# right) — precision up, recall down, same candidate-join cost bound.
+LSH_VOTE_R = 2
+
+
+def dedup_lsh_novelty_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen near-dup decisions under an r-of-b band vote: a
+    document is a dup iff some EARLIER document shares at least
+    ``LSH_VOTE_R`` band buckets with it; ``dup_of`` is the earliest such
+    document.  The high-precision twin of ``dedup_lsh_novelty`` (whose
+    any-band OR fires on single-band collisions — 2 of 16 minhashes —
+    and so drags in marginal pairs); the streaming registry form is
+    ``streaming/neardupview.py::NearDupVoteIngestSink`` (batch-equality
+    pinned).
+
+    Scale: the vote needs per-(doc, earlier-doc) band counts, so unlike
+    the OR form's bucket-min trick this is the Σ|bucket|² candidate
+    self-join — exactly ``dedup_minhash_pairs``'s sanctioned shape, one
+    extra count aggregate on (doc, earlier) before the min."""
+    prev = _MINHASH_CACHE.pop("novelty_vote", None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    sigs = dedup_minhash_lsh(spark, sf_dir).persist()
+    _MINHASH_CACHE["novelty_vote"] = sigs
+    a = sigs.alias("a")
+    b = sigs.alias("b").hint("SHUFFLE_HASH")
+    # one row per (doc, band) by construction, so count(*) counts bands
+    votes = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("earlier"),
+        )
+        .agg(F.count("*").alias("nb"))
+    )
+    cand = (
+        votes.filter(F.col("nb") >= LSH_VOTE_R)
+        .groupBy("doc_id")
+        .agg(F.min("earlier").alias("dup_of"))
+    )
+    docs_d = sigs.select("doc_id").distinct()
+    return docs_d.join(cand, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+    )
+
+
+QUERIES["dedup_lsh_novelty_vote"] = dedup_lsh_novelty_vote
+
+ORACLE["dedup_lsh_novelty_vote"] = f"""
+    WITH b AS ({ORACLE["dedup_minhash_lsh"]}),
+    votes AS (
+        SELECT a.doc_id, e.doc_id AS earlier, count(*)::BIGINT AS nb
+        FROM b a JOIN b e USING (band, bucket)
+        WHERE e.doc_id < a.doc_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT doc_id, min(earlier)::BIGINT AS dup_of
+        FROM votes WHERE nb >= {LSH_VOTE_R}
+        GROUP BY 1
+    ),
+    d AS (SELECT DISTINCT doc_id FROM b)
+    SELECT d.doc_id, cand.dup_of IS NOT NULL AS is_dup, cand.dup_of
+    FROM d LEFT JOIN cand USING (doc_id)
+"""

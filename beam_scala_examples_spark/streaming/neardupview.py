@@ -120,3 +120,112 @@ class NearDupIngestSink:
         return spark.read.parquet(self.decisions_path).select(
             "doc_id", "is_dup", "dup_of"
         )
+
+
+class NearDupVoteIngestSink:
+    """The r-of-b vote variant of ``NearDupIngestSink``: a document is a
+    dup only if >= ``vote_r`` of its band buckets collide with the SAME
+    earlier document (batch twin:
+    ``queries/llmdata.py::dedup_lsh_novelty_vote``, equality pinned).
+
+    The any-band OR sink needs only bucket minima as state; a vote needs
+    per-(doc, earlier-doc) band COUNTS, so the registry here stores full
+    band membership — (band, bucket, doc_id), O(docs x bands) slim rows,
+    the same size as the batch signature relation the LSH pipeline
+    materializes anyway.  Per batch: one equi-join of the batch's
+    signatures against the registry on (band, bucket) — Σ(batch-side
+    bucket x registry-side bucket) pairs, never a corpus rescan — plus
+    the in-batch self-join, both the sanctioned Σ|bucket|² candidate
+    shape.  Assumes each doc_id arrives in exactly one micro-batch (the
+    house arrival contract; replays overwrite their own partition).
+
+    Replay safety: decisions and registry contributions both partition
+    by batch_id with dynamic partition overwrite; the registry read
+    excludes the current batch's own partition."""
+
+    def __init__(
+        self, registry_path: str, decisions_path: str, vote_r: int = 2
+    ):
+        self.registry_path = registry_path
+        self.decisions_path = decisions_path
+        self.vote_r = int(vote_r)
+
+    def _registry(
+        self, spark: SparkSession, exclude_batch: int
+    ) -> DataFrame | None:
+        try:
+            log = spark.read.parquet(self.registry_path)
+        except AnalysisException:
+            return None
+        return log.filter(F.col("batch_id") != exclude_batch).select(
+            "band", "bucket", F.col("doc_id").alias("earlier")
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = minhash_buckets(batch_df.select("doc_id", "text"))
+        # in-batch pairs: earlier = smaller doc_id within this batch
+        a = sigs.alias("a")
+        b = sigs.alias("b")
+        intra = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("b.doc_id") < F.col("a.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("b.doc_id").alias("earlier"),
+            )
+        )
+        reg = self._registry(spark, int(batch_id))
+        if reg is not None:
+            # guarded < doc_id: out-of-order arrival keeps first-seen,
+            # never points a doc at a LATER one
+            cross = (
+                sigs.join(reg, ["band", "bucket"])
+                .filter(F.col("earlier") < F.col("doc_id"))
+                .select("doc_id", "earlier")
+            )
+            pairs = intra.unionByName(cross)
+        else:
+            pairs = intra
+        # one row per (doc, earlier, band) by construction on both
+        # sides, so count(*) counts agreeing bands
+        cand = (
+            pairs.groupBy("doc_id", "earlier")
+            .agg(F.count("*").alias("nb"))
+            .filter(F.col("nb") >= self.vote_r)
+            .groupBy("doc_id")
+            .agg(F.min("earlier").alias("dup_of"))
+        )
+        decisions = (
+            sigs.select("doc_id")
+            .distinct()
+            .join(cand, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of",
+            )
+        )
+        (
+            decisions.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.decisions_path)
+        )
+        # Registry contribution: this batch's full band membership.
+        # Computed from batch data only (never reads registry_path), so
+        # no read-then-overwrite-same-path hazard.
+        (
+            sigs.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.registry_path)
+        )
+
+    def serving_view(self, spark: SparkSession) -> DataFrame:
+        """All vote-thresholded near-dup decisions so far."""
+        return spark.read.parquet(self.decisions_path).select(
+            "doc_id", "is_dup", "dup_of"
+        )

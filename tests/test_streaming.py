@@ -1550,3 +1550,79 @@ def test_neardup_registry_replay_idempotent(spark, sf_dir, tmpdir):
     )
     assert once == twice
     assert reg_once == reg_twice
+
+
+def test_neardup_vote_registry_matches_batch(spark, sf_dir, tmpdir):
+    """The r-of-b vote sink (full-membership registry) fed in doc_id
+    order must equal the batch dedup_lsh_novelty_vote relation exactly,
+    and its dup set must be a subset of the any-band OR sink's (the
+    vote can only RAISE the collision bar)."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        LSH_VOTE_R,
+        dedup_lsh_novelty,
+        dedup_lsh_novelty_vote,
+    )
+    from beam_scala_examples_spark.streaming.neardupview import (
+        NearDupVoteIngestSink,
+    )
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream,
+        write_arrival_chunks,
+    )
+
+    rows = _doc_rows(sf_dir)
+    write_arrival_chunks(rows, 100, f"{tmpdir}/ndvfeed")
+    stream = read_event_stream(
+        spark, f"{tmpdir}/ndvfeed", schema="doc_id long, text string"
+    )
+    sink = NearDupVoteIngestSink(
+        f"{tmpdir}/ndv_registry", f"{tmpdir}/ndv_decisions", vote_r=LSH_VOTE_R
+    )
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in dedup_lsh_novelty_vote(spark, sf_dir).collect()
+    )
+    assert got == expect
+    vote_dups = {r[0] for r in got if r[1]}
+    or_dups = {
+        r[0] for r in dedup_lsh_novelty(spark, sf_dir).collect() if r[1]
+    }
+    assert vote_dups <= or_dups
+    # the fixture exercises both: real near-dup clusters survive the
+    # vote, and the higher bar drops at least one single-band collision
+    assert vote_dups
+    assert vote_dups < or_dups
+
+
+def test_neardup_vote_replay_idempotent(spark, sf_dir, tmpdir):
+    """Replaying a micro-batch re-derives exactly the decisions and
+    registry rows it owned (registry read excludes the batch's own
+    partition)."""
+    from beam_scala_examples_spark.streaming.neardupview import (
+        NearDupVoteIngestSink,
+    )
+
+    rows = _doc_rows(sf_dir)
+    sink = NearDupVoteIngestSink(
+        f"{tmpdir}/ndv_registry", f"{tmpdir}/ndv_decisions"
+    )
+    mk = lambda rs: spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rs], "doc_id long, text string"
+    )
+    sink(mk(rows[:100]), 0)
+    sink(mk(rows[100:200]), 1)
+    once = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    reg_once = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{tmpdir}/ndv_registry").collect()
+    )
+    sink(mk(rows[100:200]), 1)  # replay the latest batch
+    twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    reg_twice = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{tmpdir}/ndv_registry").collect()
+    )
+    assert once == twice
+    assert reg_once == reg_twice
