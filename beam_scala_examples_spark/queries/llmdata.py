@@ -957,6 +957,225 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_top_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: per document, the character
+    share claimed by the heaviest n-gram for n = 2, 3, 4 — the
+    "fraction of characters in the most frequent n-gram" family of
+    Rae et al. 2021 (Gopher, §A1.1), in the deterministic max-by-
+    (count x length) form (ties in frequency cannot flip the reported
+    fraction).  Complements ``text_repetition`` (distinct-shingle
+    ratio): that says HOW MUCH repeats; this says whether one phrase
+    DOMINATES — the boilerplate/spam signature.
+
+    Scale: per n, one partial-aggregated shuffle on (doc_id, gram) then
+    a per-doc max — the same shape as every shingle pipeline; the three
+    n-legs join back on doc_id.  Grams are built from ``arrays_zip`` of
+    ``slice`` views (codegen'd; the ``transform`` lambda form measured
+    ~17x slower on counting-only passes).  Denominator = chars of the
+    single-space token join, so the metric is tokenizer-stable."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr(_SPARK_TOKS).alias("toks"),
+    ).withColumn("tot", F.length(F.concat_ws(" ", F.col("toks"))))
+    out = base.select("doc_id", "tot")
+    for n in (2, 3, 4):
+        slices = [
+            F.expr(f"slice(toks, {i + 1}, size(toks) - {n - 1})").alias(
+                f"t{i}"
+            )
+            for i in range(n)
+        ]
+        grams = (
+            base.filter(F.size("toks") >= n)
+            .select("doc_id", "tot", F.explode(F.arrays_zip(*slices)).alias("g"))
+            .select(
+                "doc_id",
+                "tot",
+                F.concat_ws(
+                    " ", *[F.col("g").getField(f"t{i}") for i in range(n)]
+                ).alias("gram"),
+            )
+        )
+        top = (
+            grams.groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("cnt"), F.first("tot").alias("tot"))
+            .groupBy("doc_id")
+            .agg(
+                F.max(F.col("cnt") * F.length("gram")).alias("prod"),
+                F.first("tot").alias("tot"),
+            )
+            .select(
+                "doc_id",
+                F.round(F.col("prod") * 1.0 / F.col("tot"), 6).alias(
+                    f"top_{n}gram_frac"
+                ),
+            )
+        )
+        out = out.join(top, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        *[
+            F.coalesce(F.col(f"top_{n}gram_frac"), F.lit(0.0)).alias(
+                f"top_{n}gram_frac"
+            )
+            for n in (2, 3, 4)
+        ],
+    )
+
+
+def _top_ngram_oracle() -> str:
+    parts = [
+        f"toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)",
+        "base AS (SELECT doc_id, toks,"
+        " length(array_to_string(toks, ' ')) AS tot FROM toks)",
+    ]
+    for n in (2, 3, 4):
+        gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+        parts.append(f"""g{n} AS (
+            SELECT doc_id, tot,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+                       i -> {gram})) AS gram
+            FROM base
+        )""")
+        parts.append(f"""c{n} AS (
+            SELECT doc_id, gram, count(*)::BIGINT AS cnt,
+                   any_value(tot) AS tot
+            FROM g{n} GROUP BY 1, 2
+        )""")
+        parts.append(f"""t{n} AS (
+            SELECT doc_id,
+                   round(max(cnt * length(gram)) * 1.0 / any_value(tot), 6)
+                       AS f
+            FROM c{n} GROUP BY 1
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+        SELECT b.doc_id,
+               coalesce(t2.f, 0.0) AS top_2gram_frac,
+               coalesce(t3.f, 0.0) AS top_3gram_frac,
+               coalesce(t4.f, 0.0) AS top_4gram_frac
+        FROM base b
+        LEFT JOIN t2 USING (doc_id)
+        LEFT JOIN t3 USING (doc_id)
+        LEFT JOIN t4 USING (doc_id)
+    """
+    )
+
+
+# Gopher rule thresholds (Rae et al. 2021 §A1.1), fixture-scaled where
+# the paper's value assumes web-scale documents: token bounds 50..100k
+# -> 20..1000 (the synthetic docs run 10-100 tokens), required-stopword
+# rule "2 of 8" -> ">= 1 distinct of STOPWORDS" (the fixture vocabulary
+# contains only a/the/of/to of the canonical list).  The n-gram
+# character-share ceilings are the paper's literal values.
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 1000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_TOP_2GRAM_MAX = 0.20
+GOPHER_TOP_3GRAM_MAX = 0.18
+GOPHER_TOP_4GRAM_MAX = 0.16
+
+
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter: the composite keep/drop decision over
+    the non-vacuous members of Rae et al. 2021's rule set for THIS
+    corpus (token-count bounds, mean-word-length bounds, required
+    stopwords, top-n-gram character-share ceilings), with the first
+    failing rule in a fixed audit order.  The symbol/bullet/ellipsis
+    line rules are omitted rather than shipped vacuously true — the
+    synthetic fixture has no newlines or symbols (documented corpus
+    limit, not a rule we claim to enforce).
+
+    Mean word length derives EXACTLY from integers: chars of the
+    single-space join minus (n-1) separators, over n — no interpreted
+    per-token lambda, and bit-identical division on both engines.
+    Scale: the n-gram legs are ``text_top_ngram_chars``'s aggregates;
+    everything else is one narrow pass."""
+    docs = load(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    base = docs.select(
+        "doc_id", F.expr(_SPARK_TOKS).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.length(F.concat_ws(" ", F.col("toks"))).alias("tot"),
+        F.expr(
+            f"size(array_distinct(filter(toks, x -> x in ({stop_list}))))"
+        ).alias("n_stop"),
+    )
+    mean_wl = (
+        (F.col("tot") - F.col("n_tokens") + 1)
+        * 1.0
+        / F.greatest(F.col("n_tokens"), F.lit(1))
+    )
+    m = base.join(text_top_ngram_chars(spark, sf_dir), "doc_id")
+    reason = (
+        F.when(F.col("n_tokens") < GOPHER_MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("n_tokens") > GOPHER_MAX_TOKENS, F.lit("too_long"))
+        .when(mean_wl < GOPHER_MIN_MEAN_WORD_LEN, F.lit("word_len_low"))
+        .when(mean_wl > GOPHER_MAX_MEAN_WORD_LEN, F.lit("word_len_high"))
+        .when(F.col("n_stop") < 1, F.lit("no_stopword"))
+        .when(
+            F.col("top_2gram_frac") > GOPHER_TOP_2GRAM_MAX,
+            F.lit("rep_2gram"),
+        )
+        .when(
+            F.col("top_3gram_frac") > GOPHER_TOP_3GRAM_MAX,
+            F.lit("rep_3gram"),
+        )
+        .when(
+            F.col("top_4gram_frac") > GOPHER_TOP_4GRAM_MAX,
+            F.lit("rep_4gram"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return m.select(
+        "doc_id",
+        reason.alias("verdict"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+_GOPHER_FILTER_ORACLE = f"""
+    WITH ngrams AS ({_top_ngram_oracle()}),
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    base AS (
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               length(array_to_string(toks, ' ')) AS tot,
+               len(list_distinct(list_filter(toks,
+                   x -> x IN ({", ".join(f"'{s}'" for s in STOPWORDS)})))) AS n_stop
+        FROM toks
+    ),
+    m AS (
+        SELECT b.*, n.top_2gram_frac, n.top_3gram_frac, n.top_4gram_frac,
+               (b.tot - b.n_tokens + 1) * 1.0
+                   / greatest(b.n_tokens, 1) AS mean_wl
+        FROM base b JOIN ngrams n USING (doc_id)
+    ),
+    v AS (
+        SELECT doc_id,
+               CASE
+                   WHEN n_tokens < {GOPHER_MIN_TOKENS} THEN 'too_short'
+                   WHEN n_tokens > {GOPHER_MAX_TOKENS} THEN 'too_long'
+                   WHEN mean_wl < {GOPHER_MIN_MEAN_WORD_LEN} THEN 'word_len_low'
+                   WHEN mean_wl > {GOPHER_MAX_MEAN_WORD_LEN} THEN 'word_len_high'
+                   WHEN n_stop < 1 THEN 'no_stopword'
+                   WHEN top_2gram_frac > {GOPHER_TOP_2GRAM_MAX} THEN 'rep_2gram'
+                   WHEN top_3gram_frac > {GOPHER_TOP_3GRAM_MAX} THEN 'rep_3gram'
+                   WHEN top_4gram_frac > {GOPHER_TOP_4GRAM_MAX} THEN 'rep_4gram'
+                   ELSE 'ok'
+               END AS verdict
+        FROM m
+    )
+    SELECT doc_id, verdict, verdict = 'ok' AS keep FROM v
+"""
+
+
 # per-source keep percentage for mixture sampling (unlisted sources: 0)
 MIX_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25, "src4": 10}
 
@@ -1689,6 +1908,11 @@ ORACLE = {
         FROM documents
     """,
 }
+
+QUERIES["text_top_ngram_chars"] = text_top_ngram_chars
+ORACLE["text_top_ngram_chars"] = _top_ngram_oracle()
+QUERIES["text_gopher_filter"] = text_gopher_filter
+ORACLE["text_gopher_filter"] = _GOPHER_FILTER_ORACLE
 
 ORACLE["dedup_components"] = f"""
     WITH RECURSIVE edges0 AS (
