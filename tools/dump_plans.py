@@ -39,7 +39,11 @@ SHOWCASE = {
     "data_global_shuffle": "one hash exchange + per-shard sort — no global single-node sort",
     "text_bm25_topk": "query-term stats broadcast; integer micro-scores ride TakeOrdered",
     "events_asof_snapshot": "as-of bound pushed to the scan; rank-1 rides WindowGroupLimit",
-    "emb_pca_top_component": "exact int Gram + fixed-point power iteration; corpus read once",
+    "emb_pca_top_component": (
+        "cov/eigenvector built once and localCheckpoint'ed (the DIM²-row cut"
+        " — multi-referenced branches read the materialization, not the"
+        " corpus), so the final plan is the checkpoint scan itself"
+    ),
     "dedup_minhash_band_sweep": "one signature relation, three bucketings — sweep in one plan",
     "star_clv_pareto": "ntile over the per-customer aggregate; O(10) report windows",
     "text_top_terms_per_doc": "per-doc keyword rank rides WindowGroupLimit",
@@ -61,6 +65,10 @@ SHOWCASE = {
     "text_bpe_encode": "all-JVM string ops; vocab join back hint-free; no Python anywhere",
     "dedup_lsh_novelty": "bucket-min aggregate + one equi-join back — Σ|bucket| rows, no square",
     "events_nearest_purchase": "two as-of exchanges (backward+forward), closer match wins",
+    "sim_ivfpq_trained_topk": "trained cells + PQ codes: centroids/probes/LUT broadcast, slim ints shuffle",
+    "dedup_lsh_novelty_vote": "r-of-b vote: Σ|bucket|² candidate self-join + per-(doc,earlier) band count",
+    "text_gopher_filter": "rule verdicts in one pass; n-gram legs partial-agg then join on doc_id",
+    "q20_join_default_cogroup": "CoGBK twin: bucketed cogroup — 256 Arrow calls, not one per key",
 }
 
 
