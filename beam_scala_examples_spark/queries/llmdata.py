@@ -3563,6 +3563,61 @@ ORACLE["data_split_leakage"] = f"""
 """
 
 
+def data_split_by_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the split bucket hashes the
+    near-dup COMPONENT root (``dedup_components``; singleton docs hash
+    themselves), so every near-duplicate cluster lands in one split by
+    construction — the group-aware split that fixes the contamination
+    ``data_split_leakage`` measures on the naive per-doc assignment
+    (near-dups of a train doc can no longer sit in test).  Same
+    md5-derived portable buckets and proportions as
+    ``data_split_assign``.
+
+    Scale: the component labels are the pointer-jumping output
+    (O(log diameter) rounds, computed by the dedup pipeline anyway);
+    the split itself is one left join on doc_id plus map-only hashing —
+    no new shuffle shape."""
+    docs = load(spark, sf_dir, "documents")
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    base = (
+        docs.select("doc_id", "source")
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "split_group", F.coalesce(F.col("component"), F.col("doc_id"))
+        )
+    )
+    bucket = F.expr(_SPARK_H.format(col="cast(split_group as string)")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return base.select(
+        "doc_id", "source", "split_group", split.alias("split")
+    )
+
+
+QUERIES["data_split_by_component"] = data_split_by_component
+
+ORACLE["data_split_by_component"] = f"""
+    WITH comp AS (
+        SELECT doc_id, component FROM ({ORACLE["dedup_components"]})
+    ),
+    base AS (
+        SELECT d.doc_id, d.source,
+               coalesce(c.component, d.doc_id) AS split_group
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, source, split_group,
+           CASE WHEN ({_DUCK_H.format(col='split_group::VARCHAR')}) % 100
+                     < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN ({_DUCK_H.format(col='split_group::VARCHAR')}) % 100
+                     < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM base
+"""
+
+
 PMI_TOP_K = 30
 
 

@@ -571,3 +571,37 @@ def test_table_diff_identity_and_disjoint(spark, sf_dir):
     empty = x.filter("1 = 0")
     gone = table_diff(x, empty, ["r_regionkey"])
     assert {r.status for r in gone.collect()} == {"removed"}
+
+
+def test_component_split_has_zero_neardup_leakage(spark, sf_dir):
+    """data_split_by_component's defining property: NO near-dup pair
+    (the same Jaccard pair relation the components were built from)
+    crosses a split boundary — the contamination data_split_leakage
+    measures on the naive per-doc split is structurally zero here.
+    Also pins that the naive split DOES cross on this corpus, so the
+    property is non-vacuous."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        data_split_assign,
+        data_split_by_component,
+        dedup_jaccard_pairs,
+    )
+
+    pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
+    assert pairs.count() > 0
+
+    def crossing(split_df):
+        s1 = split_df.select(
+            F.col("doc_id").alias("doc1"), F.col("split").alias("s1")
+        )
+        s2 = split_df.select(
+            F.col("doc_id").alias("doc2"), F.col("split").alias("s2")
+        )
+        return (
+            pairs.join(s1, "doc1")
+            .join(s2, "doc2")
+            .filter("s1 <> s2")
+            .count()
+        )
+
+    assert crossing(data_split_by_component(spark, sf_dir)) == 0
+    assert crossing(data_split_assign(spark, sf_dir)) > 0

@@ -45,6 +45,8 @@ PROBES = (
     "events_segment_revenue",   # dim join (hint-free) + additive rollup
     "text_bpe_encode",       # vocab-sized training rounds + encode join
     "dedup_lsh_novelty",     # bucket-min + one equi-join back
+    "dedup_lsh_novelty_vote",  # Sigma|bucket|^2 pair votes (r-of-b)
+    "text_top_ngram_chars",  # 3x (doc, gram) partial-agg shuffles
 )
 BASE = "/tmp/scale_probe"
 
