@@ -1266,6 +1266,42 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level cross-document dedup report (the RefinedWeb /
+    "paragraph dedup" granularity, over ``text_chunk``'s fixed token
+    windows since the fixture has no paragraph breaks): per document,
+    how many of its chunks also appear verbatim in at least one OTHER
+    document, as exact integers + basis points.  Doc-level dedup misses
+    partially-copied documents; this is the finer lens that catches
+    them — a doc with dup_bp = 10000 is a full copy, intermediate
+    values are splice jobs.
+
+    Scale: one (chunk_md5) aggregate with map-side combine counting
+    distinct owners, one join back on the md5 key, one per-doc
+    aggregate — the md5 relation is O(chunks) slim rows and nothing
+    ever goes all-pairs."""
+    ch = text_chunk(spark, sf_dir).select("doc_id", "chunk_md5")
+    owners = ch.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = ch.join(owners, "chunk_md5").select(
+        "doc_id", (F.col("n_docs") >= 2).cast("long").alias("is_dup")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("is_dup").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.expr("(n_dup_chunks * 10000) div n_chunks").alias("dup_bp"),
+        )
+    )
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> Arrow-batched
     ``mapInPandas`` metadata extraction with a stubbed decoder
@@ -1966,6 +2002,28 @@ ORACLE["text_chunk"] = f"""
                AS chunk_md5
     FROM starts
     WHERE start = 0 OR start + {CHUNK_TOKENS - CHUNK_STRIDE} < len(toks)
+"""
+
+QUERIES["dedup_chunk_dups"] = dedup_chunk_dups
+
+ORACLE["dedup_chunk_dups"] = f"""
+    WITH ch AS (
+        SELECT doc_id, chunk_md5 FROM ({ORACLE["text_chunk"]})
+    ),
+    owners AS (
+        SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs
+        FROM ch GROUP BY 1
+    ),
+    flagged AS (
+        SELECT ch.doc_id,
+               CASE WHEN o.n_docs >= 2 THEN 1 ELSE 0 END AS is_dup
+        FROM ch JOIN owners o USING (chunk_md5)
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(is_dup)::BIGINT AS n_dup_chunks,
+           ((sum(is_dup) * 10000) // count(*))::BIGINT AS dup_bp
+    FROM flagged GROUP BY 1
 """
 
 ORACLE["text_repetition"] = f"""
