@@ -1596,6 +1596,44 @@ def test_neardup_vote_registry_matches_batch(spark, sf_dir, tmpdir):
     assert vote_dups < or_dups
 
 
+def test_neardup_vote_out_of_order_keeps_first_seen(spark, sf_dir, tmpdir):
+    """Feeding batches in REVERSE id order: the `earlier < doc_id` guard
+    means a document can only ever be attributed to a SMALLER id — no
+    decision may point forward, and re-running the same corpus in
+    id order yields a superset of dups (late-arriving small ids can't
+    retroactively mark earlier-arrived large ids, the stated streaming
+    semantics)."""
+    from beam_scala_examples_spark.streaming.neardupview import (
+        NearDupVoteIngestSink,
+    )
+
+    rows = _doc_rows(sf_dir)[:200]
+    mk = lambda rs: spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rs], "doc_id long, text string"
+    )
+    sink = NearDupVoteIngestSink(
+        f"{tmpdir}/ndo_registry", f"{tmpdir}/ndo_decisions"
+    )
+    sink(mk(rows[100:200]), 0)  # later ids arrive first
+    sink(mk(rows[:100]), 1)
+    got = {r.doc_id: r for r in sink.serving_view(spark).collect()}
+    assert len(got) == 200
+    for r in got.values():
+        if r.is_dup:
+            assert r.dup_of < r.doc_id
+
+    inorder = NearDupVoteIngestSink(
+        f"{tmpdir}/ndi_registry", f"{tmpdir}/ndi_decisions"
+    )
+    inorder(mk(rows[:100]), 0)
+    inorder(mk(rows[100:200]), 1)
+    in_dups = {
+        r.doc_id for r in inorder.serving_view(spark).collect() if r.is_dup
+    }
+    ooo_dups = {r.doc_id for r in got.values() if r.is_dup}
+    assert ooo_dups <= in_dups
+
+
 def test_neardup_vote_replay_idempotent(spark, sf_dir, tmpdir):
     """Replaying a micro-batch re-derives exactly the decisions and
     registry rows it owned (registry read excludes the batch's own
