@@ -674,6 +674,106 @@ ORACLE["emb_variance_explained"] = f"""
 """
 
 
+def emb_abtt_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath, ICLR
+    2018): remove each vector's projection onto the dominant principal
+    direction — the correction that makes similarity scores usable when
+    one direction carries corpus-wide drift (the consumer of the
+    artifacts ``emb_pca_top_component`` / ``emb_pca_projection`` /
+    ``emb_variance_explained`` produce and price).  Output per vector:
+    the projection in fixed-point and the md5 of the corrected
+    quantized coordinates (the content address downstream stores pin).
+
+    Determinism: corrected coordinate = qv − proj·v_i/‖v‖², where the
+    numerator product would overflow int64 (proj ≲ 2³² × v_i ≲ 2²⁰), so
+    the one float step is the documented ``* 1.0 *`` promotion, rounded
+    ONCE and identically in both engines.  Scale: one corpus Gram
+    (checkpointed, shared builders), then a map-only correction pass —
+    the eigenvector and ‖v‖² broadcast, the per-vec projection rides
+    the same (vec_id, dim) relation, and the md5 folds the coordinates
+    per vec with one keyed aggregate."""
+    cov = _pca_cov(spark, sf_dir)
+    v = _pca_power(cov)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding,"
+                f" x -> cast(round(cast(x as double) * {PCA_Q}) as bigint))"
+            )
+        ).alias("dim", "qv"),
+    )
+    qv_rel = q.join(F.broadcast(v), "dim")
+    proj = qv_rel.groupBy("vec_id").agg(
+        F.sum(F.col("qv") * F.col("v_micro")).alias("proj_fp")
+    )
+    vv = v.agg(F.sum(F.col("v_micro") * F.col("v_micro")).alias("vv"))
+    corrected = (
+        qv_rel.join(proj, "vec_id")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "vec_id",
+            "dim",
+            F.round(
+                F.col("qv")
+                - F.col("proj_fp") * 1.0 * F.col("v_micro") / F.col("vv")
+            )
+            .cast("long")
+            .alias("cqv"),
+            "proj_fp",
+        )
+    )
+    return (
+        corrected.groupBy("vec_id")
+        .agg(
+            F.first("proj_fp").alias("proj_fp"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(dim, cqv))),"
+                        " s -> cast(s.cqv as string))"
+                    ),
+                )
+            ).alias("abtt_md5"),
+        )
+        .select("vec_id", "proj_fp", "abtt_md5")
+    )
+
+
+QUERIES["emb_abtt_correct"] = emb_abtt_correct
+
+ORACLE["emb_abtt_correct"] = f"""
+    WITH v AS ({ORACLE["emb_pca_top_component"]}),
+    q AS (
+        SELECT vec_id, i - 1 AS dim,
+               round(embedding[i]::DOUBLE * {PCA_Q})::BIGINT AS qv
+        FROM embeddings, range(1, 65) t(i)
+    ),
+    qa AS (
+        SELECT q.vec_id, q.dim, q.qv, v.v_micro
+        FROM q JOIN v ON q.dim = v.dim
+    ),
+    proj AS (
+        SELECT vec_id, sum(qv * v_micro)::BIGINT AS proj_fp
+        FROM qa GROUP BY 1
+    ),
+    vv AS (SELECT sum(v_micro * v_micro)::BIGINT AS vv FROM v),
+    corrected AS (
+        SELECT qa.vec_id, qa.dim,
+               round(qa.qv - p.proj_fp * 1.0 * qa.v_micro / vv.vv)::BIGINT
+                   AS cqv,
+               p.proj_fp
+        FROM qa JOIN proj p ON qa.vec_id = p.vec_id CROSS JOIN vv
+    )
+    SELECT vec_id, any_value(proj_fp) AS proj_fp,
+           md5(array_to_string(list(cqv::VARCHAR ORDER BY dim), ','))
+               AS abtt_md5
+    FROM corrected GROUP BY 1
+"""
+
+
 def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster purity against the ground-truth labels: per k-means
     cluster, its majority label and the majority fraction in exact
