@@ -1414,6 +1414,55 @@ def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: for each query vector, the top-k most
+    similar corpus vectors with a DIFFERENT label — embedding-space
+    hard-negative mining for contrastive training (the semantic twin of
+    ``data_contrastive_triplets``' lexical miner).  Filtered ANN is the
+    operation scan-based retrieval gets for free: the predicate
+    composes with the scan BEFORE scoring (dedicated ANN index
+    structures famously struggle here — post-filtering a top-k list
+    under-fills it; Spark just filters the candidate stream), which is
+    worth stating as an engine property, not just a query.
+
+    Scale: identical plan to ``sim_cosine_topk`` — broadcast query
+    side, one corpus scan with the label predicate applied map-side,
+    top-k rides WindowGroupLimit.  Swap in the trained-IVF cell
+    restriction for the approximate path when the filter is not
+    label-selective."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    cand = emb.select(
+        "vec_id",
+        "embedding",
+        F.col("label").cast("long").alias("clabel"),
+        norm.alias("cnorm"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").cast("long").alias("qlabel"),
+        norm.alias("qnorm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    pairs = (
+        cand.join(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("clabel") != F.col("qlabel"))
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.col("clabel").alias("neg_label"),
+            (dot / F.sqrt(F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+        )
+    )
+    return top_k_per_key(
+        pairs, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+    ).select("qid", "vec_id", "neg_label", F.round("cos", 6).alias("cosine"))
+
+
 LOGFREQ_ROUND = 4
 
 
@@ -1949,6 +1998,34 @@ QUERIES["text_top_ngram_chars"] = text_top_ngram_chars
 ORACLE["text_top_ngram_chars"] = _top_ngram_oracle()
 QUERIES["text_gopher_filter"] = text_gopher_filter
 ORACLE["text_gopher_filter"] = _GOPHER_FILTER_ORACLE
+
+QUERIES["sim_hard_negatives"] = sim_hard_negatives
+
+ORACLE["sim_hard_negatives"] = f"""
+    WITH base AS (
+        SELECT vec_id, embedding, label::BIGINT AS clabel,
+               {_duck_dot('embedding', 'embedding')} AS nrm
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qe, clabel AS qlabel,
+               nrm AS qnorm
+        FROM base WHERE vec_id < {N_QUERY_VECS}
+    ),
+    pairs AS (
+        SELECT qid, vec_id, clabel AS neg_label,
+               {_duck_dot('qe', 'embedding')} / sqrt(qnorm * nrm) AS cos
+        FROM q, base WHERE vec_id <> qid AND clabel <> qlabel
+    ),
+    ranked AS (
+        SELECT qid, vec_id, neg_label, cos,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM pairs
+    )
+    SELECT qid, vec_id, neg_label, round(cos, 6) AS cosine
+    FROM ranked WHERE rk <= {TOPK_NEIGHBORS}
+"""
 
 ORACLE["dedup_components"] = f"""
     WITH RECURSIVE edges0 AS (
