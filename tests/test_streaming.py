@@ -1596,6 +1596,79 @@ def test_neardup_vote_registry_matches_batch(spark, sf_dir, tmpdir):
     assert vote_dups < or_dups
 
 
+def test_pca_drift_view_matches_batch(spark, sf_dir, tmpdir):
+    """Streamed top-component maintenance (streaming/pcadrift.py): after
+    feeding the embedding corpus in 4 chunks, the serving eigenvector
+    must equal emb_pca_top_component's one-shot computation bit for bit
+    (the moments are exact int64 and the covariance/power expressions
+    are shared code, so this is equality, not approximation)."""
+    from beam_scala_examples_spark.queries.clustering import (
+        emb_pca_top_component,
+    )
+    from beam_scala_examples_spark.streaming.pcadrift import PcaDriftViewSink
+    from beam_scala_examples_spark.tables import load
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    mk = lambda rs: spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in rs],
+        "vec_id long, embedding array<float>",
+    )
+    sink = PcaDriftViewSink(f"{tmpdir}/pca_log", f"{tmpdir}/pca_out")
+    chunk = max(1, len(rows) // 4)
+    for i, lo in enumerate(range(0, len(rows), chunk)):
+        sink(mk(rows[lo : lo + chunk]), i)
+
+    got = sorted(
+        (r.dim, r.v_micro)
+        for r in spark.read.parquet(f"{tmpdir}/pca_out").collect()
+    )
+    expect = sorted(
+        (r.dim, r.v_micro)
+        for r in emb_pca_top_component(spark, sf_dir).collect()
+    )
+    assert got == expect
+
+
+def test_pca_drift_view_replay_idempotent(spark, sf_dir, tmpdir):
+    """Replaying the last micro-batch leaves the moment log and the
+    serving view unchanged (batch_id-partitioned overwrite)."""
+    from beam_scala_examples_spark.streaming.pcadrift import PcaDriftViewSink
+    from beam_scala_examples_spark.tables import load
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    mk = lambda rs: spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in rs],
+        "vec_id long, embedding array<float>",
+    )
+    sink = PcaDriftViewSink(f"{tmpdir}/pcar_log", f"{tmpdir}/pcar_out")
+    half = len(rows) // 2
+    sink(mk(rows[:half]), 0)
+    sink(mk(rows[half:]), 1)
+    once = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/pcar_out").collect()
+    )
+    log_once = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/pcar_log").collect()
+    )
+    sink(mk(rows[half:]), 1)  # replay
+    twice = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/pcar_out").collect()
+    )
+    log_twice = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/pcar_log").collect()
+    )
+    assert once == twice
+    assert log_once == log_twice
+
+
 def test_neardup_vote_out_of_order_keeps_first_seen(spark, sf_dir, tmpdir):
     """Feeding batches in REVERSE id order: the `earlier < doc_id` guard
     means a document can only ever be attributed to a SMALLER id — no
