@@ -1868,3 +1868,206 @@ def _ivfpq_trained_recall_oracle() -> str:
 
 
 ORACLE["sim_ivfpq_trained_recall"] = _ivfpq_trained_recall_oracle()
+
+
+IVF_SWEEP_NPROBES = (1, 2, 4)
+
+
+def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe tuning curve, measured from data: for each probe
+    budget in ``IVF_SWEEP_NPROBES``, the trained-cell IVF's mean
+    recall@k against the float ground truth AND the exact number of
+    candidate rows scanned — the recall-vs-scan-fraction frontier an
+    operator reads before picking nprobe at 100 TB (the IVF analogue of
+    ``dedup_minhash_band_sweep``'s banding curve).
+
+    One assignment + one probe ranking feed ALL sweep points: the
+    candidate relation carries the probe rank, each budget filters
+    ``rank <= np`` and re-ranks — no per-budget recompute (candidates
+    and the 50-row truth are checkpointed; both are bounded:
+    queries x probed cells x cell size, queries x k)."""
+    from .llmdata import (
+        N_QUERY_VECS,
+        TOPK_NEIGHBORS,
+        _SPARK_DOT,
+        sim_cosine_topk,
+    )
+    from ..operators.topk import top_k_per_key
+
+    prev = _KM_CACHE.pop("ivfsweep", None)
+    if prev is not None:
+        prev.unpersist()
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
+    _KM_CACHE["ivfsweep"] = emb
+    kcents = _kmeans_train(emb)
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    assign = _assign(emb, kcents).select(
+        "vec_id", "cluster", "embedding", norm.alias("nrm")
+    )
+    kdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in kcents],
+        "cluster bigint, kc array<double>",
+    )
+    qdf = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm.alias("qnorm"),
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(qe, kc,"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cluster"))
+    max_np = max(IVF_SWEEP_NPROBES)
+    probes = (
+        qdf.crossJoin(F.broadcast(kdf))
+        .select("qid", "qe", "qnorm", "cluster", l2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_np)
+        .select("qid", "qe", "qnorm", "cluster", "rn")
+    )
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    cand = (
+        assign.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "rn",
+            (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+        )
+        .localCheckpoint()
+    )
+    truth = (
+        sim_cosine_topk(spark, sf_dir)
+        .select("qid", "vec_id")
+        .localCheckpoint()
+    )
+    nq = truth.select("qid").distinct().count()
+    parts = []
+    for np_ in IVF_SWEEP_NPROBES:
+        sub = cand.filter(F.col("rn") <= np_)
+        topk = top_k_per_key(
+            sub, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+        ).select("qid", "vec_id")
+        matches = truth.join(topk, ["qid", "vec_id"], "semi").agg(
+            F.count("*").alias("matches")
+        )
+        scanned = sub.agg(F.count("*").alias("scanned_rows"))
+        parts.append(
+            matches.crossJoin(scanned).select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "matches",
+                F.lit(nq * TOPK_NEIGHBORS).cast("long").alias("truth_rows"),
+                F.expr(
+                    f"(matches * 10000) div {nq * TOPK_NEIGHBORS}"
+                ).alias("mean_recall_bp"),
+                "scanned_rows",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES["sim_ivf_probe_sweep"] = sim_ivf_probe_sweep
+
+
+def _ivf_probe_sweep_oracle() -> str:
+    from .llmdata import (
+        N_QUERY_VECS,
+        TOPK_NEIGHBORS,
+        _duck_dot,
+    )
+    from .llmdata import ORACLE as _LLM_ORACLE
+
+    edist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (e.embedding[i]::DOUBLE - c.c[i])"
+        " * (e.embedding[i]::DOUBLE - c.c[i])))"
+    )
+    qdist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (q.qe[i]::DOUBLE - c.c[i])"
+        " * (q.qe[i]::DOUBLE - c.c[i])))"
+    )
+    max_np = max(IVF_SWEEP_NPROBES)
+    parts = _kmeans_ctes() + [
+        f"""assign AS (
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {edist}, c.cluster) AS rn
+                FROM emb e CROSS JOIN c{KM_ITERS} c
+            ) WHERE rn = 1
+        )""",
+        f"""q AS (
+            SELECT vec_id AS qid, embedding AS qe,
+                   {_duck_dot('embedding', 'embedding')} AS qnorm
+            FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+        )""",
+        f"""pr AS (
+            SELECT qid, cluster, rn FROM (
+                SELECT q.qid, c.cluster,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY {qdist}, c.cluster) AS rn
+                FROM q CROSS JOIN c{KM_ITERS} c
+            ) WHERE rn <= {max_np}
+        )""",
+        f"""cand AS (
+            SELECT q.qid, a.vec_id, p.rn,
+                   {_duck_dot('q.qe', 'e.embedding')}
+                       / sqrt(q.qnorm
+                              * {_duck_dot('e.embedding', 'e.embedding')})
+                       AS cos
+            FROM assign a
+            JOIN pr p ON p.cluster = a.cluster
+            JOIN q ON q.qid = p.qid
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            WHERE a.vec_id <> q.qid
+        )""",
+        f"""truth AS (
+            SELECT qid, vec_id FROM ({_LLM_ORACLE["sim_cosine_topk"]})
+        )""",
+        "nq AS (SELECT count(DISTINCT qid)::BIGINT AS nq FROM truth)",
+    ]
+    selects = []
+    for np_ in IVF_SWEEP_NPROBES:
+        parts.append(f"""t{np_} AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY cos DESC, vec_id) AS rk
+                FROM cand WHERE rn <= {np_}
+            ) WHERE rk <= {TOPK_NEIGHBORS}
+        )""")
+        selects.append(f"""
+            SELECT {np_}::BIGINT AS nprobe,
+                   (SELECT count(*)
+                    FROM truth JOIN t{np_} USING (qid, vec_id))::BIGINT
+                       AS matches,
+                   (SELECT nq * {TOPK_NEIGHBORS} FROM nq)::BIGINT
+                       AS truth_rows,
+                   ((SELECT count(*)
+                     FROM truth JOIN t{np_} USING (qid, vec_id)) * 10000
+                    // (SELECT nq * {TOPK_NEIGHBORS} FROM nq))::BIGINT
+                       AS mean_recall_bp,
+                   (SELECT count(*) FROM cand WHERE rn <= {np_})::BIGINT
+                       AS scanned_rows
+        """)
+    return (
+        "WITH " + ",\n".join(parts) + " UNION ALL ".join(selects)
+    )
+
+
+ORACLE["sim_ivf_probe_sweep"] = _ivf_probe_sweep_oracle()
