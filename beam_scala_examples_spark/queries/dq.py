@@ -290,3 +290,69 @@ ORACLE["dq_profile_events"] = " UNION ALL ".join(
     """
     for c in PROFILE_COLUMNS
 )
+
+
+K_ANON_K = 5
+# quasi-identifier tuple for the customer dimension: the columns an
+# attacker could link against an external dataset.  The account-balance
+# BAND (floor(acctbal/1000)) is the high-cardinality member that keeps
+# the audit non-vacuous at every fixture SF: without it every group is
+# huge and below_k is constant-false (at sf0.1 the banded QI still
+# leaves 29/1375 groups under k=5, while at sf0.001 ALL are — the
+# volume-shrinks-risk effect the report is for).
+K_ANON_QI = ("c_nationkey", "c_mktsegment")
+K_ANON_BAND = "cast(floor(c_acctbal / 1000) as bigint)"
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer dimension: group sizes of
+    the quasi-identifier tuple (nation, segment, acctbal band) plus the
+    global share of rows in groups smaller than ``K_ANON_K`` — the
+    governance gate a dataset passes before leaving the trust boundary
+    (Sweeney 2002; the de-identification twin of ``text_redact``'s
+    scrubbing report).
+
+    One hash aggregate on the QI tuple (map-side combine), O(groups)
+    rows out; the global risk share repeats on every row via a 1-row
+    broadcast join so the report is self-contained."""
+    cust = load(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        *K_ANON_QI, F.expr(K_ANON_BAND).alias("acct_band")
+    ).agg(F.count("*").alias("group_size"))
+    risk = groups.agg(
+        F.sum("group_size").alias("n_rows"),
+        F.sum(
+            F.when(F.col("group_size") < K_ANON_K, F.col("group_size"))
+            .otherwise(0)
+        ).alias("n_at_risk"),
+    )
+    return groups.crossJoin(F.broadcast(risk)).select(
+        *K_ANON_QI,
+        "acct_band",
+        "group_size",
+        (F.col("group_size") < K_ANON_K).alias("below_k"),
+        F.expr("(n_at_risk * 10000) div n_rows").alias("at_risk_bp"),
+    )
+
+
+QUERIES["dq_k_anonymity"] = dq_k_anonymity
+
+ORACLE["dq_k_anonymity"] = f"""
+    WITH groups AS (
+        SELECT {", ".join(K_ANON_QI)},
+               (floor(c_acctbal / 1000))::BIGINT AS acct_band,
+               count(*)::BIGINT AS group_size
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    risk AS (
+        SELECT sum(group_size)::BIGINT AS n_rows,
+               sum(CASE WHEN group_size < {K_ANON_K} THEN group_size
+                        ELSE 0 END)::BIGINT AS n_at_risk
+        FROM groups
+    )
+    SELECT {", ".join("g." + c for c in K_ANON_QI)}, g.acct_band,
+           g.group_size,
+           g.group_size < {K_ANON_K} AS below_k,
+           ((r.n_at_risk * 10000) // r.n_rows)::BIGINT AS at_risk_bp
+    FROM groups g CROSS JOIN risk r
+"""
