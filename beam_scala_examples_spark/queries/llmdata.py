@@ -3253,6 +3253,41 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["text_bpe_encode"] = text_bpe_encode
 
 
+def data_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware sequence packing: ``data_pack_sequences`` with
+    the budget measured in BPE PIECES (``text_bpe_encode``'s per-doc
+    counts) instead of whitespace tokens — what the model actually
+    consumes.  Whitespace packing under-fills or overflows context
+    windows by the pieces-per-token ratio; this is the packer a real
+    pretraining writer runs after tokenizer training.
+
+    Scale: the piece counts ride the BPE relation the pipeline already
+    computes (vocabulary-sized training, one corpus join); the packing
+    cumsum is the same per-source window as ``data_pack_sequences`` —
+    sources pack independently, no global sort."""
+    enc = text_bpe_encode(spark, sf_dir).select("doc_id", "n_pieces")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_pieces").over(w), F.lit(0))
+    return (
+        docs.join(enc, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_pieces",
+            F.floor(cum_before / PACK_CTX_TOKENS).alias("bin"),
+            (cum_before % PACK_CTX_TOKENS).alias("bin_offset"),
+        )
+    )
+
+
+QUERIES["data_pack_bpe"] = data_pack_bpe
+
+
 def _bpe_encode_oracle() -> str:
     """Unrolled BPE training rounds.  Every v/m CTE is MATERIALIZED:
     each round references the previous vocabulary twice (pair counts +
@@ -3304,6 +3339,27 @@ def _bpe_encode_oracle() -> str:
 
 
 ORACLE["text_bpe_encode"] = _bpe_encode_oracle()
+
+ORACLE["data_pack_bpe"] = f"""
+    WITH enc AS (
+        SELECT doc_id, n_pieces FROM ({ORACLE["text_bpe_encode"]})
+    ),
+    d AS (
+        SELECT doc_id, source FROM documents
+    ),
+    j AS (
+        SELECT d.doc_id, d.source, enc.n_pieces,
+               coalesce(sum(enc.n_pieces) OVER (
+                   PARTITION BY d.source ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM d JOIN enc USING (doc_id)
+    )
+    SELECT doc_id, source, n_pieces,
+           floor(cum_before / {PACK_CTX_TOKENS})::BIGINT AS bin,
+           (cum_before % {PACK_CTX_TOKENS})::BIGINT AS bin_offset
+    FROM j
+"""
 
 
 BM25_QUERY = ("join", "vector", "stream")
