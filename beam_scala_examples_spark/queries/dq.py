@@ -356,3 +356,71 @@ ORACLE["dq_k_anonymity"] = f"""
            ((r.n_at_risk * 10000) // r.n_rows)::BIGINT AS at_risk_bp
     FROM groups g CROSS JOIN risk r
 """
+
+
+DP_EPSILON = 0.5          # Laplace scale = 1/epsilon (count sensitivity 1)
+_DP_U = 1_000_000         # uniform-draw resolution
+
+
+def dq_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy mechanism plumbing: the per-type event
+    histogram released through the Laplace mechanism (sensitivity-1
+    counts, scale 1/ε) via inverse-CDF sampling — noise = −(1/ε)·
+    sign(u−½)·ln(1−2|u−½|) over a uniform draw u.  The draw here is
+    md5-seeded from the key so the release is REPRODUCIBLE and
+    oracle-checkable (the ``sample_multinomial`` hash-uniform
+    sanction); a production release draws real randomness — this query
+    is the mechanism's distributed plumbing and calibration report
+    (true vs noisy, per key), exactly the stub-the-entropy trade the
+    multimodal decoder makes with its media libs.
+
+    Scale: one hash aggregate (map-side combine) to O(types) rows; the
+    noise is a map expression on the tiny aggregate."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("true_count"))
+    u = (
+        (
+            F.abs(F.expr(
+                "cast(conv(substr(md5(event_type), 1, 8), 16, 10) as bigint)"
+            )) % (_DP_U - 1)
+            + 1
+        )
+        * 1.0
+        / _DP_U
+    )
+    centered = u - 0.5
+    noise = (
+        -(1.0 / DP_EPSILON)
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return counts.select(
+        "event_type",
+        "true_count",
+        (F.col("true_count") + F.round(noise).cast("long")).alias(
+            "noisy_count"
+        ),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )
+
+
+QUERIES["dq_dp_histogram"] = dq_dp_histogram
+
+ORACLE["dq_dp_histogram"] = f"""
+    WITH counts AS (
+        SELECT event_type, count(*)::BIGINT AS true_count
+        FROM events GROUP BY 1
+    ),
+    draw AS (
+        SELECT event_type, true_count,
+               (abs(('0x' || substr(md5(event_type), 1, 8))::BIGINT)
+                % ({_DP_U} - 1) + 1) * 1.0 / {_DP_U} - 0.5 AS c
+        FROM counts
+    )
+    SELECT event_type, true_count,
+           (true_count + round(-(1.0 / {DP_EPSILON}) * sign(c)
+                               * ln(1.0 - 2.0 * abs(c)))::BIGINT)
+               AS noisy_count,
+           {DP_EPSILON}::DOUBLE AS epsilon
+    FROM draw
+"""
