@@ -69,6 +69,8 @@ SHOWCASE = {
     "dedup_lsh_novelty_vote": "r-of-b vote: Σ|bucket|² candidate self-join + per-(doc,earlier) band count",
     "text_gopher_filter": "rule verdicts in one pass; n-gram legs partial-agg then join on doc_id",
     "q20_join_default_cogroup": "CoGBK twin: bucketed cogroup — 256 Arrow calls, not one per key",
+    "sim_ivf_probe_sweep": "one ranked candidate relation (checkpointed) feeds every probe budget",
+    "dq_k_anonymity": "one QI hash aggregate; 1-row risk share broadcast back onto the report",
 }
 
 
