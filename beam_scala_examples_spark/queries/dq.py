@@ -424,3 +424,66 @@ ORACLE["dq_dp_histogram"] = f"""
            {DP_EPSILON}::DOUBLE AS epsilon
     FROM draw
 """
+
+
+L_DIV_L = 3               # required distinct sensitive values per group
+
+
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's standard companion (Machanavajjhala
+    et al. 2007): group size alone does not stop attribute disclosure if
+    everyone in a QI group shares the same sensitive value, so this
+    reports, per (nation, acctbal-band) group, the number of DISTINCT
+    sensitive values (market segment plays the sensitive attribute) and
+    the global share of rows in groups below ``L_DIV_L``.  Non-vacuous
+    at the sf0.01 correctness gate (65/272 groups below l=3); at sf0.1
+    every group saturates all 5 segments — the same volume-shrinks-risk
+    effect as the k report, stated rather than hidden.
+
+    One hash aggregate with a distinct-count (map-side partial), O(groups)
+    rows; the risk share is a 1-row broadcast back."""
+    cust = load(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        "c_nationkey", F.expr(K_ANON_BAND).alias("acct_band")
+    ).agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct("c_mktsegment").alias("l_distinct"),
+    )
+    risk = groups.agg(
+        F.sum("group_size").alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_distinct") < L_DIV_L, F.col("group_size"))
+            .otherwise(0)
+        ).alias("n_at_risk"),
+    )
+    return groups.crossJoin(F.broadcast(risk)).select(
+        "c_nationkey",
+        "acct_band",
+        "group_size",
+        "l_distinct",
+        (F.col("l_distinct") < L_DIV_L).alias("below_l"),
+        F.expr("(n_at_risk * 10000) div n_rows").alias("at_risk_bp"),
+    )
+
+
+QUERIES["dq_l_diversity"] = dq_l_diversity
+
+ORACLE["dq_l_diversity"] = f"""
+    WITH groups AS (
+        SELECT c_nationkey,
+               (floor(c_acctbal / 1000))::BIGINT AS acct_band,
+               count(*)::BIGINT AS group_size,
+               count(DISTINCT c_mktsegment)::BIGINT AS l_distinct
+        FROM customer GROUP BY 1, 2
+    ),
+    risk AS (
+        SELECT sum(group_size)::BIGINT AS n_rows,
+               sum(CASE WHEN l_distinct < {L_DIV_L} THEN group_size
+                        ELSE 0 END)::BIGINT AS n_at_risk
+        FROM groups
+    )
+    SELECT g.c_nationkey, g.acct_band, g.group_size, g.l_distinct,
+           g.l_distinct < {L_DIV_L} AS below_l,
+           ((r.n_at_risk * 10000) // r.n_rows)::BIGINT AS at_risk_bp
+    FROM groups g CROSS JOIN risk r
+"""
