@@ -6113,3 +6113,110 @@ ORACLE["dedup_lsh_novelty_vote"] = f"""
     SELECT d.doc_id, cand.dup_of IS NOT NULL AS is_dup, cand.dup_of
     FROM d LEFT JOIN cand USING (doc_id)
 """
+
+
+def data_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: the one-artifact corpus summary a data team
+    publishes — headline counts plus the dedup/quality rates the
+    engine's own pipelines measure, as (metric, value) integer rows
+    (rates in basis points).  Composite by design: each rate reuses the
+    registered pipeline it summarizes (exact dedup, LSH novelty, the
+    Gopher filter, chunk-level dedup), so the card can never drift from
+    the queries it cites.
+
+    Scale: every member is an O(1)-row aggregate over a pipeline the
+    engine already runs; the card is a union of 1-row relations."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+    ).localCheckpoint()
+    tokens = docs.agg(
+        F.sum(F.size(F.expr(_SPARK_TOKS))).cast("long").alias("v")
+    )
+    neardup = dedup_lsh_novelty(spark, sf_dir).agg(
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup")
+    )
+    keep = text_gopher_filter(spark, sf_dir).agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep")
+    )
+    chunkdup = dedup_chunk_dups(spark, sf_dir).agg(
+        F.sum(F.when(F.col("n_dup_chunks") > 0, 1).otherwise(0)).alias(
+            "n_cd"
+        )
+    )
+    rows = [
+        base.select(F.lit("n_docs").alias("metric"),
+                    F.col("n_docs").cast("long").alias("value")),
+        base.select(F.lit("n_sources").alias("metric"),
+                    F.col("n_sources").cast("long").alias("value")),
+        base.select(F.lit("n_langs").alias("metric"),
+                    F.col("n_langs").cast("long").alias("value")),
+        tokens.select(F.lit("total_tokens").alias("metric"),
+                      F.col("v").alias("value")),
+        base.select(
+            F.lit("exact_dup_bp").alias("metric"),
+            F.expr(
+                "((n_docs - n_distinct_texts) * 10000) div n_docs"
+            ).alias("value"),
+        ),
+        neardup.crossJoin(F.broadcast(base)).select(
+            F.lit("near_dup_bp").alias("metric"),
+            F.expr("(n_dup * 10000) div n_docs").alias("value"),
+        ),
+        keep.crossJoin(F.broadcast(base)).select(
+            F.lit("gopher_keep_bp").alias("metric"),
+            F.expr("(n_keep * 10000) div n_docs").alias("value"),
+        ),
+        chunkdup.crossJoin(F.broadcast(base)).select(
+            F.lit("chunk_dup_doc_bp").alias("metric"),
+            F.expr("(n_cd * 10000) div n_docs").alias("value"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+QUERIES["data_dataset_card"] = data_dataset_card
+
+ORACLE["data_dataset_card"] = f"""
+    WITH base AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               count(DISTINCT lang)::BIGINT AS n_langs,
+               count(DISTINCT text)::BIGINT AS n_distinct_texts
+        FROM documents
+    ),
+    toks AS (
+        SELECT sum(len({_DUCK_TOKS}))::BIGINT AS v FROM documents
+    ),
+    nd AS (
+        SELECT sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        FROM ({ORACLE["dedup_lsh_novelty"]})
+    ),
+    gk AS (
+        SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
+        FROM ({ORACLE["text_gopher_filter"]})
+    ),
+    cd AS (
+        SELECT sum(CASE WHEN n_dup_chunks > 0 THEN 1 ELSE 0 END)::BIGINT
+            AS n_cd
+        FROM ({ORACLE["dedup_chunk_dups"]})
+    )
+    SELECT 'n_docs' AS metric, n_docs AS value FROM base
+    UNION ALL SELECT 'n_sources', n_sources FROM base
+    UNION ALL SELECT 'n_langs', n_langs FROM base
+    UNION ALL SELECT 'total_tokens', v FROM toks
+    UNION ALL SELECT 'exact_dup_bp',
+        ((n_docs - n_distinct_texts) * 10000) // n_docs FROM base
+    UNION ALL SELECT 'near_dup_bp',
+        (nd.n_dup * 10000) // base.n_docs FROM nd CROSS JOIN base
+    UNION ALL SELECT 'gopher_keep_bp',
+        (gk.n_keep * 10000) // base.n_docs FROM gk CROSS JOIN base
+    UNION ALL SELECT 'chunk_dup_doc_bp',
+        (cd.n_cd * 10000) // base.n_docs FROM cd CROSS JOIN base
+"""
