@@ -487,3 +487,101 @@ ORACLE["dq_l_diversity"] = f"""
            ((r.n_at_risk * 10000) // r.n_rows)::BIGINT AS at_risk_bp
     FROM groups g CROSS JOIN risk r
 """
+
+
+T_CLOSE_BP = 2000         # flag groups farther than 0.2 from the global
+
+
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third of the privacy triad (Li et al.
+    2007): a QI group can be large (k-anonymous) and diverse
+    (l-diverse) yet still leak if its sensitive-value DISTRIBUTION
+    differs sharply from the global one.  Reports, per (nation,
+    acctbal-band) group, the variational distance ½·Σ|p_group −
+    p_global| over market segments in basis points, flagged against
+    ``T_CLOSE_BP``.
+
+    Determinism: the distance is one float chain over exact integer
+    counts — each |c_gs/n_g − C_s/N| term evaluated with the identical
+    expression both sides, summed over the FIXED segment set (5
+    values), halved and rounded once.  Scale: one (group, segment)
+    aggregate, one O(segments) global aggregate broadcast back, a
+    per-group sum over ≤5 rows."""
+    cust = load(spark, sf_dir, "customer")
+    gs = cust.groupBy(
+        "c_nationkey",
+        F.expr(K_ANON_BAND).alias("acct_band"),
+        "c_mktsegment",
+    ).agg(F.count("*").alias("c_gs"))
+    g = gs.groupBy("c_nationkey", "acct_band").agg(
+        F.sum("c_gs").alias("n_g")
+    )
+    glob = cust.groupBy("c_mktsegment").agg(F.count("*").alias("c_s"))
+    n = cust.agg(F.count("*").alias("n_total"))
+    # right-join the global segment list so a segment absent from the
+    # group still contributes |0 - p_global|
+    full = (
+        g.crossJoin(F.broadcast(glob))
+        .join(gs, ["c_nationkey", "acct_band", "c_mktsegment"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "c_nationkey",
+            "acct_band",
+            "n_g",
+            F.abs(
+                F.coalesce(F.col("c_gs"), F.lit(0)) * 1.0 / F.col("n_g")
+                - F.col("c_s") * 1.0 / F.col("n_total")
+            ).alias("term"),
+        )
+    )
+    return (
+        full.groupBy("c_nationkey", "acct_band", "n_g")
+        .agg(
+            F.round(F.sum("term") * 0.5 * 10000)
+            .cast("long")
+            .alias("t_dist_bp")
+        )
+        .select(
+            "c_nationkey",
+            "acct_band",
+            F.col("n_g").alias("group_size"),
+            "t_dist_bp",
+            (F.col("t_dist_bp") > T_CLOSE_BP).alias("above_t"),
+        )
+    )
+
+
+QUERIES["dq_t_closeness"] = dq_t_closeness
+
+ORACLE["dq_t_closeness"] = f"""
+    WITH gs AS (
+        SELECT c_nationkey,
+               (floor(c_acctbal / 1000))::BIGINT AS acct_band,
+               c_mktsegment, count(*)::BIGINT AS c_gs
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    g AS (
+        SELECT c_nationkey, acct_band, sum(c_gs)::BIGINT AS n_g
+        FROM gs GROUP BY 1, 2
+    ),
+    gl AS (
+        SELECT c_mktsegment, count(*)::BIGINT AS c_s FROM customer
+        GROUP BY 1
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_total FROM customer),
+    full_rel AS (
+        SELECT g.c_nationkey, g.acct_band, g.n_g,
+               abs(coalesce(gs.c_gs, 0) * 1.0 / g.n_g
+                   - gl.c_s * 1.0 / n.n_total) AS term
+        FROM g CROSS JOIN gl
+        LEFT JOIN gs ON gs.c_nationkey = g.c_nationkey
+                    AND gs.acct_band = g.acct_band
+                    AND gs.c_mktsegment = gl.c_mktsegment
+        CROSS JOIN n
+    )
+    SELECT c_nationkey, acct_band, n_g AS group_size,
+           round(sum(term) * 0.5 * 10000)::BIGINT AS t_dist_bp,
+           round(sum(term) * 0.5 * 10000)::BIGINT > {T_CLOSE_BP}
+               AS above_t
+    FROM full_rel GROUP BY 1, 2, 3
+"""
