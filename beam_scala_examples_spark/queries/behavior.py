@@ -657,6 +657,88 @@ ORACLE["events_type_transitions"] = """
 """
 
 
+def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How predictive is the first-order Markov model
+    (``events_type_transitions``): per prev_type, the argmax next-type
+    prediction and its in-sample hit rate in exact basis points — the
+    eval that says whether session modeling beats the majority-class
+    baseline on this stream (in-sample by design: the transition matrix
+    is the model; a held-out eval composes this with
+    ``data_split_assign``'s hash split).
+
+    Determinism: argmax ties break to the lexicographically smaller
+    type (rank-1 window over exact counts); accuracy = correct·10⁴ div
+    total.  Scale: everything after the one |types|² transition
+    aggregate is O(types²) rows."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    rank_w = Window.partitionBy("prev_type").orderBy(
+        F.desc("n"), F.asc("next_type")
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(rank_w))
+    pred = ranked.filter(F.col("rn") == 1).select(
+        "prev_type",
+        F.col("next_type").alias("predicted_next"),
+        F.col("n").alias("n_correct"),
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n").alias("n_transitions")
+    )
+    return pred.join(totals, "prev_type").select(
+        "prev_type",
+        "predicted_next",
+        "n_transitions",
+        "n_correct",
+        F.expr("(n_correct * 10000) div n_transitions").alias(
+            "accuracy_bp"
+        ),
+    )
+
+
+QUERIES["events_markov_accuracy"] = events_markov_accuracy
+
+ORACLE["events_markov_accuracy"] = """
+    WITH p AS (
+        SELECT user_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type,
+               event_type AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, next_type, count(*)::BIGINT AS n
+        FROM p WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT prev_type, next_type, n,
+               row_number() OVER (
+                   PARTITION BY prev_type ORDER BY n DESC, next_type ASC
+               ) AS rn
+        FROM c
+    ),
+    pred AS (
+        SELECT prev_type, next_type AS predicted_next, n AS n_correct
+        FROM ranked WHERE rn = 1
+    ),
+    totals AS (
+        SELECT prev_type, sum(n)::BIGINT AS n_transitions FROM c
+        GROUP BY 1
+    )
+    SELECT p.prev_type, p.predicted_next, t.n_transitions, p.n_correct,
+           ((p.n_correct * 10000) // t.n_transitions)::BIGINT
+               AS accuracy_bp
+    FROM pred p JOIN totals t USING (prev_type)
+"""
+
+
 ASOF_TS = "2024-01-15 12:00:00"
 
 

@@ -2071,3 +2071,98 @@ def _ivf_probe_sweep_oracle() -> str:
 
 
 ORACLE["sim_ivf_probe_sweep"] = _ivf_probe_sweep_oracle()
+
+
+EMB_OUTLIER_TOPN = 20
+
+
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding corpus QC: the ``EMB_OUTLIER_TOPN`` vectors farthest
+    from their assigned k-means centroid (squared L2 in exact micro
+    units) — the garbage/mislabeled-vector screen run before trusting
+    the corpus for retrieval or semantic dedup (the per-vector twin of
+    ``emb_cluster_balance``'s per-cell report).
+
+    Determinism: the distance sums per-dim ``round(term * 1e6)`` longs
+    (one rounding per dim, identical both sides — order-free integer
+    addition); top-N totally ordered by (distance desc, vec_id).
+    Scale: centroids broadcast (KM_K rows), one narrow corpus pass,
+    top-N rides WindowGroupLimit/TakeOrdered."""
+    prev = _KM_CACHE.pop("outliers", None)
+    if prev is not None:
+        prev.unpersist()
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
+    _KM_CACHE["outliers"] = emb
+    cents = _kmeans_train(emb)
+    assign = _assign(emb, cents).select("vec_id", "cluster", "embedding")
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "cluster bigint, c array<double>",
+    )
+    # exact integer micro-distance: per-dim squared diff rounded once
+    d2_micro = F.expr(
+        "aggregate(zip_with(embedding, c,"
+        " (x, y) -> cast(round((cast(x as double) - y)"
+        " * (cast(x as double) - y) * 1e6) as bigint)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    scored = assign.join(F.broadcast(cdf), "cluster").select(
+        "vec_id", "cluster", d2_micro.alias("d2_micro")
+    )
+    from ..operators.topk import top_k_per_key
+
+    return (
+        top_k_per_key(
+            scored.withColumn("g", F.lit(1)),
+            ["g"],
+            [F.desc("d2_micro"), F.asc("vec_id")],
+            EMB_OUTLIER_TOPN,
+        )
+        .select("vec_id", "cluster", "d2_micro")
+    )
+
+
+QUERIES["emb_outliers"] = emb_outliers
+
+
+def _emb_outliers_oracle() -> str:
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (e.embedding[i]::DOUBLE - c.c[i])"
+        " * (e.embedding[i]::DOUBLE - c.c[i])))"
+    )
+    d2m = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> round((e.embedding[i]::DOUBLE - c.c[i])"
+        " * (e.embedding[i]::DOUBLE - c.c[i]) * 1e6)::BIGINT))"
+    )
+    tail = f"""assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dist}, c.cluster) AS rn
+            FROM emb e CROSS JOIN c{KM_ITERS} c
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a.vec_id, a.cluster, {d2m}::BIGINT AS d2_micro
+        FROM assign a
+        JOIN emb e ON e.vec_id = a.vec_id
+        JOIN c{KM_ITERS} c ON c.cluster = a.cluster
+    )
+    SELECT vec_id, cluster, d2_micro FROM (
+        SELECT vec_id, cluster, d2_micro,
+               row_number() OVER (
+                   ORDER BY d2_micro DESC, vec_id ASC) AS rk
+        FROM scored
+    ) WHERE rk <= {EMB_OUTLIER_TOPN}"""
+    return "WITH " + ",\n".join(_kmeans_ctes() + [tail])
+
+
+ORACLE["emb_outliers"] = _emb_outliers_oracle()
