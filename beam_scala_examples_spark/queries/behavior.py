@@ -657,6 +657,85 @@ ORACLE["events_type_transitions"] = """
 """
 
 
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over daily event volume — the sequential
+    companion to ``events_anomaly_days``' pointwise z-test: a run of
+    small same-direction deviations that never individually clears 2σ
+    still accumulates, and CUSUM is the classic detector for exactly
+    that (Page 1954).  Per day: the volume, the cumulative
+    cross-multiplied deviation S_d = Σ_{i≤d} (v_i·D − T) (v = day
+    volume, D = number of days, T = total — all exact int64, so S is
+    integer and order-free), and the drift flag |S_d| > T (one average
+    day's worth of accumulated excess).
+
+    Scale: the fact collapses to O(days) rows first; the cumsum window
+    runs over that tiny relation (the ``star_cumulative_revenue``
+    sanction), and the (D, T) scalars are a 1-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("volume"))
+    scalars = daily.agg(
+        F.count("*").alias("n_days"), F.sum("volume").alias("total")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "cusum_cross",
+            F.sum(
+                F.col("volume") * F.col("n_days") - F.col("total")
+            ).over(w),
+        )
+        .select(
+            "day",
+            "volume",
+            "cusum_cross",
+            # graded drift: |S_d| as bp of one average day's cross-unit
+            # mass — informative even when the flag below is silent
+            # (the synthetic stream has no planted drift, so the
+            # one-average-day threshold correctly never fires; the
+            # column shows how far from firing each day sits)
+            F.expr(
+                "(abs(cusum_cross) * 10000) div total"
+            ).alias("drift_bp"),
+            (F.abs(F.col("cusum_cross")) > F.col("total")).alias(
+                "drifting"
+            ),
+        )
+    )
+
+
+QUERIES["events_cusum_drift"] = events_cusum_drift
+
+ORACLE["events_cusum_drift"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+               count(*)::BIGINT AS volume
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS n_days, sum(volume)::BIGINT AS total
+        FROM daily
+    ),
+    c AS (
+        SELECT d.day, d.volume,
+               sum(d.volume * s.n_days - s.total) OVER (
+                   ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cusum_cross,
+               s.total
+        FROM daily d CROSS JOIN s
+    )
+    SELECT day, volume, cusum_cross,
+           ((abs(cusum_cross) * 10000) // total)::BIGINT AS drift_bp,
+           abs(cusum_cross) > total AS drifting
+    FROM c
+"""
+
+
 def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How predictive is the first-order Markov model
     (``events_type_transitions``): per prev_type, the argmax next-type
