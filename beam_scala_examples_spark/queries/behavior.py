@@ -818,6 +818,110 @@ ORACLE["events_markov_accuracy"] = """
 """
 
 
+MARKOV_TRAIN_PCT = 80
+
+
+def events_markov_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Markov eval: the transition matrix is trained on a
+    deterministic 80% USER split (md5 buckets — whole users, so no
+    within-sequence leakage) and scored on the held-out users'
+    transitions — the out-of-sample companion to
+    ``events_markov_accuracy``'s in-sample ceiling.  Per prev_type:
+    the trained argmax prediction, held-out transition count, hits,
+    and accuracy in exact basis points (prev types unseen in training
+    are dropped by the inner join — no prediction exists; stated, not
+    hidden).
+
+    Scale: one keyed window for the lag, one |types|² aggregate per
+    split leg, O(types) join — the fact table shuffles once."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10)"
+        " as bigint)"
+    ) % 100
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("is_train", bucket < MARKOV_TRAIN_PCT)
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select("is_train", "prev_type", F.col("event_type").alias("next_type"))
+    )
+    train_c = (
+        pairs.filter("is_train")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    rank_w = Window.partitionBy("prev_type").orderBy(
+        F.desc("n"), F.asc("next_type")
+    )
+    pred = (
+        train_c.withColumn("rn", F.row_number().over(rank_w))
+        .filter("rn = 1")
+        .select("prev_type", F.col("next_type").alias("predicted_next"))
+    )
+    test = pairs.filter(~F.col("is_train"))
+    return (
+        test.join(pred, "prev_type")
+        .groupBy("prev_type", "predicted_next")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.sum(
+                F.when(
+                    F.col("next_type") == F.col("predicted_next"), 1
+                ).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "prev_type",
+            "predicted_next",
+            "n_transitions",
+            "n_correct",
+            F.expr("(n_correct * 10000) div n_transitions").alias(
+                "accuracy_bp"
+            ),
+        )
+    )
+
+
+QUERIES["events_markov_holdout"] = events_markov_holdout
+
+ORACLE["events_markov_holdout"] = f"""
+    WITH p AS (
+        SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 100
+                   < {MARKOV_TRAIN_PCT} AS is_train,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type,
+               event_type AS next_type
+        FROM events
+    ),
+    pairs AS (SELECT * FROM p WHERE prev_type IS NOT NULL),
+    train_c AS (
+        SELECT prev_type, next_type, count(*)::BIGINT AS n
+        FROM pairs WHERE is_train GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT prev_type, next_type AS predicted_next FROM (
+            SELECT prev_type, next_type,
+                   row_number() OVER (
+                       PARTITION BY prev_type ORDER BY n DESC, next_type ASC
+                   ) AS rn
+            FROM train_c
+        ) WHERE rn = 1
+    )
+    SELECT t.prev_type, pr.predicted_next,
+           count(*)::BIGINT AS n_transitions,
+           sum(CASE WHEN t.next_type = pr.predicted_next THEN 1
+                    ELSE 0 END)::BIGINT AS n_correct,
+           ((sum(CASE WHEN t.next_type = pr.predicted_next THEN 1
+                      ELSE 0 END) * 10000) // count(*))::BIGINT
+               AS accuracy_bp
+    FROM pairs t JOIN pred pr USING (prev_type)
+    WHERE NOT t.is_train
+    GROUP BY 1, 2
+"""
+
+
 ASOF_TS = "2024-01-15 12:00:00"
 
 
