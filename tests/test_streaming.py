@@ -1596,6 +1596,40 @@ def test_neardup_vote_registry_matches_batch(spark, sf_dir, tmpdir):
     assert vote_dups < or_dups
 
 
+def test_kanon_view_matches_batch(spark, sf_dir, tmpdir):
+    """Streamed k-anonymity maintenance (streaming/privacyview.py):
+    after feeding the customer dimension in 4 chunks, the serving
+    audit must equal dq_k_anonymity's one-shot relation exactly (group
+    sizes are additive integers)."""
+    from beam_scala_examples_spark.queries.dq import dq_k_anonymity
+    from beam_scala_examples_spark.streaming.privacyview import KAnonViewSink
+    from beam_scala_examples_spark.tables import load
+
+    cust = load(spark, sf_dir, "customer")
+    rows = cust.collect()
+    cols = cust.columns
+    mk = lambda rs: spark.createDataFrame(rs, cust.schema)
+    sink = KAnonViewSink(f"{tmpdir}/ka_log", f"{tmpdir}/ka_out")
+    chunk = max(1, len(rows) // 4)
+    for i, lo in enumerate(range(0, len(rows), chunk)):
+        sink(mk(rows[lo : lo + chunk]), i)
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/ka_out").collect()
+    )
+    expect = sorted(
+        tuple(r) for r in dq_k_anonymity(spark, sf_dir).collect()
+    )
+    assert got == expect
+
+    # replay idempotency: re-running the last batch changes nothing
+    last = (len(rows) - 1) // chunk
+    sink(mk(rows[last * chunk :]), last)
+    again = sorted(
+        tuple(r) for r in spark.read.parquet(f"{tmpdir}/ka_out").collect()
+    )
+    assert again == got
+
+
 def test_pca_drift_view_matches_batch(spark, sf_dir, tmpdir):
     """Streamed top-component maintenance (streaming/pcadrift.py): after
     feeding the embedding corpus in 4 chunks, the serving eigenvector
