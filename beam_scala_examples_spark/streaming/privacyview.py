@@ -14,9 +14,13 @@ batch audit — same group sizes, same below-k flags, same at-risk share
 Scale posture: per batch one hash aggregate on the QI tuple reduced to
 O(groups-touched) slim rows; the log grows O(batches x groups); the
 serving re-aggregation touches the log only, never historical rows.
-(l-diversity needs distinct-value state, not counts — that is the
-full-membership-registry pattern of ``NearDupVoteIngestSink``, listed
-in docs/ROADMAP.md.)
+
+The k-anonymity QI (nation, segment, band) already contains
+l-diversity's sensitive attribute (segment) as a component, so the SAME
+count log serves the l-diversity audit too: per (nation, band) group,
+``sum(n)`` is the size and ``count(DISTINCT segment)`` over the log
+rows is the diversity — no separate registry needed
+(``l_diversity_view``, pinned equal to ``dq_l_diversity``).
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.dq import K_ANON_BAND, K_ANON_K, K_ANON_QI
+from ..queries.dq import K_ANON_BAND, K_ANON_K, K_ANON_QI, L_DIV_L
 
 
 class KAnonViewSink:
@@ -75,5 +79,34 @@ class KAnonViewSink:
             "acct_band",
             "group_size",
             (F.col("group_size") < self.k).alias("below_k"),
+            F.expr("(n_at_risk * 10000) div n_rows").alias("at_risk_bp"),
+        )
+
+    def l_diversity_view(
+        self, spark: SparkSession, l: int = L_DIV_L
+    ) -> DataFrame:
+        """The l-diversity audit served from the SAME count log: per
+        (nation, band) group, size = summed counts and diversity =
+        distinct segments among the log's rows — identical expressions
+        to the batch ``dq_l_diversity`` query, pinned equal."""
+        log = spark.read.parquet(self.log_path)
+        groups = log.groupBy("c_nationkey", "acct_band").agg(
+            F.sum("n").alias("group_size"),
+            F.countDistinct("c_mktsegment").alias("l_distinct"),
+        )
+        risk = groups.agg(
+            F.sum("group_size").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("l_distinct") < l, F.col("group_size")
+                ).otherwise(0)
+            ).alias("n_at_risk"),
+        )
+        return groups.crossJoin(F.broadcast(risk)).select(
+            "c_nationkey",
+            "acct_band",
+            "group_size",
+            "l_distinct",
+            (F.col("l_distinct") < l).alias("below_l"),
             F.expr("(n_at_risk * 10000) div n_rows").alias("at_risk_bp"),
         )

@@ -1629,6 +1629,18 @@ def test_kanon_view_matches_batch(spark, sf_dir, tmpdir):
     )
     assert again == got
 
+    # the SAME count log serves the l-diversity audit (the sensitive
+    # attribute is a component of the k-anonymity QI)
+    from beam_scala_examples_spark.queries.dq import dq_l_diversity
+
+    lgot = sorted(
+        tuple(r) for r in sink.l_diversity_view(spark).collect()
+    )
+    lexpect = sorted(
+        tuple(r) for r in dq_l_diversity(spark, sf_dir).collect()
+    )
+    assert lgot == lexpect
+
 
 def test_pca_drift_view_matches_batch(spark, sf_dir, tmpdir):
     """Streamed top-component maintenance (streaming/pcadrift.py): after
