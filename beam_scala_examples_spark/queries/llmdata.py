@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.carry import sharded_prefix_sum, sharded_row_number
 from ..operators.topk import top_k_per_key
 from ..tables import load
 
@@ -1538,6 +1539,11 @@ def data_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_CTX_TOKENS = 256
+# Range-shard span for the packing cumsums: per-task sort is bounded by
+# this many docs no matter how large a source grows.  128 keeps several
+# shards live even at sf0.001 so tests exercise the carry join; at
+# production scale a 2^16-2^20 span amortizes the totals relation.
+PACK_SHARD_SPAN = 128
 
 
 def data_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1546,29 +1552,33 @@ def data_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     each source* — each doc gets the window index (`bin`) and its token
     offset inside it, the bookkeeping a packed-pretraining writer needs.
 
-    The running token count is a window cumsum partitioned by source:
-    sources pack independently (a mixture interleaves domain streams
-    anyway), so the window parallelizes across sources instead of the
-    single-partition global sort a corpus-wide ORDER BY would force; at
-    100 TB, shard the stream further (e.g. by (source, shard_id) from a
-    hash) and the same plan holds."""
+    The running token count is a per-source cumsum computed by
+    :func:`operators.carry.sharded_prefix_sum`: docs are range-sharded
+    by ``doc_id div PACK_SHARD_SPAN`` (monotone in the packing order),
+    the window runs per ``(source, shard)`` — at most
+    ``PACK_SHARD_SPAN`` rows per task regardless of how big a source is
+    — and per-shard token totals carry the offset back.  A plain
+    ``Window.partitionBy(source)`` would hand a whale source (web crawl
+    = 90% of a 100 TB corpus) to a single sorting task; the sharded
+    form gives bit-identical answers (prefix sum is associative) with
+    bounded sorts."""
     docs = load(spark, sf_dir, "documents")
     n_tok = F.size(F.expr(_SPARK_TOKS))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    base = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    packed = sharded_prefix_sum(
+        base,
+        part="source",
+        order=["doc_id"],
+        shard=F.expr(f"doc_id div {PACK_SHARD_SPAN}"),
+        val="n_tokens",
+        out="cum_before",
     )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (
-        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            F.floor(cum_before / PACK_CTX_TOKENS).alias("bin"),
-            (cum_before % PACK_CTX_TOKENS).alias("bin_offset"),
-        )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("cum_before") / PACK_CTX_TOKENS).alias("bin"),
+        (F.col("cum_before") % PACK_CTX_TOKENS).alias("bin_offset"),
     )
 
 
@@ -3263,25 +3273,25 @@ def data_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the piece counts ride the BPE relation the pipeline already
     computes (vocabulary-sized training, one corpus join); the packing
-    cumsum is the same per-source window as ``data_pack_sequences`` —
-    sources pack independently, no global sort."""
+    cumsum is the same sharded two-pass carry as ``data_pack_sequences``
+    (``(source, doc_id div PACK_SHARD_SPAN)`` windows + per-shard offset
+    totals) — bounded sorts even for a whale source, no global sort."""
     enc = text_bpe_encode(spark, sf_dir).select("doc_id", "n_pieces")
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    packed = sharded_prefix_sum(
+        docs.join(enc, "doc_id"),
+        part="source",
+        order=["doc_id"],
+        shard=F.expr(f"doc_id div {PACK_SHARD_SPAN}"),
+        val="n_pieces",
+        out="cum_before",
     )
-    cum_before = F.coalesce(F.sum("n_pieces").over(w), F.lit(0))
-    return (
-        docs.join(enc, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            "n_pieces",
-            F.floor(cum_before / PACK_CTX_TOKENS).alias("bin"),
-            (cum_before % PACK_CTX_TOKENS).alias("bin_offset"),
-        )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_pieces",
+        F.floor(F.col("cum_before") / PACK_CTX_TOKENS).alias("bin"),
+        (F.col("cum_before") % PACK_CTX_TOKENS).alias("bin_offset"),
     )
 
 
@@ -4124,27 +4134,32 @@ def data_mixture_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sample_temperature_weights`` (the rates) with the
     ``data_global_shuffle`` discipline (hash-ordered positions).
 
-    Scale: the weight table is O(sources) and broadcast; positions are
-    one window per source (hash-ordered, per-source bounded); the
-    output carries the key — readers range-partition on it, the engine
-    never globally sorts."""
+    Scale: the weight table is O(sources) and broadcast; positions come
+    from :func:`operators.carry.sharded_row_number` — the hash key h in
+    [0, 2^32) is range-sharded by its top bits (``h div
+    2^32/MIX_ORDER_SHARDS``, monotone in the (h, doc_id) order), so a
+    whale source's rank sort runs per (source, h-range) with per-shard
+    count totals carried back, never one task per source; the output
+    carries the key — readers range-partition on it, the engine never
+    globally sorts."""
     docs = load(spark, sf_dir, "documents")
     weights = sample_temperature_weights(spark, sf_dir).select(
         "source", "weight_bp"
     )
     h = F.expr(_SPARK_H.format(col="cast(doc_id as string)"))
-    w = Window.partitionBy("source").orderBy("h", "doc_id")
-    return (
-        docs.select("doc_id", "source", h.alias("h"))
-        .withColumn("pos", F.row_number().over(w))
-        .join(F.broadcast(weights), "source")
-        .select(
-            "doc_id",
-            "source",
-            F.expr("(cast(pos as bigint) * 10000) div weight_bp").alias(
-                "order_key"
-            ),
-        )
+    ranked = sharded_row_number(
+        docs.select("doc_id", "source", h.alias("h")),
+        part="source",
+        order=["h", "doc_id"],
+        shard=F.expr(f"h div {(1 << 32) // MIX_ORDER_SHARDS}"),
+        out="pos",
+    )
+    return ranked.join(F.broadcast(weights), "source").select(
+        "doc_id",
+        "source",
+        F.expr("(cast(pos as bigint) * 10000) div weight_bp").alias(
+            "order_key"
+        ),
     )
 
 
