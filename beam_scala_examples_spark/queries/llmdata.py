@@ -6235,3 +6235,49 @@ ORACLE["data_dataset_card"] = f"""
     UNION ALL SELECT 'chunk_dup_doc_bp',
         (cd.n_cd * 10000) // base.n_docs FROM cd CROSS JOIN base
 """
+
+
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (round-4): each document is rendered into a
+    complete 24bpp BMP file (``operators/multimodal.py::encode_bmp`` —
+    spec headers, bottom-up BGR raster, 4-byte row padding) and decoded
+    back by a genuine pure-Python BMP parser (``decode_bmp`` reads
+    magic/offset/dims/bpp/compression from the bytes and walks the
+    padded raster; it shares no state with the encoder).  Output is the
+    parsed geometry plus exact integer channel sums.
+
+    The oracle never parses BMP: pixel channel c of raster index i is
+    ``ord(text[(3i+c) mod len]) % 256`` by construction, so DuckDB
+    re-derives width/height/channel sums straight from the text — a
+    disagreement anywhere in the header layout, padding walk, or BGR
+    ordering flips the hash.
+
+    Scale: two chained Arrow ``mapInPandas`` passes, both narrow — no
+    shuffle; payload bytes never leave the task that made them."""
+    from ..operators.multimodal import attach_bmp_payload, decode_bmp_metadata
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_bmp_metadata(attach_bmp_payload(docs))
+
+
+QUERIES["multimodal_decode_bmp"] = multimodal_decode_bmp
+
+ORACLE["multimodal_decode_bmp"] = """
+    WITH d AS (
+        SELECT doc_id, text, len(text) AS nc,
+               1 + (len(text) % 7) AS w,
+               1 + (doc_id % 5) AS h
+        FROM documents
+    )
+    SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+           list_sum(list_transform(range(0, w * h),
+               i -> ord(substr(text, ((3 * i) % nc) + 1, 1)) % 256
+           ))::BIGINT AS sum_r,
+           list_sum(list_transform(range(0, w * h),
+               i -> ord(substr(text, ((3 * i + 1) % nc) + 1, 1)) % 256
+           ))::BIGINT AS sum_g,
+           list_sum(list_transform(range(0, w * h),
+               i -> ord(substr(text, ((3 * i + 2) % nc) + 1, 1)) % 256
+           ))::BIGINT AS sum_b
+    FROM d
+"""

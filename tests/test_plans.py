@@ -625,3 +625,12 @@ def test_pack_windows_are_sharded(plans):
         assert data_row_specs, name
         for l in data_row_specs:
             assert "__prefix_shard" in l, (name, l)
+
+
+def test_multimodal_bmp_decode_is_narrow(plans):
+    """multimodal_decode_bmp: render + real BMP parse are two chained
+    Arrow mapInPandas passes — no exchange, no row-Python."""
+    p = plans("multimodal_decode_bmp")
+    assert "Exchange" not in p
+    assert p.count("MapInPandas") >= 2
+    assert "BatchEvalPython" not in p
