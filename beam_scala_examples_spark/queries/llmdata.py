@@ -6281,3 +6281,244 @@ ORACLE["multimodal_decode_bmp"] = """
            ))::BIGINT AS sum_b
     FROM d
 """
+
+
+# --------------------------------------------------------------------------
+# Round-4: structured-text construction + the full Gopher rule set
+# --------------------------------------------------------------------------
+# The driver fixture's documents are single-line symbol-free prose, which
+# made Rae et al. 2021 (Gopher, §A1.1)'s line/symbol rules vacuous — the
+# round-3 filter shipped without them (documented).  The fixture itself is
+# read-only, so the corpus-structure the rules need is CONSTRUCTED
+# deterministically from it: each doc's tokens are re-laid-out into
+# 5-token lines, and md5-salted per-line/per-doc draws inject the
+# structures real corpora have — bullet prefixes, ellipsis endings, '#'
+# symbols, numeric tokens — including whole-doc archetypes (10% bullet
+# lists, 10% tag-spam, 10% number-heavy) so every rule family actually
+# fires.  Both engines build the identical string (pinned by the
+# text_structured hash), and the filter then genuinely PARSES it: the
+# rules see only struct_text, never the construction parameters.
+
+GOPHER_LINE_TOKENS = 5
+GOPHER_MIN_STOPWORDS = 2   # Rae A1.1: >= 2 of the required stopword set
+
+_SALT_S = _SPARK_H.format(
+    col="concat(cast(doc_id as string), ':', cast(j as string))"
+)
+_DK_S = _SPARK_H.format(col="concat('k:', cast(doc_id as string))")
+
+_SPARK_STRUCT_TEXT = f"""
+array_join(
+  transform(
+    sequence(cast(0 as bigint),
+             greatest((cast(size(toks) as bigint) + 4) div 5,
+                      cast(1 as bigint)) - 1),
+    j -> concat(
+      case when ({_DK_S}) % 10 = 0 or ({_SALT_S}) % 4 = 0
+           then '- ' else '' end,
+      array_join(slice(toks, cast(j * 5 + 1 as int), 5), ' '),
+      case when ({_DK_S}) % 10 = 2 then ' 42 7'
+           when ({_SALT_S}) % 5 = 0 then ' 42' else '' end,
+      case when ({_DK_S}) % 10 = 1 or ({_SALT_S}) % 7 = 0
+           then ' #' else '' end,
+      case when ({_SALT_S}) % 3 = 0 then ' ...' else '' end
+    )
+  ),
+  chr(10)
+)
+"""
+
+
+def text_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, struct_text): the deterministic structured-text corpus —
+    bullet lists, ellipsis endings, symbols, digits — built from the
+    prose fixture (see the block comment above).  Registered with its
+    own oracle so the construction string is hash-pinned byte-for-byte
+    across engines.  One narrow codegen pass, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(_SPARK_TOKS).alias("toks")
+    ).select("doc_id", F.expr(_SPARK_STRUCT_TEXT).alias("struct_text"))
+
+
+def text_gopher_filter_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Gopher quality filter (Rae et al. 2021 §A1.1): all
+    eight rule families, in the paper's audit order, over the structured
+    corpus — word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio ('#'/'...' > 0.1), bullet-line share (> 90% of lines), ellipsis-
+    line share (> 30% of lines), alphabetic-word share (< 80%), required
+    stopwords (>= 2 distinct), and top-n-gram character-share ceilings.
+
+    Self-contained parse: every line/word statistic is derived from
+    struct_text alone (split on newline / whitespace) — the filter never
+    sees the construction's salts.  All ratio comparisons are exact
+    integer cross-multiplications (n_sym * 10 > n_words, etc.), so no
+    float boundary can disagree between engines.  The repetition legs
+    reuse ``text_top_ngram_chars`` over the prose content (scaffold
+    tokens would otherwise dilute the n-gram denominator).
+
+    Scale: one narrow parse pass + the n-gram aggregates; no new
+    shuffles beyond the doc_id join the round-3 filter already paid."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    parsed = text_structured(spark, sf_dir).select(
+        "doc_id",
+        F.expr(r"filter(split(struct_text, '\\s+'), x -> x <> '')").alias(
+            "words"
+        ),
+        F.expr("split(struct_text, chr(10))").alias("lines"),
+    )
+    stats = parsed.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.expr(
+            "cast(size(filter(lines, l -> l like '- %')) as bigint)"
+        ).alias("n_bullet"),
+        F.expr(
+            "cast(size(filter(lines, l -> l like '%...')) as bigint)"
+        ).alias("n_ell"),
+        F.expr(
+            "cast(size(filter(words, x -> x = '#' or x = '...')) as bigint)"
+        ).alias("n_sym"),
+        F.expr(
+            "cast(size(filter(words, x -> x rlike '[a-z]')) as bigint)"
+        ).alias("n_alpha"),
+        F.expr(
+            f"cast(size(array_distinct(filter(words,"
+            f" x -> x in ({stop_list})))) as bigint)"
+        ).alias("n_stop"),
+        (
+            F.length(F.expr("array_join(words, ' ')"))
+            - F.size("words")
+            + 1
+        ).cast("long").alias("chars_sum"),
+    )
+    m = stats.join(text_top_ngram_chars(spark, sf_dir), "doc_id")
+    reason = (
+        F.when(F.col("n_words") < GOPHER_MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("n_words") > GOPHER_MAX_TOKENS, F.lit("too_long"))
+        .when(
+            F.col("chars_sum") < 3 * F.col("n_words"), F.lit("word_len_low")
+        )
+        .when(
+            F.col("chars_sum") > 10 * F.col("n_words"),
+            F.lit("word_len_high"),
+        )
+        .when(F.col("n_sym") * 10 > F.col("n_words"), F.lit("symbol_ratio"))
+        .when(
+            F.col("n_bullet") * 10 > F.col("n_lines") * 9,
+            F.lit("bullet_lines"),
+        )
+        .when(
+            F.col("n_ell") * 10 > F.col("n_lines") * 3,
+            F.lit("ellipsis_lines"),
+        )
+        .when(
+            F.col("n_alpha") * 10 < F.col("n_words") * 8, F.lit("low_alpha")
+        )
+        .when(
+            F.col("n_stop") < GOPHER_MIN_STOPWORDS, F.lit("few_stopwords")
+        )
+        .when(
+            F.col("top_2gram_frac") > GOPHER_TOP_2GRAM_MAX,
+            F.lit("rep_2gram"),
+        )
+        .when(
+            F.col("top_3gram_frac") > GOPHER_TOP_3GRAM_MAX,
+            F.lit("rep_3gram"),
+        )
+        .when(
+            F.col("top_4gram_frac") > GOPHER_TOP_4GRAM_MAX,
+            F.lit("rep_4gram"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return m.select(
+        "doc_id", reason.alias("verdict"), (reason == "ok").alias("keep")
+    )
+
+
+QUERIES["text_structured"] = text_structured
+QUERIES["text_gopher_filter_full"] = text_gopher_filter_full
+
+_SALT_D = _DUCK_H.format(col="doc_id::VARCHAR || ':' || j::VARCHAR")
+_DK_D = _DUCK_H.format(col="'k:' || doc_id::VARCHAR")
+
+_STRUCTURED_CTE = f"""
+    toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    line_rows AS (
+        SELECT doc_id, j,
+            (CASE WHEN dk % 10 = 0 OR {_SALT_D} % 4 = 0
+                  THEN '- ' ELSE '' END)
+            || array_to_string(toks[(j * 5 + 1)::INT : (j * 5 + 5)::INT], ' ')
+            || (CASE WHEN dk % 10 = 2 THEN ' 42 7'
+                     WHEN {_SALT_D} % 5 = 0 THEN ' 42' ELSE '' END)
+            || (CASE WHEN dk % 10 = 1 OR {_SALT_D} % 7 = 0
+                     THEN ' #' ELSE '' END)
+            || (CASE WHEN {_SALT_D} % 3 = 0 THEN ' ...' ELSE '' END) AS line
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, greatest((len(toks) + 4) // 5, 1))) AS j,
+                   {_DK_D} AS dk
+            FROM toks
+        ) b
+    ),
+    structured AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY j) AS struct_text
+        FROM line_rows GROUP BY doc_id
+    )
+"""
+
+ORACLE["text_structured"] = f"""
+    WITH {_STRUCTURED_CTE}
+    SELECT doc_id, struct_text FROM structured
+"""
+
+ORACLE["text_gopher_filter_full"] = f"""
+    WITH ngrams AS ({_top_ngram_oracle()}),
+    {_STRUCTURED_CTE},
+    parsed AS (
+        SELECT doc_id,
+            list_filter(regexp_split_to_array(struct_text, '\\s+'),
+                        x -> x <> '') AS words,
+            string_split(struct_text, chr(10)) AS lines
+        FROM structured
+    ),
+    stats AS (
+        SELECT doc_id,
+            len(words)::BIGINT AS n_words,
+            len(lines)::BIGINT AS n_lines,
+            len(list_filter(lines, l -> l LIKE '- %'))::BIGINT AS n_bullet,
+            len(list_filter(lines, l -> l LIKE '%...'))::BIGINT AS n_ell,
+            len(list_filter(words,
+                x -> x = '#' OR x = '...'))::BIGINT AS n_sym,
+            len(list_filter(words,
+                x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+            len(list_distinct(list_filter(words,
+                x -> x IN ({", ".join(f"'{s}'" for s in STOPWORDS)})
+            )))::BIGINT AS n_stop,
+            (length(array_to_string(words, ' '))
+                - len(words) + 1)::BIGINT AS chars_sum
+        FROM parsed
+    ),
+    v AS (
+        SELECT s.doc_id,
+            CASE
+                WHEN n_words < {GOPHER_MIN_TOKENS} THEN 'too_short'
+                WHEN n_words > {GOPHER_MAX_TOKENS} THEN 'too_long'
+                WHEN chars_sum < 3 * n_words THEN 'word_len_low'
+                WHEN chars_sum > 10 * n_words THEN 'word_len_high'
+                WHEN n_sym * 10 > n_words THEN 'symbol_ratio'
+                WHEN n_bullet * 10 > n_lines * 9 THEN 'bullet_lines'
+                WHEN n_ell * 10 > n_lines * 3 THEN 'ellipsis_lines'
+                WHEN n_alpha * 10 < n_words * 8 THEN 'low_alpha'
+                WHEN n_stop < {GOPHER_MIN_STOPWORDS} THEN 'few_stopwords'
+                WHEN top_2gram_frac > {GOPHER_TOP_2GRAM_MAX} THEN 'rep_2gram'
+                WHEN top_3gram_frac > {GOPHER_TOP_3GRAM_MAX} THEN 'rep_3gram'
+                WHEN top_4gram_frac > {GOPHER_TOP_4GRAM_MAX} THEN 'rep_4gram'
+                ELSE 'ok'
+            END AS verdict
+        FROM stats s JOIN ngrams n ON s.doc_id = n.doc_id
+    )
+    SELECT doc_id, verdict, verdict = 'ok' AS keep FROM v
+"""
