@@ -974,7 +974,13 @@ def text_top_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``slice`` views (codegen'd; the ``transform`` lambda form measured
     ~17x slower on counting-only passes).  Denominator = chars of the
     single-space token join, so the metric is tokenizer-stable."""
-    docs = load(spark, sf_dir, "documents")
+    return top_ngram_chars_relation(load(spark, sf_dir, "documents"))
+
+
+def top_ngram_chars_relation(docs: DataFrame) -> DataFrame:
+    """Relation-level body of :func:`text_top_ngram_chars` — shared with
+    the streaming dataset-card sink, which computes the same signals per
+    micro-batch."""
     base = docs.select(
         "doc_id",
         F.expr(_SPARK_TOKS).alias("toks"),
@@ -1096,7 +1102,13 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token lambda, and bit-identical division on both engines.
     Scale: the n-gram legs are ``text_top_ngram_chars``'s aggregates;
     everything else is one narrow pass."""
-    docs = load(spark, sf_dir, "documents")
+    return gopher_verdicts(load(spark, sf_dir, "documents"))
+
+
+def gopher_verdicts(docs: DataFrame) -> DataFrame:
+    """Relation-level body of :func:`text_gopher_filter` — shared with
+    the streaming dataset-card sink (the keep decision is a pure per-doc
+    function, so per-batch keep counts are additive)."""
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     base = docs.select(
         "doc_id", F.expr(_SPARK_TOKS).alias("toks")
@@ -1113,7 +1125,7 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1.0
         / F.greatest(F.col("n_tokens"), F.lit(1))
     )
-    m = base.join(text_top_ngram_chars(spark, sf_dir), "doc_id")
+    m = base.join(top_ngram_chars_relation(docs), "doc_id")
     reason = (
         F.when(F.col("n_tokens") < GOPHER_MIN_TOKENS, F.lit("too_short"))
         .when(F.col("n_tokens") > GOPHER_MAX_TOKENS, F.lit("too_long"))
@@ -1233,7 +1245,12 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     token overlap — the standard prep for fixed-context training. The
     fan-out is all array expressions inside the scan stage (no shuffle);
     chunk identity is the md5 of the re-joined token span."""
-    docs = load(spark, sf_dir, "documents")
+    return chunk_relation(load(spark, sf_dir, "documents"))
+
+
+def chunk_relation(docs: DataFrame) -> DataFrame:
+    """Relation-level body of :func:`text_chunk` — shared with the
+    streaming dataset-card sink's chunk registry contributions."""
     toks = docs.select(
         "doc_id",
         F.expr("filter(split(text, ' +'), x -> x <> '')").alias("toks"),

@@ -1783,3 +1783,67 @@ def test_neardup_vote_replay_idempotent(spark, sf_dir, tmpdir):
     )
     assert once == twice
     assert reg_once == reg_twice
+
+
+def _full_doc_rows(sf_dir):
+    con = duck_connect(sf_dir)
+    rows = con.sql(
+        "SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_dataset_card_sink_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming dataset card (streaming/cardview.py): feeding the
+    corpus in doc_id order through the composed contribution logs, the
+    served (metric, value) card must equal the batch data_dataset_card
+    exactly — every rate recomputed from logs, never from historical
+    raw documents."""
+    from beam_scala_examples_spark.queries.llmdata import data_dataset_card
+    from beam_scala_examples_spark.streaming.cardview import DatasetCardSink
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream,
+        write_arrival_chunks,
+    )
+
+    rows = [
+        {"doc_id": r[0], "text": r[1], "lang": r[2], "source": r[3]}
+        for r in _full_doc_rows(sf_dir)
+    ]
+    write_arrival_chunks(rows, 100, f"{tmpdir}/cardfeed")
+    stream = read_event_stream(
+        spark,
+        f"{tmpdir}/cardfeed",
+        schema="doc_id long, text string, lang string, source string",
+    )
+    sink = DatasetCardSink(str(tmpdir))
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in data_dataset_card(spark, sf_dir).collect()
+    )
+    assert got == expect
+    # the feed really was incremental
+    assert spark.read.parquet(f"{tmpdir}/card_stats").select(
+        "batch_id"
+    ).distinct().count() >= 2
+
+
+def test_dataset_card_sink_replay_idempotent(spark, sf_dir, tmpdir):
+    """Replaying a micro-batch re-derives exactly the contribution rows
+    it owned across ALL five logs, so the served card is unchanged."""
+    from beam_scala_examples_spark.streaming.cardview import DatasetCardSink
+
+    rows = _full_doc_rows(sf_dir)
+    sink = DatasetCardSink(str(tmpdir))
+    mk = lambda rs: spark.createDataFrame(
+        list(rs), "doc_id long, text string, lang string, source string"
+    )
+    sink(mk(rows[:100]), 0)
+    sink(mk(rows[100:200]), 1)
+    once = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    sink(mk(rows[100:200]), 1)  # replay the latest batch
+    twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    assert once == twice
