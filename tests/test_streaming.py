@@ -1847,3 +1847,88 @@ def test_dataset_card_sink_replay_idempotent(spark, sf_dir, tmpdir):
     sink(mk(rows[100:200]), 1)  # replay the latest batch
     twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
     assert once == twice
+
+
+def _vec_rows(spark, sf_dir):
+    from beam_scala_examples_spark.tables import load
+
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+
+
+def _trained_cents(spark, sf_dir):
+    from beam_scala_examples_spark.queries.clustering import (
+        _kmeans_train,
+        _trained,
+    )
+    from beam_scala_examples_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _trained("kmeans", sf_dir, _kmeans_train, emb)
+
+
+def test_ivf_ingest_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming trained-IVF ingest (streaming/ivfview.py): feeding the
+    embeddings in chunks through the frozen-quantizer sink, both the
+    accumulated cell assignment and the served top-k must equal the
+    batch sim_ivf_trained_topk pipeline exactly."""
+    from beam_scala_examples_spark.queries.clustering import (
+        _assign,
+        sim_ivf_trained_topk,
+    )
+    from beam_scala_examples_spark.streaming.ivfview import IvfIngestSink
+    from beam_scala_examples_spark.tables import load
+
+    cents = _trained_cents(spark, sf_dir)
+    sink = IvfIngestSink(f"{tmpdir}/ivf_postings", cents)
+    rows = _vec_rows(spark, sf_dir)
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<float>"
+    )
+    third = len(rows) // 3
+    sink(mk(rows[:third]), 0)
+    sink(mk(rows[third : 2 * third]), 1)
+    sink(mk(rows[2 * third :]), 2)
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    expect_assign = sorted(
+        (r.vec_id, r.cluster)
+        for r in _assign(emb, cents).select("vec_id", "cluster").collect()
+    )
+    got_assign = sorted(
+        tuple(r) for r in sink.assignment_view(spark).collect()
+    )
+    assert got_assign == expect_assign
+
+    expect_topk = sorted(
+        tuple(r) for r in sim_ivf_trained_topk(spark, sf_dir).collect()
+    )
+    got_topk = sorted(tuple(r) for r in sink.topk_view(spark).collect())
+    assert got_topk == expect_topk
+    # the log really is cluster-partitioned (inverted-list pruning)
+    assert spark.read.parquet(f"{tmpdir}/ivf_postings").select(
+        "cluster"
+    ).distinct().count() >= 2
+
+
+def test_ivf_ingest_replay_idempotent(spark, sf_dir, tmpdir):
+    """Replaying a micro-batch re-derives exactly the postings rows it
+    owned, so assignment and top-k views are unchanged."""
+    from beam_scala_examples_spark.streaming.ivfview import IvfIngestSink
+
+    cents = _trained_cents(spark, sf_dir)
+    sink = IvfIngestSink(f"{tmpdir}/ivf_postings", cents)
+    rows = _vec_rows(spark, sf_dir)
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<float>"
+    )
+    sink(mk(rows[:200]), 0)
+    sink(mk(rows[200:]), 1)
+    once = sorted(tuple(r) for r in sink.topk_view(spark).collect())
+    sink(mk(rows[200:]), 1)  # replay
+    twice = sorted(tuple(r) for r in sink.topk_view(spark).collect())
+    assert once == twice
