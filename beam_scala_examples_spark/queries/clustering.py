@@ -2185,3 +2185,224 @@ def _emb_outliers_oracle() -> str:
 
 
 ORACLE["emb_outliers"] = _emb_outliers_oracle()
+
+
+# --------------------------------------------------------------------------
+# Round-4: the PQ re-rank budget frontier
+# --------------------------------------------------------------------------
+# Why it exists: sf0.01 measured PQ+re-rank recall@5 = 1.0, but at that
+# scale the fixed PQ_RERANK=50 shortlist covered 10% of the corpus — at
+# sf0.1 the same 50 rows are 1% and recall drops to ~0.88.  The "zero
+# compression loss" result was partly shortlist coverage, not codebook
+# quality.  Before reaching for OPQ rotations, the operator's first knob
+# is the re-rank budget; this harness measures that frontier exactly the
+# way sim_ivf_probe_sweep measures nprobe.
+
+PQ_SWEEP_BUDGETS = (25, 50, 100, 200)
+
+
+def sim_pq_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-rank tuning curve for PQ retrieval: for each shortlist
+    budget, mean recall@k vs the float ground truth AND the number of
+    float vectors actually re-ranked — the accuracy-vs-float-reads
+    frontier that decides PQ_RERANK at scale (re-rank reads are the
+    only full-width vector I/O in the serving path).
+
+    One ADC scan feeds ALL sweep points: the PQ-approximate ranking is
+    computed once with its per-query rank, the exact cosine is computed
+    once for the max-budget shortlist (bounded: queries x max budget),
+    and each budget merely filters rank <= B before the final top-k.
+    Codebooks come from the session trainer memo — identical to every
+    other PQ rung."""
+    from .llmdata import (
+        N_QUERY_VECS,
+        TOPK_NEIGHBORS,
+        _SPARK_DOT,
+        sim_cosine_topk,
+    )
+    from ..operators.topk import top_k_per_key
+
+    prev = _KM_CACHE.pop("pqsweep", None)
+    if prev is not None:
+        prev.unpersist()
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
+    _KM_CACHE["pqsweep"] = emb
+
+    cents = _trained("pq", sf_dir, _pq_train, emb)
+    codes = _pq_encode(emb, cents).select(
+        "vec_id", F.posexplode("codes").alias("m", "cid")
+    )
+    cdf = spark.createDataFrame(
+        [(m, cid, vec) for m, lst in cents.items() for cid, vec in lst],
+        "m int, cid bigint, c array<double>",
+    )
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    qdf = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm.alias("qnorm"),
+    )
+    sub_dot = F.expr(
+        f"aggregate(zip_with(slice(qe, m * {PQ_SUB} + 1, {PQ_SUB}), c,"
+        " (x, y) -> cast(x as double) * y),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    c_norm = F.expr(
+        "aggregate(zip_with(c, c, (x, y) -> x * y),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    lut = qdf.crossJoin(cdf).select(
+        "qid",
+        "qnorm",
+        "m",
+        "cid",
+        F.round(sub_dot * KM_SCALE, 0).cast("long").alias("dotl"),
+        F.round(c_norm * KM_SCALE, 0).cast("long").alias("cnorml"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "qnorm", "vec_id")
+        .agg(F.sum("dotl").alias("dl"), F.sum("cnorml").alias("nl"))
+    )
+    s = float(KM_SCALE)
+    adc_cos = (F.col("dl") / s) / F.sqrt(F.col("qnorm") * (F.col("nl") / s))
+    max_b = max(PQ_SWEEP_BUDGETS)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("adc_cos"), F.asc("vec_id")
+    )
+    shortlist = (
+        scored.select("qid", "vec_id", adc_cos.alias("adc_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_b)
+        .select("qid", "vec_id", "rn")
+    )
+    cand = emb.join(F.broadcast(shortlist), "vec_id").select(
+        "qid", "vec_id", "rn", "embedding", norm.alias("cnorm")
+    )
+    exact = (
+        cand.join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "rn",
+            (
+                F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+                / F.sqrt(F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos"),
+        )
+        .localCheckpoint()
+    )
+    truth = (
+        sim_cosine_topk(spark, sf_dir)
+        .select("qid", "vec_id")
+        .localCheckpoint()
+    )
+    nq = truth.select("qid").distinct().count()
+    parts = []
+    for b in PQ_SWEEP_BUDGETS:
+        sub = exact.filter(F.col("rn") <= b)
+        topk = top_k_per_key(
+            sub, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+        ).select("qid", "vec_id")
+        matches = truth.join(topk, ["qid", "vec_id"], "semi").agg(
+            F.count("*").alias("matches")
+        )
+        reranked = sub.agg(F.count("*").alias("reranked_rows"))
+        parts.append(
+            matches.crossJoin(reranked).select(
+                F.lit(b).cast("long").alias("rerank_budget"),
+                "matches",
+                F.lit(nq * TOPK_NEIGHBORS).cast("long").alias("truth_rows"),
+                F.expr(
+                    f"(matches * 10000) div {nq * TOPK_NEIGHBORS}"
+                ).alias("mean_recall_bp"),
+                "reranked_rows",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES["sim_pq_rerank_sweep"] = sim_pq_rerank_sweep
+
+
+def _pq_rerank_sweep_oracle() -> str:
+    from .llmdata import ORACLE as _LLM_ORACLE
+    from .llmdata import TOPK_NEIGHBORS, _duck_dot
+
+    max_b = max(PQ_SWEEP_BUDGETS)
+    scored = """scored AS (
+        SELECT l.qid, a.vec_id,
+               sum(l.dotl)::BIGINT AS dl, sum(l.cnorml)::BIGINT AS nl
+        FROM codes a JOIN lut l ON a.m = l.m AND a.cluster = l.cluster
+        WHERE a.vec_id <> l.qid
+        GROUP BY l.qid, a.vec_id
+    )"""
+    shortlist = f"""short AS (
+        SELECT qid, vec_id, rn FROM (
+            SELECT s.qid, s.vec_id,
+                   row_number() OVER (
+                       PARTITION BY s.qid
+                       ORDER BY (s.dl / {KM_SCALE}.0)
+                           / sqrt(q.qnorm * (s.nl / {KM_SCALE}.0)) DESC,
+                           s.vec_id) AS rn
+            FROM scored s JOIN q ON s.qid = q.qid
+        ) WHERE rn <= {max_b}
+    )"""
+    exact = f"""exact AS MATERIALIZED (
+        SELECT s.qid, s.vec_id, s.rn,
+               {_duck_dot('q.qe', 'e.embedding')}
+                   / sqrt(q.qnorm
+                          * {_duck_dot('e.embedding', 'e.embedding')})
+                   AS cos
+        FROM short s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN q ON q.qid = s.qid
+    ),
+    truth AS MATERIALIZED (
+        SELECT qid, vec_id FROM ({_LLM_ORACLE["sim_cosine_topk"]})
+    ),
+    nq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM truth)"""
+    legs = []
+    for b in PQ_SWEEP_BUDGETS:
+        legs.append(f"""
+        SELECT {b}::BIGINT AS rerank_budget,
+               (SELECT count(*)::BIGINT FROM truth t
+                JOIN (SELECT qid, vec_id FROM (
+                          SELECT qid, vec_id,
+                                 row_number() OVER (
+                                     PARTITION BY qid
+                                     ORDER BY cos DESC, vec_id) AS rn2
+                          FROM exact WHERE rn <= {b}
+                      ) WHERE rn2 <= {TOPK_NEIGHBORS}) a
+                  ON t.qid = a.qid AND t.vec_id = a.vec_id) AS matches,
+               (SELECT n * {TOPK_NEIGHBORS} FROM nq) AS truth_rows,
+               ((SELECT count(*)::BIGINT FROM truth t
+                JOIN (SELECT qid, vec_id FROM (
+                          SELECT qid, vec_id,
+                                 row_number() OVER (
+                                     PARTITION BY qid
+                                     ORDER BY cos DESC, vec_id) AS rn2
+                          FROM exact WHERE rn <= {b}
+                      ) WHERE rn2 <= {TOPK_NEIGHBORS}) a
+                  ON t.qid = a.qid AND t.vec_id = a.vec_id) * 10000)
+                 // (SELECT n * {TOPK_NEIGHBORS} FROM nq) AS mean_recall_bp,
+               (SELECT count(*)::BIGINT FROM exact
+                WHERE rn <= {b}) AS reranked_rows""")
+    return (
+        "WITH "
+        + ",\n".join(_pq_common_ctes() + [scored, shortlist, exact])
+        + " "
+        + " UNION ALL ".join(legs)
+    )
+
+
+ORACLE["sim_pq_rerank_sweep"] = _pq_rerank_sweep_oracle()
