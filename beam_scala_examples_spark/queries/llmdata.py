@@ -6539,3 +6539,46 @@ ORACLE["text_gopher_filter_full"] = f"""
     )
     SELECT doc_id, verdict, verdict = 'ok' AS keep FROM v
 """
+
+
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (round-4, the WAV twin of
+    ``multimodal_decode_bmp``): each document is rendered into a
+    complete RIFF/WAVE file (mono 16-bit PCM, one sample per char) and
+    decoded back by a genuine chunk-walking parser
+    (``operators/multimodal.py::decode_wav`` — RIFF magic, chunk sizes,
+    word alignment, fmt validation, little-endian sample reads; shares
+    no state with the encoder).  Output: parsed rate/length plus exact
+    integer energy stats (sum |s|, peak).
+
+    The oracle never parses WAV: sample i is
+    ``(ord(text[i]) % 256) * 257 - 32768`` by construction, so DuckDB
+    re-derives every stat from the text — any disagreement in chunk
+    walking, alignment, or endianness flips the hash.
+
+    Scale: two chained Arrow ``mapInPandas`` passes, both narrow."""
+    from ..operators.multimodal import attach_wav_payload, decode_wav_metadata
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_wav_metadata(attach_wav_payload(docs))
+
+
+QUERIES["multimodal_decode_wav"] = multimodal_decode_wav
+
+ORACLE["multimodal_decode_wav"] = """
+    WITH d AS (SELECT doc_id, text, len(text) AS nc FROM documents),
+    s AS (
+        SELECT doc_id, nc,
+            CASE nc % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 ELSE 44100 END AS rate,
+            list_transform(generate_series(1, nc),
+                i -> abs((ord(substr(text, i, 1)) % 256) * 257 - 32768)
+            ) AS a
+        FROM d
+    )
+    SELECT doc_id, rate::BIGINT AS sample_rate, nc::BIGINT AS n_samples,
+           (nc * 1000000 // rate)::BIGINT AS duration_us,
+           list_sum(a)::BIGINT AS sum_abs,
+           list_max(a)::BIGINT AS peak
+    FROM s
+"""

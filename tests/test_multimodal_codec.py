@@ -72,3 +72,68 @@ def test_rejects_non_bmp_and_unsupported():
     good[28] = 8  # biBitCount = 8
     with pytest.raises(ValueError):
         decode_bmp(bytes(good))
+
+
+def test_wav_round_trip_matches_sample_formula():
+    from beam_scala_examples_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    text = "Sphinx of black quartz, judge my vow"
+    samples = [((ord(c) % 256) * 257) - 32768 for c in text]
+    got = decode_wav(encode_wav(11, text))
+    rate = (8000, 16000, 44100)[len(text) % 3]
+    assert got == {
+        "sample_rate": rate,
+        "n_samples": len(text),
+        "duration_us": len(text) * 1_000_000 // rate,
+        "sum_abs": sum(abs(s) for s in samples),
+        "peak": max(abs(s) for s in samples),
+    }
+
+
+def test_wav_skips_unknown_chunks_and_honours_alignment():
+    """A LIST chunk with an ODD size before fmt/data: a decoder that
+    forgets RIFF word alignment walks into garbage."""
+    import struct
+
+    from beam_scala_examples_spark.operators.multimodal import decode_wav
+
+    data = struct.pack("<3h", 100, -200, 300)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    odd_junk = b"junk!"  # size 5 -> pad byte required
+    chunks = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", len(odd_junk)) + odd_junk + b"\x00"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    got = decode_wav(payload)
+    assert got == {
+        "sample_rate": 8000,
+        "n_samples": 3,
+        "duration_us": 375,
+        "sum_abs": 600,
+        "peak": 300,
+    }
+
+
+def test_wav_rejects_non_wav_and_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from beam_scala_examples_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS\x00\x00\x00\x00nonsense")
+    good = bytearray(encode_wav(1, "xyz"))
+    # stereo: channels field is 2 bytes at offset 12+8+2 = 22
+    struct.pack_into("<H", good, 22, 2)
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(good))

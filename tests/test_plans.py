@@ -634,3 +634,12 @@ def test_multimodal_bmp_decode_is_narrow(plans):
     assert "Exchange" not in p
     assert p.count("MapInPandas") >= 2
     assert "BatchEvalPython" not in p
+
+
+def test_multimodal_wav_decode_is_narrow(plans):
+    """multimodal_decode_wav: render + real RIFF parse are two chained
+    Arrow mapInPandas passes — no exchange, no row-Python."""
+    p = plans("multimodal_decode_wav")
+    assert "Exchange" not in p
+    assert p.count("MapInPandas") >= 2
+    assert "BatchEvalPython" not in p
