@@ -71,6 +71,15 @@ SHOWCASE = {
     "q20_join_default_cogroup": "CoGBK twin: bucketed cogroup — 256 Arrow calls, not one per key",
     "sim_ivf_probe_sweep": "one ranked candidate relation (checkpointed) feeds every probe budget",
     "dq_k_anonymity": "one QI hash aggregate; 1-row risk share broadcast back onto the report",
+    "data_pack_sequences": (
+        "sharded prefix sum: data-row window partitions on (source,"
+        " __prefix_shard); carry window sorts O(shards) totals, never rows"
+    ),
+    "data_mixture_order": "sharded row_number (hash-range shards) + broadcast weight join",
+    "multimodal_decode_bmp": "render + REAL BMP parse: two Arrow mapInPandas, zero exchanges",
+    "multimodal_decode_wav": "render + REAL RIFF walk: two Arrow mapInPandas, zero exchanges",
+    "text_gopher_filter_full": "full 8-family rule chain; construction + parse in one codegen pass",
+    "sim_pq_rerank_sweep": "one ADC ranking + one max-budget exact pass feed every budget",
 }
 
 
