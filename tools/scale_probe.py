@@ -240,8 +240,107 @@ def whale_probe(spark, sf_dir: str, factor: int = 64,
     return out
 
 
+def carry_probe(spark, sf_dir: str, factor: int = 128,
+                span: int = 8192) -> dict:
+    """Measured effect of the sharded prefix sum (VERDICT r03 item 1)
+    on a planted whale SOURCE: builds a ``factor``x documents relation
+    where 90% of rows share one source, then times the per-source
+    running sum both ways:
+
+     - naive: ``Window.partitionBy(source).orderBy(doc_id)`` — the
+       whale source's entire history sorts in ONE task (the shape the
+       round-3 packers shipped);
+     - sharded: ``operators/carry.py::sharded_prefix_sum`` with
+       ``doc_id div span`` range shards — per-task sorts bounded by
+       ``span`` rows, per-shard totals carried back.
+
+    Equality of the two answers is asserted here (and pinned by
+    tests/test_carry.py); this probe prices the straggler."""
+    from beam_scala_examples_spark.operators.carry import (
+        sharded_prefix_sum,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    span_id = docs.agg(F.max("doc_id").alias("m")).collect()[0].m + 1
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(k * span_id)).alias("doc_id"),
+            "source", "n_chars",
+        )
+        for k in range(factor)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    whale = big.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 != 0, F.lit("whale"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        "n_chars",
+    )
+    d = os.path.join(BASE, "carry")
+    shutil.rmtree(d, ignore_errors=True)
+    whale.write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    df = spark.read.parquet(os.path.join(d, "documents.parquet"))
+
+    def timed(fn) -> float:
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def naive():
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return df.withColumn(
+            "cum", F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+        )
+
+    def sharded():
+        return sharded_prefix_sum(
+            df,
+            part="source",
+            order=["doc_id"],
+            shard=F.expr(f"doc_id div {span}"),
+            val="n_chars",
+            out="cum",
+        )
+
+    out: dict = {"rows": df.count(), "whale_pct": 90, "span": span}
+    diff = naive().exceptAll(sharded().select(*naive().columns)).count()
+    assert diff == 0, f"carry probe answers diverged: {diff} rows"
+    out["window_naive"] = timed(naive)
+    out["window_sharded"] = timed(sharded)
+    out["speedup"] = round(out["window_naive"] / out["window_sharded"], 2)
+    for k, v in out.items():
+        print(f"carry {k}: {v}", flush=True)
+    return out
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--whale"]
+    args = [a for a in sys.argv[1:] if a not in ("--whale", "--carry")]
+    if "--carry" in sys.argv[1:]:
+        sf_dir = args[0] if args else "/root/testdata/sf0.1"
+        out_json = args[1] if len(args) > 1 else "/tmp/carry_probe.json"
+        spark = get_spark(app_name="carry-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        res = carry_probe(spark, sf_dir)
+        with open(out_json, "w") as f:
+            json.dump(res, f, indent=1)
+        spark.stop()
+        return
     if "--whale" in sys.argv[1:]:
         sf_dir = args[0] if args else "/root/testdata/sf0.1"
         out_json = args[1] if len(args) > 1 else "/tmp/whale_probe.json"
