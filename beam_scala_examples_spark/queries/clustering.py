@@ -2406,3 +2406,179 @@ def _pq_rerank_sweep_oracle() -> str:
 
 
 ORACLE["sim_pq_rerank_sweep"] = _pq_rerank_sweep_oracle()
+
+
+def sim_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF-pruned cosine radius search: the range twin of
+    ``sim_ivf_trained_topk`` — exact cosine + SIM_RANGE_TAU threshold
+    applied only inside each query's IVF_TR_NPROBE nearest trained
+    cells.  Completes the range API with the production pruner: the
+    sign-LSH variant covers only ~10-20% of the radius set on this
+    corpus (``sim_range_recall``), while trained cells concentrate the
+    radius neighbors the same way they concentrate the top-k ones
+    (``sim_range_recall_ivf`` measures it).
+
+    Plan shape: identical to the trained top-k — bounded centroids
+    broadcast, one Arrow assignment pass, candidates = assignment ⋈
+    broadcast probes — minus the rank: the radius predicate replaces
+    top-k entirely, so nothing windows."""
+    from .llmdata import (
+        N_QUERY_VECS,
+        SIM_RANGE_TAU,
+        _SPARK_DOT,
+    )
+
+    prev = _KM_CACHE.pop("ivfrange", None)
+    if prev is not None:
+        prev.unpersist()
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
+    _KM_CACHE["ivfrange"] = emb
+    cents = _trained("kmeans", sf_dir, _kmeans_train, emb)
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    assign = _assign(emb, cents).select(
+        "vec_id", "cluster", "embedding", norm.alias("nrm")
+    )
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "cluster bigint, c array<double>",
+    )
+    qdf = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm.alias("qnorm"),
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(qe, c,"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    from ..operators.topk import top_k_per_key
+
+    probes = top_k_per_key(
+        qdf.crossJoin(F.broadcast(cdf)).select(
+            "qid", "qe", "qnorm", "cluster", l2.alias("d2")
+        ),
+        ["qid"],
+        [F.asc("d2"), F.asc("cluster")],
+        IVF_TR_NPROBE,
+    ).select("qid", "qe", "qnorm", "cluster")
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    return (
+        assign.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(SIM_RANGE_TAU))
+        .select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def sim_range_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius coverage of the trained-IVF range search vs the exact
+    radius set — the number that picks the pruner for range queries."""
+    from .llmdata import sim_range_search
+
+    truth = sim_range_search(spark, sf_dir).groupBy("qid").agg(
+        F.count("*").alias("n_true")
+    )
+    found = sim_range_search_ivf(spark, sf_dir).groupBy("qid").agg(
+        F.count("*").alias("n_found")
+    )
+    return truth.join(found, "qid", "left").select(
+        "qid",
+        "n_true",
+        F.coalesce(F.col("n_found"), F.lit(0)).alias("n_found"),
+        F.expr(
+            "(coalesce(n_found, 0) * 10000) div n_true"
+        ).alias("coverage_bp"),
+    )
+
+
+QUERIES["sim_range_search_ivf"] = sim_range_search_ivf
+QUERIES["sim_range_recall_ivf"] = sim_range_recall_ivf
+
+
+def _ivf_range_oracle() -> str:
+    from .llmdata import N_QUERY_VECS, SIM_RANGE_TAU, _duck_dot
+
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (e.embedding[i]::DOUBLE - c.c[i])"
+        " * (e.embedding[i]::DOUBLE - c.c[i])))"
+    )
+    qdist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (q.qe[i]::DOUBLE - c.c[i])"
+        " * (q.qe[i]::DOUBLE - c.c[i])))"
+    )
+    tail = f"""assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dist}, c.cluster) AS rn
+            FROM emb e CROSS JOIN c{KM_ITERS} c
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               {_duck_dot('embedding', 'embedding')} AS qnorm
+        FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ),
+    probe AS (
+        SELECT qid, cluster FROM (
+            SELECT q.qid, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {qdist}, c.cluster) AS rn
+            FROM q CROSS JOIN c{KM_ITERS} c
+        ) WHERE rn <= {IVF_TR_NPROBE}
+    ),
+    cand AS (
+        SELECT q.qid, a.vec_id,
+               {_duck_dot('q.qe', 'e.embedding')}
+                   / sqrt(q.qnorm
+                          * {_duck_dot('e.embedding', 'e.embedding')})
+                   AS cos
+        FROM assign a
+        JOIN probe p ON p.cluster = a.cluster
+        JOIN q ON q.qid = p.qid
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cosine
+    FROM cand WHERE cos >= {SIM_RANGE_TAU}::DOUBLE"""
+    return "WITH " + ",\n".join(_kmeans_ctes() + [tail])
+
+
+ORACLE["sim_range_search_ivf"] = _ivf_range_oracle()
+
+
+def _ivf_range_recall_oracle() -> str:
+    from .llmdata import ORACLE as _LLM_ORACLE
+
+    return f"""
+        WITH t AS (
+            SELECT qid, count(*)::BIGINT AS n_true
+            FROM ({_LLM_ORACLE["sim_range_search"]}) GROUP BY qid
+        ),
+        f AS (
+            SELECT qid, count(*)::BIGINT AS n_found
+            FROM ({ORACLE["sim_range_search_ivf"]}) GROUP BY qid
+        )
+        SELECT t.qid, t.n_true,
+               coalesce(f.n_found, 0)::BIGINT AS n_found,
+               (coalesce(f.n_found, 0) * 10000) // t.n_true AS coverage_bp
+        FROM t LEFT JOIN f ON t.qid = f.qid
+    """
+
+
+ORACLE["sim_range_recall_ivf"] = _ivf_range_recall_oracle()

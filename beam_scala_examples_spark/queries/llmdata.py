@@ -6582,3 +6582,198 @@ ORACLE["multimodal_decode_wav"] = """
            list_max(a)::BIGINT AS peak
     FROM s
 """
+
+
+# --------------------------------------------------------------------------
+# Round-4: cosine radius (range) search — the other half of the ANN API
+# --------------------------------------------------------------------------
+# Top-k answers "the k nearest"; range search answers "EVERYTHING within
+# distance tau" — the primitive behind semantic-dedup sweeps, near-dup
+# audits, and recall-guaranteed retrieval.  TAU = 0.25 sits at the ~99th
+# percentile of this corpus's query-to-corpus cosine distribution, so
+# the result set is small but never empty.  The threshold compare is
+# safe cross-engine because cos itself is the bit-identical left-to-
+# right fold both engines already share.
+
+SIM_RANGE_TAU = 0.25
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine radius search: every corpus vector with
+    cos(q, x) >= SIM_RANGE_TAU per query — the ground-truth harness for
+    the LSH-pruned variant (the range twin of ``sim_cosine_topk``).
+
+    Scale: broadcast queries, one corpus scan, no top-k rank at all —
+    output size is whatever the radius admits (the caller's contract),
+    and nothing shuffles but the qualifying rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    cand = emb.select("vec_id", "embedding", norm.alias("cnorm"))
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm.alias("qnorm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    return (
+        cand.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot / F.sqrt(F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(SIM_RANGE_TAU))
+        .select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def sim_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned radius search (the scale path): candidates are the
+    union of same-bucket mates across the ``LSH_TABLES`` multi-table
+    sign-LSH tables (the OR-construction ``sim_lsh_multi_topk`` uses),
+    exact cosine + threshold applied only to candidates.  A subset of
+    the exact answer by construction — ``sim_range_recall`` measures
+    how much of the radius the buckets cover.
+
+    Scale: same Σ|bucket|² candidate discipline as every LSH path;
+    vectors never ride the LSH shuffle (key-join recovery)."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+
+    def bucket(t: int):
+        return sum(
+            (
+                F.when(
+                    F.element_at("embedding", d) > 0, F.lit(1 << j)
+                ).otherwise(F.lit(0))
+                for j, d in enumerate(MULTI_LSH_DIMS[t])
+            ),
+            start=F.lit(0),
+        ).cast("long")
+
+    tabled = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tb"), bucket(t).alias("bucket"))
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.tb").alias("tb"), F.col("e.bucket").alias("bucket"))
+    q_tab = tabled.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), "tb", "bucket"
+    )
+    cand_ids = (
+        tabled.join(F.broadcast(q_tab), ["tb", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnorm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    return (
+        cand_ids.join(base, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(SIM_RANGE_TAU))
+        .select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def sim_range_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-coverage harness: per query with a non-empty exact radius
+    set, how much of it the LSH-pruned search returns (found is a
+    subset of true by construction, so this is pure coverage) — the
+    range twin of the ``sim_*_recall`` family.  O(radius rows)."""
+    truth = sim_range_search(spark, sf_dir).groupBy("qid").agg(
+        F.count("*").alias("n_true")
+    )
+    found = sim_range_search_lsh(spark, sf_dir).groupBy("qid").agg(
+        F.count("*").alias("n_found")
+    )
+    return truth.join(found, "qid", "left").select(
+        "qid",
+        "n_true",
+        F.coalesce(F.col("n_found"), F.lit(0)).alias("n_found"),
+        F.expr(
+            "(coalesce(n_found, 0) * 10000) div n_true"
+        ).alias("coverage_bp"),
+    )
+
+
+QUERIES["sim_range_search"] = sim_range_search
+QUERIES["sim_range_search_lsh"] = sim_range_search_lsh
+QUERIES["sim_range_recall"] = sim_range_recall
+
+_DUCK_RANGE_EXACT = f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               {_duck_dot('embedding', 'embedding')} AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qnorm
+          FROM base WHERE vec_id < {N_QUERY_VECS}),
+    pairs AS (
+        SELECT q.qid, b.vec_id,
+               {_duck_dot('q.qe', 'b.embedding')}
+                   / sqrt(q.qnorm * b.nrm) AS cos
+        FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cosine
+    FROM pairs WHERE cos >= {SIM_RANGE_TAU}::DOUBLE
+"""
+
+ORACLE["sim_range_search"] = _DUCK_RANGE_EXACT
+
+_DUCK_RANGE_LSH = f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               {_duck_dot('embedding', 'embedding')} AS nrm
+        FROM embeddings
+    ),
+    tabled AS ({_DUCK_MULTI_TABLES}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS qid, b.vec_id
+        FROM tabled q JOIN tabled b USING (tb, bucket)
+        WHERE q.vec_id < {N_QUERY_VECS} AND b.vec_id <> q.vec_id
+    ),
+    pairs AS (
+        SELECT c.qid, c.vec_id,
+               {_duck_dot('qb.embedding', 'b.embedding')}
+                   / sqrt(qb.nrm * b.nrm) AS cos
+        FROM cand c
+        JOIN base b ON b.vec_id = c.vec_id
+        JOIN base qb ON qb.vec_id = c.qid
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cosine
+    FROM pairs WHERE cos >= {SIM_RANGE_TAU}::DOUBLE
+"""
+
+ORACLE["sim_range_search_lsh"] = _DUCK_RANGE_LSH
+
+ORACLE["sim_range_recall"] = f"""
+    WITH t AS (
+        SELECT qid, count(*)::BIGINT AS n_true
+        FROM ({_DUCK_RANGE_EXACT}) GROUP BY qid
+    ),
+    f AS (
+        SELECT qid, count(*)::BIGINT AS n_found
+        FROM ({_DUCK_RANGE_LSH}) GROUP BY qid
+    )
+    SELECT t.qid, t.n_true,
+           coalesce(f.n_found, 0)::BIGINT AS n_found,
+           (coalesce(f.n_found, 0) * 10000) // t.n_true AS coverage_bp
+    FROM t LEFT JOIN f ON t.qid = f.qid
+"""
