@@ -605,3 +605,55 @@ def test_component_split_has_zero_neardup_leakage(spark, sf_dir):
 
     assert crossing(data_split_by_component(spark, sf_dir)) == 0
     assert crossing(data_split_assign(spark, sf_dir)) > 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 500),    # ordering key (dups allowed -> ties)
+            st.integers(0, 3),      # partition
+            st.integers(-5, 20),    # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    span=st.integers(1, 64),
+)
+@settings(**SETTINGS)
+def test_sharded_prefix_sum_property(spark, rows, span):
+    """operators/carry.py vs a pure-Python running sum, under random
+    keys (including duplicate order keys within a shard), random skew,
+    and random shard spans.  Duplicate (part, key) pairs are summed
+    identically by both (window ROWS frames see them in storage order,
+    so we disambiguate with a unique tiebreak column the way every
+    production caller does)."""
+    from beam_scala_examples_spark.operators.carry import (
+        sharded_prefix_sum,
+    )
+
+    data = [(i, k, p, v) for i, (k, p, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "uid bigint, k bigint, part bigint, v bigint"
+    )
+    got = {
+        r.uid: r.cum
+        for r in sharded_prefix_sum(
+            df,
+            part="part",
+            order=["k", "uid"],
+            shard=F.expr(f"k div {span}"),
+            val="v",
+            out="cum",
+        ).collect()
+    }
+    # pure-Python reference: strict prefix sum in (k, uid) order per part
+    by_part: dict = {}
+    for uid, k, p, v in data:
+        by_part.setdefault(p, []).append((k, uid, v))
+    expect = {}
+    for p, lst in by_part.items():
+        acc = 0
+        for k, uid, v in sorted(lst):
+            expect[uid] = acc
+            acc += v
+    assert got == expect
