@@ -1932,3 +1932,64 @@ def test_ivf_ingest_replay_idempotent(spark, sf_dir, tmpdir):
     sink(mk(rows[200:]), 1)  # replay
     twice = sorted(tuple(r) for r in sink.topk_view(spark).collect())
     assert once == twice
+
+
+def test_range_watch_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming semantic watch (streaming/rangewatch.py): feeding the
+    embeddings in chunks against a frozen watch set (the batch query's
+    query vectors), the accumulated hit log must equal the batch
+    sim_range_search relation exactly."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        N_QUERY_VECS,
+        sim_range_search,
+    )
+    from beam_scala_examples_spark.streaming.rangewatch import RangeWatchSink
+    from beam_scala_examples_spark.tables import load
+
+    watch = [
+        (r.vec_id, list(r.embedding))
+        for r in load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERY_VECS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    sink = RangeWatchSink(f"{tmpdir}/watch_hits", watch)
+    rows = _vec_rows(spark, sf_dir)
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<float>"
+    )
+    third = len(rows) // 3
+    sink(mk(rows[:third]), 0)
+    sink(mk(rows[third : 2 * third]), 1)
+    sink(mk(rows[2 * third :]), 2)
+
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in sim_range_search(spark, sf_dir).collect()
+    )
+    assert got == expect
+    assert len(got) > 0  # the radius is non-empty on this corpus
+
+
+def test_range_watch_replay_idempotent(spark, sf_dir, tmpdir):
+    from beam_scala_examples_spark.queries.llmdata import N_QUERY_VECS
+    from beam_scala_examples_spark.streaming.rangewatch import RangeWatchSink
+    from beam_scala_examples_spark.tables import load
+
+    watch = [
+        (r.vec_id, list(r.embedding))
+        for r in load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERY_VECS)
+        .collect()
+    ]
+    sink = RangeWatchSink(f"{tmpdir}/watch_hits", watch)
+    rows = _vec_rows(spark, sf_dir)
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<float>"
+    )
+    sink(mk(rows[:200]), 0)
+    sink(mk(rows[200:]), 1)
+    once = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    sink(mk(rows[200:]), 1)  # replay
+    twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    assert once == twice
