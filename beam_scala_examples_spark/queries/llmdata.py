@@ -6777,3 +6777,48 @@ ORACLE["sim_range_recall"] = f"""
            (coalesce(f.n_found, 0) * 10000) // t.n_true AS coverage_bp
     FROM t LEFT JOIN f ON t.qid = f.qid
 """
+
+
+CURRICULUM_PHASES = 4
+
+
+def data_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: documents are phased best-first by
+    their WITHIN-SOURCE quality percentile (``text_quality_normalized``
+    — cross-source calibrated, so no source dominates a phase), then
+    hash-shuffled within each phase.  Readers consuming by ``order_key``
+    see ``CURRICULUM_PHASES`` anneal stages — highest-quality quartile
+    first — each internally well-mixed; the quality-curriculum
+    companion to ``data_mixture_order``'s temperature interleave.
+
+    Key construction is exact integers: phase = (10000 - pct_bp) *
+    CURRICULUM_PHASES div 10001 (best percentile -> phase 0), order_key
+    = phase * 2^32 + md5-hash(doc_id) — no RNG, no window beyond the
+    percentile's per-source histogram ECDF.  Map-only after the
+    percentile computation; readers range-partition on the key, the
+    engine never globally sorts."""
+    pct = text_quality_normalized(spark, sf_dir)
+    h = F.expr(_SPARK_H.format(col="cast(doc_id as string)"))
+    phase = F.expr(
+        f"((10000 - quality_pct_bp) * {CURRICULUM_PHASES}) div 10001"
+    )
+    return pct.select(
+        "doc_id",
+        "source",
+        phase.cast("long").alias("phase"),
+        (phase * F.lit(1 << 32) + h).cast("long").alias("order_key"),
+    )
+
+
+QUERIES["data_curriculum_order"] = data_curriculum_order
+
+ORACLE["data_curriculum_order"] = f"""
+    WITH pct AS ({ORACLE["text_quality_normalized"]})
+    SELECT doc_id, source,
+           (((10000 - quality_pct_bp) * {CURRICULUM_PHASES}) // 10001)::BIGINT
+               AS phase,
+           ((((10000 - quality_pct_bp) * {CURRICULUM_PHASES}) // 10001)
+                * 4294967296
+            + {_DUCK_H.format(col='doc_id::VARCHAR')})::BIGINT AS order_key
+    FROM pct
+"""
