@@ -6822,3 +6822,128 @@ ORACLE["data_curriculum_order"] = f"""
             + {_DUCK_H.format(col='doc_id::VARCHAR')})::BIGINT AS order_key
     FROM pct
 """
+
+
+def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement (Cohen's kappa) between the
+    language-ID heuristic and the labeled ``lang`` column — the
+    single-number companion to ``text_langid_confusion``'s cell table
+    (raw agreement flatters a classifier on a skewed label mix; kappa
+    subtracts the agreement the marginals alone would produce).
+
+    Exactness: p_o and p_e stay exact integers via cross-multiplication
+    (n_agree * N and Σ_c rowsum_c * colsum_c over N²); the single final
+    division is one IEEE op rounded once, identical on both engines.
+    Scale: everything derives from the O(langs²) confusion aggregate."""
+    pred = text_language_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    truth = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    cells = (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    totals = cells.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("predicted_lang"), F.col("n"))
+              .otherwise(0)).alias("n_agree"),
+    )
+    rows_ = cells.groupBy("lang").agg(F.sum("n").alias("row_n"))
+    cols_ = cells.groupBy("predicted_lang").agg(F.sum("n").alias("col_n"))
+    pe = (
+        rows_.join(
+            cols_, rows_["lang"] == cols_["predicted_lang"], "inner"
+        )
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).alias("pe_num"))
+    )
+    return totals.crossJoin(pe).select(
+        "n_docs",
+        "n_agree",
+        F.expr("(n_agree * 10000) div n_docs").alias("agree_bp"),
+        F.round(
+            (F.col("n_agree") * F.col("n_docs") - F.coalesce("pe_num", F.lit(0)))
+            * 1.0
+            / (F.col("n_docs") * F.col("n_docs") - F.coalesce("pe_num", F.lit(0))),
+            6,
+        ).alias("kappa"),
+    )
+
+
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the quality score: documents bucketed into
+    percentile deciles (``text_quality_normalized`` — within-source
+    calibrated), each decile reporting its Gopher keep rate — does the
+    score RANK-ORDER filter survival, the check behind using the score
+    as a sampling weight or curriculum key.
+
+    Exact integers end to end (decile = pct_bp div 1000 capped at 9,
+    keep rate in bp); O(10) output rows from one doc_id join of two
+    relations the engine already computes."""
+    pct = text_quality_normalized(spark, sf_dir).select(
+        "doc_id", F.least(F.expr("quality_pct_bp div 1000"), F.lit(9))
+        .cast("long").alias("decile")
+    )
+    keep = text_gopher_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("k")
+    )
+    return (
+        pct.join(keep, "doc_id")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("k").alias("n_keep"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_keep",
+            F.expr("(n_keep * 10000) div n_docs").alias("keep_bp"),
+        )
+    )
+
+
+QUERIES["text_langid_kappa"] = text_langid_kappa
+QUERIES["text_quality_calibration"] = text_quality_calibration
+
+ORACLE["text_langid_kappa"] = f"""
+    WITH p AS ({ORACLE["text_language_id"]}),
+    cells AS (
+        SELECT d.lang, p.predicted_lang, count(*)::BIGINT AS n
+        FROM documents d JOIN p USING (doc_id)
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT sum(n)::BIGINT AS n_docs,
+               sum(CASE WHEN lang = predicted_lang THEN n ELSE 0 END)::BIGINT
+                   AS n_agree
+        FROM cells
+    ),
+    r AS (SELECT lang, sum(n)::BIGINT AS row_n FROM cells GROUP BY 1),
+    c AS (SELECT predicted_lang, sum(n)::BIGINT AS col_n
+          FROM cells GROUP BY 1),
+    pe AS (
+        SELECT sum(row_n * col_n)::BIGINT AS pe_num
+        FROM r JOIN c ON r.lang = c.predicted_lang
+    )
+    SELECT n_docs, n_agree,
+           (n_agree * 10000) // n_docs AS agree_bp,
+           round((n_agree * n_docs - coalesce(pe_num, 0)) * 1.0
+                 / (n_docs * n_docs - coalesce(pe_num, 0)), 6) AS kappa
+    FROM t CROSS JOIN pe
+"""
+
+ORACLE["text_quality_calibration"] = f"""
+    WITH pct AS ({ORACLE["text_quality_normalized"]}),
+    keep AS (
+        SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS k
+        FROM ({_GOPHER_FILTER_ORACLE})
+    ),
+    b AS (
+        SELECT least(quality_pct_bp // 1000, 9)::BIGINT AS decile, k
+        FROM pct JOIN keep USING (doc_id)
+    )
+    SELECT decile, count(*)::BIGINT AS n_docs,
+           sum(k)::BIGINT AS n_keep,
+           (sum(k) * 10000) // count(*) AS keep_bp
+    FROM b GROUP BY 1
+"""
