@@ -643,3 +643,24 @@ def test_multimodal_wav_decode_is_narrow(plans):
     assert "Exchange" not in p
     assert p.count("MapInPandas") >= 2
     assert "BatchEvalPython" not in p
+
+
+def test_range_search_is_windowless_broadcast_scan(plans):
+    """sim_range_search: the radius predicate replaces top-k entirely —
+    no Window anywhere; the query set broadcasts into the corpus scan
+    (BroadcastNestedLoopJoin is the sanctioned broadcast-queries shape,
+    same as sim_cosine_topk)."""
+    p = plans("sim_range_search")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_range_search_ivf_prunes_on_cells(plans):
+    """sim_range_search_ivf: candidates come from a BroadcastHashJoin on
+    the probed cell id (the inverted-list restriction); the only window
+    is the probe ranking over the bounded queries x centroids relation."""
+    p = plans("sim_range_search_ivf")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
