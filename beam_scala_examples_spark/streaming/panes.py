@@ -288,3 +288,213 @@ def compact_delta_log(sink: DeltaPaneSink, spark, upto_batch: int) -> None:
         bid = int(entry.split("=", 1)[1])
         if 0 <= bid <= upto_batch:
             _shutil.rmtree(_os.path.join(sink.path, entry))
+
+
+class SequentialPaneSink:
+    """Batch-quantized ``AfterEach.inOrder`` emulation (X7,
+    ``TriggerExample.scala:272-295``): Beam's sequential trigger — early
+    processing-time firings until the watermark passes the window end,
+    one ON_TIME firing at passage, then THROTTLED late firings — over
+    Spark update-mode accumulating refinements.
+
+    Mechanism (log-as-state, the house registry discipline):
+
+     - every update-mode refinement is STAGED first (batch_id-partitioned
+       ``staged`` log, stamped with its processing time from an
+       injectable ``clock``);
+     - at each batch, dueness is evaluated over what was staged BEFORE
+       this batch (processing-time timers fire between arrivals in Beam;
+       the batch boundary is where the emulation quantizes them):
+       phase 1 (watermark below window end) fires a pane when
+       ``early_delay_s`` has elapsed since the pane's first staged
+       refinement; watermark passage fires the pending refinement as the
+       single ON_TIME pane (the ``orFinally``); after that, phase 2
+       fires pending refinements only once ``late_delay_s`` has elapsed
+       since the pane's first one — so several late arrivals batch into
+       ONE LATE pane, the behavior that distinguishes X7 from the X4
+       composite;
+     - a firing emits the pane's LATEST staged (accumulated) value and
+       is logged to the batch_id-partitioned ``panes`` log with its
+       timing label; "consumed" is derived, not stored: pending =
+       staged rows with ``batch_id >= `` the key's last emission batch.
+
+    Replay safety: both logs partition by batch_id with dynamic
+    partition overwrite and every read for batch b excludes partition b
+    (staged) / uses only earlier partitions, so a replayed batch
+    re-derives exactly the emissions it owned — deterministic when
+    ``clock`` is injected (tests); with the wall-clock default a replay
+    may time differently, the same caveat Beam's own processing-time
+    triggers carry.
+
+    Approximation stated plainly: triggers are evaluated at batch
+    boundaries, so a pane due between batches fires at the next batch
+    with everything staged by then.  Beam makes no atomicity promise for
+    processing-time triggers either; the quantization is the documented
+    gap.  With this sink the reference's literal sequential pane table
+    (EARLY 80|2, 100|3, 260|6; ON_TIME 320|7; LATE 430|10) is
+    reproduced in one run — see the regime-4 sequential test.
+
+    Scale: per batch, one aggregate over each log keyed on the pane key
+    (O(panes), not O(events) — update batches carry pre-aggregated
+    rows) and one write per log; with Delta/Iceberg both appends become
+    MERGEs.
+    """
+
+    def __init__(
+        self,
+        base_path: str,
+        win_end_col: str,
+        key_cols: tuple[str, ...],
+        value_cols: tuple[str, ...],
+        *,
+        early_delay_s: float = 60.0,
+        late_delay_s: float = 300.0,
+        clock=None,
+        watermark_fn=None,
+    ):
+        import time as _time
+
+        self.staged_path = f"{base_path}/seq_staged"
+        self.panes_path = f"{base_path}/seq_panes"
+        self.win_end_col = win_end_col
+        self.key_cols = list(key_cols)
+        self.value_cols = list(value_cols)
+        self.early_delay_s = float(early_delay_s)
+        self.late_delay_s = float(late_delay_s)
+        self.clock = clock if clock is not None else (
+            lambda _bid: _time.time()
+        )
+        # Beam's watermark is decoupled from Spark's: the reference's
+        # 1-day allowed lateness keeps Spark's own watermark (and state
+        # eviction) far behind while the BEAM watermark passes the
+        # window end.  Production attaches the query; tests (and
+        # pipelines that track a domain watermark) inject
+        # ``watermark_fn(batch_id) -> timestamp-string | None``.
+        self.watermark_fn = watermark_fn
+        self.query = None
+
+    def attach(self, query) -> "SequentialPaneSink":
+        """Attach the running query so the per-batch watermark can be
+        read from ``lastProgress`` (one batch behind by construction —
+        the same lag PaneTagger documents)."""
+        self.query = query
+        return self
+
+    def _watermark(self, batch_id: int) -> str | None:
+        if self.watermark_fn is not None:
+            return self.watermark_fn(batch_id)
+        if self.query is not None and self.query.lastProgress:
+            return (self.query.lastProgress.get("eventTime") or {}).get(
+                "watermark"
+            )
+        return None
+
+    def _read(self, spark, path: str, exclude_batch: int) -> DataFrame | None:
+        try:
+            log = spark.read.parquet(path)
+        except AnalysisException:
+            return None
+        return log.filter(F.col("batch_id") != exclude_batch)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bid = int(batch_id)
+        now = float(self.clock(bid))
+        wm = self._watermark(bid)
+        keys = [self.win_end_col, *self.key_cols]
+
+        # 1. dueness over what was staged BEFORE this batch
+        staged = self._read(spark, self.staged_path, bid)
+        emitted = self._read(spark, self.panes_path, bid)
+        emissions = None
+        if staged is not None:
+            if emitted is not None:
+                state = emitted.groupBy(*keys).agg(
+                    F.max("batch_id").alias("__last_emit"),
+                    F.max(
+                        F.when(F.col("timing") != "EARLY", True)
+                    ).alias("__has_on_time"),
+                )
+                pend = staged.join(state, keys, "left").filter(
+                    F.col("batch_id")
+                    >= F.coalesce(F.col("__last_emit"), F.lit(-1))
+                )
+            else:
+                pend = (
+                    staged.withColumn("__last_emit", F.lit(None))
+                    .withColumn("__has_on_time", F.lit(None))
+                )
+            pending = pend.groupBy(*keys).agg(
+                F.min("staged_at").alias("__first_at"),
+                F.max_by(
+                    F.struct(*self.value_cols), F.col("batch_id")
+                ).alias("__latest"),
+                F.coalesce(F.max("__has_on_time"), F.lit(False)).alias(
+                    "__has_on_time"
+                ),
+            )
+            wm_passed = (
+                (F.col(self.win_end_col) <= F.lit(wm).cast("timestamp"))
+                if wm is not None
+                else F.lit(False)
+            )
+            timing = (
+                F.when(
+                    wm_passed & ~F.col("__has_on_time"), F.lit("ON_TIME")
+                )
+                .when(
+                    wm_passed
+                    & F.col("__has_on_time")
+                    & (F.lit(now) >= F.col("__first_at") + self.late_delay_s),
+                    F.lit("LATE"),
+                )
+                .when(
+                    ~wm_passed
+                    & (
+                        F.lit(now)
+                        >= F.col("__first_at") + self.early_delay_s
+                    ),
+                    F.lit("EARLY"),
+                )
+                .otherwise(F.lit(None))
+            )
+            emissions = (
+                pending.withColumn("timing", timing)
+                .filter(F.col("timing").isNotNull())
+                .select(
+                    *keys,
+                    *[
+                        F.col("__latest").getField(c).alias(c)
+                        for c in self.value_cols
+                    ],
+                    "timing",
+                )
+                .localCheckpoint(eager=True)  # reads the path it rewrites
+            )
+            if not emissions.take(1):
+                emissions = None
+        if emissions is not None:
+            (
+                emissions.withColumn("batch_id", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(self.panes_path)
+            )
+
+        # 2. stage this batch's refinements for the NEXT firing
+        contrib = batch_df.select(*keys, *self.value_cols).withColumn(
+            "staged_at", F.lit(now)
+        )
+        (
+            contrib.withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.staged_path)
+        )
+
+    def panes(self, spark) -> DataFrame:
+        """Emitted panes with timing labels, ordered by batch_id within
+        a key — the sequential-trigger pane table."""
+        return spark.read.parquet(self.panes_path)

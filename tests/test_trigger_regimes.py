@@ -19,8 +19,12 @@ Documented deviations (SURVEY §7.4):
  - X3: Spark update-mode emissions carry no watermark-relative label
    (all speculative); Beam's EARLY→LATE flip at the watermark is pinned
    via the emission sequence instead (regime 3).
- - X7 sequential trigger phases: not expressible; regime 4 pins the
-   EARLY prefix, the ON_TIME pane, and the final LATE value separately.
+ - X7 sequential trigger phases: not expressible NATIVELY; regime 4
+   pins the EARLY prefix, the ON_TIME pane, and the final LATE value
+   separately, and — closing the emission gap the same way DeltaPaneSink
+   closed X8 — ``streaming/panes.py::SequentialPaneSink`` (batch-
+   quantized AfterEach.inOrder) reproduces the reference's literal
+   sequential pane table in ONE run (sequential-sink test below).
 """
 
 from __future__ import annotations
@@ -305,3 +309,120 @@ def test_delta_log_compaction_preserves_semantics(spark, tmpdir):  # noqa: F811
         (r.batch_id, r.v)
         for r in spark.read.parquet(f"{tmpdir}/delta_panes").collect()
     ) == rows
+
+
+def test_regime4_sequential_sink_reproduces_literal_pane_table(
+    spark, tmpdir  # noqa: F811
+):
+    """X7 closed for emission: the SequentialPaneSink (batch-quantized
+    AfterEach.inOrder) reproduces the reference's LITERAL sequential
+    pane table (TriggerExample.scala:262-269) in ONE run:
+        EARLY 80|2, 100|3, 260|6; ON_TIME 320|7; LATE 430|10.
+    The three phases come from the sink's trigger emulation itself —
+    early firings 60 s after each pane's first refinement, the single
+    ON_TIME at (Beam-)watermark passage with el5 aboard, and the late
+    throttle batching els 3/6/10 into ONE pane — not from piecewise
+    assertions across separate runs.  Spark runs with the reference's
+    1-day allowed lateness (state kept, late data admitted); the Beam
+    watermark passing 10:30 between el5 and el3 is injected, exactly
+    the decoupling the reference's scenario has."""
+    from beam_scala_examples_spark.streaming.panes import SequentialPaneSink
+
+    groups = [
+        [_ev(1), _ev(2)],          # b0: pane starts              t=0
+        [_ev(4)],                  # b1: fires EARLY 80|2         t=60
+        [_ev(7), _ev(8), _ev(9)],  # b2: fires EARLY 100|3        t=120
+        [_ev(5)],                  # b3: fires EARLY 260|6        t=180
+        [_ev(3)],                  # b4: wm passed -> ON_TIME 320|7 t=240
+        [_ev(6)],                  # b5: late staged              t=300
+        [_ev(10)],                 # b6: late staged              t=360
+        [_filler(99, "11:59:00")],  # b7: late throttle due -> LATE t=540
+    ]
+    sched = {0: 0, 1: 60, 2: 120, 3: 180, 4: 240, 5: 300, 6: 360, 7: 540}
+    clock = lambda bid: sched.get(bid, 540 + 60 * (bid - 7))
+    # Beam watermark passes the window end after el5 (arrival 11:03),
+    # before el3 (arrival 11:07) — the reference's own timeline.
+    wm = lambda bid: "2024-01-01T10:35:00.000Z" if bid >= 4 else None
+    write_arrival_groups(groups, f"{tmpdir}/feed")
+    stream = read_event_stream(spark, f"{tmpdir}/feed")
+    flow_with_end = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "30 minutes").alias("win"), "event_type")
+        .agg(F.sum("value").alias("total_flow"),
+             F.count("*").alias("n_records"))
+        .select(
+            F.col("win.end").alias("win_end"),
+            F.col("event_type").alias("freeway"),
+            "total_flow",
+            "n_records",
+        )
+    )
+    sink = SequentialPaneSink(
+        str(tmpdir),
+        win_end_col="win_end",
+        key_cols=("freeway",),
+        value_cols=("total_flow", "n_records"),
+        early_delay_s=60,
+        late_delay_s=300,
+        clock=clock,
+        watermark_fn=wm,
+    )
+    (
+        flow_with_end.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    rows = (
+        sink.panes(spark)
+        .filter(F.col("freeway") == "5")
+        .orderBy("batch_id")
+        .collect()
+    )
+    assert [(r.total_flow, r.n_records, r.timing) for r in rows] == [
+        (80.0, 2, "EARLY"),
+        (100.0, 3, "EARLY"),
+        (260.0, 6, "EARLY"),
+        (320.0, 7, "ON_TIME"),
+        (430.0, 10, "LATE"),
+    ]
+
+
+def test_sequential_sink_replay_idempotent(spark, tmpdir):  # noqa: F811
+    """Replaying a micro-batch re-derives exactly the staged rows and
+    emissions it owned (both logs exclude the replayed partition on
+    read), so the pane table is unchanged — the house replay contract,
+    deterministic because the clock is injected."""
+    from datetime import datetime
+
+    from beam_scala_examples_spark.streaming.panes import SequentialPaneSink
+
+    sink = SequentialPaneSink(
+        str(tmpdir),
+        win_end_col="win_end",
+        key_cols=("k",),
+        value_cols=("v",),
+        early_delay_s=60,
+        late_delay_s=300,
+        clock=lambda bid: bid * 60.0,
+        watermark_fn=lambda bid: None,
+    )
+    end = datetime(2024, 1, 1, 10, 30)
+    mk = lambda v: spark.createDataFrame(
+        [(end, "a", v)], "win_end timestamp, k string, v long"
+    )
+    sink(mk(10), 0)
+    sink(mk(25), 1)   # fires EARLY 10, stages 25
+    sink(mk(40), 2)   # fires EARLY 25, stages 40
+    once = sorted(
+        tuple(r) for r in sink.panes(spark).collect()
+    )
+    sink(mk(40), 2)   # replay the latest batch
+    twice = sorted(
+        tuple(r) for r in sink.panes(spark).collect()
+    )
+    assert once == twice
+    timings = [r.timing for r in sink.panes(spark).collect()]
+    assert timings.count("EARLY") == 2
