@@ -6947,3 +6947,124 @@ ORACLE["text_quality_calibration"] = f"""
            (sum(k) * 10000) // count(*) AS keep_bp
     FROM b GROUP BY 1
 """
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization dedup (the C4 rung between exact and MinHash):
+    documents collapse on their CANONICAL form — lowercase, punctuation
+    stripped, whitespace runs collapsed — so trivial reformattings
+    ("Hello,  World!" vs "hello world") dedup without paying the
+    shingle pipeline.  Keeper = min doc_id per canonical md5; the
+    report also counts how many extra collapses normalization buys over
+    byte-exact dedup (``extra_over_exact`` — zero on THIS fixture,
+    whose generator never emits case/punctuation variants of the same
+    document; the column is the measurement, not a claim that variants
+    exist).
+
+    Scale: identical shape to ``dedup_exact`` — per-row canonicalize in
+    the scan stage, ONE hash shuffle on the slim md5 key with map-side
+    partial aggregation; never the text itself."""
+    docs = load(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", ""),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    base = docs.select("doc_id", "text", canon.alias("canon_md5"))
+    return (
+        base.groupBy("canon_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .select(
+            "canon_md5",
+            "n_copies",
+            "keep_doc_id",
+            (F.col("n_distinct_texts") - 1).alias("extra_over_exact"),
+        )
+    )
+
+
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level cross-document dedup (the RefinedWeb granularity, over
+    the structured corpus ``text_structured`` constructs): per document,
+    how many of its lines also appear verbatim in at least one OTHER
+    document — boilerplate headers/footers and copied list blocks that
+    doc- and chunk-level dedup both miss.  Exact integers + basis
+    points, the line-level sibling of ``dedup_chunk_dups``.
+
+    Scale: explode to (doc, line_md5) slim rows, one owner-count
+    aggregate with map-side combine, one join back on the md5 key, one
+    per-doc aggregate — never all-pairs, and the line text itself never
+    shuffles (md5 only)."""
+    st = text_structured(spark, sf_dir)
+    lines = st.select(
+        "doc_id",
+        F.explode(F.expr("split(struct_text, chr(10))")).alias("line"),
+    ).select("doc_id", F.md5("line").alias("line_md5"))
+    owners = lines.groupBy("line_md5").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = lines.join(owners, "line_md5").select(
+        "doc_id", (F.col("n_docs") >= 2).cast("long").alias("is_dup")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("is_dup").alias("n_dup_lines"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_dup_lines",
+            F.expr("(n_dup_lines * 10000) div n_lines").alias("dup_bp"),
+        )
+    )
+
+
+QUERIES["dedup_normalized"] = dedup_normalized
+QUERIES["text_line_dedup"] = text_line_dedup
+
+ORACLE["dedup_normalized"] = """
+    WITH b AS (
+        SELECT doc_id, text,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                   '\\s+', ' ', 'g'))) AS canon_md5
+        FROM documents
+    )
+    SELECT canon_md5,
+           count(*)::BIGINT AS n_copies,
+           min(doc_id)::BIGINT AS keep_doc_id,
+           (count(DISTINCT text) - 1)::BIGINT AS extra_over_exact
+    FROM b GROUP BY 1
+"""
+
+ORACLE["text_line_dedup"] = f"""
+    WITH {_STRUCTURED_CTE},
+    lines AS (
+        SELECT doc_id,
+               md5(unnest(string_split(struct_text, chr(10)))) AS line_md5
+        FROM structured
+    ),
+    owners AS (
+        SELECT line_md5, count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM lines GROUP BY 1
+    ),
+    flagged AS (
+        SELECT l.doc_id,
+               CASE WHEN o.n_docs >= 2 THEN 1 ELSE 0 END AS is_dup
+        FROM lines l JOIN owners o USING (line_md5)
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_lines,
+           sum(is_dup)::BIGINT AS n_dup_lines,
+           (sum(is_dup) * 10000) // count(*) AS dup_bp
+    FROM flagged GROUP BY 1
+"""
