@@ -7068,3 +7068,84 @@ ORACLE["text_line_dedup"] = f"""
            (sum(is_dup) * 10000) // count(*) AS dup_bp
     FROM flagged GROUP BY 1
 """
+
+
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): each
+    document lands in a perplexity tercile WITHIN ITS SOURCE — head =
+    the most-fluent third under the corpus LM (``text_lm_score``),
+    tail = the least — the stratification CCNet uses to keep head+middle
+    and drop (or down-sample) tail per domain.  Per-source terciles, not
+    global: a verbose domain's tail would otherwise swallow a terse
+    domain's head (the same argument as ``text_quality_normalized``).
+
+    Exactness: surprisal is fixed to integer micro-nats once, the
+    percentile is the per-source histogram ECDF in exact int64 counts,
+    and the tercile test is an integer cross-multiplication
+    (pct_bp * 3 <= 10000 / 20000).  Scale: windows run over the
+    per-source (source, score) HISTOGRAM, never data rows; one doc_id
+    join against the LM relation the pipeline already computes."""
+    scored = text_lm_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("lm_surprisal") * 1e6).cast("long").alias("s"),
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = scored.join(docs, "doc_id")
+    hist = j.groupBy("source", "s").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "source", "s", F.sum("cnt").over(w).cast("long").alias("cum")
+    )
+    totals = hist.groupBy("source").agg(F.sum("cnt").alias("n_src"))
+    pct = F.expr("(cum * 10000) div n_src")
+    return (
+        j.join(cum, ["source", "s"])
+        .join(totals, "source")
+        .select(
+            "doc_id",
+            "source",
+            pct.alias("ppl_pct_bp"),
+            F.when(pct * 3 <= 10000, F.lit("head"))
+            .when(pct * 3 <= 20000, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+QUERIES["text_ccnet_buckets"] = text_ccnet_buckets
+
+ORACLE["text_ccnet_buckets"] = f"""
+    WITH scored0 AS ({ORACLE["text_lm_score"]}),
+    j AS (
+        SELECT s0.doc_id, d.source,
+               round(s0.lm_surprisal * 1e6)::BIGINT AS s
+        FROM scored0 s0 JOIN documents d USING (doc_id)
+    ),
+    hist AS (
+        SELECT source, s, count(*)::BIGINT AS cnt FROM j GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT source, s,
+               sum(cnt) OVER (
+                   PARTITION BY source ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cum
+        FROM hist
+    ),
+    totals AS (
+        SELECT source, sum(cnt)::BIGINT AS n_src FROM hist GROUP BY 1
+    )
+    SELECT j.doc_id, j.source,
+           (cum * 10000 // n_src)::BIGINT AS ppl_pct_bp,
+           CASE WHEN (cum * 10000 // n_src) * 3 <= 10000 THEN 'head'
+                WHEN (cum * 10000 // n_src) * 3 <= 20000 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM j
+    JOIN cum ON j.source = cum.source AND j.s = cum.s
+    JOIN totals ON j.source = totals.source
+"""
