@@ -7149,3 +7149,102 @@ ORACLE["text_ccnet_buckets"] = f"""
     JOIN cum ON j.source = cum.source AND j.s = cum.s
     JOIN totals ON j.source = totals.source
 """
+
+
+SPAN_TOKENS = 10   # exact-substring span width (tokens), stride 1
+
+
+def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at span granularity (the practical form of
+    Lee et al. 2021's suffix-array dedup): every ``SPAN_TOKENS``-token
+    window at stride 1 is fingerprinted, and a document's spans that
+    appear verbatim in at least one OTHER document are counted — the
+    any-alignment copy detector that ``text_chunk``'s strided windows
+    miss (a copied paragraph straddling a chunk boundary hides from
+    chunk dedup; it cannot hide from stride-1 spans).  Documents
+    shorter than one span report zero spans.
+
+    Scale: the span relation is O(total tokens) slim (doc_id, md5)
+    rows — the same asymptotics as the shingle pipelines the engine
+    already runs — built entirely JVM-side (transform over a bounded
+    sequence + slice/array_join, no interpreted per-token lambda in the
+    hot aggregate); one owner-count aggregate with map-side combine and
+    one join back on the md5 key.  Never all-pairs; span text never
+    shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.expr(_SPARK_TOKS).alias("toks"),
+    ).select(
+        "doc_id",
+        # guard: Spark's sequence(a, b) counts DOWN when b < a, so a
+        # sub-span-length doc must short-circuit to an empty array
+        # rather than reach sequence(0, -1)
+        F.explode(
+            F.expr(
+                f"case when size(toks) >= {SPAN_TOKENS} then"
+                f" transform(sequence(cast(0 as bigint),"
+                f" cast(size(toks) as bigint) - {SPAN_TOKENS}),"
+                f" j -> md5(array_join(slice(toks, cast(j + 1 as int),"
+                f" {SPAN_TOKENS}), ' ')))"
+                f" else array() end"
+            )
+        ).alias("span_md5"),
+    )
+    owners = spans.groupBy("span_md5").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = spans.join(owners, "span_md5").select(
+        "doc_id", (F.col("n_docs") >= 2).cast("long").alias("is_dup")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("is_dup").alias("n_dup_spans"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.expr(
+            "(coalesce(n_dup_spans, 0) * 10000)"
+            " div greatest(coalesce(n_spans, 0), 1)"
+        ).alias("dup_bp"),
+    )
+
+
+QUERIES["dedup_span_pairs"] = dedup_span_pairs
+
+ORACLE["dedup_span_pairs"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   toks[(j + 1)::INT : (j + {SPAN_TOKENS})::INT], ' '
+               )) AS span_md5
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - {SPAN_TOKENS} + 1,
+                                            0))) AS j
+            FROM toks
+        )
+    ),
+    owners AS (
+        SELECT span_md5, count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM spans GROUP BY 1
+    ),
+    per_doc AS (
+        SELECT s.doc_id, count(*)::BIGINT AS n_spans,
+               sum(CASE WHEN o.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dup_spans
+        FROM spans s JOIN owners o USING (span_md5)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+           coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+           (coalesce(p.n_dup_spans, 0) * 10000)
+               // greatest(coalesce(p.n_spans, 0), 1) AS dup_bp
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
