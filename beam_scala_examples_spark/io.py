@@ -303,3 +303,67 @@ def table_diff(left: DataFrame, right: DataFrame,
     return lh.join(rh, key_cols, "full_outer").select(
         *key_cols, status.alias("status")
     )
+
+
+def write_manifest(spark: SparkSession, path: str,
+                   key_col: str | None = None) -> DataFrame:
+    """Dataset manifest for a written parquet directory: one row per
+    data file with its row count, byte size, and (optionally) the
+    min/max of ``key_col`` — the sidecar a published training corpus
+    ships so consumers can plan reads (size-based split assignment,
+    range pruning, integrity row-count checks) without opening every
+    footer.  Written to ``<path>/_manifest.json`` (JSON lines) and
+    returned as a DataFrame.
+
+    Scale: per-file row counts come from ONE distributed pass grouped
+    by ``input_file_name()`` (no per-file driver loop); byte sizes from
+    one driver-side listing (O(files), the same listing any planner
+    does).  The leading ``_`` keeps the manifest invisible to parquet
+    directory reads, the Spark convention for sidecar files."""
+    import json as _json
+    import os as _os
+
+    df = spark.read.parquet(path)
+    aggs = [F.count("*").alias("n_rows")]
+    if key_col is not None:
+        aggs += [
+            F.min(key_col).alias("key_min"),
+            F.max(key_col).alias("key_max"),
+        ]
+    per_file = (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .collect()
+    )
+    sizes = {}
+    for root, _dirs, files in _os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = _os.path.join(root, f)
+                sizes["file:" + _os.path.abspath(full)] = _os.path.getsize(
+                    full
+                )
+    rows = []
+    for r in sorted(per_file, key=lambda r: r.file):
+        d = {"file": _os.path.basename(r.file), "n_rows": r.n_rows}
+        # input_file_name URIs may be percent-encoded; match on basename
+        base_matches = [
+            v for k, v in sizes.items()
+            if _os.path.basename(k) == _os.path.basename(r.file)
+        ]
+        d["n_bytes"] = base_matches[0] if base_matches else None
+        if key_col is not None:
+            d["key_min"] = r.key_min
+            d["key_max"] = r.key_max
+        rows.append(d)
+    with open(_os.path.join(path, "_manifest.json"), "w") as fh:
+        for d in rows:
+            fh.write(_json.dumps(d, default=str) + "\n")
+    schema = "file string, n_rows long, n_bytes long" + (
+        ", key_min string, key_max string" if key_col is not None else ""
+    )
+    return spark.createDataFrame(
+        [tuple(str(v) if k.startswith("key_") and v is not None else v
+               for k, v in d.items()) for d in rows],
+        schema,
+    )

@@ -563,3 +563,29 @@ def test_table_diff_detects_delimiter_shifting_payloads(spark):
     )
     got = {r.k: r.status for r in bio.table_diff(left, right, ["k"]).collect()}
     assert got == {1: "changed", 2: "changed"}
+
+
+def test_write_manifest(spark, tmpdir):
+    """write_manifest: per-file row counts sum to the table count, byte
+    sizes are real, key ranges cover the data, and the sidecar is
+    invisible to parquet directory reads."""
+    import json
+    import os
+
+    from beam_scala_examples_spark.io import write_manifest
+
+    path = f"{tmpdir}/manifested"
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    man = write_manifest(spark, path, key_col="id").collect()
+    assert sum(r.n_rows for r in man) == 1000
+    assert all(r.n_bytes and r.n_bytes > 0 for r in man)
+    assert min(int(r.key_min) for r in man) == 0
+    assert max(int(r.key_max) for r in man) == 999
+    # sidecar exists as JSON lines and does not break directory reads
+    lines = open(os.path.join(path, "_manifest.json")).read().splitlines()
+    assert len(lines) == len(man)
+    assert json.loads(lines[0])["n_rows"] > 0
+    assert spark.read.parquet(path).count() == 1000

@@ -137,3 +137,65 @@ def test_wav_rejects_non_wav_and_unsupported():
     struct.pack_into("<H", good, 22, 2)
     with _pytest.raises(ValueError):
         decode_wav(bytes(good))
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    doc_id=st.integers(0, 10_000),
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=200,
+    ),
+)
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_bmp_round_trip_property(doc_id, text):
+    """Random printable text x doc_id: the real parser must recover the
+    construction formula's stats for every geometry (all widths 1..7,
+    all heights 1..5, all padding cases)."""
+    from beam_scala_examples_spark.operators.multimodal import (
+        _bmp_pixels,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    w, h = 1 + len(text) % 7, 1 + doc_id % 5
+    px = _bmp_pixels(text, w * h)
+    got = decode_bmp(encode_bmp(doc_id, text))
+    assert got == {
+        "width": w,
+        "height": h,
+        "sum_r": sum(p[0] for p in px),
+        "sum_g": sum(p[1] for p in px),
+        "sum_b": sum(p[2] for p in px),
+    }
+
+
+@given(
+    doc_id=st.integers(0, 10_000),
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=200,
+    ),
+)
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_wav_round_trip_property(doc_id, text):
+    from beam_scala_examples_spark.operators.multimodal import (
+        WAV_RATES,
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [((ord(c) % 256) * 257) - 32768 for c in text]
+    rate = WAV_RATES[len(text) % 3]
+    got = decode_wav(encode_wav(doc_id, text))
+    assert got == {
+        "sample_rate": rate,
+        "n_samples": len(text),
+        "duration_us": len(text) * 1_000_000 // rate,
+        "sum_abs": sum(abs(s) for s in samples),
+        "peak": max(abs(s) for s in samples),
+    }
