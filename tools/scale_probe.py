@@ -265,16 +265,18 @@ def carry_probe(spark, sf_dir: str, factor: int = 128,
         "doc_id", "source", "n_chars"
     )
     span_id = docs.agg(F.max("doc_id").alias("m")).collect()[0].m + 1
-    parts = [
-        docs.select(
-            (F.col("doc_id") + F.lit(k * span_id)).alias("doc_id"),
-            "source", "n_chars",
-        )
-        for k in range(factor)
-    ]
-    big = parts[0]
-    for p in parts[1:]:
-        big = big.unionByName(p)
+    # generator-based inflation: one explode, constant-size plan — a
+    # factor-way union's ANALYSIS cost alone dominated past ~1000x
+    big = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__k"),
+    ).select(
+        (F.col("doc_id") + F.col("__k") * F.lit(span_id)).alias("doc_id"),
+        "source",
+        "n_chars",
+    )
     whale = big.select(
         "doc_id",
         F.when(F.col("doc_id") % 10 != 0, F.lit("whale"))
