@@ -195,39 +195,45 @@ def decode_bmp(payload: bytes) -> dict:
     """Real BMP decode: header fields and raster geometry come from the
     bytes alone (magic check, pixel-array offset, signed dims, bpp,
     compression, per-row padding, bottom-up vs top-down), then the
-    padded BGR raster is walked to exact integer channel sums.  Shares
+    padded BGR raster is reduced to exact integer channel sums with a
+    vectorized numpy reshape (one ``frombuffer`` + strided sums — no
+    per-pixel Python).  A truncated or size-corrupted payload raises
+    ``ValueError``, never ``IndexError``/``struct.error``.  Shares
     nothing with :func:`encode_bmp`."""
     import struct
 
+    import numpy as np
+
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
     (off,) = struct.unpack_from("<I", payload, 10)
     hdr_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
     planes, bpp, comp = struct.unpack_from("<HHI", payload, 26)
     if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
         raise ValueError("only 24bpp uncompressed BI_RGB is supported")
+    if w <= 0:
+        raise ValueError("non-positive BMP width")
     h = abs(h_raw)
     bottom_up = h_raw > 0
     row_size = (3 * w + 3) // 4 * 4
-    sum_r = sum_g = sum_b = 0
-    for row in range(h):
-        base = off + row * row_size
-        for x in range(w):
-            b = payload[base + 3 * x]
-            g = payload[base + 3 * x + 1]
-            r = payload[base + 3 * x + 2]
-            sum_r += r
-            sum_g += g
-            sum_b += b
+    if off + h * row_size > len(payload):
+        raise ValueError("truncated BMP raster")
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=h * row_size, offset=off
+    ).reshape(h, row_size)
+    # drop row padding, view as (h, w, BGR), sum each channel exactly
+    bgr = raster[:, : 3 * w].reshape(h, w, 3).sum(axis=(0, 1), dtype=np.int64)
     # sums are orientation-independent, but honour the flag anyway so
     # the decoder stays correct if a per-pixel feature is added later
     del bottom_up
     return {
         "width": w,
         "height": h,
-        "sum_r": sum_r,
-        "sum_g": sum_g,
-        "sum_b": sum_b,
+        "sum_r": int(bgr[2]),
+        "sum_g": int(bgr[1]),
+        "sum_b": int(bgr[0]),
     }
 
 
@@ -281,9 +287,10 @@ WAV_SCHEMA = (
 
 def _wav_samples(text: str) -> list:
     """Deterministic 16-bit PCM content: sample i is
-    ``(ord(text[i mod len]) * 257) - 32768`` — spans the signed range,
-    a pure text function both engines can compute.  One sample per
-    text char (n_samples = len(text))."""
+    ``((ord(text[i mod len]) % 256) * 257) - 32768`` — spans the signed
+    range (the ``% 256`` keeps non-Latin-1 codepoints in byte range,
+    matching the DuckDB oracle), a pure text function both engines can
+    compute.  One sample per text char (n_samples = len(text))."""
     nc = len(text)
     return [((ord(text[i % nc]) % 256) * 257) - 32768 for i in range(nc)]
 
@@ -309,20 +316,31 @@ def encode_wav(doc_id: int, text: str) -> bytes:
 def decode_wav(payload: bytes) -> dict:
     """Real WAV decode: walks the RIFF chunk list (magic checks, chunk
     sizes, word alignment), parses the fmt chunk (PCM/mono/16-bit
-    enforced), and reads the data chunk's little-endian samples into
-    exact integer stats.  Shares nothing with :func:`encode_wav`."""
+    enforced), and reduces the data chunk's little-endian samples to
+    exact integer stats with one vectorized numpy ``frombuffer`` (no
+    per-sample Python).  The declared RIFF size is clamped to the actual
+    payload and every chunk body is bounds-checked, so a truncated or
+    size-corrupted payload raises ``ValueError``, never
+    ``struct.error``.  Shares nothing with :func:`encode_wav`."""
     import struct
+
+    import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    end = min(8 + struct.unpack_from("<I", payload, 4)[0], len(payload))
+    pos = 12
     rate = None
     stats = None
     while pos + 8 <= end:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = pos + 8
+        if body + size > len(payload):
+            raise ValueError("truncated RIFF chunk")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
             fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload, body
             )
@@ -332,19 +350,16 @@ def decode_wav(payload: bytes) -> dict:
             if rate is None:
                 raise ValueError("data chunk before fmt chunk")
             n = size // 2
-            sum_abs = peak = 0
-            for i in range(n):
-                (s,) = struct.unpack_from("<h", payload, body + 2 * i)
-                a = -s if s < 0 else s
-                sum_abs += a
-                if a > peak:
-                    peak = a
+            samples = np.frombuffer(
+                payload, dtype="<i2", count=n, offset=body
+            ).astype(np.int64)
+            np.abs(samples, out=samples)
             stats = {
                 "sample_rate": rate,
                 "n_samples": n,
                 "duration_us": n * 1_000_000 // rate,
-                "sum_abs": sum_abs,
-                "peak": peak,
+                "sum_abs": int(samples.sum()),
+                "peak": int(samples.max()) if n else 0,
             }
         pos = body + size + (size & 1)  # RIFF chunks are word-aligned
     if stats is None:

@@ -139,6 +139,41 @@ def test_wav_rejects_non_wav_and_unsupported():
         decode_wav(bytes(good))
 
 
+def test_truncated_payloads_raise_value_error_not_foreign_types():
+    """Size-corrupted / cut-off payloads must surface as the documented
+    ValueError rejection, not IndexError or struct.error leaking out of
+    the Arrow decode pass (round-4 advisor item)."""
+    from beam_scala_examples_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    bmp = encode_bmp(3, "hello world")
+    with pytest.raises(ValueError):
+        decode_bmp(bmp[:40])            # header cut mid-way
+    with pytest.raises(ValueError):
+        decode_bmp(bmp[:-5])            # raster cut short
+    lying = bytearray(bmp)
+    struct.pack_into("<i", lying, 22, 9999)  # biHeight claims 9999 rows
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(lying))
+
+    wav = encode_wav(3, "hello world")
+    with pytest.raises(ValueError):
+        decode_wav(wav[:-4])            # data chunk body truncated
+    lying = bytearray(wav)
+    # data chunk size field at RIFF(12) + fmt(8+16) + 'data'(4) = 40
+    struct.pack_into("<I", lying, 40, 1 << 20)  # claims 1 MiB of samples
+    struct.pack_into("<I", lying, 4, 1 << 20)   # RIFF size backs the lie
+    with pytest.raises(ValueError):
+        decode_wav(bytes(lying))
+    # truncated fmt chunk: declare size 8, cut the file there
+    fmt8 = struct.pack("<HHI", 1, 1, 8000)[:8]
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", 8) + fmt8
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(chunks)) + chunks)
+
+
 from hypothesis import given, settings, strategies as st
 
 
