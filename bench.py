@@ -180,6 +180,60 @@ def bench_names() -> list[str]:
     return list(HEADLINE) + rest
 
 
+def load_bands(sf: float) -> dict | None:
+    """Load the committed per-query reference bands (bench_bands.json),
+    or None when absent / recorded at a different scale factor (bands
+    only mean something at the SF they were measured at)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_bands.json"
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        bands = json.load(f)
+    if abs(float(bands.get("sf", -1)) - sf) > 1e-9:
+        return None
+    return bands
+
+
+# Sub-second queries swing ±50% run-to-run on page-cache / GC noise even
+# at best-of-N; a pure ratio gate over 256 of them would cry wolf.  The
+# absolute floor means a query must lose at least this many seconds
+# (on top of doubling) before it is called a regression.
+BAND_ABS_FLOOR_SEC = 0.25
+BAND_RATIO = 2.0
+
+
+def band_violations(
+    timings: dict[str, float], bands: dict | None
+) -> dict[str, list[float]]:
+    """Queries whose current best-of-N time exceeds the recorded band by
+    >BAND_RATIO x AND by >BAND_ABS_FLOOR_SEC seconds absolute.  Returns
+    {name: [band_sec, now_sec]}; queries without a recorded band (new
+    this round) are never violations — they enter the bands file at the
+    next tools/update_bench_bands.py regeneration."""
+    if not bands:
+        return {}
+    ref = bands.get("queries", {})
+    out: dict[str, list[float]] = {}
+    for name, now in timings.items():
+        band = ref.get(name)
+        if band is None:
+            continue
+        if now > BAND_RATIO * band and now - band > BAND_ABS_FLOOR_SEC:
+            out[name] = [round(band, 3), round(now, 3)]
+    return out
+
+
+def anchor_regressed(r01_shared: float, bands: dict | None) -> bool:
+    """The only condition that makes bench exit nonzero: the r01-shared
+    anchor total more than doubling its recorded value."""
+    if not bands:
+        return False
+    ref = bands.get("anchor_r01_shared_total")
+    return ref is not None and r01_shared > BAND_RATIO * float(ref)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -230,6 +284,12 @@ def main() -> None:
         sum(t for n, t in timings.items() if n in _R01_HEADLINE), 3
     )
 
+    # Per-query regression gate (round-5): compare against the committed
+    # bands file.  A single query regressing 5x inside 256 is invisible
+    # to the one-total gate; this surfaces it by name.
+    bands = load_bands(sf)
+    violations = band_violations(timings, bands)
+
     # Full per-query map -> file (the driver's stdout tail buffer is
     # ~2000 bytes; the 111-query map overflowed it in round 2).
     detail_path = os.path.join(
@@ -245,12 +305,16 @@ def main() -> None:
                 "sf": sf,
                 "r01_shared_total": r01_shared,
                 "query_count": len(timings),
+                "band_violations": violations,
             },
             f,
             indent=1,
         )
 
     # Compact stdout line: only the r01-shared anchor subset, 2dp.
+    # band_violations carries names only (full [band, now] pairs live in
+    # bench_detail.json), capped so a pathological run can't blow the
+    # driver's ~2000-byte stdout tail budget.
     shared_timings = {
         n: round(t, 2) for n, t in timings.items() if n in _R01_HEADLINE
     }
@@ -264,12 +328,18 @@ def main() -> None:
                 "sf": sf,
                 "r01_shared_total": r01_shared,
                 "query_count": len(timings),
+                "band_violations": sorted(violations)[:10],
                 "detail": "bench_detail.json",
             },
             separators=(",", ":"),
         )
     )
     spark.stop()
+    # Nonzero exit ONLY on anchor regression (per-query violations are
+    # reported, not fatal — they may be a deliberate trade the bands
+    # regeneration then records).
+    if anchor_regressed(r01_shared, bands):
+        sys.exit(2)
 
 
 if __name__ == "__main__":

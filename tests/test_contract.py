@@ -70,3 +70,43 @@ def test_bench_headline_names_are_registered():
     missing = [q for q in bench.HEADLINE if q not in QUERIES]
     assert not missing, f"bench names not in registry: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench names"
+
+
+def test_band_gate_trips_on_deliberate_slowdown():
+    """The round-5 per-query regression gate: a query that doubles AND
+    loses >0.25 s absolute is flagged by name; sub-second noise and
+    unrecorded (new) queries are not.  Simulates the scratch-branch
+    slowdown the gate exists to catch, without re-running the bench."""
+    import bench
+
+    bands = {
+        "sf": 0.1,
+        "anchor_r01_shared_total": 13.0,
+        "queries": {"slow_one": 1.0, "tiny": 0.05, "steady": 2.0},
+    }
+    timings = {
+        "slow_one": 5.0,   # 5x and +4 s -> violation
+        "tiny": 0.2,       # 4x but only +0.15 s -> noise, not flagged
+        "steady": 2.1,     # within band
+        "brand_new": 9.9,  # no recorded band -> never a violation
+    }
+    v = bench.band_violations(timings, bands)
+    assert v == {"slow_one": [1.0, 5.0]}
+    assert bench.band_violations(timings, None) == {}
+    assert not bench.anchor_regressed(14.0, bands)
+    assert bench.anchor_regressed(27.0, bands)
+    assert not bench.anchor_regressed(27.0, None)
+
+
+def test_bands_file_matches_registry():
+    """bench_bands.json must cover the registered queries it claims to
+    gate — a band for an unregistered name is a stale file."""
+    import json
+
+    import bench
+    from beam_scala_examples_spark.queries import QUERIES
+
+    bands = bench.load_bands(0.1)
+    assert bands is not None, "bench_bands.json missing or wrong SF"
+    stale = [n for n in bands["queries"] if n not in QUERIES]
+    assert not stale, f"bands for unregistered queries: {stale}"
