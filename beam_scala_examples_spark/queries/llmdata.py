@@ -6346,16 +6346,46 @@ array_join(
 """
 
 
+# Session memo for the constructed corpus — the ``_trained`` pattern
+# (clustering.py) applied to text_structured.  The construction is a
+# deterministic md5-salting codegen pass, so re-evaluating it per
+# consumer (text_gopher_filter_full, text_line_dedup each rebuild it;
+# text_line_dedup references it TWICE through its owner-count join) is
+# pure recompute.  One persisted (doc_id, struct_text) relation per
+# (application, sf_dir) serves them all — the honest serving posture
+# too: a corpus is constructed once and audited many times.  Default
+# MEMORY_AND_DISK storage, so a 100 TB corpus spills instead of OOMing;
+# keyed by applicationId so a stopped session's DataFrame is never
+# served to a new one.
+_STRUCT_MEMO: dict = {}
+
+
 def text_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, struct_text): the deterministic structured-text corpus —
     bullet lists, ellipsis endings, symbols, digits — built from the
     prose fixture (see the block comment above).  Registered with its
     own oracle so the construction string is hash-pinned byte-for-byte
-    across engines.  One narrow codegen pass, no shuffle."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.expr(_SPARK_TOKS).alias("toks")
-    ).select("doc_id", F.expr(_SPARK_STRUCT_TEXT).alias("struct_text"))
+    across engines.  One narrow codegen pass, no shuffle; persisted once
+    per session (``_STRUCT_MEMO``) so every consumer shares the build."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _STRUCT_MEMO:
+        # The fixture is a single parquet file -> a single scan task, which
+        # would serialize the whole construction pass; spread the docs
+        # across the cluster first (the construction is per-row
+        # deterministic, so partitioning cannot change the bytes).  At
+        # real scale the scan is already wide and this one exchange is
+        # noise against the repeated construction it saves.
+        docs = load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        _STRUCT_MEMO[key] = (
+            docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+            .select(
+                "doc_id", F.expr(_SPARK_STRUCT_TEXT).alias("struct_text")
+            )
+            .persist()
+        )
+    return _STRUCT_MEMO[key]
 
 
 def text_gopher_filter_full(spark: SparkSession, sf_dir: str) -> DataFrame:
