@@ -318,6 +318,24 @@ class SequentialPaneSink:
        timing label; "consumed" is derived, not stored: pending =
        staged rows with ``batch_id >= `` the key's last emission batch.
 
+    Watermark: with ``event_time_col`` set (the preferred, data-driven
+    mode) each staged refinement also carries that column's value (the
+    pane's max event time, one extra ``max`` in the caller's aggregate)
+    and the Beam-style watermark for batch b is DERIVED from the log:
+    ``max`` staged event time over batches < b, minus
+    ``watermark_skew_s`` — a global source watermark exactly as Beam
+    computes one, advancing only as data arrives and lagging one batch
+    behind the data that moved it (Beam's own watermark advances
+    between bundles; the batch boundary is where this emulation
+    quantizes that).  Because it is read from the same
+    excludes-own-partition log as dueness, a replayed batch re-derives
+    the identical watermark.  ``watermark_fn(batch_id)`` remains as an
+    escape hatch for pipelines that track a domain watermark
+    externally, and ``attach(query)`` falls back to Spark's own
+    ``lastProgress`` watermark (useful only when allowed lateness is
+    small — the reference's 1-day lateness keeps Spark's watermark far
+    behind the Beam one, which is why the derived form is the default).
+
     Replay safety: both logs partition by batch_id with dynamic
     partition overwrite and every read for batch b excludes partition b
     (staged) / uses only earlier partitions, so a replayed batch
@@ -349,6 +367,8 @@ class SequentialPaneSink:
         *,
         early_delay_s: float = 60.0,
         late_delay_s: float = 300.0,
+        event_time_col: str | None = None,
+        watermark_skew_s: float = 0.0,
         clock=None,
         watermark_fn=None,
     ):
@@ -361,15 +381,18 @@ class SequentialPaneSink:
         self.value_cols = list(value_cols)
         self.early_delay_s = float(early_delay_s)
         self.late_delay_s = float(late_delay_s)
-        self.clock = clock if clock is not None else (
-            lambda _bid: _time.time()
-        )
         # Beam's watermark is decoupled from Spark's: the reference's
         # 1-day allowed lateness keeps Spark's own watermark (and state
         # eviction) far behind while the BEAM watermark passes the
-        # window end.  Production attaches the query; tests (and
-        # pipelines that track a domain watermark) inject
-        # ``watermark_fn(batch_id) -> timestamp-string | None``.
+        # window end.  ``event_time_col`` derives it from the staged
+        # log (see class docstring); ``watermark_fn(batch_id) ->
+        # timestamp-string | None`` overrides for externally-tracked
+        # domain watermarks; ``attach`` falls back to Spark's own.
+        self.event_time_col = event_time_col
+        self.watermark_skew_s = float(watermark_skew_s)
+        self.clock = clock if clock is not None else (
+            lambda _bid: _time.time()
+        )
         self.watermark_fn = watermark_fn
         self.query = None
 
@@ -380,9 +403,22 @@ class SequentialPaneSink:
         self.query = query
         return self
 
-    def _watermark(self, batch_id: int) -> str | None:
+    def _watermark(self, batch_id: int, staged: DataFrame | None) -> str | None:
         if self.watermark_fn is not None:
             return self.watermark_fn(batch_id)
+        if self.event_time_col is not None:
+            # Data-driven: max staged event time over batches < this
+            # one (``staged`` already excludes the current partition),
+            # minus the allowed skew.  One tiny aggregate over the
+            # pane-keyed log, O(panes).
+            if staged is None or "__max_ev" not in staged.columns:
+                return None
+            mx = staged.agg(F.max("__max_ev").alias("m")).collect()[0].m
+            if mx is None:
+                return None
+            from datetime import timedelta
+
+            return (mx - timedelta(seconds=self.watermark_skew_s)).isoformat()
         if self.query is not None and self.query.lastProgress:
             return (self.query.lastProgress.get("eventTime") or {}).get(
                 "watermark"
@@ -400,11 +436,11 @@ class SequentialPaneSink:
         spark = batch_df.sparkSession
         bid = int(batch_id)
         now = float(self.clock(bid))
-        wm = self._watermark(bid)
         keys = [self.win_end_col, *self.key_cols]
 
         # 1. dueness over what was staged BEFORE this batch
         staged = self._read(spark, self.staged_path, bid)
+        wm = self._watermark(bid, staged)
         emitted = self._read(spark, self.panes_path, bid)
         emissions = None
         if staged is not None:
@@ -483,7 +519,12 @@ class SequentialPaneSink:
             )
 
         # 2. stage this batch's refinements for the NEXT firing
-        contrib = batch_df.select(*keys, *self.value_cols).withColumn(
+        extra = (
+            [F.col(self.event_time_col).alias("__max_ev")]
+            if self.event_time_col is not None
+            else []
+        )
+        contrib = batch_df.select(*keys, *self.value_cols, *extra).withColumn(
             "staged_at", F.lit(now)
         )
         (

@@ -324,37 +324,40 @@ def test_regime4_sequential_sink_reproduces_literal_pane_table(
     throttle batching els 3/6/10 into ONE pane — not from piecewise
     assertions across separate runs.  Spark runs with the reference's
     1-day allowed lateness (state kept, late data admitted); the Beam
-    watermark passing 10:30 between el5 and el3 is injected, exactly
-    the decoupling the reference's scenario has."""
+    watermark is DERIVED from the staged log (max staged event time) —
+    a filler element at 10:35 on another freeway, arriving alongside
+    el5, carries it past the 10:30 window end before el3, the
+    reference's own timeline (watermark passes between el5 and el3)."""
     from beam_scala_examples_spark.streaming.panes import SequentialPaneSink
 
     groups = [
         [_ev(1), _ev(2)],          # b0: pane starts              t=0
         [_ev(4)],                  # b1: fires EARLY 80|2         t=60
         [_ev(7), _ev(8), _ev(9)],  # b2: fires EARLY 100|3        t=120
-        [_ev(5)],                  # b3: fires EARLY 260|6        t=180
-        [_ev(3)],                  # b4: wm passed -> ON_TIME 320|7 t=240
+        # b3: fires EARLY 260|6; stages el5's refinement AND the
+        # watermark-carrying filler (max staged event time -> 10:35)
+        [_ev(5), _filler(98, "10:35:00")],  # t=180
+        [_ev(3)],                  # b4: wm=10:35 -> ON_TIME 320|7 t=240
         [_ev(6)],                  # b5: late staged              t=300
         [_ev(10)],                 # b6: late staged              t=360
         [_filler(99, "11:59:00")],  # b7: late throttle due -> LATE t=540
     ]
     sched = {0: 0, 1: 60, 2: 120, 3: 180, 4: 240, 5: 300, 6: 360, 7: 540}
     clock = lambda bid: sched.get(bid, 540 + 60 * (bid - 7))
-    # Beam watermark passes the window end after el5 (arrival 11:03),
-    # before el3 (arrival 11:07) — the reference's own timeline.
-    wm = lambda bid: "2024-01-01T10:35:00.000Z" if bid >= 4 else None
     write_arrival_groups(groups, f"{tmpdir}/feed")
     stream = read_event_stream(spark, f"{tmpdir}/feed")
     flow_with_end = (
         stream.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "30 minutes").alias("win"), "event_type")
         .agg(F.sum("value").alias("total_flow"),
-             F.count("*").alias("n_records"))
+             F.count("*").alias("n_records"),
+             F.max("ts").alias("max_ts"))
         .select(
             F.col("win.end").alias("win_end"),
             F.col("event_type").alias("freeway"),
             "total_flow",
             "n_records",
+            "max_ts",
         )
     )
     sink = SequentialPaneSink(
@@ -364,8 +367,8 @@ def test_regime4_sequential_sink_reproduces_literal_pane_table(
         value_cols=("total_flow", "n_records"),
         early_delay_s=60,
         late_delay_s=300,
+        event_time_col="max_ts",
         clock=clock,
-        watermark_fn=wm,
     )
     (
         flow_with_end.writeStream.outputMode("update")
@@ -407,7 +410,6 @@ def test_sequential_sink_replay_idempotent(spark, tmpdir):  # noqa: F811
         early_delay_s=60,
         late_delay_s=300,
         clock=lambda bid: bid * 60.0,
-        watermark_fn=lambda bid: None,
     )
     end = datetime(2024, 1, 1, 10, 30)
     mk = lambda v: spark.createDataFrame(
