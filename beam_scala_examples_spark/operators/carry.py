@@ -27,6 +27,14 @@ Monotonicity is the caller's contract (mirroring ``asof_join_bucketed``'s
 ``*order`` within each part — i.e. shard is a range bucketing of the
 leading order key (``doc_id div span``, ``hash div 2^k``), never an
 unordered hash.
+
+NON-NULL is part of the same contract: ``part``, the ``order`` keys,
+and the ``shard`` expression must not evaluate to NULL.  The offset
+join back is an equi-join on ``(part, shard)``, and SQL null keys never
+match — a NULL part/shard row would be silently dropped here where the
+naive ``Window.partitionBy`` would keep it in a null partition.  Every
+caller in this repo derives part/shard from non-null key columns;
+filter or coalesce nullable keys before calling.
 """
 
 from __future__ import annotations
@@ -107,9 +115,10 @@ def sharded_row_number(
     """``row_number() over (partition by part order by order)`` as an
     inclusive sharded prefix sum of 1s — same bounded-sort guarantees as
     :func:`sharded_prefix_sum`.  The ordering must be a total order
-    within each part (ties would share a count the way ``rank`` does,
-    not break arbitrarily the way ``row_number`` does), which every
-    caller here guarantees by suffixing a unique key.
+    within each part: the ROWS-frame sum counts physical rows, so tied
+    order keys get DISTINCT, arbitrarily-ordered numbers (row_number's
+    own nondeterminism under ties) — which is why every caller here
+    suffixes a unique key to make the order total.
     """
     return sharded_prefix_sum(
         df,

@@ -7278,3 +7278,131 @@ ORACLE["dedup_span_pairs"] = f"""
                // greatest(coalesce(p.n_spans, 0), 1) AS dup_bp
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+SPAN_RUN_SHARD_SPAN = 128  # span indices per islands shard (monotone in j)
+
+
+def dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token runs — the Lee et al. 2021 payoff on top
+    of :func:`dedup_span_pairs`: instead of only SCORING a document by
+    its share of duplicated stride-1 spans, find each document's runs of
+    CONSECUTIVE duplicated spans (a gaps-and-islands pass over the span
+    index) and report the longest one in tokens, so downstream removal
+    can cut the actual duplicated substring rather than drop or keep the
+    whole document.  A run of k consecutive duplicated spans covers
+    ``k + SPAN_TOKENS - 1`` tokens of verbatim cross-document text.
+
+    Scale: the islands pass is the classic ``j - row_number()`` trick,
+    but the row_number comes from :func:`operators.carry.sharded_row_number`
+    partitioned on ``(doc_id, j div SPAN_RUN_SHARD_SPAN)`` — a document
+    with a whale token count never sorts in one task (the carry sums
+    O(shards) rows).  Everything else is the span-pairs shape: slim
+    (doc_id, j, md5) rows, one owner-count aggregate with map-side
+    combine, one join back on the md5 key, then O(runs) aggregates.
+    Span text never shuffles; never all-pairs."""
+    from ..operators.carry import sharded_row_number
+
+    docs = load(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.expr(_SPARK_TOKS).alias("toks"),
+    ).select(
+        "doc_id",
+        # posexplode: pos IS the span's start index j (0-based); same
+        # sequence-descend guard as dedup_span_pairs
+        F.posexplode(
+            F.expr(
+                f"case when size(toks) >= {SPAN_TOKENS} then"
+                f" transform(sequence(cast(0 as bigint),"
+                f" cast(size(toks) as bigint) - {SPAN_TOKENS}),"
+                f" j -> md5(array_join(slice(toks, cast(j + 1 as int),"
+                f" {SPAN_TOKENS}), ' ')))"
+                f" else array() end"
+            )
+        ).alias("j", "span_md5"),
+    )
+    owners = spans.groupBy("span_md5").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = (
+        spans.join(owners, "span_md5")
+        .filter(F.col("n_docs") >= 2)
+        .select("doc_id", F.col("j").cast("long").alias("j"))
+    )
+    isl = sharded_row_number(
+        dup,
+        part="doc_id",
+        order=["j"],
+        shard=F.expr(f"j div {SPAN_RUN_SHARD_SPAN}"),
+        out="rn",
+    ).withColumn("grp", F.col("j") - F.col("rn"))
+    runs = isl.groupBy("doc_id", "grp").agg(
+        F.count("*").alias("run_spans")
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.count("*").alias("n_runs"),
+        F.max("run_spans").alias("mx"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_runs", F.lit(0)).alias("n_runs"),
+        F.coalesce("mx", F.lit(0)).alias("max_run_spans"),
+        F.when(F.col("mx").isNull(), F.lit(0))
+        .otherwise(F.col("mx") + SPAN_TOKENS - 1)
+        .cast("long")
+        .alias("max_run_tokens"),
+    )
+
+
+QUERIES["dedup_span_runs"] = dedup_span_runs
+
+ORACLE["dedup_span_runs"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, j,
+               md5(array_to_string(
+                   toks[(j + 1)::INT : (j + {SPAN_TOKENS})::INT], ' '
+               )) AS span_md5
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - {SPAN_TOKENS} + 1,
+                                            0))) AS j
+            FROM toks
+        )
+    ),
+    owners AS (
+        SELECT span_md5, count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM spans GROUP BY 1
+    ),
+    dup AS (
+        SELECT s.doc_id, s.j
+        FROM spans s JOIN owners o USING (span_md5)
+        WHERE o.n_docs >= 2
+    ),
+    isl AS (
+        SELECT doc_id, j,
+               j - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY j
+               ) AS grp
+        FROM dup
+    ),
+    runs AS (
+        SELECT doc_id, grp, count(*)::BIGINT AS run_spans
+        FROM isl GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*)::BIGINT AS n_runs,
+               max(run_spans)::BIGINT AS mx
+        FROM runs GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_runs, 0)::BIGINT AS n_runs,
+           coalesce(p.mx, 0)::BIGINT AS max_run_spans,
+           (CASE WHEN p.mx IS NULL THEN 0
+                 ELSE p.mx + {SPAN_TOKENS} - 1 END)::BIGINT
+               AS max_run_tokens
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -664,3 +664,17 @@ def test_range_search_ivf_prunes_on_cells(plans):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_span_runs_islands_window_is_sharded(plans):
+    """dedup_span_runs: the gaps-and-islands row_number must come from
+    the sharded carry — every window ordering over span indices
+    partitions on (doc_id, __prefix_shard), never doc_id alone over
+    data rows, so a whale document never sorts in one task."""
+    p = plans("dedup_span_runs")
+    specs = [l for l in p.splitlines() if "windowspecdefinition" in l]
+    assert specs
+    data_row_specs = [l for l in specs if "j#" in l]  # orders by span index
+    assert data_row_specs
+    for l in data_row_specs:
+        assert "__prefix_shard" in l, l
