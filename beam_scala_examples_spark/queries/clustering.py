@@ -1679,29 +1679,18 @@ def _ivf_trained_recall_oracle() -> str:
 ORACLE["sim_ivf_trained_recall"] = _ivf_trained_recall_oracle()
 
 
-def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production IVF-PQ end-state: TRAINED coarse cells
-    (``emb_kmeans``' Lloyd quantizer — the recall half) composed with
-    the PQ code scan (80-bit ADC through the broadcast LUT — the
-    bandwidth half) and the exact re-rank.  ``sim_ivfpq_topk`` proved
-    compression costs zero recall on top of the cell restriction;
-    ``sim_ivf_trained_topk`` proved trained cells nearly triple the
-    stride quantizer's recall at the same scan fraction; this is both
-    at once — the shape a 100 TB vector store actually serves
-    (measured at sf0.01: recall@5 = 0.84, identical per-query to the
-    uncompressed trained-IVF scan).
-
-    Plan shape: k-means centroids (KM_K rows) and PQ codebooks
-    (M x PQ_K rows) both broadcast; the corpus contributes two slim
-    integer relations off the same persisted scan — the cell
-    assignment (Arrow kernel) and the code column — joined on vec_id;
-    probe restriction and LUT are broadcast hash joins; one
-    partial-aggregated shuffle on (qid, vec_id) sums the exact-int
-    partials; float vectors surface only for the shortlist re-rank."""
-    from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _SPARK_DOT
+def _ivfpq_trained_scored(spark: SparkSession, sf_dir: str, cache_key: str):
+    """The trained-cell ADC scan shared by ``sim_ivfpq_trained_topk``
+    and ``sim_ivfpq_trained_rerank``: returns ``(emb, qdf, scored)``
+    where ``scored(qid, vec_id, dl, nl)`` carries the exact-int ADC
+    partial sums for exactly the rows inside each query's
+    ``IVF_TR_NPROBE`` nearest TRAINED cells — the cell restriction and
+    the code scan, everything up to (but not including) the shortlist
+    policy the two callers differ on."""
+    from .llmdata import N_QUERY_VECS, _SPARK_DOT
     from ..operators.topk import top_k_per_key
 
-    prev = _KM_CACHE.pop("ivfpqtr", None)
+    prev = _KM_CACHE.pop(cache_key, None)
     if prev is not None:
         prev.unpersist()
     emb = (
@@ -1710,7 +1699,7 @@ def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .persist()
     )
-    _KM_CACHE["ivfpqtr"] = emb
+    _KM_CACHE[cache_key] = emb
 
     kcents = _trained("kmeans", sf_dir, _kmeans_train, emb)
     assign = _assign(emb, kcents).select("vec_id", "cluster")
@@ -1775,6 +1764,33 @@ def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "vec_id")
         .agg(F.sum("dotl").alias("dl"), F.sum("cnorml").alias("nl"))
     )
+    return emb, qdf, scored
+
+
+def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF-PQ end-state: TRAINED coarse cells
+    (``emb_kmeans``' Lloyd quantizer — the recall half) composed with
+    the PQ code scan (80-bit ADC through the broadcast LUT — the
+    bandwidth half) and the exact re-rank.  ``sim_ivfpq_topk`` proved
+    compression costs zero recall on top of the cell restriction;
+    ``sim_ivf_trained_topk`` proved trained cells nearly triple the
+    stride quantizer's recall at the same scan fraction; this is both
+    at once — the shape a 100 TB vector store actually serves
+    (measured at sf0.01: recall@5 = 0.84, identical per-query to the
+    uncompressed trained-IVF scan).
+
+    Plan shape: k-means centroids (KM_K rows) and PQ codebooks
+    (M x PQ_K rows) both broadcast; the corpus contributes two slim
+    integer relations off the same persisted scan — the cell
+    assignment (Arrow kernel) and the code column — joined on vec_id;
+    probe restriction and LUT are broadcast hash joins; one
+    partial-aggregated shuffle on (qid, vec_id) sums the exact-int
+    partials; float vectors surface only for the shortlist re-rank."""
+    from .llmdata import TOPK_NEIGHBORS, _SPARK_DOT
+    from ..operators.topk import top_k_per_key
+
+    emb, qdf, scored = _ivfpq_trained_scored(spark, sf_dir, "ivfpqtr")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
     s = float(KM_SCALE)
     ranked = scored.join(
         F.broadcast(qdf.select("qid", "qnorm")), "qid"
@@ -2406,6 +2422,219 @@ def _pq_rerank_sweep_oracle() -> str:
 
 
 ORACLE["sim_pq_rerank_sweep"] = _pq_rerank_sweep_oracle()
+
+
+def sim_ivfpq_trained_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-cell re-rank budget frontier for TRAINED IVF-PQ — the
+    sweep that closes the last measured gap in the ANN ladder: at sf0.1
+    the fixed PQ_RERANK=50 shortlist costs trained IVF-PQ ~2 recall
+    points vs the uncompressed trained-IVF scan (0.92 vs 0.94) because
+    the ADC approximation mis-orders candidates near the shortlist
+    boundary.  The scan fraction is UNCHANGED (same IVF_TR_NPROBE
+    probed cells — ``scanned_rows`` certifies it per run); only the
+    float re-reads grow with the budget, so the frontier shows exactly
+    which budget buys back the compression loss inside the probed
+    cells.
+
+    One cell-restricted ADC scan (``_ivfpq_trained_scored``, identical
+    to ``sim_ivfpq_trained_topk``'s) feeds ALL sweep points: ADC
+    ranking once with its per-query rank, exact cosine once for the
+    max-budget shortlist, each budget filters ``rn <= B`` before the
+    final top-k — the ``sim_pq_rerank_sweep`` machinery pointed at the
+    probed-cell candidate set."""
+    from .llmdata import (
+        TOPK_NEIGHBORS,
+        _SPARK_DOT,
+        sim_cosine_topk,
+    )
+    from ..operators.topk import top_k_per_key
+
+    emb, qdf, scored = _ivfpq_trained_scored(spark, sf_dir, "ivfpqtrsw")
+    # materialized once: both the shortlist and the scanned_rows
+    # certificate read it (bounded: queries x probed-cell rows)
+    scored = scored.localCheckpoint()
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    s = float(KM_SCALE)
+    adc = scored.join(
+        F.broadcast(qdf.select("qid", "qnorm")), "qid"
+    ).select(
+        "qid",
+        "vec_id",
+        ((F.col("dl") / s) / F.sqrt(F.col("qnorm") * (F.col("nl") / s))).alias(
+            "adc_cos"
+        ),
+    )
+    max_b = max(PQ_SWEEP_BUDGETS)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("adc_cos"), F.asc("vec_id")
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_b)
+        .select("qid", "vec_id", "rn")
+    )
+    cand = emb.join(F.broadcast(shortlist), "vec_id").select(
+        "qid", "vec_id", "rn", "embedding", norm.alias("cnorm")
+    )
+    exact = (
+        cand.join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "rn",
+            (
+                F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+                / F.sqrt(F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos"),
+        )
+        .localCheckpoint()
+    )
+    truth = (
+        sim_cosine_topk(spark, sf_dir)
+        .select("qid", "vec_id")
+        .localCheckpoint()
+    )
+    nq = truth.select("qid").distinct().count()
+    scanned = scored.agg(F.count("*").alias("scanned_rows"))
+    parts = []
+    for b in PQ_SWEEP_BUDGETS:
+        sub = exact.filter(F.col("rn") <= b)
+        topk = top_k_per_key(
+            sub, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+        ).select("qid", "vec_id")
+        matches = truth.join(topk, ["qid", "vec_id"], "semi").agg(
+            F.count("*").alias("matches")
+        )
+        reranked = sub.agg(F.count("*").alias("reranked_rows"))
+        parts.append(
+            matches.crossJoin(reranked).crossJoin(scanned).select(
+                F.lit(b).cast("long").alias("rerank_budget"),
+                "matches",
+                F.lit(nq * TOPK_NEIGHBORS).cast("long").alias("truth_rows"),
+                F.expr(
+                    f"(matches * 10000) div {nq * TOPK_NEIGHBORS}"
+                ).alias("mean_recall_bp"),
+                "reranked_rows",
+                "scanned_rows",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES["sim_ivfpq_trained_rerank"] = sim_ivfpq_trained_rerank
+
+
+def _ivfpq_trained_rerank_oracle() -> str:
+    from .llmdata import ORACLE as _LLM_ORACLE
+    from .llmdata import TOPK_NEIGHBORS, _duck_dot
+
+    qdist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (q.qe[i]::DOUBLE - c.c[i])"
+        " * (q.qe[i]::DOUBLE - c.c[i])))"
+    )
+    edist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (e.embedding[i]::DOUBLE - c.c[i])"
+        " * (e.embedding[i]::DOUBLE - c.c[i])))"
+    )
+    max_b = max(PQ_SWEEP_BUDGETS)
+    mid = [
+        f"""tassign AS (
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {edist}, c.cluster) AS rn
+                FROM kemb e CROSS JOIN kc{KM_ITERS} c
+            ) WHERE rn = 1
+        )""",
+        f"""probe AS (
+            SELECT qid, cluster FROM (
+                SELECT q.qid, c.cluster,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY {qdist}, c.cluster) AS rn
+                FROM q CROSS JOIN kc{KM_ITERS} c
+            ) WHERE rn <= {IVF_TR_NPROBE}
+        )""",
+        """scored AS MATERIALIZED (
+            SELECT l.qid, a.vec_id,
+                   sum(l.dotl)::BIGINT AS dl, sum(l.cnorml)::BIGINT AS nl
+            FROM codes a
+            JOIN tassign ta ON ta.vec_id = a.vec_id
+            JOIN probe p ON p.cluster = ta.cluster
+            JOIN lut l ON a.m = l.m AND a.cluster = l.cluster
+                       AND l.qid = p.qid
+            WHERE a.vec_id <> p.qid
+            GROUP BY l.qid, a.vec_id
+        )""",
+        f"""short AS (
+            SELECT qid, vec_id, rn FROM (
+                SELECT s.qid, s.vec_id,
+                       row_number() OVER (
+                           PARTITION BY s.qid
+                           ORDER BY (s.dl / {KM_SCALE}.0)
+                               / sqrt(q.qnorm * (s.nl / {KM_SCALE}.0)) DESC,
+                               s.vec_id) AS rn
+                FROM scored s JOIN q ON s.qid = q.qid
+            ) WHERE rn <= {max_b}
+        )""",
+        f"""exact AS MATERIALIZED (
+            SELECT s.qid, s.vec_id, s.rn,
+                   {_duck_dot('q.qe', 'e.embedding')}
+                       / sqrt(q.qnorm
+                              * {_duck_dot('e.embedding', 'e.embedding')})
+                       AS cos
+            FROM short s
+            JOIN embeddings e ON e.vec_id = s.vec_id
+            JOIN q ON q.qid = s.qid
+        ),
+        truth AS MATERIALIZED (
+            SELECT qid, vec_id FROM ({_LLM_ORACLE["sim_cosine_topk"]})
+        ),
+        nq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM truth),
+        scanned AS (SELECT count(*)::BIGINT AS n FROM scored)""",
+    ]
+    legs = []
+    for b in PQ_SWEEP_BUDGETS:
+        legs.append(f"""
+        SELECT {b}::BIGINT AS rerank_budget,
+               (SELECT count(*)::BIGINT FROM truth t
+                JOIN (SELECT qid, vec_id FROM (
+                          SELECT qid, vec_id,
+                                 row_number() OVER (
+                                     PARTITION BY qid
+                                     ORDER BY cos DESC, vec_id) AS rn2
+                          FROM exact WHERE rn <= {b}
+                      ) WHERE rn2 <= {TOPK_NEIGHBORS}) a
+                  ON t.qid = a.qid AND t.vec_id = a.vec_id) AS matches,
+               (SELECT n * {TOPK_NEIGHBORS} FROM nq) AS truth_rows,
+               ((SELECT count(*)::BIGINT FROM truth t
+                JOIN (SELECT qid, vec_id FROM (
+                          SELECT qid, vec_id,
+                                 row_number() OVER (
+                                     PARTITION BY qid
+                                     ORDER BY cos DESC, vec_id) AS rn2
+                          FROM exact WHERE rn <= {b}
+                      ) WHERE rn2 <= {TOPK_NEIGHBORS}) a
+                  ON t.qid = a.qid AND t.vec_id = a.vec_id) * 10000)
+                 // (SELECT n * {TOPK_NEIGHBORS} FROM nq) AS mean_recall_bp,
+               (SELECT count(*)::BIGINT FROM exact
+                WHERE rn <= {b}) AS reranked_rows,
+               (SELECT n FROM scanned) AS scanned_rows""")
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes("k") + _pq_common_ctes() + mid)
+        + " "
+        + " UNION ALL ".join(legs)
+    )
+
+
+ORACLE["sim_ivfpq_trained_rerank"] = _ivfpq_trained_rerank_oracle()
 
 
 def sim_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
