@@ -6360,6 +6360,17 @@ array_join(
 _STRUCT_MEMO: dict = {}
 
 
+def structured_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, struct_text) from any (doc_id, text) relation — the
+    deterministic structured-text construction as a relation-level
+    helper (the sink-reuse convention of ``chunk_relation``): per-row
+    codegen, no shuffle, so a streaming micro-batch constructs exactly
+    the same bytes the batch corpus build does."""
+    return docs.select(
+        "doc_id", F.expr(_SPARK_TOKS).alias("toks")
+    ).select("doc_id", F.expr(_SPARK_STRUCT_TEXT).alias("struct_text"))
+
+
 def text_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, struct_text): the deterministic structured-text corpus —
     bullet lists, ellipsis endings, symbols, digits — built from the
@@ -6378,13 +6389,7 @@ def text_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load(spark, sf_dir, "documents").repartition(
             spark.sparkContext.defaultParallelism, "doc_id"
         )
-        _STRUCT_MEMO[key] = (
-            docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-            .select(
-                "doc_id", F.expr(_SPARK_STRUCT_TEXT).alias("struct_text")
-            )
-            .persist()
-        )
+        _STRUCT_MEMO[key] = structured_relation(docs).persist()
     return _STRUCT_MEMO[key]
 
 

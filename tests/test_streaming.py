@@ -1993,3 +1993,80 @@ def test_range_watch_replay_idempotent(spark, sf_dir, tmpdir):
     sink(mk(rows[200:]), 1)  # replay
     twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
     assert once == twice
+
+
+def test_line_dedup_sink_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming line dedup (streaming/linedupview.py): feeding the
+    corpus in doc_id order, the served per-doc dup shares must equal
+    the batch text_line_dedup exactly, and the first-seen line registry
+    must equal the batch min-owner mapping — only per-batch anti joins
+    and additive contribution appends ever ran."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        text_line_dedup,
+        text_structured,
+    )
+    from beam_scala_examples_spark.streaming.linedupview import (
+        LineDedupIngestSink,
+    )
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream,
+        write_arrival_chunks,
+    )
+
+    rows = _doc_rows(sf_dir)
+    write_arrival_chunks(rows, 100, f"{tmpdir}/linefeed")
+    stream = read_event_stream(
+        spark, f"{tmpdir}/linefeed", schema="doc_id long, text string"
+    )
+    sink = LineDedupIngestSink(str(tmpdir))
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in text_line_dedup(spark, sf_dir).collect()
+    )
+    assert got == expect
+    # the feed really was incremental
+    assert spark.read.parquet(f"{tmpdir}/line_contrib").select(
+        "batch_id"
+    ).distinct().count() >= 2
+    # registry == batch first-owner mapping (min doc_id per line)
+    got_reg = sorted(
+        tuple(r) for r in sink.registry_view(spark).collect()
+    )
+    st = text_structured(spark, sf_dir)
+    expect_reg = sorted(
+        tuple(r)
+        for r in st.select(
+            "doc_id",
+            F.explode(F.expr("split(struct_text, chr(10))")).alias("line"),
+        )
+        .select("doc_id", F.md5("line").alias("line_md5"))
+        .groupBy("line_md5")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        .collect()
+    )
+    assert got_reg == expect_reg
+
+
+def test_line_dedup_sink_replay_idempotent(spark, sf_dir, tmpdir):
+    """Replaying a micro-batch re-derives exactly the registry and
+    contribution rows it owned, so both served views are unchanged."""
+    from beam_scala_examples_spark.streaming.linedupview import (
+        LineDedupIngestSink,
+    )
+
+    rows = _doc_rows(sf_dir)[:200]
+    sink = LineDedupIngestSink(str(tmpdir))
+    mk = lambda rs: spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rs], "doc_id long, text string"
+    )
+    sink(mk(rows[:100]), 0)
+    sink(mk(rows[100:]), 1)
+    once = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    once_reg = sorted(tuple(r) for r in sink.registry_view(spark).collect())
+    sink(mk(rows[100:]), 1)  # replay the latest batch
+    twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    twice_reg = sorted(tuple(r) for r in sink.registry_view(spark).collect())
+    assert once == twice and len(once) > 0
+    assert once_reg == twice_reg
