@@ -318,10 +318,15 @@ def write_manifest(spark: SparkSession, path: str,
     Scale: per-file row counts come from ONE distributed pass grouped
     by ``input_file_name()`` (no per-file driver loop); byte sizes from
     one driver-side listing (O(files), the same listing any planner
-    does).  The leading ``_`` keeps the manifest invisible to parquet
+    does).  Files are recorded by their path RELATIVE to the dataset
+    root, so Hive-partitioned layouts keep their partition subpath and
+    two ``part-00000`` files in different partitions never collide.
+    The leading ``_`` keeps the manifest invisible to parquet
     directory reads, the Spark convention for sidecar files."""
     import json as _json
     import os as _os
+    from urllib.parse import unquote as _unquote
+    from urllib.parse import urlparse as _urlparse
 
     df = spark.read.parquet(path)
     aggs = [F.count("*").alias("n_rows")]
@@ -335,23 +340,26 @@ def write_manifest(spark: SparkSession, path: str,
         .agg(*aggs)
         .collect()
     )
+    root_abs = _os.path.abspath(path)
     sizes = {}
     for root, _dirs, files in _os.walk(path):
         for f in files:
             if f.endswith(".parquet"):
                 full = _os.path.join(root, f)
-                sizes["file:" + _os.path.abspath(full)] = _os.path.getsize(
-                    full
-                )
+                rel = _os.path.relpath(_os.path.abspath(full), root_abs)
+                sizes[rel] = _os.path.getsize(full)
+
+    def _rel(uri: str) -> str:
+        # input_file_name() returns a (possibly percent-encoded) URI
+        parsed = _urlparse(uri)
+        local = _unquote(parsed.path) if parsed.scheme else _unquote(uri)
+        return _os.path.relpath(local, root_abs)
+
     rows = []
     for r in sorted(per_file, key=lambda r: r.file):
-        d = {"file": _os.path.basename(r.file), "n_rows": r.n_rows}
-        # input_file_name URIs may be percent-encoded; match on basename
-        base_matches = [
-            v for k, v in sizes.items()
-            if _os.path.basename(k) == _os.path.basename(r.file)
-        ]
-        d["n_bytes"] = base_matches[0] if base_matches else None
+        rel = _rel(r.file)
+        d = {"file": rel, "n_rows": r.n_rows}
+        d["n_bytes"] = sizes.get(rel)
         if key_col is not None:
             d["key_min"] = r.key_min
             d["key_max"] = r.key_max

@@ -589,3 +589,30 @@ def test_write_manifest(spark, tmpdir):
     assert len(lines) == len(man)
     assert json.loads(lines[0])["n_rows"] > 0
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_write_manifest_partitioned_keeps_subpaths(spark, tmpdir):
+    """Hive-partitioned layout: manifest entries carry the partition
+    subpath (path relative to the dataset root), so same-named
+    part files in different partitions never collide, and every
+    entry resolves to a real file with its real size."""
+    import os
+
+    from beam_scala_examples_spark.io import write_manifest
+
+    path = f"{tmpdir}/manifested_parts"
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).alias("grp")
+    )
+    df.repartition(1).write.mode("overwrite").partitionBy("grp").parquet(
+        path
+    )
+    man = write_manifest(spark, path).collect()
+    assert sum(r.n_rows for r in man) == 300
+    assert {r.file.split(os.sep)[0] for r in man} == {
+        "grp=0", "grp=1", "grp=2"
+    }
+    for r in man:
+        full = os.path.join(path, r.file)
+        assert os.path.isfile(full)
+        assert r.n_bytes == os.path.getsize(full)
