@@ -80,6 +80,16 @@ SHOWCASE = {
     "multimodal_decode_wav": "render + REAL RIFF walk: two Arrow mapInPandas, zero exchanges",
     "text_gopher_filter_full": "full 8-family rule chain; construction + parse in one codegen pass",
     "sim_pq_rerank_sweep": "one ADC ranking + one max-budget exact pass feed every budget",
+    "dedup_normalized": "canonical form in one codegen pass; grouping on its md5, text never shuffles",
+    "text_line_dedup": "line-md5 explode → owner count → md5 join-back; line text never shuffles",
+    "dedup_span_pairs": "stride-1 span fingerprints: owner-count aggregate, never all-pairs",
+    "dedup_span_runs": "islands row_number partitions on (doc_id, __prefix_shard); runs are O(runs) aggregates",
+    "sim_range_search_ivf": "radius filter applied only inside probed trained cells; centroids/probes broadcast",
+    "data_curriculum_order": "map-only phase/order keys on top of the per-source percentile ECDF",
+    "text_ccnet_buckets": "per-source surprisal terciles via histogram-ECDF windows over aggregated rows",
+    "text_langid_kappa": "kappa from the O(langs²) confusion aggregate; exact integer cross-products",
+    "text_quality_calibration": "keep-rate curve from one quality-score histogram aggregate",
+    "sim_ivfpq_trained_rerank": "one cell-restricted ADC scan (checkpointed) feeds every re-rank budget",
 }
 
 
