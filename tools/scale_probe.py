@@ -331,8 +331,95 @@ def carry_probe(spark, sf_dir: str, factor: int = 128,
     return out
 
 
+def islands_probe(spark, n_rows: int = 5_000_000,
+                  span: int = 8192) -> dict:
+    """Measured effect of the sharded islands pass (round-5
+    ``dedup_span_runs``) on a planted whale DOCUMENT: builds an
+    ``n_rows`` duplicated-span-index relation where 90% of rows belong
+    to one document, then times the gaps-and-islands grouping
+    (``grp = j - row_number() over (doc order by j)`` + run aggregate)
+    both ways:
+
+     - naive: ``Window.partitionBy(doc_id).orderBy(j)`` — the whale
+       document's every duplicated span index sorts in ONE task;
+     - sharded: ``operators/carry.py::sharded_row_number`` with
+       ``j div span`` range shards — bounded per-task sorts, O(shards)
+       carry.
+
+    Span indices are globally unique and within-doc monotone (the
+    shape ``dedup_span_runs`` produces), so the two row_numbers are
+    identical by construction; equality of the full runs tables is
+    asserted here."""
+    from beam_scala_examples_spark.operators.carry import (
+        sharded_row_number,
+    )
+    from pyspark.sql.window import Window
+
+    d = os.path.join(BASE, "islands")
+    shutil.rmtree(d, ignore_errors=True)
+    # 90% whale doc 0; islands broken by dropping every 7th index
+    base = spark.range(n_rows).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0))
+        .otherwise((F.col("id") % 1000) + 1)
+        .alias("doc_id"),
+        F.col("id").alias("j"),
+    ).filter(F.col("j") % 7 != 0)
+    base.write.mode("overwrite").parquet(os.path.join(d, "dup.parquet"))
+    df = spark.read.parquet(os.path.join(d, "dup.parquet"))
+
+    def timed(fn) -> float:
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def runs(isl):
+        return isl.withColumn("grp", F.col("j") - F.col("rn")).groupBy(
+            "doc_id", "grp"
+        ).agg(F.count("*").alias("run_spans"))
+
+    def naive():
+        w = Window.partitionBy("doc_id").orderBy("j")
+        return runs(df.withColumn("rn", F.row_number().over(w)))
+
+    def sharded():
+        return runs(
+            sharded_row_number(
+                df,
+                part="doc_id",
+                order=["j"],
+                shard=F.expr(f"j div {span}"),
+                out="rn",
+            )
+        )
+
+    out: dict = {"rows": df.count(), "whale_pct": 90, "span": span}
+    diff = naive().exceptAll(sharded().select(*naive().columns)).count()
+    assert diff == 0, f"islands probe answers diverged: {diff} rows"
+    out["islands_naive"] = timed(naive)
+    out["islands_sharded"] = timed(sharded)
+    out["speedup"] = round(out["islands_naive"] / out["islands_sharded"], 2)
+    for k, v in out.items():
+        print(f"islands {k}: {v}", flush=True)
+    return out
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--whale", "--carry")]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--whale", "--carry", "--islands")]
+    if "--islands" in sys.argv[1:]:
+        n = int(args[0]) if args else 5_000_000
+        out_json = args[1] if len(args) > 1 else "/tmp/islands_probe.json"
+        spark = get_spark(app_name="islands-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        res = islands_probe(spark, n)
+        with open(out_json, "w") as f:
+            json.dump(res, f, indent=1)
+        spark.stop()
+        return
     if "--carry" in sys.argv[1:]:
         sf_dir = args[0] if args else "/root/testdata/sf0.1"
         out_json = args[1] if len(args) > 1 else "/tmp/carry_probe.json"
