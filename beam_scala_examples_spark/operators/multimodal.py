@@ -237,6 +237,75 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+def resize_bmp(payload: bytes, factor: int = 2) -> dict:
+    """Real nearest-neighbor downsample on a decoded 24bpp BMP raster:
+    parse exactly as :func:`decode_bmp` (magic, offset, dims, bpp,
+    padding), normalize storage order to the LOGICAL image (bottom-up
+    rasters flip — orientation matters here, unlike whole-image sums),
+    keep every ``factor``-th logical row and column (numpy strided
+    slicing — no per-pixel Python), and report the output geometry plus
+    exact integer channel sums of the surviving pixels.  Truncated or
+    corrupted payloads raise ``ValueError``."""
+    import struct
+
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError("resize factor must be >= 1")
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError("only 24bpp uncompressed BI_RGB is supported")
+    if w <= 0:
+        raise ValueError("non-positive BMP width")
+    h = abs(h_raw)
+    row_size = (3 * w + 3) // 4 * 4
+    if off + h * row_size > len(payload):
+        raise ValueError("truncated BMP raster")
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=h * row_size, offset=off
+    ).reshape(h, row_size)
+    bgr = raster[:, : 3 * w].reshape(h, w, 3)
+    if h_raw > 0:               # bottom-up storage -> logical order
+        bgr = bgr[::-1]
+    small = bgr[::factor, ::factor]
+    sums = small.sum(axis=(0, 1), dtype=np.int64)
+    return {
+        "out_width": int(small.shape[1]),
+        "out_height": int(small.shape[0]),
+        "sum_r": int(sums[2]),
+        "sum_g": int(sums[1]),
+        "sum_b": int(sums[0]),
+    }
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, out_width long, out_height long,"
+    " sum_r long, sum_g long, sum_b long"
+)
+
+
+def resize_bmp_metadata(with_payload: DataFrame, factor: int = 2) -> DataFrame:
+    """Arrow-batched REAL nearest-neighbor resize over BMP payloads."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [resize_bmp(bytes(p), factor) for p in pdf["payload"]]
+            out = pd.DataFrame(meta)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[
+                ["doc_id", "out_width", "out_height",
+                 "sum_r", "sum_g", "sum_b"]
+            ]
+
+    return with_payload.mapInPandas(dec, schema=RESIZE_SCHEMA)
+
+
 def attach_bmp_payload(docs: DataFrame) -> DataFrame:
     """documents -> (doc_id, payload binary) where payload is a real BMP
     file rendered from the text (Arrow-batched; deterministic pixels)."""

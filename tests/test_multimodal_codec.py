@@ -234,3 +234,73 @@ def test_wav_round_trip_property(doc_id, text):
         "sum_abs": sum(abs(s) for s in samples),
         "peak": max(abs(s) for s in samples),
     }
+
+
+def _bmp_from_logical(px_rows, bottom_up: bool) -> bytes:
+    """Hand-build a 24bpp BMP from logical (R,G,B) pixel rows in either
+    storage orientation."""
+    h = len(px_rows)
+    w = len(px_rows[0])
+    row = (3 * w + 3) // 4 * 4
+    order = range(h - 1, -1, -1) if bottom_up else range(h)
+    raster = bytearray()
+    for y in order:
+        for r, g, b in px_rows[y]:
+            raster += bytes((b, g, r))
+        raster += b"\x00" * (row - 3 * w)
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1,
+                      24, 0, len(raster), 0, 0, 0, 0)
+        + bytes(raster)
+    )
+
+
+def test_resize_keeps_even_logical_rows_and_cols():
+    """Nearest-neighbor 2x keeps logical (row, col) both even — and the
+    SAME logical pixels regardless of storage orientation (a decoder
+    that forgot the bottom-up flip keeps the wrong rows for even
+    heights)."""
+    from beam_scala_examples_spark.operators.multimodal import resize_bmp
+
+    # 3x4 logical image, distinct per-pixel values
+    px = [[(10 * y + x, 100 + 10 * y + x, 200 + 10 * y + x)
+           for x in range(3)] for y in range(4)]
+    keep = [px[y][x] for y in (0, 2) for x in (0, 2)]
+    want = {
+        "out_width": 2, "out_height": 2,
+        "sum_r": sum(p[0] for p in keep),
+        "sum_g": sum(p[1] for p in keep),
+        "sum_b": sum(p[2] for p in keep),
+    }
+    assert resize_bmp(_bmp_from_logical(px, bottom_up=True)) == want
+    assert resize_bmp(_bmp_from_logical(px, bottom_up=False)) == want
+
+
+def test_resize_factor_one_is_identity_sums():
+    from beam_scala_examples_spark.operators.multimodal import (
+        decode_bmp,
+        resize_bmp,
+    )
+
+    payload = encode_bmp(7, "The quick brown fox")
+    full = decode_bmp(payload)
+    got = resize_bmp(payload, factor=1)
+    assert (got["out_width"], got["out_height"]) == (
+        full["width"], full["height"]
+    )
+    assert {k: got[k] for k in ("sum_r", "sum_g", "sum_b")} == {
+        k: full[k] for k in ("sum_r", "sum_g", "sum_b")
+    }
+
+
+def test_resize_rejects_truncation_and_bad_factor():
+    from beam_scala_examples_spark.operators.multimodal import resize_bmp
+
+    payload = encode_bmp(3, "hello world")
+    with pytest.raises(ValueError):
+        resize_bmp(payload[:40])
+    with pytest.raises(ValueError):
+        resize_bmp(payload[:-5])
+    with pytest.raises(ValueError):
+        resize_bmp(payload, factor=0)

@@ -678,3 +678,12 @@ def test_span_runs_islands_window_is_sharded(plans):
     assert data_row_specs
     for l in data_row_specs:
         assert "__prefix_shard" in l, l
+
+
+def test_multimodal_resize_is_narrow(plans):
+    """multimodal_resize_bmp: render + real parse-and-resize are two
+    chained Arrow mapInPandas passes — no exchange, no row-Python."""
+    p = plans("multimodal_resize_bmp")
+    assert "Exchange" not in p
+    assert p.count("MapInPandas") >= 2
+    assert "BatchEvalPython" not in p
