@@ -436,6 +436,83 @@ def decode_wav(payload: bytes) -> dict:
     return stats
 
 
+def resample_wav(payload: bytes, factor: int = 2) -> dict:
+    """Real decimation resample on a decoded WAV: walk the RIFF chunks
+    exactly as :func:`decode_wav` (magic, sizes, alignment, PCM fmt
+    validation), keep every ``factor``-th sample of the data chunk
+    (numpy strided slicing — no per-sample Python), divide the sample
+    rate by the same factor, and report the output stats.  Plain
+    decimation (no anti-alias filter) — the deterministic primitive; a
+    production low-pass would precede the stride in the same kernel.
+    Truncated or corrupted payloads raise ``ValueError``."""
+    import struct
+
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError("resample factor must be >= 1")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    end = min(8 + struct.unpack_from("<I", payload, 4)[0], len(payload))
+    pos = 12
+    rate = None
+    stats = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if body + size > len(payload):
+            raise ValueError("truncated RIFF chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, body
+            )
+            if fmt_tag != 1 or channels != 1 or bits != 16:
+                raise ValueError("only mono 16-bit PCM is supported")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt chunk")
+            n = size // 2
+            kept = np.frombuffer(
+                payload, dtype="<i2", count=n, offset=body
+            )[::factor].astype(np.int64)
+            np.abs(kept, out=kept)
+            out_rate = rate // factor
+            if out_rate < 1:
+                raise ValueError("resample factor exceeds sample rate")
+            n_out = int(kept.shape[0])
+            stats = {
+                "sample_rate": out_rate,
+                "n_samples": n_out,
+                "duration_us": n_out * 1_000_000 // out_rate,
+                "sum_abs": int(kept.sum()),
+                "peak": int(kept.max()) if n_out else 0,
+            }
+        pos = body + size + (size & 1)  # RIFF chunks are word-aligned
+    if stats is None:
+        raise ValueError("no data chunk")
+    return stats
+
+
+def resample_wav_metadata(with_payload: DataFrame,
+                          factor: int = 2) -> DataFrame:
+    """Arrow-batched REAL decimation resample over WAV payloads."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [resample_wav(bytes(p), factor) for p in pdf["payload"]]
+            out = pd.DataFrame(meta)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[
+                ["doc_id", "sample_rate", "n_samples", "duration_us",
+                 "sum_abs", "peak"]
+            ]
+
+    return with_payload.mapInPandas(dec, schema=WAV_SCHEMA)
+
+
 def attach_wav_payload(docs: DataFrame) -> DataFrame:
     """documents -> (doc_id, payload binary) where payload is a real WAV
     file rendered from the text (Arrow-batched; deterministic PCM)."""

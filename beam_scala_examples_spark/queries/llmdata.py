@@ -7510,3 +7510,48 @@ ORACLE["multimodal_resize_bmp"] = """
                    1)) % 256))::BIGINT AS sum_b
     FROM d
 """
+
+
+def multimodal_resample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample (round-5): the audio twin of
+    ``multimodal_resize_bmp`` — each document's rendered RIFF/WAVE file
+    is genuinely chunk-walked (``operators/multimodal.py::resample_wav``,
+    the same parser discipline as ``decode_wav``), decimated 2x with
+    numpy strided slicing (rate halves, every other sample survives),
+    and reduced to exact integer stats of the surviving samples.
+
+    The oracle never parses RIFF: sample i is
+    ``(ord(text[i mod len]) % 256) * 257 - 32768`` by construction, so
+    the survivors are the odd 1-based char positions and DuckDB
+    re-derives rate/count/duration/energy straight from the text — a
+    wrong stride or chunk walk flips the hash.
+
+    Scale: two chained Arrow ``mapInPandas`` passes, both narrow — no
+    shuffle; payload bytes never leave the task that made them."""
+    from ..operators.multimodal import attach_wav_payload, resample_wav_metadata
+
+    docs = load(spark, sf_dir, "documents")
+    return resample_wav_metadata(attach_wav_payload(docs))
+
+
+QUERIES["multimodal_resample_wav"] = multimodal_resample_wav
+
+ORACLE["multimodal_resample_wav"] = """
+    WITH d AS (SELECT doc_id, text, len(text) AS nc FROM documents),
+    s AS (
+        SELECT doc_id, nc,
+            (CASE nc % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 ELSE 44100 END) // 2 AS out_rate,
+            (nc + 1) // 2 AS n_out,
+            list_transform(generate_series(1, nc, 2),
+                i -> abs((ord(substr(text, i, 1)) % 256) * 257 - 32768)
+            ) AS a
+        FROM d
+    )
+    SELECT doc_id, out_rate::BIGINT AS sample_rate,
+           n_out::BIGINT AS n_samples,
+           (n_out * 1000000 // out_rate)::BIGINT AS duration_us,
+           list_sum(a)::BIGINT AS sum_abs,
+           list_max(a)::BIGINT AS peak
+    FROM s
+"""

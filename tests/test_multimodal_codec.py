@@ -304,3 +304,37 @@ def test_resize_rejects_truncation_and_bad_factor():
         resize_bmp(payload[:-5])
     with pytest.raises(ValueError):
         resize_bmp(payload, factor=0)
+
+
+def test_resample_keeps_every_other_sample():
+    from beam_scala_examples_spark.operators.multimodal import (
+        _wav_samples,
+        encode_wav,
+        resample_wav,
+    )
+
+    text = "resample me please"      # nc=18 -> rate 8000, 18 samples
+    kept = [abs(s) for s in _wav_samples(text)[::2]]
+    got = resample_wav(encode_wav(1, text))
+    assert got == {
+        "sample_rate": 4000,
+        "n_samples": len(kept),
+        "duration_us": len(kept) * 1_000_000 // 4000,
+        "sum_abs": sum(kept),
+        "peak": max(kept),
+    }
+
+
+def test_resample_rejects_truncation_and_bad_factor():
+    from beam_scala_examples_spark.operators.multimodal import (
+        encode_wav,
+        resample_wav,
+    )
+
+    payload = encode_wav(3, "hello world")
+    with pytest.raises(ValueError):
+        resample_wav(payload[:20])
+    with pytest.raises(ValueError):
+        resample_wav(payload[:-3])
+    with pytest.raises(ValueError):
+        resample_wav(payload, factor=0)

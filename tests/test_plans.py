@@ -687,3 +687,13 @@ def test_multimodal_resize_is_narrow(plans):
     assert "Exchange" not in p
     assert p.count("MapInPandas") >= 2
     assert "BatchEvalPython" not in p
+
+
+def test_multimodal_resample_is_narrow(plans):
+    """multimodal_resample_wav: render + real chunk-walk-and-decimate
+    are two chained Arrow mapInPandas passes — no exchange, no
+    row-Python."""
+    p = plans("multimodal_resample_wav")
+    assert "Exchange" not in p
+    assert p.count("MapInPandas") >= 2
+    assert "BatchEvalPython" not in p
