@@ -657,3 +657,61 @@ def test_sharded_prefix_sum_property(spark, rows, span):
             expect[uid] = acc
             acc += v
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 4),      # doc_id (few docs -> real whales)
+            st.integers(0, 300),    # duplicated span index j
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    span=st.integers(1, 64),
+)
+@settings(**SETTINGS)
+def test_sharded_islands_runs_property(spark, rows, span):
+    """The dedup_span_runs islands pass vs a pure-Python run grouping,
+    under random (doc, span-index) sets and random shard spans —
+    including runs that straddle shard boundaries.  The sharded
+    row_number must produce exactly the naive gaps-and-islands run
+    table (per doc: every maximal consecutive-index run with its
+    length)."""
+    from beam_scala_examples_spark.operators.carry import (
+        sharded_row_number,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id bigint, j bigint")
+    got = sorted(
+        (r.doc_id, r.run_spans)
+        for r in sharded_row_number(
+            df,
+            part="doc_id",
+            order=["j"],
+            shard=F.expr(f"j div {span}"),
+            out="rn",
+        )
+        .withColumn("grp", F.col("j") - F.col("rn"))
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("run_spans"))
+        .collect()
+    )
+    # pure-Python reference: split each doc's sorted indices into
+    # maximal consecutive runs
+    by_doc: dict = {}
+    for d, j in rows:
+        by_doc.setdefault(d, []).append(j)
+    expect = []
+    for d, js in by_doc.items():
+        js.sort()
+        run = 1
+        for a, b in zip(js, js[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                expect.append((d, run))
+                run = 1
+        expect.append((d, run))
+    assert got == sorted(expect)
