@@ -90,6 +90,9 @@ SHOWCASE = {
     "text_langid_kappa": "kappa from the O(langs²) confusion aggregate; exact integer cross-products",
     "text_quality_calibration": "keep-rate curve from one quality-score histogram aggregate",
     "sim_ivfpq_trained_rerank": "one cell-restricted ADC scan (checkpointed) feeds every re-rank budget",
+    "text_bpe_fertility": "O(sources) aggregate over the per-doc counts the BPE join already makes",
+    "multimodal_resize_bmp": "render + real parse-flip-stride resize: two Arrow mapInPandas, zero exchanges",
+    "multimodal_resample_wav": "render + real chunk-walk decimation: two Arrow mapInPandas, zero exchanges",
 }
 
 
