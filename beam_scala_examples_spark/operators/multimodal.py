@@ -9,14 +9,18 @@ Two tiers:
   tested: binary column schema, Arrow batch transfer, ``mapInPandas``
   signature, partition-preserving metadata extraction. Swap
   ``_fake_decode`` for a real decoder without touching the plan.
-* BMP (24-bit uncompressed BI_RGB) needs no library: :func:`encode_bmp`
-  writes a spec-complete file (54-byte header, bottom-up raster, BGR
-  channel order, 4-byte row padding) and :func:`decode_bmp` is a REAL
-  decoder — it parses magic/offsets/dims/bpp/compression from the
-  header bytes and walks the padded raster, sharing no state with the
-  encoder. ``multimodal_decode_bmp`` runs it through the same Arrow
-  ``mapInPandas`` path, so one media format is decoded for real
-  end-to-end (round-3 verdict item 3).
+* Three REAL formats need no library and cover the brief's quartet
+  (decode / feature-extract / resize / frame-sample) genuinely
+  end-to-end: BMP (24-bit uncompressed BI_RGB — :func:`decode_bmp`
+  parses magic/offsets/dims/bpp/compression and walks the padded
+  raster; :func:`resize_bmp` adds the orientation-aware nearest-
+  neighbor downsample), WAV (RIFF chunk walking, PCM validation —
+  :func:`decode_wav` / :func:`resample_wav`), and Y4M video
+  (YUV4MPEG2 stream-header + FRAME-marker parsing —
+  :func:`sample_y4m` strides over skipped frames and chroma planes
+  without reading them).  Every decoder shares no state with its
+  encoder, and every query oracle re-derives the expected stats from
+  the source text without parsing the container.
 
 Scale notes: ``mapInPandas`` is a narrow transformation — no shuffle; the
 Arrow batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``)
@@ -548,3 +552,160 @@ def decode_wav_metadata(with_payload: DataFrame) -> DataFrame:
             ]
 
     return with_payload.mapInPandas(dec, schema=WAV_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real Y4M (YUV4MPEG2) video codec — pure Python, no libraries
+# --------------------------------------------------------------------------
+# YUV4MPEG2 is a real, widely-supported uncompressed video container
+# (ffmpeg/mjpegtools): an ASCII stream header ("YUV4MPEG2 W# H# F#:#
+# [Ip A#:# C<tag>]\n") followed by frames, each an ASCII "FRAME[ params]\n"
+# marker plus raw planar YUV bytes whose size the header's W/H/C tag
+# determines.  Simple enough to hand-parse for real, rich enough that a
+# wrong plane-stride or marker walk corrupts every later frame — exactly
+# the property the oracle check needs.
+
+Y4M_W_MOD = 7    # width    = 1 + n_chars % Y4M_W_MOD
+Y4M_H_MOD = 5    # height   = 1 + doc_id  % Y4M_H_MOD
+Y4M_F_MOD = 6    # n_frames = 1 + (doc_id + n_chars) % Y4M_F_MOD
+Y4M_FPS = 25
+
+Y4M_SCHEMA = (
+    "doc_id long, width long, height long, fps long,"
+    " n_frames long, n_sampled long, sum_y long"
+)
+
+
+def _y4m_luma(text: str, f: int, n_px: int) -> list:
+    """Deterministic luma content: Y of frame f, raster pixel i is
+    ``ord(text[(f + i) mod len]) % 256`` — a pure text function the
+    oracle recomputes without parsing Y4M."""
+    nc = len(text)
+    return [ord(text[(f + i) % nc]) % 256 for i in range(n_px)]
+
+
+def encode_y4m(doc_id: int, text: str) -> bytes:
+    """A complete, valid YUV4MPEG2 stream in C444 (one full-size plane
+    per channel): stream header, then per frame a FRAME marker + Y/U/V
+    planes.  Chroma planes carry a constant 128 (neutral) — the sampler
+    must still stride over them correctly to reach the next frame."""
+    w = 1 + len(text) % Y4M_W_MOD
+    h = 1 + doc_id % Y4M_H_MOD
+    n_frames = 1 + (doc_id + len(text)) % Y4M_F_MOD
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{Y4M_FPS}:1 Ip A1:1 C444\n".encode()
+    )
+    for f in range(n_frames):
+        out += b"FRAME\n"
+        out += bytes(_y4m_luma(text, f, w * h))
+        out += bytes([128]) * (w * h) * 2       # U, V planes
+    return bytes(out)
+
+
+def sample_y4m(payload: bytes, stride: int = 2) -> dict:
+    """Real Y4M frame sampling: parse the ASCII stream header (magic,
+    W/H/F tags, colourspace tag -> per-frame byte size), walk the FRAME
+    markers, and for every ``stride``-th frame reduce the luma plane to
+    an exact integer sum (numpy ``frombuffer`` — no per-pixel Python);
+    skipped frames and chroma planes advance by stride arithmetic
+    without being read.  Supports C444 and C420 family tags (the two
+    plane geometries).  Truncated or malformed payloads raise
+    ``ValueError``."""
+    import numpy as np
+
+    if stride < 1:
+        raise ValueError("frame stride must be >= 1")
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = fps = None
+    ctag = "C420jpeg"                    # the Y4M default when absent
+    for tok in payload[:nl].decode("ascii", "replace").split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fps = int(tok[1:].split(":")[0])
+        elif tok[0] == "C":
+            ctag = tok
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError("missing or non-positive Y4M dimensions")
+    if ctag.startswith("C444"):
+        chroma = 2 * w * h
+    elif ctag.startswith("C420"):
+        if w % 2 or h % 2:
+            raise ValueError("odd dimensions with 4:2:0 chroma")
+        chroma = (w // 2) * (h // 2) * 2
+    else:
+        raise ValueError(f"unsupported colourspace {ctag}")
+    frame_bytes = w * h + chroma
+    pos = nl + 1
+    n_frames = 0
+    n_sampled = 0
+    sum_y = 0
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt FRAME marker")
+        fnl = payload.find(b"\n", pos + 5)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME marker")
+        body = fnl + 1
+        if body + frame_bytes > len(payload):
+            raise ValueError("truncated Y4M frame")
+        if n_frames % stride == 0:
+            luma = np.frombuffer(
+                payload, dtype=np.uint8, count=w * h, offset=body
+            )
+            sum_y += int(luma.sum(dtype=np.int64))
+            n_sampled += 1
+        n_frames += 1
+        pos = body + frame_bytes
+    if n_frames == 0:
+        raise ValueError("no frames")
+    return {
+        "width": w,
+        "height": h,
+        "fps": fps or 0,
+        "n_frames": n_frames,
+        "n_sampled": n_sampled,
+        "sum_y": sum_y,
+    }
+
+
+def attach_y4m_payload(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload binary) where payload is a real Y4M
+    stream rendered from the text (Arrow-batched; deterministic luma)."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        encode_y4m(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        enc, schema="doc_id long, payload binary"
+    )
+
+
+def sample_y4m_metadata(with_payload: DataFrame,
+                        stride: int = 2) -> DataFrame:
+    """Arrow-batched REAL frame sampling over Y4M payloads."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [sample_y4m(bytes(p), stride) for p in pdf["payload"]]
+            out = pd.DataFrame(meta)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[
+                ["doc_id", "width", "height", "fps",
+                 "n_frames", "n_sampled", "sum_y"]
+            ]
+
+    return with_payload.mapInPandas(dec, schema=Y4M_SCHEMA)

@@ -7555,3 +7555,52 @@ ORACLE["multimodal_resample_wav"] = """
            list_max(a)::BIGINT AS peak
     FROM s
 """
+
+
+def multimodal_sample_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-sampling (round 5): upgrades the frame-sample
+    rung from the deterministic fake (``multimodal_frames``) to a real
+    container — each document is rendered into a valid YUV4MPEG2 stream
+    (``operators/multimodal.py::encode_y4m``: ASCII stream header +
+    FRAME markers + planar YUV bytes; the format ffmpeg/mjpegtools
+    exchange uncompressed video in) and genuinely parsed back
+    (``sample_y4m``: header tokens -> plane geometry, FRAME-marker walk
+    with stride arithmetic over skipped frames and chroma planes), with
+    every 2nd frame's luma plane reduced to an exact integer sum.
+
+    The oracle never parses Y4M: luma of frame f pixel i is
+    ``ord(text[(f + i) mod len]) % 256`` by construction, so DuckDB
+    re-derives geometry/frame counts/sampled luma sums straight from
+    the text — a wrong plane stride or marker walk corrupts every later
+    frame and flips the hash.
+
+    Scale: two chained Arrow ``mapInPandas`` passes, both narrow — no
+    shuffle; payload bytes never leave the task that made them, and
+    skipped frames are never read (the stride is pointer arithmetic,
+    the property that matters when frames are megabytes)."""
+    from ..operators.multimodal import attach_y4m_payload, sample_y4m_metadata
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_y4m_metadata(attach_y4m_payload(docs))
+
+
+QUERIES["multimodal_sample_y4m"] = multimodal_sample_y4m
+
+ORACLE["multimodal_sample_y4m"] = """
+    WITH d AS (
+        SELECT doc_id, text, len(text) AS nc,
+               1 + (len(text) % 7) AS w,
+               1 + (doc_id % 5) AS h,
+               1 + ((doc_id + len(text)) % 6) AS nf
+        FROM documents
+    )
+    SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+           25::BIGINT AS fps, nf::BIGINT AS n_frames,
+           ((nf + 1) // 2)::BIGINT AS n_sampled,
+           list_sum(list_transform(range(0, (nf + 1) // 2),
+               k -> list_sum(list_transform(range(0, w * h),
+                   i -> ord(substr(text, ((2 * k + i) % nc) + 1, 1)) % 256
+               ))
+           ))::BIGINT AS sum_y
+    FROM d
+"""

@@ -338,3 +338,67 @@ def test_resample_rejects_truncation_and_bad_factor():
         resample_wav(payload[:-3])
     with pytest.raises(ValueError):
         resample_wav(payload, factor=0)
+
+
+def test_y4m_sampling_matches_luma_formula():
+    from beam_scala_examples_spark.operators.multimodal import (
+        _y4m_luma,
+        encode_y4m,
+        sample_y4m,
+    )
+
+    text = "frame sampling for real"
+    doc_id = 9
+    w, h = 1 + len(text) % 7, 1 + doc_id % 5
+    nf = 1 + (doc_id + len(text)) % 6
+    want_sum = sum(
+        sum(_y4m_luma(text, f, w * h)) for f in range(0, nf, 2)
+    )
+    got = sample_y4m(encode_y4m(doc_id, text))
+    assert got == {
+        "width": w, "height": h, "fps": 25,
+        "n_frames": nf, "n_sampled": (nf + 1) // 2, "sum_y": want_sum,
+    }
+
+
+def test_y4m_c420_plane_stride():
+    """A hand-built C420jpeg stream: the sampler must stride w*h +
+    2*(w/2)*(h/2) per frame — a C444-only walker would misalign on the
+    second FRAME marker."""
+    from beam_scala_examples_spark.operators.multimodal import sample_y4m
+
+    w, h = 4, 2
+    y0, y1 = bytes([1]) * (w * h), bytes([3]) * (w * h)
+    chroma = bytes([128]) * ((w // 2) * (h // 2) * 2)
+    payload = (
+        b"YUV4MPEG2 W4 H2 F30:1 C420jpeg\n"
+        + b"FRAME\n" + y0 + chroma
+        + b"FRAME\n" + y1 + chroma
+    )
+    got = sample_y4m(payload)           # stride 2 -> samples frame 0 only
+    assert got == {
+        "width": 4, "height": 2, "fps": 30,
+        "n_frames": 2, "n_sampled": 1, "sum_y": 1 * w * h,
+    }
+    assert sample_y4m(payload, stride=1)["sum_y"] == (1 + 3) * w * h
+
+
+def test_y4m_rejects_malformed():
+    from beam_scala_examples_spark.operators.multimodal import (
+        encode_y4m,
+        sample_y4m,
+    )
+
+    payload = encode_y4m(2, "hello there world")
+    with pytest.raises(ValueError):
+        sample_y4m(b"AVI1 garbage")
+    with pytest.raises(ValueError):
+        sample_y4m(payload[:-4])        # truncated last frame
+    with pytest.raises(ValueError):
+        sample_y4m(payload, stride=0)
+    # corrupt the second FRAME marker
+    idx = payload.find(b"FRAME\n", payload.find(b"FRAME\n") + 1)
+    if idx >= 0:
+        bad = payload[:idx] + b"XRAME" + payload[idx + 5:]
+        with pytest.raises(ValueError):
+            sample_y4m(bad)

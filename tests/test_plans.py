@@ -697,3 +697,12 @@ def test_multimodal_resample_is_narrow(plans):
     assert "Exchange" not in p
     assert p.count("MapInPandas") >= 2
     assert "BatchEvalPython" not in p
+
+
+def test_multimodal_y4m_sampling_is_narrow(plans):
+    """multimodal_sample_y4m: render + real FRAME-marker walk are two
+    chained Arrow mapInPandas passes — no exchange, no row-Python."""
+    p = plans("multimodal_sample_y4m")
+    assert "Exchange" not in p
+    assert p.count("MapInPandas") >= 2
+    assert "BatchEvalPython" not in p

@@ -93,6 +93,7 @@ SHOWCASE = {
     "text_bpe_fertility": "O(sources) aggregate over the per-doc counts the BPE join already makes",
     "multimodal_resize_bmp": "render + real parse-flip-stride resize: two Arrow mapInPandas, zero exchanges",
     "multimodal_resample_wav": "render + real chunk-walk decimation: two Arrow mapInPandas, zero exchanges",
+    "multimodal_sample_y4m": "render + real FRAME-marker walk, skipped frames never read: two Arrow mapInPandas",
 }
 
 
