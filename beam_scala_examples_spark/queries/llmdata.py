@@ -7293,10 +7293,13 @@ def dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of :func:`dedup_span_pairs`: instead of only SCORING a document by
     its share of duplicated stride-1 spans, find each document's runs of
     CONSECUTIVE duplicated spans (a gaps-and-islands pass over the span
-    index) and report the longest one in tokens, so downstream removal
-    can cut the actual duplicated substring rather than drop or keep the
-    whole document.  A run of k consecutive duplicated spans covers
-    ``k + SPAN_TOKENS - 1`` tokens of verbatim cross-document text.
+    index) and report the longest one in tokens PLUS its start token
+    index (``max_run_start``, earliest start on length ties; -1 when no
+    run) — the (start, length) a removal pass actually cuts, so
+    downstream removal excises the duplicated substring rather than
+    dropping or keeping the whole document.  A run of k consecutive
+    duplicated spans covers ``k + SPAN_TOKENS - 1`` tokens of verbatim
+    cross-document text.
 
     Scale: the islands pass is the classic ``j - row_number()`` trick,
     but the row_number comes from :func:`operators.carry.sharded_row_number`
@@ -7343,11 +7346,17 @@ def dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="rn",
     ).withColumn("grp", F.col("j") - F.col("rn"))
     runs = isl.groupBy("doc_id", "grp").agg(
-        F.count("*").alias("run_spans")
+        F.count("*").alias("run_spans"),
+        F.min("j").alias("run_start"),
     )
+    # arg-max with a deterministic tie-break: the LONGEST run, earliest
+    # start on ties — the (start, length) a removal pass actually cuts
     per_doc = runs.groupBy("doc_id").agg(
         F.count("*").alias("n_runs"),
         F.max("run_spans").alias("mx"),
+        F.max_by(
+            "run_start", F.struct(F.col("run_spans"), -F.col("run_start"))
+        ).alias("mx_start"),
     )
     return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
@@ -7357,6 +7366,7 @@ def dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("mx") + SPAN_TOKENS - 1)
         .cast("long")
         .alias("max_run_tokens"),
+        F.coalesce("mx_start", F.lit(-1)).alias("max_run_start"),
     )
 
 
@@ -7395,20 +7405,32 @@ ORACLE["dedup_span_runs"] = f"""
         FROM dup
     ),
     runs AS (
-        SELECT doc_id, grp, count(*)::BIGINT AS run_spans
+        SELECT doc_id, grp, count(*)::BIGINT AS run_spans,
+               min(j)::BIGINT AS run_start
         FROM isl GROUP BY 1, 2
     ),
     per_doc AS (
         SELECT doc_id, count(*)::BIGINT AS n_runs,
-               max(run_spans)::BIGINT AS mx
-        FROM runs GROUP BY 1
+               max(run_spans)::BIGINT AS mx,
+               min(run_start) FILTER (
+                   WHERE rk = 1
+               )::BIGINT AS mx_start
+        FROM (
+            SELECT doc_id, run_spans, run_start,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY run_spans DESC, run_start ASC
+                   ) AS rk
+            FROM runs
+        ) GROUP BY 1
     )
     SELECT d.doc_id,
            coalesce(p.n_runs, 0)::BIGINT AS n_runs,
            coalesce(p.mx, 0)::BIGINT AS max_run_spans,
            (CASE WHEN p.mx IS NULL THEN 0
                  ELSE p.mx + {SPAN_TOKENS} - 1 END)::BIGINT
-               AS max_run_tokens
+               AS max_run_tokens,
+           coalesce(p.mx_start, -1)::BIGINT AS max_run_start
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
