@@ -3182,6 +3182,63 @@ N_BPE_MERGES = 16
 # keeps the character-split vocabulary persisted for the training rounds
 _BPE_CACHE: dict[str, DataFrame] = {}
 
+# Session memo for the learned merge rules — the ``_trained`` pattern
+# (clustering.py) applied to BPE: training is N_BPE_MERGES rounds of
+# pair-count jobs with a driver collect each, identical for every
+# caller in a session, while the rules themselves are O(rounds) driver
+# rows (the k-means-centroid sanction).  text_bpe_encode, data_pack_bpe
+# and text_bpe_fertility all re-apply the memoized rules to a fresh
+# vocabulary — deterministic string ops, so results are bit-identical
+# to retraining.  Keyed by applicationId so a stopped session's rules
+# are never served to a new one (they would still be correct — the
+# training is deterministic — but the discipline is uniform).
+_BPE_MERGE_MEMO: dict = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str,
+                vocab: DataFrame) -> list:
+    """The learned (a, b) merge rules, trained once per (application,
+    sf_dir): each round counts adjacent symbol pairs over the CURRENT
+    vocabulary (one map-side-combined aggregate + a 1-row collect) and
+    applies the winner before the next round — the loop
+    ``text_bpe_encode`` always ran, factored behind the memo."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key in _BPE_MERGE_MEMO:
+        return _BPE_MERGE_MEMO[key]
+    merges: list = []
+    cur = vocab
+    for _ in range(N_BPE_MERGES):
+        syms = cur.select(
+            "freq", F.split(F.trim("s"), " ").alias("syms")
+        ).filter(F.expr("size(syms) >= 2"))
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS a,"
+                    " element_at(syms, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0].a, top[0].b
+        merges.append((a, b))
+        cur = cur.withColumn(
+            "s",
+            F.replace(F.col("s"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")),
+        )
+    _BPE_MERGE_MEMO[key] = merges
+    return merges
+
 
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE: train ``N_BPE_MERGES`` character-level merges over the
@@ -3236,30 +3293,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _BPE_CACHE["vocab"] = vocab
     cur = vocab
-    for _ in range(N_BPE_MERGES):
-        syms = cur.select(
-            "freq", F.split(F.trim("s"), " ").alias("syms")
-        ).filter(F.expr("size(syms) >= 2"))
-        pairs = syms.select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(syms) - 1),"
-                    " i -> struct(element_at(syms, i) AS a,"
-                    " element_at(syms, i + 1) AS b))"
-                )
-            ).alias("p"),
-        )
-        top = (
-            pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        a, b = top[0].a, top[0].b
+    for a, b in _bpe_merges(spark, sf_dir, vocab):
         cur = cur.withColumn(
             "s",
             F.replace(F.col("s"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")),
