@@ -7660,3 +7660,133 @@ ORACLE["multimodal_sample_y4m"] = """
            ))::BIGINT AS sum_y
     FROM d
 """
+
+
+K_WINNOW = 4   # k-gram width (tokens) for winnowing fingerprints
+W_WINNOW = 5   # winnowing window (hashes); density guarantee 2/(w+1)
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every ``K_WINNOW``-token gram,
+    then in every window of ``W_WINNOW`` consecutive hashes select the
+    minimum — the selection any copy of at least ``W+K-1`` tokens is
+    GUARANTEED to share, at a bounded density (≈ 2/(w+1) of grams),
+    which is what separates winnowing from both full-span
+    fingerprinting (``dedup_span_pairs``, complete but dense) and
+    strided chunking (sparse but alignment-fragile).  Per document:
+    gram count, distinct selected fingerprints, how many of those are
+    shared with at least one other document, and the selection density
+    in basis points.  Documents shorter than one gram select nothing;
+    documents with fewer hashes than one window select their global
+    minimum (the standard boundary behavior).
+
+    Scale: selection is per-row array codegen in the scan stage (no
+    interpreted lambda in a hot aggregate — the mins ride
+    ``array_min(slice(...))`` like the counting paths); the exploded
+    relation is O(selected fingerprints) ≈ O(tokens × 2/(w+1)) slim
+    (doc_id, int64) rows, one owner-count aggregate with map-side
+    combine and one join back on the fingerprint.  Gram text never
+    shuffles; never all-pairs."""
+    docs = load(spark, sf_dir, "documents")
+    gram_h = _SPARK_H.format(
+        col=f"array_join(slice(toks, cast(j + 1 as int), {K_WINNOW}), ' ')"
+    )
+    hs_expr = (
+        f"case when size(toks) >= {K_WINNOW} then"
+        f" transform(sequence(cast(0 as bigint),"
+        f" cast(size(toks) as bigint) - {K_WINNOW}),"
+        f" j -> {gram_h}) else array() end"
+    )
+    sel_expr = (
+        f"case when size(hs) >= 1 then"
+        f" transform(sequence(cast(0 as bigint),"
+        f" cast(greatest(size(hs) - {W_WINNOW}, 0) as bigint)),"
+        f" j -> array_min(slice(hs, cast(j + 1 as int), {W_WINNOW})))"
+        f" else array() end"
+    )
+    sel_rows = (
+        docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .select("doc_id", F.expr(hs_expr).alias("hs"))
+        .select(
+            "doc_id",
+            F.size("hs").cast("long").alias("n_grams"),
+            F.explode_outer(F.expr(sel_expr)).alias("fp"),
+        )
+        .distinct()
+    )
+    owners = (
+        sel_rows.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+    )
+    per_doc = (
+        sel_rows.join(owners, "fp", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.sum(F.col("fp").isNotNull().cast("long")).alias("n_selected"),
+            F.sum((F.coalesce("nd", F.lit(0)) >= 2).cast("long")).alias(
+                "n_shared"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_selected",
+        "n_shared",
+        F.expr(
+            "(n_selected * 10000) div greatest(n_grams, 1)"
+        ).alias("density_bp"),
+    )
+
+
+QUERIES["text_winnow_fingerprints"] = text_winnow_fingerprints
+
+ORACLE["text_winnow_fingerprints"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {K_WINNOW} THEN
+                   list_transform(range(0, len(toks) - {K_WINNOW} + 1),
+                       j -> ('0x' || substr(md5(array_to_string(
+                           toks[(j + 1)::INT : (j + {K_WINNOW})::INT],
+                           ' ')), 1, 8))::BIGINT)
+               ELSE [] END AS hs
+        FROM toks
+    ),
+    sel AS (
+        SELECT doc_id, len(hs)::BIGINT AS n_grams,
+               CASE WHEN len(hs) >= 1 THEN
+                   list_transform(
+                       range(0, greatest(len(hs) - {W_WINNOW} + 1, 1)),
+                       j -> list_min(
+                           hs[(j + 1)::INT : (j + {W_WINNOW})::INT]))
+               ELSE [] END AS fps
+        FROM hashed
+    ),
+    rows_ AS (
+        SELECT DISTINCT doc_id, n_grams, fp
+        FROM (SELECT doc_id, n_grams, unnest(
+                  CASE WHEN len(fps) = 0 THEN [NULL] ELSE fps END
+              ) AS fp FROM sel)
+    ),
+    owners AS (
+        SELECT fp, count(DISTINCT doc_id)::BIGINT AS nd
+        FROM rows_ WHERE fp IS NOT NULL GROUP BY 1
+    ),
+    per_doc AS (
+        SELECT r.doc_id, r.n_grams,
+               sum(CASE WHEN r.fp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_selected,
+               sum(CASE WHEN coalesce(o.nd, 0) >= 2 THEN 1 ELSE 0
+                   END)::BIGINT AS n_shared
+        FROM rows_ r LEFT JOIN owners o USING (fp)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, n_grams, n_selected, n_shared,
+           (n_selected * 10000) // greatest(n_grams, 1) AS density_bp
+    FROM per_doc
+"""

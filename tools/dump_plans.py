@@ -94,6 +94,7 @@ SHOWCASE = {
     "multimodal_resize_bmp": "render + real parse-flip-stride resize: two Arrow mapInPandas, zero exchanges",
     "multimodal_resample_wav": "render + real chunk-walk decimation: two Arrow mapInPandas, zero exchanges",
     "multimodal_sample_y4m": "render + real FRAME-marker walk, skipped frames never read: two Arrow mapInPandas",
+    "text_winnow_fingerprints": "window-min selection as scan-stage array codegen; O(selected) rows shuffle",
 }
 
 
