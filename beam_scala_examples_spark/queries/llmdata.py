@@ -7790,3 +7790,123 @@ ORACLE["text_winnow_fingerprints"] = f"""
            (n_selected * 10000) // greatest(n_grams, 1) AS density_bp
     FROM per_doc
 """
+
+
+WINNOW_MIN_SHARED = 3   # prints two docs must share to become a pair
+
+
+def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS match step on top of
+    :func:`text_winnow_fingerprints`'s selection: candidate document
+    pairs ranked by how many winnowed prints they share (≥
+    ``WINNOW_MIN_SHARED``), plus each pair's overlap share in basis
+    points of the smaller document's print set — the plagiarism-style
+    report MOSS serves, and the third member of the pair-generation
+    family (MinHash bands for Jaccard, span fingerprints for exact
+    substrings, winnowing for guaranteed-coverage copies at bounded
+    index size).
+
+    Scale: the self-join is keyed on the print value — Σ|owners|²
+    over prints, bounded because winnowing keeps ≈2/(w+1) of grams and
+    stopword-only grams hash apart (unlike shingle LSH buckets there is
+    no band collapse to blow up one bucket); the per-doc print counts
+    join back broadcast-free on doc_id.  Never all-pairs; gram text
+    never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    gram_h = _SPARK_H.format(
+        col=f"array_join(slice(toks, cast(j + 1 as int), {K_WINNOW}), ' ')"
+    )
+    hs_expr = (
+        f"case when size(toks) >= {K_WINNOW} then"
+        f" transform(sequence(cast(0 as bigint),"
+        f" cast(size(toks) as bigint) - {K_WINNOW}),"
+        f" j -> {gram_h}) else array() end"
+    )
+    sel_expr = (
+        f"case when size(hs) >= 1 then"
+        f" transform(sequence(cast(0 as bigint),"
+        f" cast(greatest(size(hs) - {W_WINNOW}, 0) as bigint)),"
+        f" j -> array_min(slice(hs, cast(j + 1 as int), {W_WINNOW})))"
+        f" else array() end"
+    )
+    prints = (
+        docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .select("doc_id", F.expr(hs_expr).alias("hs"))
+        .select("doc_id", F.explode(F.expr(sel_expr)).alias("fp"))
+        .distinct()
+    )
+    counts = prints.groupBy("doc_id").agg(F.count("*").alias("n_prints"))
+    a = prints.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = prints.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_prints"))
+        .filter(F.col("shared_prints") >= WINNOW_MIN_SHARED)
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n_prints").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n_prints").alias("nb"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_prints",
+            F.expr(
+                "(shared_prints * 10000) div least(na, nb)"
+            ).alias("overlap_bp"),
+        )
+    )
+
+
+QUERIES["text_winnow_pairs"] = text_winnow_pairs
+
+ORACLE["text_winnow_pairs"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {K_WINNOW} THEN
+                   list_transform(range(0, len(toks) - {K_WINNOW} + 1),
+                       j -> ('0x' || substr(md5(array_to_string(
+                           toks[(j + 1)::INT : (j + {K_WINNOW})::INT],
+                           ' ')), 1, 8))::BIGINT)
+               ELSE [] END AS hs
+        FROM toks
+    ),
+    prints AS (
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id, unnest(
+                CASE WHEN len(hs) >= 1 THEN
+                    list_transform(
+                        range(0, greatest(len(hs) - {W_WINNOW} + 1, 1)),
+                        j -> list_min(
+                            hs[(j + 1)::INT : (j + {W_WINNOW})::INT]))
+                ELSE [] END) AS fp
+            FROM hashed
+        )
+    ),
+    counts AS (
+        SELECT doc_id, count(*)::BIGINT AS n_prints
+        FROM prints GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*)::BIGINT AS shared_prints
+        FROM prints a JOIN prints b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.shared_prints,
+           (p.shared_prints * 10000) // least(ca.n_prints, cb.n_prints)
+               AS overlap_bp
+    FROM pairs p
+    JOIN counts ca ON ca.doc_id = p.doc_a
+    JOIN counts cb ON cb.doc_id = p.doc_b
+"""
