@@ -2070,3 +2070,62 @@ def test_line_dedup_sink_replay_idempotent(spark, sf_dir, tmpdir):
     twice_reg = sorted(tuple(r) for r in sink.registry_view(spark).collect())
     assert once == twice and len(once) > 0
     assert once_reg == twice_reg
+
+
+def test_winnow_sink_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming winnowing registry (streaming/winnowview.py): feeding
+    the corpus in doc_id order, the served MOSS pair table must equal
+    batch text_winnow_pairs exactly; arrival-time flags must be
+    consistent (known prints bounded by the doc's print count, and a
+    doc flagged against prior docs must have known prints)."""
+    from beam_scala_examples_spark.queries.llmdata import text_winnow_pairs
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream,
+        write_arrival_chunks,
+    )
+    from beam_scala_examples_spark.streaming.winnowview import (
+        WinnowIngestSink,
+    )
+
+    rows = _doc_rows(sf_dir)
+    write_arrival_chunks(rows, 100, f"{tmpdir}/winnowfeed")
+    stream = read_event_stream(
+        spark, f"{tmpdir}/winnowfeed", schema="doc_id long, text string"
+    )
+    sink = WinnowIngestSink(str(tmpdir))
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in text_winnow_pairs(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
+    assert spark.read.parquet(f"{tmpdir}/winnow_prints").select(
+        "batch_id"
+    ).distinct().count() >= 2
+    for r in sink.flags(spark).collect():
+        assert 0 <= r.known_prints <= r.n_prints
+        assert (r.prior_docs > 0) == (r.known_prints > 0)
+
+
+def test_winnow_sink_replay_idempotent(spark, sf_dir, tmpdir):
+    """Replaying a micro-batch re-derives exactly the print rows and
+    arrival flags it owned, so both served views are unchanged."""
+    from beam_scala_examples_spark.streaming.winnowview import (
+        WinnowIngestSink,
+    )
+
+    rows = _doc_rows(sf_dir)[:200]
+    sink = WinnowIngestSink(str(tmpdir))
+    mk = lambda rs: spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rs], "doc_id long, text string"
+    )
+    sink(mk(rows[:100]), 0)
+    sink(mk(rows[100:]), 1)
+    once = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    once_f = sorted(tuple(r) for r in sink.flags(spark).collect())
+    sink(mk(rows[100:]), 1)  # replay the latest batch
+    twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    twice_f = sorted(tuple(r) for r in sink.flags(spark).collect())
+    assert once == twice
+    assert once_f == twice_f
