@@ -95,6 +95,7 @@ SHOWCASE = {
     "multimodal_resample_wav": "render + real chunk-walk decimation: two Arrow mapInPandas, zero exchanges",
     "multimodal_sample_y4m": "render + real FRAME-marker walk, skipped frames never read: two Arrow mapInPandas",
     "text_winnow_fingerprints": "window-min selection as scan-stage array codegen; O(selected) rows shuffle",
+    "text_winnow_pairs": "print-keyed self-join bounded by winnowing density — candidates, never all-pairs",
 }
 
 
