@@ -585,3 +585,87 @@ ORACLE["dq_t_closeness"] = f"""
                AS above_t
     FROM full_rel GROUP BY 1, 2, 3
 """
+
+
+HLL_P = 10                 # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+HLL_VAL_BITS = 32 - HLL_P  # hash bits left for the rank field
+
+
+def dq_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007) over
+    ``events.user_id`` — the mergeable distinct-count sketch every
+    100 TB pipeline keeps per partition/day and ORs together instead of
+    re-scanning (the cardinality sibling of the CMS sketch behind
+    ``text_heavy_hitters``; Spark's own ``approx_count_distinct`` is
+    this same structure, built here explicitly so the registers are a
+    first-class, persistable, mergeable relation).
+
+    Register construction is EXACT integers end to end — md5-derived
+    32-bit hash, low ``HLL_P`` bits pick the register, the rank is the
+    position of the first set bit in the remaining field via binary
+    string length (no float log2 anywhere) — so the register table is
+    hash-comparable across engines; the float estimation formula lives
+    in :func:`hll_estimate` and is accuracy-tested (±3σ) rather than
+    oracle-hashed, because libm ``ln``/``pow`` are not bit-contracted
+    across engines.  Merging two sketches = groupBy(register).max —
+    the same aggregate that builds them.
+
+    Scale: one map-side-combined aggregate to at most ``HLL_M`` slim
+    rows, whatever the input size."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    hexpr = (
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+    return (
+        ev.select(
+            F.expr(f"({hexpr}) % {HLL_M}").alias("register"),
+            F.expr(
+                f"case when ({hexpr}) div {HLL_M} = 0"
+                f" then {HLL_VAL_BITS + 1}"
+                f" else {HLL_VAL_BITS + 1} - length(bin("
+                f"({hexpr}) div {HLL_M})) end"
+            ).alias("rank"),
+        )
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers, n_registers_present: int | None = None) -> float:
+    """Bias-corrected HLL cardinality estimate from a collected register
+    list [(register, max_rank)] — driver-side float math (O(m)), kept
+    out of the oracle-hashed surface on purpose."""
+    import math
+
+    m = HLL_M
+    by_reg = {int(r[0]): int(r[1]) for r in registers}
+    s = sum(2.0 ** -by_reg.get(j, 0) for j in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / s
+    zeros = m - len(by_reg)
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw
+
+
+QUERIES["dq_hll_registers"] = dq_hll_registers
+
+_HLL_H = "('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT"
+
+ORACLE["dq_hll_registers"] = f"""
+    WITH h AS (
+        SELECT {_HLL_H} AS hv FROM events
+    ),
+    ranked AS (
+        SELECT hv % {HLL_M} AS register,
+               CASE WHEN hv // {HLL_M} = 0 THEN {HLL_VAL_BITS + 1}
+                    ELSE {HLL_VAL_BITS + 1} - length(bin(hv // {HLL_M}))
+               END AS rank
+        FROM h
+    )
+    SELECT register::BIGINT AS register,
+           max(rank)::BIGINT AS max_rank
+    FROM ranked GROUP BY 1
+"""
