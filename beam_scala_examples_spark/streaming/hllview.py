@@ -1,0 +1,66 @@
+"""Ingest-time HyperLogLog: the streaming member for the round-5
+sketch rung (``queries/dq.py::dq_hll_registers`` is the batch twin) —
+and the sink where the house pattern is at its purest, because the
+sketch is DESIGNED for it: registers merge with a plain max, so the
+batch_id-partitioned log of per-batch partial registers IS the sketch,
+and serving is one O(registers-in-log) max-aggregate.  No anti joins,
+no tripwire reads — appends never need to see earlier batches at all.
+
+Per batch: one map-side-combined aggregate of the batch's rows to at
+most ``HLL_M`` slim (register, max_rank) rows, appended under the
+batch's partition with dynamic overwrite — a replayed batch re-derives
+exactly its own partial from its own rows, so the served registers are
+replay-idempotent by construction.  The served view is pinned EXACTLY
+equal to the batch registers over the same corpus, which also pins the
+derived cardinality estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.dq import HLL_M, HLL_VAL_BITS
+
+
+class HllIngestSink:
+    """foreachBatch sink maintaining the distinct-user HLL register log
+    over micro-batches carrying a ``user_id`` column."""
+
+    def __init__(self, log_path: str):
+        self.log_path = log_path
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        hexpr = (
+            "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10)"
+            " as bigint)"
+        )
+        partial = (
+            batch_df.select(
+                F.expr(f"({hexpr}) % {HLL_M}").alias("register"),
+                F.expr(
+                    f"case when ({hexpr}) div {HLL_M} = 0"
+                    f" then {HLL_VAL_BITS + 1}"
+                    f" else {HLL_VAL_BITS + 1} - length(bin("
+                    f"({hexpr}) div {HLL_M})) end"
+                ).alias("rank"),
+            )
+            .groupBy("register")
+            .agg(F.max("rank").alias("max_rank"))
+        )
+        (
+            partial.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.log_path)
+        )
+
+    def serving_view(self, spark: SparkSession) -> DataFrame:
+        """The merged sketch: max over every batch's partial registers
+        — identical to building the registers over the full corpus."""
+        return (
+            spark.read.parquet(self.log_path)
+            .groupBy("register")
+            .agg(F.max("max_rank").alias("max_rank"))
+        )

@@ -2129,3 +2129,43 @@ def test_winnow_sink_replay_idempotent(spark, sf_dir, tmpdir):
     twice_f = sorted(tuple(r) for r in sink.flags(spark).collect())
     assert once == twice
     assert once_f == twice_f
+
+
+def test_hll_sink_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """Streaming HLL (streaming/hllview.py): max-merging every batch's
+    partial registers must equal the batch registers over the full
+    corpus exactly (the sketch's mergeability, exercised end to end),
+    and replaying a batch must change nothing."""
+    from beam_scala_examples_spark.queries.dq import dq_hll_registers
+    from beam_scala_examples_spark.streaming.hllview import HllIngestSink
+
+    stream = _feed(spark, event_rows, tmpdir)
+    sink = HllIngestSink(f"{tmpdir}/hll_log")
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in dq_hll_registers(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
+    assert spark.read.parquet(f"{tmpdir}/hll_log").select(
+        "batch_id"
+    ).distinct().count() >= 2
+
+
+def test_hll_sink_replay_idempotent(spark, event_rows, tmpdir):
+    """A replayed micro-batch (same rows, same batch_id) re-derives
+    exactly its own partial registers, so the merged sketch is
+    unchanged — the house replay contract."""
+    from beam_scala_examples_spark.streaming.hllview import HllIngestSink
+
+    sink = HllIngestSink(f"{tmpdir}/hll_log")
+    mk = lambda rs: spark.createDataFrame(
+        [(r["user_id"],) for r in rs], "user_id long"
+    )
+    sink(mk(event_rows[:300]), 0)
+    sink(mk(event_rows[300:600]), 1)
+    once = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    sink(mk(event_rows[300:600]), 1)  # replay the latest batch
+    twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    assert once == twice and len(once) > 0
