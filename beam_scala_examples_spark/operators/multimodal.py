@@ -409,7 +409,7 @@ def decode_wav(payload: bytes) -> dict:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = pos + 8
-        if body + size > len(payload):
+        if body + size > end:
             raise ValueError("truncated RIFF chunk")
         if cid == b"fmt ":
             if size < 16:
@@ -465,7 +465,7 @@ def resample_wav(payload: bytes, factor: int = 2) -> dict:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = pos + 8
-        if body + size > len(payload):
+        if body + size > end:
             raise ValueError("truncated RIFF chunk")
         if cid == b"fmt ":
             if size < 16:

@@ -592,6 +592,40 @@ HLL_M = 1 << HLL_P
 HLL_VAL_BITS = 32 - HLL_P  # hash bits left for the rank field
 
 
+def hll_partial_registers(
+    df: DataFrame, id_col: str = "user_id",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group..., register, max_rank) HLL partial registers over
+    ``df[id_col]`` — THE shared register constructor for the batch
+    queries and :class:`~..streaming.hllview.HllIngestSink`.
+
+    The md5-derived 32-bit hash is staged ONCE per row via a real
+    ``withColumn`` (register and rank both derive from the staged
+    column), so single evaluation is structural rather than a bet on
+    Catalyst's common-subexpression elimination.  Exact integers end
+    to end; output is at most ``HLL_M`` slim rows per group."""
+    hexpr = (
+        f"cast(conv(substr(md5(cast({id_col} as string)), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+    staged = df.withColumn("__h", F.expr(hexpr))
+    return (
+        staged.select(
+            *group_cols,
+            F.expr(f"__h % {HLL_M}").alias("register"),
+            F.expr(
+                f"case when __h div {HLL_M} = 0"
+                f" then {HLL_VAL_BITS + 1}"
+                f" else {HLL_VAL_BITS + 1} - length(bin("
+                f"__h div {HLL_M})) end"
+            ).alias("rank"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
 def dq_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog registers (Flajolet et al. 2007) over
     ``events.user_id`` — the mergeable distinct-count sketch every
@@ -614,26 +648,10 @@ def dq_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-combined aggregate to at most ``HLL_M`` slim
     rows, whatever the input size."""
     ev = load(spark, sf_dir, "events").select("user_id")
-    hexpr = (
-        "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10)"
-        " as bigint)"
-    )
-    return (
-        ev.select(
-            F.expr(f"({hexpr}) % {HLL_M}").alias("register"),
-            F.expr(
-                f"case when ({hexpr}) div {HLL_M} = 0"
-                f" then {HLL_VAL_BITS + 1}"
-                f" else {HLL_VAL_BITS + 1} - length(bin("
-                f"({hexpr}) div {HLL_M})) end"
-            ).alias("rank"),
-        )
-        .groupBy("register")
-        .agg(F.max("rank").alias("max_rank"))
-    )
+    return hll_partial_registers(ev)
 
 
-def hll_estimate(registers, n_registers_present: int | None = None) -> float:
+def hll_estimate(registers) -> float:
     """Bias-corrected HLL cardinality estimate from a collected register
     list [(register, max_rank)] — driver-side float math (O(m)), kept
     out of the oracle-hashed surface on purpose."""
@@ -669,3 +687,213 @@ ORACLE["dq_hll_registers"] = f"""
            max(rank)::BIGINT AS max_rank
     FROM ranked GROUP BY 1
 """
+
+
+def dq_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HyperLogLog: per-event_type distinct-user registers —
+    the production shape of :func:`dq_hll_registers` (per-source reach,
+    per-tenant cardinality: one mergeable sketch per group instead of a
+    corpus-global one).  Same exact-integer register construction via
+    :func:`hll_partial_registers`, grouped on the type column, so the
+    relation stays hash-comparable across engines; per-group estimates
+    come from :func:`hll_estimate` over each group's rows and are
+    ±3σ-tested against the exact distinct counts.
+
+    Scale: one map-side-combined aggregate to at most
+    ``n_groups × HLL_M`` slim rows — per-day/per-source group counts
+    are bounded by the calendar/catalog, never by the corpus."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    return hll_partial_registers(ev, group_cols=("event_type",))
+
+
+QUERIES["dq_hll_by_type"] = dq_hll_by_type
+
+ORACLE["dq_hll_by_type"] = f"""
+    WITH h AS (
+        SELECT event_type, {_HLL_H} AS hv FROM events
+    ),
+    ranked AS (
+        SELECT event_type, hv % {HLL_M} AS register,
+               CASE WHEN hv // {HLL_M} = 0 THEN {HLL_VAL_BITS + 1}
+                    ELSE {HLL_VAL_BITS + 1} - length(bin(hv // {HLL_M}))
+               END AS rank
+        FROM h
+    )
+    SELECT event_type, register::BIGINT AS register,
+           max(rank)::BIGINT AS max_rank
+    FROM ranked GROUP BY 1, 2
+"""
+
+
+def dq_hll_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HyperLogLog, time axis: per-day distinct-user registers
+    over ``events`` — the sketch a 100 TB pipeline persists per
+    ingestion day so ANY date-range cardinality ("distinct users last
+    quarter") is a register-max over the covered days, never a rescan.
+    Construction shared with :func:`dq_hll_registers` via
+    :func:`hll_partial_registers`; day bucketing uses the house
+    ``date_trunc('day')`` idiom (bit-identical in both engines)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    return hll_partial_registers(ev, group_cols=("day",))
+
+
+QUERIES["dq_hll_by_day"] = dq_hll_by_day
+
+ORACLE["dq_hll_by_day"] = f"""
+    WITH h AS (
+        SELECT date_trunc('day', ts)::TIMESTAMP AS day, {_HLL_H} AS hv
+        FROM events
+    ),
+    ranked AS (
+        SELECT day, hv % {HLL_M} AS register,
+               CASE WHEN hv // {HLL_M} = 0 THEN {HLL_VAL_BITS + 1}
+                    ELSE {HLL_VAL_BITS + 1} - length(bin(hv // {HLL_M}))
+               END AS rank
+        FROM h
+    )
+    SELECT day, register::BIGINT AS register,
+           max(rank)::BIGINT AS max_rank
+    FROM ranked GROUP BY 1, 2
+"""
+
+
+def dq_profile_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The :func:`dq_profile_events` column profiler with its exact
+    ``count(DISTINCT)`` replaced by the HLL register sketch — the swap
+    that profiler's docstring promised for 100 TB, now real code.  Per
+    column: row count, null count/rate (exact, one conditional-
+    aggregation pass — unchanged) plus the sketch's register summary
+    (``hll_registers`` = non-zero registers, ``hll_sum_rank``), both
+    exact integers so the whole report stays oracle-hashable.  The
+    float cardinality estimate is derived from the same registers by
+    :func:`hll_estimate` (see :func:`profile_estimates`) and is
+    ±3σ-tested against the exact profiler rather than hashed, per the
+    house float discipline.
+
+    Scale: where the exact profiler pays one expand-based
+    multi-distinct aggregate (a full re-shuffle of every column's
+    values), the sketch pays one map-side-combined aggregate to at most
+    ``n_columns × HLL_M`` slim rows — the difference between "rescan
+    100 TB per column" and "merge 1024 integers per column"."""
+    ev = load(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLUMNS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+        )
+    wide = ev.agg(*aggs)
+    # One stacked pass builds every column's registers: project each
+    # profiled column to a (column_name, value) pair list, explode, and
+    # sketch the union — a single aggregate, map-side combined.
+    pairs = ev.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(c).cast("string").alias("val"),
+                )
+                for c in PROFILE_COLUMNS
+            ])
+        ).alias("p")
+    ).select("p.column_name", "p.val").filter(F.col("val").isNotNull())
+    regs = hll_partial_registers(pairs, id_col="val",
+                                 group_cols=("column_name",))
+    sketch = regs.groupBy("column_name").agg(
+        F.count("*").alias("hll_registers"),
+        F.sum("max_rank").alias("hll_sum_rank"),
+    )
+    rows = None
+    for c in PROFILE_COLUMNS:
+        one = wide.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"null_{c}").alias("n_null"),
+            F.expr(f"(null_{c} * 10000) div n_rows").alias("null_bp"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return (
+        rows.join(sketch, "column_name", "left")
+        .select(
+            "column_name", "n_rows", "n_null", "null_bp",
+            F.coalesce("hll_registers", F.lit(0)).alias("hll_registers"),
+            F.coalesce("hll_sum_rank", F.lit(0)).alias("hll_sum_rank"),
+        )
+    )
+
+
+QUERIES["dq_profile_events_sketch"] = dq_profile_events_sketch
+
+_HLL_VAL_H = "('0x' || substr(md5(val), 1, 8))::BIGINT"
+
+ORACLE["dq_profile_events_sketch"] = f"""
+    WITH stacked AS (
+        {" UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, {c}::VARCHAR AS val FROM events"
+            for c in PROFILE_COLUMNS
+        )}
+    ),
+    h AS (
+        SELECT column_name, {_HLL_VAL_H} AS hv FROM stacked
+        WHERE val IS NOT NULL
+    ),
+    ranked AS (
+        SELECT column_name, hv % {HLL_M} AS register,
+               CASE WHEN hv // {HLL_M} = 0 THEN {HLL_VAL_BITS + 1}
+                    ELSE {HLL_VAL_BITS + 1} - length(bin(hv // {HLL_M}))
+               END AS rank
+        FROM h
+    ),
+    regs AS (
+        SELECT column_name, register, max(rank) AS max_rank
+        FROM ranked GROUP BY 1, 2
+    ),
+    sk AS (
+        SELECT column_name, count(*)::BIGINT AS hll_registers,
+               sum(max_rank)::BIGINT AS hll_sum_rank
+        FROM regs GROUP BY 1
+    ),
+    base AS (
+        {" UNION ALL ".join(
+            f'''SELECT '{c}' AS column_name, count(*)::BIGINT AS n_rows,
+               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_null,
+               ((sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 10000)
+                // count(*))::BIGINT AS null_bp
+            FROM events'''
+            for c in PROFILE_COLUMNS
+        )}
+    )
+    SELECT b.column_name, b.n_rows, b.n_null, b.null_bp,
+           coalesce(sk.hll_registers, 0)::BIGINT AS hll_registers,
+           coalesce(sk.hll_sum_rank, 0)::BIGINT AS hll_sum_rank
+    FROM base b LEFT JOIN sk USING (column_name)
+"""
+
+
+def profile_estimates(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Driver-side per-column HLL cardinality estimates from the same
+    stacked register relation :func:`dq_profile_events_sketch` sketches
+    — bounded collect (≤ ``n_columns × HLL_M`` slim rows), then
+    :func:`hll_estimate` per column.  The ±3σ accuracy test compares
+    these to :func:`dq_profile_events`' exact ``n_distinct``."""
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(c).cast("string").alias("val"),
+                )
+                for c in PROFILE_COLUMNS
+            ])
+        ).alias("p")
+    ).select("p.column_name", "p.val").filter(F.col("val").isNotNull())
+    regs = hll_partial_registers(
+        pairs, id_col="val", group_cols=("column_name",)
+    ).collect()
+    by_col: dict[str, list] = {}
+    for r in regs:
+        by_col.setdefault(r.column_name, []).append((r.register, r.max_rank))
+    return {c: hll_estimate(rs) for c, rs in by_col.items()}

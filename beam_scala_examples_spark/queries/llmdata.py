@@ -7497,7 +7497,9 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             "n_pieces",
-            F.expr("(n_pieces * 10000) div n_tokens").alias("fertility_bp"),
+            F.expr(
+                "(n_pieces * 10000) div greatest(n_tokens, 1)"
+            ).alias("fertility_bp"),
         )
     )
 
@@ -7509,7 +7511,8 @@ ORACLE["text_bpe_fertility"] = f"""
            count(*)::BIGINT AS n_docs,
            sum(e.n_tokens)::BIGINT AS n_tokens,
            sum(e.n_pieces)::BIGINT AS n_pieces,
-           (sum(e.n_pieces) * 10000) // sum(e.n_tokens) AS fertility_bp
+           (sum(e.n_pieces) * 10000) // greatest(sum(e.n_tokens), 1)
+               AS fertility_bp
     FROM ({ORACLE["text_bpe_encode"]}) e
     JOIN documents d USING (doc_id)
     GROUP BY 1

@@ -20,33 +20,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.dq import HLL_M, HLL_VAL_BITS
+from ..queries.dq import hll_partial_registers
 
 
 class HllIngestSink:
     """foreachBatch sink maintaining the distinct-user HLL register log
-    over micro-batches carrying a ``user_id`` column."""
+    over micro-batches carrying a ``user_id`` column.
 
-    def __init__(self, log_path: str):
+    ``group_cols`` (round 6) generalizes the log to GROUPED sketches —
+    per-source / per-day registers, the production shape — with zero
+    change to the merge law: registers still combine with a plain max,
+    now keyed by (group..., register).  Register construction is the
+    batch queries' own :func:`~..queries.dq.hll_partial_registers`
+    (hash staged once per row), so the served view is pinned equal to
+    ``dq_hll_registers`` / ``dq_hll_by_type`` by construction."""
+
+    def __init__(self, log_path: str, group_cols: tuple[str, ...] = ()):
         self.log_path = log_path
+        self.group_cols = tuple(group_cols)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        hexpr = (
-            "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10)"
-            " as bigint)"
-        )
-        partial = (
-            batch_df.select(
-                F.expr(f"({hexpr}) % {HLL_M}").alias("register"),
-                F.expr(
-                    f"case when ({hexpr}) div {HLL_M} = 0"
-                    f" then {HLL_VAL_BITS + 1}"
-                    f" else {HLL_VAL_BITS + 1} - length(bin("
-                    f"({hexpr}) div {HLL_M})) end"
-                ).alias("rank"),
-            )
-            .groupBy("register")
-            .agg(F.max("rank").alias("max_rank"))
+        partial = hll_partial_registers(
+            batch_df, group_cols=self.group_cols
         )
         (
             partial.withColumn("batch_id", F.lit(int(batch_id)))
@@ -61,6 +56,6 @@ class HllIngestSink:
         — identical to building the registers over the full corpus."""
         return (
             spark.read.parquet(self.log_path)
-            .groupBy("register")
+            .groupBy(*self.group_cols, "register")
             .agg(F.max("max_rank").alias("max_rank"))
         )

@@ -407,13 +407,21 @@ class SequentialPaneSink:
         if self.watermark_fn is not None:
             return self.watermark_fn(batch_id)
         if self.event_time_col is not None:
-            # Data-driven: max staged event time over batches < this
-            # one (``staged`` already excludes the current partition),
-            # minus the allowed skew.  One tiny aggregate over the
-            # pane-keyed log, O(panes).
+            # Data-driven: max staged event time over batches STRICTLY
+            # EARLIER than this one, minus the allowed skew.  ``staged``
+            # excludes the current partition; the extra ``batch_id <``
+            # filter makes the strictly-earlier guarantee structural, so
+            # a replayed batch re-derives the ORIGINAL run's watermark
+            # even when later partitions already exist in the log.  One
+            # tiny aggregate over the pane-keyed log, O(panes).
             if staged is None or "__max_ev" not in staged.columns:
                 return None
-            mx = staged.agg(F.max("__max_ev").alias("m")).collect()[0].m
+            mx = (
+                staged.filter(F.col("batch_id") < batch_id)
+                .agg(F.max("__max_ev").alias("m"))
+                .collect()[0]
+                .m
+            )
             if mx is None:
                 return None
             from datetime import timedelta

@@ -96,6 +96,16 @@ class WinnowIngestSink:
 
         # arrival-time tripwire vs the corpus-so-far (earlier batches
         # only — a replay re-derives the identical flags)
+        # Flags anchor on the ARRIVING doc_ids (not on the prints): a
+        # document shorter than one k-gram yields no prints at all, but
+        # its arrival must still stamp a (n_prints=0) flags row so
+        # consumers can tell "no prints" from "never arrived" — the same
+        # contract the batch twin ``text_winnow_fingerprints`` honors
+        # with its n_selected=0 rows.
+        arriving = batch_df.select("doc_id").distinct()
+        counts = prints.groupBy("doc_id").agg(
+            F.count("*").alias("n_prints")
+        )
         seen = self._read(spark, self.prints_path, exclude_batch=bid)
         if seen is not None:
             hits = prints.join(
@@ -108,12 +118,11 @@ class WinnowIngestSink:
                 F.countDistinct("prior_doc").alias("prior_docs"),
             )
             flags = (
-                prints.groupBy("doc_id")
-                .agg(F.count("*").alias("n_prints"))
+                arriving.join(counts, "doc_id", "left")
                 .join(hits, "doc_id", "left")
                 .select(
                     "doc_id",
-                    "n_prints",
+                    F.coalesce("n_prints", F.lit(0)).alias("n_prints"),
                     F.coalesce("known_prints", F.lit(0)).alias(
                         "known_prints"
                     ),
@@ -123,8 +132,9 @@ class WinnowIngestSink:
                 .localCheckpoint(eager=True)
             )
         else:
-            flags = prints.groupBy("doc_id").agg(
-                F.count("*").alias("n_prints"),
+            flags = arriving.join(counts, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce("n_prints", F.lit(0)).alias("n_prints"),
                 F.lit(0).cast("long").alias("known_prints"),
                 F.lit(0).cast("long").alias("prior_docs"),
             )

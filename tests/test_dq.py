@@ -33,3 +33,56 @@ def test_hll_estimate_within_3_sigma(spark, sf_dir):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, regs)
     )
+
+
+def test_hll_grouped_estimates_within_3_sigma(spark, sf_dir):
+    """Round-6 grouped sketches: per-event_type register estimates hit
+    the exact per-type distinct user counts within 3 sigma."""
+    from beam_scala_examples_spark.queries.dq import (
+        HLL_M,
+        dq_hll_by_type,
+        hll_estimate,
+    )
+    from beam_scala_examples_spark.tables import load
+    import pyspark.sql.functions as F
+
+    regs = dq_hll_by_type(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in regs:
+        by_type.setdefault(r.event_type, []).append((r.register, r.max_rank))
+    exact = {
+        r.event_type: r.nd
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    sigma = 1.04 / (HLL_M ** 0.5)
+    assert set(by_type) == set(exact)
+    for t, rs in by_type.items():
+        est = hll_estimate(rs)
+        assert abs(est - exact[t]) / exact[t] <= 3 * sigma, (t, est, exact[t])
+
+
+def test_profile_sketch_estimates_within_3_sigma(spark, sf_dir):
+    """The sketch-backed profiler's per-column estimates (same stacked
+    registers dq_profile_events_sketch hashes) land within 3 sigma of
+    the exact profiler's n_distinct for EVERY profiled column."""
+    from beam_scala_examples_spark.queries.dq import (
+        HLL_M,
+        PROFILE_COLUMNS,
+        dq_profile_events,
+        profile_estimates,
+    )
+
+    ests = profile_estimates(spark, sf_dir)
+    exact = {
+        r.column_name: r.n_distinct
+        for r in dq_profile_events(spark, sf_dir).collect()
+    }
+    sigma = 1.04 / (HLL_M ** 0.5)
+    assert set(ests) == set(PROFILE_COLUMNS) == set(exact)
+    for c in PROFILE_COLUMNS:
+        assert abs(ests[c] - exact[c]) / exact[c] <= 3 * sigma, (
+            c, ests[c], exact[c],
+        )

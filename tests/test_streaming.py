@@ -2169,3 +2169,69 @@ def test_hll_sink_replay_idempotent(spark, event_rows, tmpdir):
     sink(mk(event_rows[300:600]), 1)  # replay the latest batch
     twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
     assert once == twice and len(once) > 0
+
+
+def test_hll_sink_grouped_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """Round-6 grouped sketch: an HllIngestSink keyed on event_type
+    must serve registers exactly equal to the batch dq_hll_by_type —
+    the per-group merge law is the same plain max, now per group."""
+    from beam_scala_examples_spark.queries.dq import dq_hll_by_type
+    from beam_scala_examples_spark.streaming.hllview import HllIngestSink
+
+    stream = _feed(spark, event_rows, tmpdir)
+    sink = HllIngestSink(f"{tmpdir}/hll_log", group_cols=("event_type",))
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in dq_hll_by_type(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
+
+
+def test_hll_sink_grouped_replay_idempotent(spark, event_rows, tmpdir):
+    """Replaying a batch of a GROUPED HLL log changes nothing."""
+    from beam_scala_examples_spark.streaming.hllview import HllIngestSink
+
+    sink = HllIngestSink(f"{tmpdir}/hll_log", group_cols=("event_type",))
+    mk = lambda rs: spark.createDataFrame(
+        [(r["user_id"], r["event_type"]) for r in rs],
+        "user_id long, event_type string",
+    )
+    sink(mk(event_rows[:300]), 0)
+    sink(mk(event_rows[300:600]), 1)
+    once = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    sink(mk(event_rows[300:600]), 1)  # replay the latest batch
+    twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    assert once == twice and len(once) > 0
+
+
+def test_winnow_sink_flags_zero_print_docs(spark, tmpdir):
+    """ADVICE r5: a document shorter than one k-gram yields no prints,
+    but its arrival must still stamp a flags row (n_prints=0) so
+    consumers can tell 'no prints' from 'never arrived'."""
+    from beam_scala_examples_spark.streaming.winnowview import (
+        WinnowIngestSink,
+    )
+
+    sink = WinnowIngestSink(str(tmpdir))
+    long_text = " ".join(f"tok{i}" for i in range(30))
+    batch = spark.createDataFrame(
+        [(1, long_text), (2, "too short")],  # doc 2: 2 tokens < K_WINNOW
+        "doc_id long, text string",
+    )
+    sink(batch, 0)
+    flags = {r.doc_id: r for r in sink.flags(spark).collect()}
+    assert set(flags) == {1, 2}
+    assert flags[2].n_prints == 0
+    assert flags[2].known_prints == 0 and flags[2].prior_docs == 0
+    assert flags[1].n_prints > 0
+    # and on a later batch (the seen-join path) the same contract holds
+    batch2 = spark.createDataFrame(
+        [(3, "x y"), (4, long_text)], "doc_id long, text string"
+    )
+    sink(batch2, 1)
+    flags = {r.doc_id: r for r in sink.flags(spark).collect()}
+    assert flags[3].n_prints == 0
+    assert flags[4].known_prints == flags[4].n_prints  # full copy of doc 1
+    assert flags[4].prior_docs == 1
