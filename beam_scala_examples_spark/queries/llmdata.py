@@ -7913,3 +7913,203 @@ ORACLE["text_winnow_pairs"] = f"""
     JOIN counts ca ON ca.doc_id = p.doc_a
     JOIN counts cb ON cb.doc_id = p.doc_b
 """
+
+
+# Positional winnowing (round 6): regions need the GRAM INDEX of each
+# selected print, not just its value.  Gap above which two match points
+# on the same alignment diagonal belong to different copy regions: a
+# true copy keeps consecutive selected prints at most W_WINNOW grams
+# apart (the winnowing guarantee), so one window-plus-gram of slack is
+# conservative.
+WINNOW_REGION_GAP = W_WINNOW + K_WINNOW
+
+
+def winnow_print_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp, pos) — winnowed prints WITH their gram index, the
+    positional selection behind :func:`text_winnow_regions`.
+
+    Each window contributes the position of its LEFTMOST minimum hash
+    (``array_position`` returns the first occurrence in both engines, so
+    the tie-break is bit-identical); the print value is then re-read
+    from the hash array at that position, so min-scan and value lookup
+    each happen once per window and the whole selection stays scan-stage
+    array codegen like the value-only twin.  Distinct because adjacent
+    windows usually select the same (fp, pos)."""
+    gram_h = _SPARK_H.format(
+        col=f"array_join(slice(toks, cast(j + 1 as int), {K_WINNOW}), ' ')"
+    )
+    hs_expr = (
+        f"case when size(toks) >= {K_WINNOW} then"
+        f" transform(sequence(cast(0 as bigint),"
+        f" cast(size(toks) as bigint) - {K_WINNOW}),"
+        f" j -> {gram_h}) else array() end"
+    )
+    pos_expr = (
+        f"case when size(hs) >= 1 then"
+        f" transform(sequence(cast(0 as bigint),"
+        f" cast(greatest(size(hs) - {W_WINNOW}, 0) as bigint)),"
+        f" j -> j + array_position("
+        f"slice(hs, cast(j + 1 as int), {W_WINNOW}),"
+        f" array_min(slice(hs, cast(j + 1 as int), {W_WINNOW}))) - 1)"
+        f" else array() end"
+    )
+    return (
+        docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+        .select("doc_id", F.expr(hs_expr).alias("hs"))
+        .select("doc_id", "hs", F.explode(F.expr(pos_expr)).alias("pos"))
+        .select(
+            "doc_id",
+            F.expr("element_at(hs, cast(pos + 1 as int))").alias("fp"),
+            "pos",
+        )
+        .distinct()
+    )
+
+
+def winnow_regions_relation(docs: DataFrame) -> DataFrame:
+    """Aligned copy regions between candidate document pairs — the full
+    MOSS report (Schleimer et al. 2003 §2: their match step groups
+    shared fingerprints into maximal aligned runs; the reference has no
+    winnowing surface — beyond-reference LLM-data rung).
+
+    Match points = positioned prints joined on the print value; points
+    sharing an alignment diagonal (``pos_b - pos_a``) within
+    ``WINNOW_REGION_GAP`` grams of each other fuse into one region, the
+    islands pass this engine already uses for span runs.  A region
+    reports where the copy starts in each document (gram index) and the
+    token span it covers.  Single-point regions are dropped (an
+    isolated shared hash is noise, not a copy), and only pairs passing
+    the ``WINNOW_MIN_SHARED`` candidate gate report at all, so the
+    region table is a refinement of ``text_winnow_pairs``, never a
+    widening.
+
+    Scale: the join is print-keyed (Σ|owners|² bounded by winnowing
+    density — never all-pairs); the islands window partitions on
+    (pair, diagonal), whose partitions are bounded by per-doc print
+    counts, not corpus size; text never shuffles (prints are slim
+    int64 triples)."""
+    prints = winnow_print_positions(docs)
+    a = prints.select(F.col("doc_id").alias("doc_a"), "fp",
+                      F.col("pos").alias("pa"))
+    b = prints.select(F.col("doc_id").alias("doc_b"), "fp",
+                      F.col("pos").alias("pb"))
+    mp = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp", "pa", "pb",
+                (F.col("pb") - F.col("pa")).alias("diag"))
+    )
+    gate = (
+        mp.groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("fp").alias("nfp"))
+        .filter(F.col("nfp") >= WINNOW_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    brk = mp.withColumn(
+        "new_region",
+        F.when(
+            F.lag("pa").over(w).isNull()
+            | (F.col("pa") - F.lag("pa").over(w) > WINNOW_REGION_GAP),
+            1,
+        ).otherwise(0),
+    )
+    rid = brk.withColumn(
+        "region",
+        F.sum("new_region").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    regions = (
+        rid.groupBy("doc_a", "doc_b", "diag", "region")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            F.count("*").alias("n_prints"),
+            (F.max("pa") - F.min("pa") + K_WINNOW).alias("length_tokens"),
+        )
+        .filter(F.col("n_prints") >= 2)
+    )
+    return (
+        regions.join(gate, ["doc_a", "doc_b"], "left_semi")
+        .select("doc_a", "doc_b", "start_a", "start_b",
+                "length_tokens", "n_prints")
+    )
+
+
+def text_winnow_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional MOSS: WHERE each copy is, not just that it exists —
+    the winnowing analogue of what ``dedup_span_runs`` added over
+    ``dedup_span_pairs``.  See :func:`winnow_regions_relation`."""
+    return winnow_regions_relation(load(spark, sf_dir, "documents"))
+
+
+QUERIES["text_winnow_regions"] = text_winnow_regions
+
+ORACLE["text_winnow_regions"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {K_WINNOW} THEN
+                   list_transform(range(0, len(toks) - {K_WINNOW} + 1),
+                       j -> ('0x' || substr(md5(array_to_string(
+                           toks[(j + 1)::INT : (j + {K_WINNOW})::INT],
+                           ' ')), 1, 8))::BIGINT)
+               ELSE [] END AS hs
+        FROM toks
+    ),
+    posed AS (
+        SELECT doc_id, hs, unnest(
+            CASE WHEN len(hs) >= 1 THEN
+                list_transform(
+                    range(0, greatest(len(hs) - {W_WINNOW} + 1, 1)),
+                    j -> j + list_position(
+                        hs[(j + 1)::INT : (j + {W_WINNOW})::INT],
+                        list_min(
+                            hs[(j + 1)::INT : (j + {W_WINNOW})::INT])) - 1)
+            ELSE [] END) AS pos
+        FROM hashed
+    ),
+    prints AS (
+        SELECT DISTINCT doc_id, hs[(pos + 1)::INT] AS fp, pos FROM posed
+    ),
+    mp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp,
+               a.pos AS pa, b.pos AS pb, b.pos - a.pos AS diag
+        FROM prints a JOIN prints b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    gate AS (
+        SELECT doc_a, doc_b FROM mp GROUP BY 1, 2
+        HAVING count(DISTINCT fp) >= {WINNOW_MIN_SHARED}
+    ),
+    brk AS (
+        SELECT doc_a, doc_b, diag, pa, pb,
+               CASE WHEN lag(pa) OVER w IS NULL
+                         OR pa - lag(pa) OVER w > {WINNOW_REGION_GAP}
+                    THEN 1 ELSE 0 END AS new_region
+        FROM mp
+        WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+    ),
+    rid AS (
+        SELECT *, sum(new_region) OVER (
+            PARTITION BY doc_a, doc_b, diag ORDER BY pa
+            ROWS UNBOUNDED PRECEDING) AS region
+        FROM brk
+    ),
+    regions AS (
+        SELECT doc_a, doc_b,
+               min(pa)::BIGINT AS start_a,
+               min(pb)::BIGINT AS start_b,
+               (max(pa) - min(pa) + {K_WINNOW})::BIGINT AS length_tokens,
+               count(*)::BIGINT AS n_prints
+        FROM rid GROUP BY doc_a, doc_b, diag, region
+        HAVING count(*) >= 2
+    )
+    SELECT r.doc_a, r.doc_b, r.start_a, r.start_b, r.length_tokens,
+           r.n_prints
+    FROM regions r
+    WHERE EXISTS (SELECT 1 FROM gate g
+                  WHERE g.doc_a = r.doc_a AND g.doc_b = r.doc_b)
+"""

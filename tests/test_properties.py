@@ -715,3 +715,46 @@ def test_sharded_islands_runs_property(spark, rows, span):
                 run = 1
         expect.append((d, run))
     assert got == sorted(expect)
+
+
+def test_winnow_regions_locate_planted_copy(spark):
+    """Round 6: winnow_regions_relation must report WHERE a planted
+    copy sits in both documents — start offsets at gram precision and a
+    token length covering the copied run — and must not fuse two copies
+    separated by fresh text into one region."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        K_WINNOW,
+        winnow_regions_relation,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(10_000)}x{i}" for i in range(120)]
+    doc_a = " ".join(words)
+    # doc_b: 15 fresh tokens, then tokens 20..59 of doc_a (a 40-token
+    # copy), 25 fresh, then tokens 80..109 (a 30-token copy), 5 fresh.
+    fresh = [f"f{rng.randrange(10_000)}y{i}" for i in range(60)]
+    doc_b_toks = (
+        fresh[:15] + words[20:60] + fresh[15:40] + words[80:110] + fresh[40:45]
+    )
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, " ".join(doc_b_toks))], "doc_id long, text string"
+    )
+    regions = sorted(
+        tuple(r) for r in winnow_regions_relation(docs).collect()
+    )
+    assert len(regions) == 2, regions
+    (r1, r2) = regions
+    # copy 1: grams 20..(60-K) of doc_a align with grams 15..(55-K) of
+    # doc_b; winnowing selects within the copy, so starts land inside
+    # the copied gram range and the length covers most of 40 tokens.
+    for (da, db, sa, sb, ln, np_), (a_lo, a_hi, b_lo, copy_len) in zip(
+        regions, ((20, 60 - K_WINNOW, 15, 40), (80, 110 - K_WINNOW, 80, 30))
+    ):
+        assert (da, db) == (1, 2)
+        assert a_lo <= sa <= a_hi
+        assert sb - b_lo == sa - a_lo  # same alignment diagonal
+        assert ln <= copy_len         # never claims more than the copy
+        assert ln >= copy_len - 2 * (K_WINNOW + 4)  # covers its bulk
+        assert np_ >= 2
