@@ -6213,6 +6213,36 @@ def data_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cd"
         )
     )
+    # Round-6 sketch members.  Per-source distinct-text cardinality at
+    # sketch cost: the count of occupied HLL registers per source (the
+    # O(1024)-row summary that replaces a per-source countDistinct(text)
+    # rescan at 100 TB — the estimate derives from these registers via
+    # hll_estimate).  And the winnowing copy-region rates from
+    # text_winnow_regions — where copies ARE, not just that they exist.
+    from .dq import hll_partial_registers
+
+    src_regs = (
+        hll_partial_registers(
+            docs.select("source", "text"), id_col="text",
+            group_cols=("source",),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("value"))
+        .select(
+            F.concat(F.lit("hll_text_registers_"), F.col("source")).alias(
+                "metric"
+            ),
+            F.col("value").cast("long").alias("value"),
+        )
+    )
+    regions = winnow_regions_relation(docs)
+    region_stats = regions.agg(
+        F.countDistinct("doc_a", "doc_b").alias("n_pairs"),
+        F.coalesce(F.sum("length_tokens"), F.lit(0)).alias("n_tokens"),
+    )
+    region_docs = regions.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("d")
+    ).agg(F.countDistinct("d").alias("n_region_docs"))
     rows = [
         base.select(F.lit("n_docs").alias("metric"),
                     F.col("n_docs").cast("long").alias("value")),
@@ -6239,6 +6269,19 @@ def data_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunkdup.crossJoin(F.broadcast(base)).select(
             F.lit("chunk_dup_doc_bp").alias("metric"),
             F.expr("(n_cd * 10000) div n_docs").alias("value"),
+        ),
+        src_regs,
+        region_stats.select(
+            F.lit("copy_region_pairs").alias("metric"),
+            F.col("n_pairs").cast("long").alias("value"),
+        ),
+        region_stats.select(
+            F.lit("copy_region_tokens").alias("metric"),
+            F.col("n_tokens").cast("long").alias("value"),
+        ),
+        region_docs.crossJoin(F.broadcast(base)).select(
+            F.lit("copy_region_doc_bp").alias("metric"),
+            F.expr("(n_region_docs * 10000) div n_docs").alias("value"),
         ),
     ]
     out = rows[0]
@@ -7988,7 +8031,14 @@ def winnow_regions_relation(docs: DataFrame) -> DataFrame:
     (pair, diagonal), whose partitions are bounded by per-doc print
     counts, not corpus size; text never shuffles (prints are slim
     int64 triples)."""
-    prints = winnow_print_positions(docs)
+    return winnow_regions_from_prints(winnow_print_positions(docs))
+
+
+def winnow_regions_from_prints(prints: DataFrame) -> DataFrame:
+    """The match/island half of :func:`winnow_regions_relation`, over an
+    already-positioned (doc_id, fp, pos) print relation — factored so
+    the streaming card (``streaming/cardview.py``) can serve regions
+    from its accumulated positioned-print log."""
     a = prints.select(F.col("doc_id").alias("doc_a"), "fp",
                       F.col("pos").alias("pa"))
     b = prints.select(F.col("doc_id").alias("doc_b"), "fp",
@@ -8311,4 +8361,138 @@ ORACLE["multimodal_phash_pairs"] = f"""
            bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
     FROM gated a JOIN gated b ON a.img_id < b.img_id
     WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+"""
+
+
+# Round-6: the dataset card gained sketch members (per-source HLL text
+# registers + winnowing copy-region rates).  Its oracle is re-assembled
+# here, after ORACLE["text_winnow_regions"] exists, replacing the
+# pre-round-6 assignment above (later assignment wins — the dict is
+# flattened once at package import).
+from .dq import HLL_M as _HLL_M_CARD  # noqa: E402
+
+ORACLE["data_dataset_card"] = f"""
+    WITH base AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               count(DISTINCT lang)::BIGINT AS n_langs,
+               count(DISTINCT text)::BIGINT AS n_distinct_texts
+        FROM documents
+    ),
+    toks AS (
+        SELECT sum(len({_DUCK_TOKS}))::BIGINT AS v FROM documents
+    ),
+    nd AS (
+        SELECT sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        FROM ({ORACLE["dedup_lsh_novelty"]})
+    ),
+    gk AS (
+        SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
+        FROM ({ORACLE["text_gopher_filter"]})
+    ),
+    cd AS (
+        SELECT sum(CASE WHEN n_dup_chunks > 0 THEN 1 ELSE 0 END)::BIGINT
+            AS n_cd
+        FROM ({ORACLE["dedup_chunk_dups"]})
+    ),
+    srcreg AS (
+        SELECT source, count(*)::BIGINT AS n_regs FROM (
+            SELECT DISTINCT source,
+                   ('0x' || substr(md5(text), 1, 8))::BIGINT % {_HLL_M_CARD}
+                       AS register
+            FROM documents
+        ) GROUP BY 1
+    ),
+    rg AS (
+        SELECT * FROM ({ORACLE["text_winnow_regions"]})
+    ),
+    rgstats AS (
+        SELECT count(DISTINCT (doc_a, doc_b))::BIGINT AS n_pairs,
+               coalesce(sum(length_tokens), 0)::BIGINT AS n_tokens
+        FROM rg
+    ),
+    rgdocs AS (
+        SELECT count(DISTINCT d)::BIGINT AS n_region_docs FROM (
+            SELECT doc_a AS d FROM rg UNION ALL SELECT doc_b FROM rg
+        )
+    )
+    SELECT 'n_docs' AS metric, n_docs AS value FROM base
+    UNION ALL SELECT 'n_sources', n_sources FROM base
+    UNION ALL SELECT 'n_langs', n_langs FROM base
+    UNION ALL SELECT 'total_tokens', v FROM toks
+    UNION ALL SELECT 'exact_dup_bp',
+        ((n_docs - n_distinct_texts) * 10000) // n_docs FROM base
+    UNION ALL SELECT 'near_dup_bp',
+        (nd.n_dup * 10000) // base.n_docs FROM nd CROSS JOIN base
+    UNION ALL SELECT 'gopher_keep_bp',
+        (gk.n_keep * 10000) // base.n_docs FROM gk CROSS JOIN base
+    UNION ALL SELECT 'chunk_dup_doc_bp',
+        (cd.n_cd * 10000) // base.n_docs FROM cd CROSS JOIN base
+    UNION ALL SELECT 'hll_text_registers_' || source, n_regs FROM srcreg
+    UNION ALL SELECT 'copy_region_pairs', n_pairs FROM rgstats
+    UNION ALL SELECT 'copy_region_tokens', n_tokens FROM rgstats
+    UNION ALL SELECT 'copy_region_doc_bp',
+        (rgdocs.n_region_docs * 10000) // base.n_docs
+        FROM rgdocs CROSS JOIN base
+"""
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal video feature (round 6): scene-cut detection over each
+    document's rendered YUV4MPEG2 stream — sampled-frame luma SADs with
+    the adaptive integer cut rule (``operators/multimodal.py::
+    scene_cuts_y4m``).  Inherits the frame-sampling rung's skip
+    property: non-sampled frames and chroma planes advance by stride
+    arithmetic, never read.
+
+    The oracle re-derives every SAD from text alone (frame f, pixel i
+    has luma ``ord(text[(f+i) mod len]) % 256``, so the transition SAD
+    between sampled frames 2(k-1) and 2k is a double list_transform) —
+    a wrong plane stride, marker walk, or sampling offset flips the
+    hash.  All exact integers; the cut rule is cross-multiplied."""
+    from ..operators.multimodal import (
+        attach_y4m_payload,
+        scene_cuts_y4m_metadata,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return scene_cuts_y4m_metadata(attach_y4m_payload(docs))
+
+
+QUERIES["multimodal_scene_cuts"] = multimodal_scene_cuts
+
+ORACLE["multimodal_scene_cuts"] = """
+    WITH d AS (
+        SELECT doc_id, text, len(text) AS nc,
+               1 + (len(text) % 7) AS w,
+               1 + (doc_id % 5) AS h,
+               1 + ((doc_id + len(text)) % 6) AS nf
+        FROM documents
+    ),
+    s AS (
+        SELECT *, (nf + 1) // 2 AS ns FROM d
+    ),
+    t AS (
+        SELECT doc_id, nf, ns,
+               list_transform(range(1, ns), k ->
+                   list_sum(list_transform(range(0, w * h), i ->
+                       abs((ord(substr(text, ((2 * k + i) % nc) + 1, 1))
+                               % 256)
+                         - (ord(substr(text, ((2 * (k - 1) + i) % nc) + 1,
+                               1)) % 256))))::BIGINT
+               ) AS sads
+        FROM s
+    ),
+    agg AS (
+        SELECT doc_id, nf, ns, len(sads)::BIGINT AS nt,
+               coalesce(list_sum(sads), 0)::BIGINT AS sum_sad,
+               coalesce(list_max(sads), 0)::BIGINT AS max_sad,
+               sads
+        FROM t
+    )
+    SELECT doc_id, nf::BIGINT AS n_frames, ns::BIGINT AS n_sampled,
+           nt AS n_transitions, sum_sad, max_sad,
+           coalesce(len(list_filter(sads,
+               x -> 10 * x * nt > 12 * sum_sad)), 0)::BIGINT AS n_cuts
+    FROM agg
 """

@@ -64,3 +64,40 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def clear_session_memos() -> None:
+    """Release every session-lifetime memo the engine keeps (round-6
+    lifecycle API — the memos are correct and bounded per (application,
+    sf_dir), but a long-lived session that walks many sf_dirs
+    accumulates persisted relations; this makes the release explicit).
+
+    Unpersists and forgets:
+
+    * ``queries.llmdata._MINHASH_CACHE`` — persisted signature/label
+      DataFrames (one live entry per shape; ~O(docs) slim rows each);
+    * ``queries.llmdata._STRUCT_MEMO`` — the persisted structured
+      corpus (one per sf_dir; O(docs) text rows);
+    * ``queries.llmdata._BPE_MERGE_MEMO`` — plain merge-rule lists;
+    * ``queries.clustering._KM_CACHE`` — persisted embedding corpora;
+    * ``queries.clustering._TRAIN_MEMO`` — plain codebook lists.
+
+    Rebuilding after a clear re-derives bit-identical results (every
+    memoized computation is deterministic); the only cost is the
+    retraining/reconstruction time the memo was saving."""
+    from .queries.clustering import _KM_CACHE, _TRAIN_MEMO
+    from .queries.llmdata import (
+        _BPE_MERGE_MEMO,
+        _MINHASH_CACHE,
+        _STRUCT_MEMO,
+    )
+
+    for cache in (_MINHASH_CACHE, _STRUCT_MEMO, _KM_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped — nothing to release
+        cache.clear()
+    _BPE_MERGE_MEMO.clear()
+    _TRAIN_MEMO.clear()

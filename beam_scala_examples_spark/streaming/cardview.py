@@ -42,7 +42,10 @@ from ..queries.llmdata import (
     _SPARK_TOKS,
     chunk_relation,
     gopher_verdicts,
+    winnow_print_positions,
+    winnow_regions_from_prints,
 )
+from .hllview import HllIngestSink
 from .neardupview import NearDupIngestSink
 
 
@@ -64,8 +67,16 @@ class DatasetCardSink:
         self.sourcelang_path = f"{base_path}/card_sourcelang"
         self.texthash_path = f"{base_path}/card_texthash"
         self.chunks_path = f"{base_path}/card_chunks"
+        self.winnow_path = f"{base_path}/card_winnow_prints"
         self.neardup = NearDupIngestSink(
             f"{base_path}/card_nd_registry", f"{base_path}/card_nd_decisions"
+        )
+        # Round-6: per-source distinct-text HLL registers — a composed
+        # grouped HllIngestSink over the text hash (registers merge with
+        # max, so the log appends without reading earlier batches).
+        self.src_hll = HllIngestSink(
+            f"{base_path}/card_src_hll", group_cols=("source",),
+            id_col="text",
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -101,8 +112,18 @@ class DatasetCardSink:
             batch_id,
             self.chunks_path,
         )
-        # Composed registry sink: near-dup decisions at arrival time.
+        # Round-6: positioned winnow prints (slim int64 triples) — the
+        # copy-region members recompute regions from the accumulated
+        # log at serving time, exactly like the chunk-dup member.
+        _write_partition(
+            winnow_print_positions(batch_df.select("doc_id", "text")),
+            batch_id,
+            self.winnow_path,
+        )
+        # Composed registry sinks: near-dup decisions at arrival time,
+        # per-source text-cardinality registers.
         self.neardup(batch_df.select("doc_id", "text"), batch_id)
+        self.src_hll(batch_df.select("source", "text"), batch_id)
 
     def serving_view(self, spark: SparkSession) -> DataFrame:
         """Re-aggregate the logs into the (metric, value) card — the
@@ -132,9 +153,31 @@ class DatasetCardSink:
             .filter(F.col("n_owner_docs") >= 2)
             .agg(F.countDistinct("doc_id").alias("n_cd"))
         )
+        regions = winnow_regions_from_prints(
+            spark.read.parquet(self.winnow_path).drop("batch_id").distinct()
+        )
+        region_stats = regions.agg(
+            F.countDistinct("doc_a", "doc_b").alias("n_pairs"),
+            F.coalesce(F.sum("length_tokens"), F.lit(0)).alias("n_tokens"),
+        )
+        region_docs = regions.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("d")
+        ).agg(F.countDistinct("d").alias("n_region_docs"))
+        src_regs = (
+            self.src_hll.serving_view(spark)
+            .groupBy("source")
+            .agg(F.count("*").alias("value"))
+            .select(
+                F.concat(
+                    F.lit("hll_text_registers_"), F.col("source")
+                ).alias("metric"),
+                F.col("value").cast("long").alias("value"),
+            )
+        )
         base = (
             stats.crossJoin(sl).crossJoin(fp).crossJoin(nd)
-            .crossJoin(chunkdup)
+            .crossJoin(chunkdup).crossJoin(region_stats)
+            .crossJoin(region_docs)
             .localCheckpoint()
         )
         rows = [
@@ -163,6 +206,21 @@ class DatasetCardSink:
             base.select(
                 F.lit("chunk_dup_doc_bp").alias("metric"),
                 F.expr("(n_cd * 10000) div n_docs").alias("value"),
+            ),
+            src_regs,
+            base.select(
+                F.lit("copy_region_pairs").alias("metric"),
+                F.col("n_pairs").cast("long").alias("value"),
+            ),
+            base.select(
+                F.lit("copy_region_tokens").alias("metric"),
+                F.col("n_tokens").cast("long").alias("value"),
+            ),
+            base.select(
+                F.lit("copy_region_doc_bp").alias("metric"),
+                F.expr(
+                    "(n_region_docs * 10000) div n_docs"
+                ).alias("value"),
             ),
         ]
         out = rows[0]

@@ -35,13 +35,15 @@ class HllIngestSink:
     (hash staged once per row), so the served view is pinned equal to
     ``dq_hll_registers`` / ``dq_hll_by_type`` by construction."""
 
-    def __init__(self, log_path: str, group_cols: tuple[str, ...] = ()):
+    def __init__(self, log_path: str, group_cols: tuple[str, ...] = (),
+                 id_col: str = "user_id"):
         self.log_path = log_path
         self.group_cols = tuple(group_cols)
+        self.id_col = id_col
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         partial = hll_partial_registers(
-            batch_df, group_cols=self.group_cols
+            batch_df, id_col=self.id_col, group_cols=self.group_cols
         )
         (
             partial.withColumn("batch_id", F.lit(int(batch_id)))

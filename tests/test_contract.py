@@ -110,3 +110,52 @@ def test_bands_file_matches_registry():
     assert bands is not None, "bench_bands.json missing or wrong SF"
     stale = [n for n in bands["queries"] if n not in QUERIES]
     assert not stale, f"bands for unregistered queries: {stale}"
+
+
+def test_bench_strict_exit_semantics():
+    """Round-6 --strict: confirmed per-query violations fail ONLY under
+    strict; anchor regression fails either way and takes precedence."""
+    import bench
+
+    bands = {"sf": 0.1, "anchor_r01_shared_total": 13.0,
+             "queries": {"q": 1.0}}
+    v = {"q": [1.0, 5.0]}
+    assert bench.exit_code(14.0, bands, {}, strict=False) == 0
+    assert bench.exit_code(14.0, bands, {}, strict=True) == 0
+    assert bench.exit_code(14.0, bands, v, strict=False) == 0
+    assert bench.exit_code(14.0, bands, v, strict=True) == 3
+    assert bench.exit_code(27.0, bands, v, strict=True) == 2
+    assert bench.exit_code(27.0, bands, {}, strict=False) == 2
+
+
+def test_clear_session_memos_rebuilds_identically(spark, sf_dir):
+    """Round-6 memo lifecycle: clearing every session memo releases the
+    persisted relations and the next call rebuilds bit-identical
+    results (everything memoized is deterministic)."""
+    from beam_scala_examples_spark.queries.clustering import (
+        _TRAIN_MEMO,
+        emb_kmeans,
+    )
+    from beam_scala_examples_spark.queries.llmdata import (
+        _STRUCT_MEMO,
+        text_structured,
+    )
+    from beam_scala_examples_spark.session import clear_session_memos
+
+    before_struct = sorted(
+        tuple(r) for r in text_structured(spark, sf_dir).collect()
+    )
+    before_km = sorted(
+        tuple(r[0:2]) for r in emb_kmeans(spark, sf_dir).collect()
+    )
+    assert _STRUCT_MEMO and _TRAIN_MEMO  # memos are live
+    clear_session_memos()
+    assert not _STRUCT_MEMO and not _TRAIN_MEMO
+    after_struct = sorted(
+        tuple(r) for r in text_structured(spark, sf_dir).collect()
+    )
+    after_km = sorted(
+        tuple(r[0:2]) for r in emb_kmeans(spark, sf_dir).collect()
+    )
+    assert before_struct == after_struct
+    assert before_km == after_km
