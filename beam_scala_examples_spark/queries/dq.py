@@ -897,3 +897,77 @@ def profile_estimates(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     for r in regs:
         by_col.setdefault(r.column_name, []).append((r.register, r.max_rank))
     return {c: hll_estimate(rs) for c, rs in by_col.items()}
+
+
+def dq_hll_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff of per-day sketches (round 6): the CUMULATIVE
+    distinct-user curve — for every day, the registers of the sketch
+    "all users through day d" — built purely by MERGING the per-day
+    registers of :func:`dq_hll_by_day` (running max per register over
+    the day order), never by rescanning events.  This is the exact
+    query pattern a 100 TB pipeline serves date-range cardinalities
+    from ("distinct users last quarter" = one register-max over the
+    covered days); the per-day estimate curve derives from these rows
+    via :func:`hll_estimate` and is ±3σ-tested against the exact
+    cumulative distinct counts.
+
+    Output is compacted to per-(day, register) rows of the cumulative
+    sketch.  Scale: O(days × HLL_M) slim rows in, one window max over
+    the register partition (each partition is O(days) rows), O(days ×
+    HLL_M) out — corpus size never appears."""
+    from pyspark.sql.window import Window
+
+    daily = dq_hll_by_day(spark, sf_dir)
+    # A register absent on day d but present earlier must still carry
+    # forward: build the full (day × register-ever-seen) grid first
+    # (bounded: days × occupied registers), then run the running max.
+    days = daily.select("day").distinct()
+    regs = daily.select("register").distinct()
+    grid = days.crossJoin(regs)
+    w = (
+        Window.partitionBy("register")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["day", "register"], "left")
+        .withColumn("cum_rank", F.max("max_rank").over(w))
+        .filter(F.col("cum_rank").isNotNull())
+        .select("day", "register", F.col("cum_rank").alias("max_rank"))
+    )
+
+
+QUERIES["dq_hll_cumulative"] = dq_hll_cumulative
+
+ORACLE["dq_hll_cumulative"] = f"""
+    WITH h AS (
+        SELECT date_trunc('day', ts)::TIMESTAMP AS day, {_HLL_H} AS hv
+        FROM events
+    ),
+    ranked AS (
+        SELECT day, hv % {HLL_M} AS register,
+               CASE WHEN hv // {HLL_M} = 0 THEN {HLL_VAL_BITS + 1}
+                    ELSE {HLL_VAL_BITS + 1} - length(bin(hv // {HLL_M}))
+               END AS rank
+        FROM h
+    ),
+    daily AS (
+        SELECT day, register, max(rank) AS max_rank
+        FROM ranked GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.day, r.register
+        FROM (SELECT DISTINCT day FROM daily) d
+        CROSS JOIN (SELECT DISTINCT register FROM daily) r
+    ),
+    cum AS (
+        SELECT g.day, g.register,
+               max(daily.max_rank) OVER (
+                   PARTITION BY g.register ORDER BY g.day
+                   ROWS UNBOUNDED PRECEDING) AS cum_rank
+        FROM grid g LEFT JOIN daily
+          ON daily.day = g.day AND daily.register = g.register
+    )
+    SELECT day, register::BIGINT AS register, cum_rank::BIGINT AS max_rank
+    FROM cum WHERE cum_rank IS NOT NULL
+"""

@@ -8496,3 +8496,200 @@ ORACLE["multimodal_scene_cuts"] = """
                x -> 10 * x * nt > 12 * sum_sad)), 0)::BIGINT AS n_cuts
     FROM agg
 """
+
+
+def text_winnow_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each document is copied (round 6): the per-document
+    share of tokens covered by at least one winnowing copy region — the
+    number a dedup policy actually thresholds on ("drop if >50% of the
+    doc appears elsewhere"), derived from :func:`text_winnow_regions`
+    by a classic interval-union pass: a doc's regions (as either side
+    of a pair) become [start, start+length) token intervals, overlapping
+    intervals fuse (islands over the running max of interval ends), and
+    the union length is reported in exact basis points of the doc's
+    token count.  Docs with no regions report zero coverage.
+
+    Scale: the interval relation is O(regions) slim rows; the union
+    pass windows on doc_id (partitions bounded by per-doc region
+    counts); the token counts ride the scan."""
+    docs = load(spark, sf_dir, "documents")
+    regions = winnow_regions_relation(docs)
+    iv = regions.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("length_tokens")).alias("e"),
+    ).unionByName(
+        regions.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("length_tokens")).alias("e"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = (
+        iv.withColumn(
+            "new_island",
+            F.when(
+                prev_end.isNull() | (F.col("s") > prev_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s")).alias("ilen"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.sum("ilen").alias("covered_tokens"),
+        )
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.expr(_SPARK_TOKS)).cast("long").alias("n_tokens"),
+    )
+    return toks.join(isl, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_islands", F.lit(0)).cast("long").alias("n_islands"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+            "covered_tokens"
+        ),
+        F.expr(
+            "(coalesce(covered_tokens, 0) * 10000)"
+            " div greatest(n_tokens, 1)"
+        ).alias("coverage_bp"),
+    )
+
+
+QUERIES["text_winnow_coverage"] = text_winnow_coverage
+
+ORACLE["text_winnow_coverage"] = f"""
+    WITH rg AS (
+        SELECT * FROM ({ORACLE["text_winnow_regions"]})
+    ),
+    iv AS (
+        SELECT doc_a AS doc_id, start_a AS s,
+               start_a + length_tokens AS e FROM rg
+        UNION ALL
+        SELECT doc_b, start_b, start_b + length_tokens FROM rg
+    ),
+    marked AS (
+        SELECT doc_id, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR s > max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT doc_id, s, e,
+               sum(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    ),
+    per_island AS (
+        SELECT doc_id, island, max(e) - min(s) AS ilen
+        FROM islands GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*)::BIGINT AS n_islands,
+               sum(ilen)::BIGINT AS covered_tokens
+        FROM per_island GROUP BY 1
+    ),
+    toks AS (
+        SELECT doc_id, len({_DUCK_TOKS})::BIGINT AS n_tokens
+        FROM documents
+    )
+    SELECT t.doc_id, t.n_tokens,
+           coalesce(p.n_islands, 0)::BIGINT AS n_islands,
+           coalesce(p.covered_tokens, 0)::BIGINT AS covered_tokens,
+           (coalesce(p.covered_tokens, 0) * 10000)
+               // greatest(t.n_tokens, 1) AS coverage_bp
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def phash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(img_id, phash, band, bucket) for gate-passing images — the
+    shared banding relation behind the pair and novelty queries and the
+    ingest sink."""
+    sig = _phash_relation(spark, sf_dir).filter(
+        F.expr("bit_count(phash)") >= PHASH_MIN_BITS
+    )
+    return sig.select(
+        "img_id",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
+    ).withColumn(
+        "bucket", F.expr("shiftright(phash, band * 16) & 65535")
+    )
+
+
+def multimodal_phash_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen novelty over perceptual hashes: an image is a dup iff
+    ANY of its pHash bands matches an earlier image's bucket (the
+    ``dedup_lsh_novelty`` semantics on the image rung — the batch twin
+    :class:`~..streaming.phashview.PhashIngestSink` is pinned against).
+    Gate-failing (flat) images report is_dup=false: pHash abstains on
+    them by design.
+
+    Scale: bucket-keyed min-aggregate + join back — Σ|bucket|² bounded
+    by the entropy gate; never all-pairs."""
+    bands = phash_banded(spark, sf_dir)
+    firsts = bands.groupBy("band", "bucket").agg(
+        F.min("img_id").alias("first_img")
+    )
+    prior = (
+        bands.join(firsts, ["band", "bucket"])
+        .filter(F.col("first_img") < F.col("img_id"))
+        .groupBy("img_id")
+        .agg(F.min("first_img").alias("dup_of"))
+    )
+    docs = load(spark, sf_dir, "documents")
+    all_imgs = _phash_image_corpus(docs).select("img_id")
+    return all_imgs.join(prior, "img_id", "left").select(
+        "img_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+    )
+
+
+QUERIES["multimodal_phash_novelty"] = multimodal_phash_novelty
+
+ORACLE["multimodal_phash_novelty"] = f"""
+    WITH {_PHASH_HASHES_D},
+    gated AS (
+        SELECT img_id, phash FROM hashes
+        WHERE bit_count(phash) >= {PHASH_MIN_BITS}
+    ),
+    bands AS (
+        SELECT img_id,
+               b.band,
+               (phash >> (b.band * 16)::INT) & 65535 AS bucket
+        FROM gated, (SELECT unnest(range(0, {PHASH_BANDS})) AS band) b
+    ),
+    firsts AS (
+        SELECT band, bucket, min(img_id) AS first_img
+        FROM bands GROUP BY 1, 2
+    ),
+    prior AS (
+        SELECT bands.img_id, min(firsts.first_img) AS dup_of
+        FROM bands JOIN firsts USING (band, bucket)
+        WHERE firsts.first_img < bands.img_id
+        GROUP BY 1
+    )
+    SELECT h.img_id, p.dup_of IS NOT NULL AS is_dup, p.dup_of
+    FROM hashes h LEFT JOIN prior p USING (img_id)
+"""

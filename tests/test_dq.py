@@ -86,3 +86,41 @@ def test_profile_sketch_estimates_within_3_sigma(spark, sf_dir):
         assert abs(ests[c] - exact[c]) / exact[c] <= 3 * sigma, (
             c, ests[c], exact[c],
         )
+
+
+def test_hll_cumulative_curve_within_3_sigma(spark, sf_dir):
+    """The cumulative register curve (pure register merging, no rescan)
+    estimates the exact running distinct-user count within 3 sigma on
+    EVERY day, and the final day's registers equal the corpus-global
+    sketch exactly (merge law end-to-end)."""
+    from beam_scala_examples_spark.queries.dq import (
+        HLL_M,
+        dq_hll_cumulative,
+        dq_hll_registers,
+        hll_estimate,
+    )
+    from beam_scala_examples_spark.tables import load
+    import pyspark.sql.functions as F
+
+    rows = dq_hll_cumulative(spark, sf_dir).collect()
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r.day, []).append((r.register, r.max_rank))
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    days = sorted(by_day)
+    sigma = 1.04 / (HLL_M ** 0.5)
+    for day in days:
+        exact = (
+            ev.filter(F.col("day") <= day)
+            .select("user_id").distinct().count()
+        )
+        est = hll_estimate(by_day[day])
+        assert abs(est - exact) / exact <= 3 * sigma, (day, est, exact)
+    final = sorted(by_day[days[-1]])
+    glob = sorted(
+        (r.register, r.max_rank)
+        for r in dq_hll_registers(spark, sf_dir).collect()
+    )
+    assert final == glob

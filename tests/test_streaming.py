@@ -2235,3 +2235,46 @@ def test_winnow_sink_flags_zero_print_docs(spark, tmpdir):
     assert flags[3].n_prints == 0
     assert flags[4].known_prints == flags[4].n_prints  # full copy of doc 1
     assert flags[4].prior_docs == 1
+
+
+def test_phash_sink_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming pHash registry (streaming/phashview.py): with
+    id-ordered arrival the served decisions equal the batch
+    multimodal_phash_novelty relation exactly."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        multimodal_phash_novelty,
+    )
+    from beam_scala_examples_spark.streaming.phashview import PhashIngestSink
+
+    rows = _doc_rows(sf_dir)
+    sink = PhashIngestSink(f"{tmpdir}/reg", f"{tmpdir}/dec")
+    mk = lambda rs: spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rs], "doc_id long, text string"
+    )
+    half = len(rows) // 2
+    sink(mk(rows[:half]), 0)
+    sink(mk(rows[half:]), 1)
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in multimodal_phash_novelty(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
+    assert any(r[1] for r in got)  # some image flagged dup at arrival
+
+
+def test_phash_sink_replay_idempotent(spark, sf_dir, tmpdir):
+    """Replaying the latest micro-batch re-derives exactly its own
+    decisions and registry rows — served view unchanged."""
+    from beam_scala_examples_spark.streaming.phashview import PhashIngestSink
+
+    rows = _doc_rows(sf_dir)[:200]
+    sink = PhashIngestSink(f"{tmpdir}/reg", f"{tmpdir}/dec")
+    mk = lambda rs: spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rs], "doc_id long, text string"
+    )
+    sink(mk(rows[:100]), 0)
+    sink(mk(rows[100:]), 1)
+    once = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    sink(mk(rows[100:]), 1)  # replay the latest batch
+    twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    assert once == twice and len(once) > 0
