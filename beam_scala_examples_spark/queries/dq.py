@@ -759,6 +759,28 @@ ORACLE["dq_hll_by_day"] = f"""
 """
 
 
+def profile_pairs(ev: DataFrame) -> DataFrame:
+    """(column_name, val) stacked pairs over the profiled columns —
+    the shared input of the sketch profiler, the driver-side estimate
+    helper, and the streaming profile sink.  One explode per row, nulls
+    dropped (null accounting is the conditional aggregate's job)."""
+    return (
+        ev.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in PROFILE_COLUMNS
+                ])
+            ).alias("p")
+        )
+        .select("p.column_name", "p.val")
+        .filter(F.col("val").isNotNull())
+    )
+
+
 def dq_profile_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The :func:`dq_profile_events` column profiler with its exact
     ``count(DISTINCT)`` replaced by the HLL register sketch — the swap
@@ -787,18 +809,7 @@ def dq_profile_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One stacked pass builds every column's registers: project each
     # profiled column to a (column_name, value) pair list, explode, and
     # sketch the union — a single aggregate, map-side combined.
-    pairs = ev.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("column_name"),
-                    F.col(c).cast("string").alias("val"),
-                )
-                for c in PROFILE_COLUMNS
-            ])
-        ).alias("p")
-    ).select("p.column_name", "p.val").filter(F.col("val").isNotNull())
-    regs = hll_partial_registers(pairs, id_col="val",
+    regs = hll_partial_registers(profile_pairs(ev), id_col="val",
                                  group_cols=("column_name",))
     sketch = regs.groupBy("column_name").agg(
         F.count("*").alias("hll_registers"),
@@ -879,19 +890,8 @@ def profile_estimates(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     :func:`hll_estimate` per column.  The ±3σ accuracy test compares
     these to :func:`dq_profile_events`' exact ``n_distinct``."""
     ev = load(spark, sf_dir, "events")
-    pairs = ev.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("column_name"),
-                    F.col(c).cast("string").alias("val"),
-                )
-                for c in PROFILE_COLUMNS
-            ])
-        ).alias("p")
-    ).select("p.column_name", "p.val").filter(F.col("val").isNotNull())
     regs = hll_partial_registers(
-        pairs, id_col="val", group_cols=("column_name",)
+        profile_pairs(ev), id_col="val", group_cols=("column_name",)
     ).collect()
     by_col: dict[str, list] = {}
     for r in regs:

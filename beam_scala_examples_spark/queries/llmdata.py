@@ -8693,3 +8693,60 @@ ORACLE["multimodal_phash_novelty"] = f"""
     SELECT h.img_id, p.dup_of IS NOT NULL AS is_dup, p.dup_of
     FROM hashes h LEFT JOIN prior p USING (img_id)
 """
+
+
+def multimodal_phash_novelty_verified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The candidate→verify ladder on the image rung (round 6, the
+    dedup LSH→Jaccard discipline): like
+    :func:`multimodal_phash_novelty`, but a bucket-sharing candidate
+    only counts as a duplicate after VERIFYING Hamming distance ≤
+    ``PHASH_HAMMING_MAX`` on the full hash — band collisions between
+    genuinely different images (possible at 16 bits/band) no longer
+    flag.  ``dup_of`` is the earliest verified near-identical image.
+
+    Scale: identical candidate cost (Σ|bucket|² over entropy-gated
+    banded buckets); the verify is one bit_count per candidate pair —
+    never all-pairs."""
+    bands = phash_banded(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b").hint("SHUFFLE_HASH")
+    prior = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("b.img_id") < F.col("a.img_id"))
+        .filter(
+            F.expr("bit_count(a.phash ^ b.phash)") <= PHASH_HAMMING_MAX
+        )
+        .groupBy(F.col("a.img_id").alias("img_id"))
+        .agg(F.min(F.col("b.img_id")).alias("dup_of"))
+    )
+    docs = load(spark, sf_dir, "documents")
+    all_imgs = _phash_image_corpus(docs).select("img_id")
+    return all_imgs.join(prior, "img_id", "left").select(
+        "img_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+    )
+
+
+QUERIES["multimodal_phash_novelty_verified"] = (
+    multimodal_phash_novelty_verified
+)
+
+ORACLE["multimodal_phash_novelty_verified"] = f"""
+    WITH {_PHASH_HASHES_D},
+    gated AS (
+        SELECT img_id, phash FROM hashes
+        WHERE bit_count(phash) >= {PHASH_MIN_BITS}
+    ),
+    prior AS (
+        SELECT a.img_id, min(b.img_id) AS dup_of
+        FROM gated a JOIN gated b
+          ON b.img_id < a.img_id
+         AND bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+        GROUP BY 1
+    )
+    SELECT h.img_id, p.dup_of IS NOT NULL AS is_dup, p.dup_of
+    FROM hashes h LEFT JOIN prior p USING (img_id)
+"""

@@ -1,0 +1,102 @@
+"""Ingest-time column profiling at sketch cost: the streaming twin of
+``queries/dq.py::dq_profile_events_sketch`` — the ingest-health report
+(null rates, sketched cardinalities per column) maintained
+incrementally over an arriving event stream instead of recomputed
+corpus-wide per audit.
+
+Two batch_id-partitioned contribution logs (the house discipline):
+
+ - ``profile_stats``: one additive row per batch — row count and
+   per-column null counts (a conditional aggregate over batch rows
+   only);
+ - ``profile_regs``: the batch's per-column HLL partial registers over
+   the stacked (column_name, value) pairs (the batch query's own
+   :func:`~..queries.dq.profile_pairs` + register constructor) —
+   registers merge with a plain max, so appends never read earlier
+   batches (the ``HllIngestSink`` property, per column).
+
+Serving re-aggregates the logs into the identical report relation the
+batch query returns — pinned EXACTLY equal once the corpus has
+arrived, and replay-idempotent (a replayed batch re-derives exactly
+its own partials from its own rows).
+
+Scale: per batch one conditional aggregate + one map-side-combined
+register aggregate, O(columns × HLL_M) slim rows max; serving is
+O(log) re-aggregation, never a raw-event rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.dq import (
+    PROFILE_COLUMNS,
+    hll_partial_registers,
+    profile_pairs,
+)
+
+
+class ProfileSketchSink:
+    """foreachBatch sink maintaining the sketched column profile over
+    micro-batches carrying the events schema."""
+
+    def __init__(self, base_path: str):
+        self.stats_path = f"{base_path}/profile_stats"
+        self.regs_path = f"{base_path}/profile_regs"
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in PROFILE_COLUMNS:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                    f"null_{c}"
+                )
+            )
+        stats = batch_df.agg(*aggs)
+        regs = hll_partial_registers(
+            profile_pairs(batch_df), id_col="val",
+            group_cols=("column_name",),
+        )
+        for df, path in ((stats, self.stats_path), (regs, self.regs_path)):
+            (
+                df.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+
+    def serving_view(self, spark: SparkSession) -> DataFrame:
+        """The sketched profile report — identical integer expressions
+        to the batch ``dq_profile_events_sketch``, over the logs."""
+        stats = spark.read.parquet(self.stats_path).agg(
+            F.sum("n_rows").alias("n_rows"),
+            *[
+                F.sum(f"null_{c}").alias(f"null_{c}")
+                for c in PROFILE_COLUMNS
+            ],
+        )
+        merged = (
+            spark.read.parquet(self.regs_path)
+            .groupBy("column_name", "register")
+            .agg(F.max("max_rank").alias("max_rank"))
+        )
+        sketch = merged.groupBy("column_name").agg(
+            F.count("*").alias("hll_registers"),
+            F.sum("max_rank").alias("hll_sum_rank"),
+        )
+        rows = None
+        for c in PROFILE_COLUMNS:
+            one = stats.select(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.expr(f"(null_{c} * 10000) div n_rows").alias("null_bp"),
+            )
+            rows = one if rows is None else rows.unionByName(one)
+        return rows.join(sketch, "column_name", "left").select(
+            "column_name", "n_rows", "n_null", "null_bp",
+            F.coalesce("hll_registers", F.lit(0)).alias("hll_registers"),
+            F.coalesce("hll_sum_rank", F.lit(0)).alias("hll_sum_rank"),
+        )

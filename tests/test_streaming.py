@@ -2278,3 +2278,32 @@ def test_phash_sink_replay_idempotent(spark, sf_dir, tmpdir):
     sink(mk(rows[100:]), 1)  # replay the latest batch
     twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
     assert once == twice and len(once) > 0
+
+
+def test_profile_sketch_sink_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming sketched profile (streaming/profileview.py): additive
+    null/count stats + per-column max-merged registers over two
+    micro-batches equal the batch dq_profile_events_sketch exactly
+    (order-independent by construction), and replay changes nothing."""
+    from beam_scala_examples_spark.queries.dq import (
+        dq_profile_events_sketch,
+    )
+    from beam_scala_examples_spark.streaming.profileview import (
+        ProfileSketchSink,
+    )
+    from beam_scala_examples_spark.tables import load
+    import pyspark.sql.functions as SF
+
+    ev = load(spark, sf_dir, "events")
+    sink = ProfileSketchSink(str(tmpdir))
+    sink(ev.filter(SF.col("event_id") % 2 == 0), 0)
+    sink(ev.filter(SF.col("event_id") % 2 == 1), 1)
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r)
+        for r in dq_profile_events_sketch(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
+    sink(ev.filter(SF.col("event_id") % 2 == 1), 1)  # replay
+    again = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    assert again == expect
