@@ -96,6 +96,14 @@ SHOWCASE = {
     "multimodal_sample_y4m": "render + real FRAME-marker walk, skipped frames never read: two Arrow mapInPandas",
     "text_winnow_fingerprints": "window-min selection as scan-stage array codegen; O(selected) rows shuffle",
     "text_winnow_pairs": "print-keyed self-join bounded by winnowing density — candidates, never all-pairs",
+    "text_winnow_regions": "positional prints join on print value; islands window on (pair, diagonal)",
+    "text_winnow_coverage": "interval-union islands over O(regions) rows; token counts ride the scan",
+    "dq_hll_by_day": "grouped HLL: one map-side-combined aggregate to O(days × 1024) slim rows",
+    "dq_hll_cumulative": "running register-max over the day grid — merge-only, corpus never rescanned",
+    "dq_profile_events_sketch": "stacked per-column registers in ONE aggregate; no expand multi-distinct",
+    "multimodal_phash_pairs": "render+hash Arrow passes feed an entropy-gated 16-bit band self-join",
+    "multimodal_phash_novelty_verified": "bucket candidates verified at Hamming ≤ 3 — never all-pairs",
+    "multimodal_scene_cuts": "render + FRAME-stride SAD walk: two Arrow mapInPandas, zero exchanges",
 }
 
 
