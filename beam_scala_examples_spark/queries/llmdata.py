@@ -6235,7 +6235,12 @@ def data_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("long").alias("value"),
         )
     )
-    regions = winnow_regions_relation(docs)
+    # O(regions) slim rows feeding two consumers — checkpoint the cut
+    # so the positional-selection pipeline runs once, not twice (the
+    # card's cost is spread across its seven members, so the whole-card
+    # win is modest — ~4% measured at sf0.1 — but the shape discipline
+    # matches the base/localCheckpoint cut above).
+    regions = winnow_regions_relation(docs).localCheckpoint(eager=False)
     region_stats = regions.agg(
         F.countDistinct("doc_a", "doc_b").alias("n_pairs"),
         F.coalesce(F.sum("length_tokens"), F.lit(0)).alias("n_tokens"),
@@ -8628,12 +8633,22 @@ def phash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _phash_relation(spark, sf_dir).filter(
         F.expr("bit_count(phash)") >= PHASH_MIN_BITS
     )
-    return sig.select(
-        "img_id",
-        "phash",
-        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
-    ).withColumn(
-        "bucket", F.expr("shiftright(phash, band * 16) & 65535")
+    return (
+        sig.select(
+            "img_id",
+            "phash",
+            F.explode(
+                F.expr(f"sequence(0, {PHASH_BANDS - 1})")
+            ).alias("band"),
+        )
+        .withColumn(
+            "bucket", F.expr("shiftright(phash, band * 16) & 65535")
+        )
+        # O(gated images × bands) slim rows; every consumer (pair
+        # self-join sides, novelty's firsts+membership, the verified
+        # ladder) otherwise re-renders and re-hashes the whole image
+        # corpus per reference — the render is the expensive half.
+        .localCheckpoint(eager=False)
     )
 
 
