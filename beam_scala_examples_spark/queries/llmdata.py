@@ -8261,7 +8261,16 @@ _PHASH_CT = (
     " 200, -569, 851, -1004, 1004, -851, 569, -200]::BIGINT[]"
 )
 
+# ``ctt`` hoists the DCT basis into a one-row MATERIALIZED relation —
+# inlining the 64-element list literal inside the innermost lambda made
+# DuckDB rebuild it per term (measured 165 s for the pairs oracle at
+# sf0.001; hoisted + materialized: 0.2 s).  ``hashes`` is MATERIALIZED
+# so multi-reference consumers (self-joins, the recursive CC) evaluate
+# the render pipeline once.
 _PHASH_HASHES_D = f"""
+    ctt AS MATERIALIZED (
+        SELECT {_PHASH_CT} AS ct
+    ),
     imgs AS (
         SELECT doc_id * 2 AS img_id, doc_id, text FROM documents
         UNION ALL
@@ -8288,15 +8297,15 @@ _PHASH_HASHES_D = f"""
     co AS (
         SELECT img_id, list_transform(range(0, 64), k ->
             list_sum(list_transform(range(0, 64), yx ->
-                ({_PHASH_CT})[(k // 8) * 8 + (yx // 8) + 1]
-              * ({_PHASH_CT})[(k % 8) * 8 + (yx % 8) + 1]
+                ctt.ct[(k // 8) * 8 + (yx // 8) + 1]
+              * ctt.ct[(k % 8) * 8 + (yx % 8) + 1]
               * g8[yx + 1]))::BIGINT) AS coefs
-        FROM g
+        FROM g, ctt
     ),
     med AS (
         SELECT img_id, coefs, list_sort(coefs[2:64])[32] AS m FROM co
     ),
-    hashes AS (
+    hashes AS MATERIALIZED (
         SELECT img_id, list_sum(list_transform(range(1, 64), k ->
             CASE WHEN coefs[k + 1] > m THEN (1::BIGINT << (k - 1)::INT)
                  ELSE 0::BIGINT END))::BIGINT AS phash
@@ -8764,4 +8773,55 @@ ORACLE["multimodal_phash_novelty_verified"] = f"""
     )
     SELECT h.img_id, p.dup_of IS NOT NULL AS is_dup, p.dup_of
     FROM hashes h LEFT JOIN prior p USING (img_id)
+"""
+
+
+def multimodal_phash_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image duplicate-cluster resolution (round 6, the ladder's last
+    rung): connected components over the Hamming-verified pHash pair
+    graph — every near-identical image group maps to one canonical
+    keeper (the minimum img_id), the exact mirror of
+    :func:`dedup_components` on the image rung.  A group formed by a
+    chain (A≈B, B≈C, A̸≈C) still resolves to one cluster, which is why
+    dedup pipelines cluster after pairing instead of dropping pair-wise.
+
+    Spark form: min-label propagation with pointer jumping
+    (``operators/graph.py``), O(log diameter) rounds; oracle: recursive
+    CTE min-reachable-id, so the iterative op stays hash-checked."""
+    from ..operators.graph import connected_components
+
+    _MINHASH_CACHE.pop("phash_cc_labels", None)
+    pairs = multimodal_phash_pairs(spark, sf_dir).select(
+        F.col("img_a").alias("doc1"), F.col("img_b").alias("doc2")
+    )
+    labels, _rounds = connected_components(pairs)
+    _MINHASH_CACHE["phash_cc_labels"] = labels
+    return labels.select(
+        F.col("doc_id").alias("img_id"),
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
+QUERIES["multimodal_phash_components"] = multimodal_phash_components
+
+ORACLE["multimodal_phash_components"] = f"""
+    WITH RECURSIVE edges0 AS (
+        SELECT img_a, img_b FROM ({ORACLE["multimodal_phash_pairs"]})
+    ),
+    edges AS (
+        SELECT img_a AS u, img_b AS v FROM edges0
+        UNION ALL
+        SELECT img_b, img_a FROM edges0
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(u, v) AS (
+        SELECT u, u FROM nodes
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS img_id, min(v) AS component, u = min(v) AS keep
+    FROM reach GROUP BY u
 """
