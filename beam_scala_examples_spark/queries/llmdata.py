@@ -8527,6 +8527,10 @@ def text_winnow_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass windows on doc_id (partitions bounded by per-doc region
     counts); the token counts ride the scan."""
     docs = load(spark, sf_dir, "documents")
+    # NB: the union consumes regions twice (doc_a / doc_b sides), but a
+    # localCheckpoint here was a measured NO-win at sf0.1 (1.8 s either
+    # way — AQE stage reuse already dedupes the identical subplans), so
+    # the cut stays lazy.
     regions = winnow_regions_relation(docs)
     iv = regions.select(
         F.col("doc_a").alias("doc_id"),
