@@ -41,6 +41,8 @@ from ..queries.llmdata import (
     WINNOW_MIN_SHARED,
     _SPARK_H,
     _SPARK_TOKS,
+    winnow_print_positions,
+    winnow_regions_from_prints,
 )
 
 
@@ -78,6 +80,10 @@ class WinnowIngestSink:
     def __init__(self, base_path: str):
         self.prints_path = f"{base_path}/winnow_prints"
         self.flags_path = f"{base_path}/winnow_flags"
+        # round-6: positioned prints (doc_id, fp, pos) — the extra log
+        # that lets the sink serve aligned COPY REGIONS, not just pair
+        # counts; same slim-int64 shape, same append discipline
+        self.prints_pos_path = f"{base_path}/winnow_prints_pos"
 
     def _read(self, spark: SparkSession, path: str,
               exclude_batch: int | None = None) -> DataFrame | None:
@@ -138,8 +144,10 @@ class WinnowIngestSink:
                 F.lit(0).cast("long").alias("known_prints"),
                 F.lit(0).cast("long").alias("prior_docs"),
             )
+        pos = winnow_print_positions(batch_df.select("doc_id", "text"))
         for df, path in ((prints, self.prints_path),
-                         (flags, self.flags_path)):
+                         (flags, self.flags_path),
+                         (pos, self.prints_pos_path)):
             (
                 df.withColumn("batch_id", F.lit(bid))
                 .write.mode("overwrite")
@@ -185,3 +193,16 @@ class WinnowIngestSink:
                 ).alias("overlap_bp"),
             )
         )
+
+    def regions_view(self, spark: SparkSession) -> DataFrame:
+        """Aligned copy regions served from the positioned-print log —
+        pinned equal to batch ``text_winnow_regions`` once the corpus
+        has arrived (round 6: the full MOSS report from the sink, the
+        same match/island pass the batch query runs, over accumulated
+        slim int64 triples instead of raw text)."""
+        pos = (
+            spark.read.parquet(self.prints_pos_path)
+            .drop("batch_id")
+            .distinct()
+        )
+        return winnow_regions_from_prints(pos)

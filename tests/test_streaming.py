@@ -2307,3 +2307,28 @@ def test_profile_sketch_sink_matches_batch(spark, sf_dir, tmpdir):
     sink(ev.filter(SF.col("event_id") % 2 == 1), 1)  # replay
     again = sorted(tuple(r) for r in sink.serving_view(spark).collect())
     assert again == expect
+
+
+def test_winnow_sink_regions_match_batch(spark, sf_dir, tmpdir):
+    """Round-6: the sink's positioned-print log serves the full MOSS
+    copy-region report, pinned equal to batch text_winnow_regions."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        text_winnow_regions,
+    )
+    from beam_scala_examples_spark.streaming.winnowview import (
+        WinnowIngestSink,
+    )
+
+    rows = _doc_rows(sf_dir)
+    sink = WinnowIngestSink(str(tmpdir))
+    mk = lambda rs: spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rs], "doc_id long, text string"
+    )
+    half = len(rows) // 2
+    sink(mk(rows[:half]), 0)
+    sink(mk(rows[half:]), 1)
+    got = sorted(tuple(r) for r in sink.regions_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in text_winnow_regions(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
