@@ -815,15 +815,26 @@ def dq_profile_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("hll_registers"),
         F.sum("max_rank").alias("hll_sum_rank"),
     )
-    rows = None
-    for c in PROFILE_COLUMNS:
-        one = wide.select(
-            F.lit(c).alias("column_name"),
-            F.col("n_rows"),
-            F.col(f"null_{c}").alias("n_null"),
-            F.expr(f"(null_{c} * 10000) div n_rows").alias("null_bp"),
-        )
-        rows = one if rows is None else rows.unionByName(one)
+    # unpivot the single wide row with stack() — one events scan for
+    # all null counts, not one scan per union branch (the same trick
+    # _row_rule_report uses; the exact profiler keeps its historical
+    # union shape, this query is the 100 TB posture)
+    rows = wide.select(
+        "n_rows",
+        F.expr(
+            "stack({n}, {args}) AS (column_name, n_null)".format(
+                n=len(PROFILE_COLUMNS),
+                args=", ".join(
+                    f"'{c}', null_{c}" for c in PROFILE_COLUMNS
+                ),
+            )
+        ),
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        F.expr("(n_null * 10000) div n_rows").alias("null_bp"),
+    )
     return (
         rows.join(sketch, "column_name", "left")
         .select(

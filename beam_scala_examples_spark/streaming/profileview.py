@@ -86,15 +86,22 @@ class ProfileSketchSink:
             F.count("*").alias("hll_registers"),
             F.sum("max_rank").alias("hll_sum_rank"),
         )
-        rows = None
-        for c in PROFILE_COLUMNS:
-            one = stats.select(
-                F.lit(c).alias("column_name"),
-                F.col("n_rows"),
-                F.col(f"null_{c}").alias("n_null"),
-                F.expr(f"(null_{c} * 10000) div n_rows").alias("null_bp"),
-            )
-            rows = one if rows is None else rows.unionByName(one)
+        rows = stats.select(
+            "n_rows",
+            F.expr(
+                "stack({n}, {args}) AS (column_name, n_null)".format(
+                    n=len(PROFILE_COLUMNS),
+                    args=", ".join(
+                        f"'{c}', null_{c}" for c in PROFILE_COLUMNS
+                    ),
+                )
+            ),
+        ).select(
+            "column_name",
+            "n_rows",
+            "n_null",
+            F.expr("(n_null * 10000) div n_rows").alias("null_bp"),
+        )
         return rows.join(sketch, "column_name", "left").select(
             "column_name", "n_rows", "n_null", "null_bp",
             F.coalesce("hll_registers", F.lit(0)).alias("hll_registers"),
