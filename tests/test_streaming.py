@@ -2332,3 +2332,52 @@ def test_winnow_sink_regions_match_batch(spark, sf_dir, tmpdir):
         tuple(r) for r in text_winnow_regions(spark, sf_dir).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_hll_sink_by_day_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """Per-day grouped HLL log (the time-axis production shape): a
+    caller-derived day column groups the registers; the served view
+    equals batch dq_hll_by_day exactly, and the cumulative curve built
+    from the served rows equals dq_hll_cumulative — the date-range
+    serving pattern works straight off the streamed log."""
+    import pyspark.sql.functions as SF
+
+    from beam_scala_examples_spark.queries.dq import (
+        dq_hll_by_day,
+        dq_hll_cumulative,
+    )
+    from beam_scala_examples_spark.streaming.hllview import HllIngestSink
+    from pyspark.sql.window import Window
+
+    sink = HllIngestSink(f"{tmpdir}/hll_day_log", group_cols=("day",))
+    mk = lambda rs: spark.createDataFrame(
+        [(r["user_id"], r["ts"]) for r in rs], "user_id long, ts string"
+    ).select("user_id", SF.date_trunc("day", SF.to_timestamp("ts")).alias("day"))
+    half = len(event_rows) // 2
+    sink(mk(event_rows[:half]), 0)
+    sink(mk(event_rows[half:]), 1)
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in dq_hll_by_day(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
+    # cumulative curve straight off the served per-day registers
+    daily = sink.serving_view(spark)
+    days = daily.select("day").distinct()
+    regs = daily.select("register").distinct()
+    w = (
+        Window.partitionBy("register").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        days.crossJoin(regs)
+        .join(daily, ["day", "register"], "left")
+        .withColumn("cum_rank", SF.max("max_rank").over(w))
+        .filter(SF.col("cum_rank").isNotNull())
+        .select("day", "register", SF.col("cum_rank").alias("max_rank"))
+    )
+    got_cum = sorted(tuple(r) for r in cum.collect())
+    expect_cum = sorted(
+        tuple(r) for r in dq_hll_cumulative(spark, sf_dir).collect()
+    )
+    assert got_cum == expect_cum

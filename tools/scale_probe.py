@@ -407,9 +407,110 @@ def islands_probe(spark, n_rows: int = 5_000_000,
     return out
 
 
+def regions_probe(spark, n_docs: int = 2000,
+                  doc_tokens: int = 400) -> dict:
+    """Measured scale shape of the round-6 winnowing COPY-REGION pass
+    (``text_winnow_regions``'s relation) on a synthetic corpus with
+    planted copies: ``n_docs`` documents of ``doc_tokens`` unique salted
+    tokens; every even/odd pair (2k, 2k+1) shares a planted 100-token
+    copy (doc 2k's tokens 50..149 re-appear at position 200 of doc
+    2k+1), all other tokens globally unique so the only cross-doc
+    matches are the planted ones.
+
+    Times the full positional pipeline (selection + match join +
+    islands) at n and 4n documents: near-linear wall-clock growth is
+    the evidence that the match join is bounded by genuine copies (no
+    quadratic candidate blowup), and every planted pair must report a
+    region on the correct alignment diagonal."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        winnow_regions_relation,
+    )
+
+    d = os.path.join(BASE, "regions")
+    shutil.rmtree(d, ignore_errors=True)
+
+    def corpus(n: int):
+        base = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"transform(sequence(0, {doc_tokens - 1}),"
+                " j -> concat('d', cast(id as string), 'w',"
+                " cast(j as string)))"
+            ).alias("toks"),
+        )
+        # odd docs: splice tokens 50..149 of doc_id-1 into position 200
+        spliced = base.select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN doc_id % 2 = 1 THEN"
+                " concat(slice(toks, 1, 200),"
+                "  transform(sequence(50, 149),"
+                "   j -> concat('d', cast(doc_id - 1 as string), 'w',"
+                "   cast(j as string))),"
+                "  slice(toks, 301, 100))"
+                " ELSE toks END"
+            ).alias("toks"),
+        )
+        return spliced.select(
+            "doc_id", F.array_join("toks", " ").alias("text")
+        )
+
+    def timed(df) -> float:
+        path = os.path.join(d, f"docs_{df.count()}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
+        winnow_regions_relation(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            winnow_regions_relation(docs).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    out: dict = {"n_docs": n_docs, "doc_tokens": doc_tokens}
+    # recall + diagonal correctness at the small size
+    small = corpus(n_docs)
+    regions = winnow_regions_relation(small)
+    planted = regions.filter(
+        (F.col("doc_b") == F.col("doc_a") + 1)
+        & (F.col("doc_a") % 2 == 0)
+    )
+    pairs_found = planted.select("doc_a", "doc_b").distinct().count()
+    out["planted_pairs"] = n_docs // 2
+    out["planted_pairs_found"] = pairs_found
+    assert pairs_found == n_docs // 2, (pairs_found, n_docs // 2)
+    out["spurious_regions"] = regions.count() - planted.count()
+    # the copy sits at gram 50.. in doc_a and 200.. in doc_b ->
+    # diagonal 150; starts must land inside the copied gram ranges
+    bad_diag = planted.filter(
+        F.col("start_b") - F.col("start_a") != 150
+    ).count()
+    assert bad_diag == 0, bad_diag
+    out["t_1x"] = timed(small)
+    out["t_4x"] = timed(corpus(4 * n_docs))
+    out["growth"] = round(out["t_4x"] / out["t_1x"], 2)
+    for k, v in out.items():
+        print(f"regions {k}: {v}", flush=True)
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
-            if a not in ("--whale", "--carry", "--islands")]
+            if a not in ("--whale", "--carry", "--islands", "--regions")]
+    if "--regions" in sys.argv[1:]:
+        n = int(args[0]) if args else 2000
+        out_json = args[1] if len(args) > 1 else "/tmp/regions_probe.json"
+        spark = get_spark(app_name="regions-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        res = regions_probe(spark, n)
+        with open(out_json, "w") as f:
+            json.dump(res, f, indent=1)
+        spark.stop()
+        return
     if "--islands" in sys.argv[1:]:
         n = int(args[0]) if args else 5_000_000
         out_json = args[1] if len(args) > 1 else "/tmp/islands_probe.json"
