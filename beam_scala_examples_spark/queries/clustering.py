@@ -2811,3 +2811,103 @@ def _ivf_range_recall_oracle() -> str:
 
 
 ORACLE["sim_range_recall_ivf"] = _ivf_range_recall_oracle()
+
+
+# Round-6: hybrid retrieval — reciprocal-rank fusion of two retrievers.
+K_RRF = 60           # the standard RRF smoothing constant
+RRF_SCALE = 10**9    # integer contributions: SCALE div (K + rank)
+RRF_TOPK = 5
+
+
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrievers
+    over the same corpus — exact brute-force cosine and the trained-IVF
+    index — the standard hybrid-search serving pattern (fuse rankings,
+    not scores, so retrievers with incomparable score scales combine
+    sanely).  Contribution of rank r in each list is the exact integer
+    ``RRF_SCALE div (K_RRF + r)`` (the house integer-ratio discipline —
+    float reciprocals would not hash across engines); per (query,
+    candidate) the contributions sum, and the top ``RRF_TOPK`` fused
+    candidates per query report with their list count.
+
+    Ranks order by the ROUNDED cosine (both lists already round to 6
+    dp) with vec_id tie-break, so ranking is bit-stable.  Scale: both
+    input rankings are O(queries × k) relations the engine already
+    serves; fusion is one union + one aggregate + one WindowGroupLimit
+    top-k — nothing rescans the corpus."""
+    def ranked(df):
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        return df.select(
+            "qid", "vec_id", F.row_number().over(w).alias("r")
+        ).select(
+            "qid",
+            "vec_id",
+            F.expr(f"{RRF_SCALE} div ({K_RRF} + r)").alias("contrib"),
+        )
+
+    from .llmdata import sim_cosine_topk
+
+    fused = (
+        ranked(sim_cosine_topk(spark, sf_dir))
+        .unionByName(ranked(sim_ivf_trained_topk(spark, sf_dir)))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum("contrib").alias("rrf_ppb"),
+            F.count("*").alias("n_lists"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("rrf_ppb"), F.asc("vec_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select("qid", "vec_id", "rrf_ppb", "n_lists",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+QUERIES["sim_rrf_fusion"] = sim_rrf_fusion
+
+
+def _rrf_oracle() -> str:
+    from .llmdata import ORACLE as _LLM_ORACLE
+
+    return f"""
+        WITH ra AS (
+            SELECT qid, vec_id,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, vec_id
+                   ) AS r
+            FROM ({_LLM_ORACLE["sim_cosine_topk"]})
+        ),
+        rb AS (
+            SELECT qid, vec_id,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, vec_id
+                   ) AS r
+            FROM ({ORACLE["sim_ivf_trained_topk"]})
+        ),
+        contribs AS (
+            SELECT qid, vec_id, {RRF_SCALE} // ({K_RRF} + r) AS contrib
+            FROM ra
+            UNION ALL
+            SELECT qid, vec_id, {RRF_SCALE} // ({K_RRF} + r) FROM rb
+        ),
+        fused AS (
+            SELECT qid, vec_id, sum(contrib)::BIGINT AS rrf_ppb,
+                   count(*)::BIGINT AS n_lists
+            FROM contribs GROUP BY 1, 2
+        )
+        SELECT qid, vec_id, rrf_ppb, n_lists, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY rrf_ppb DESC, vec_id
+            )::BIGINT AS rank
+            FROM fused
+        ) WHERE rank <= {RRF_TOPK}
+    """
+
+
+ORACLE["sim_rrf_fusion"] = _rrf_oracle()
