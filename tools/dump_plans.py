@@ -103,6 +103,8 @@ SHOWCASE = {
     "dq_profile_events_sketch": "stacked per-column registers in ONE aggregate; no expand multi-distinct",
     "multimodal_phash_pairs": "render+hash Arrow passes feed an entropy-gated 16-bit band self-join",
     "multimodal_phash_novelty_verified": "bucket candidates verified at Hamming ≤ 3 — never all-pairs",
+    "multimodal_phash_components": "pointer-jumping CC over verified pairs; checkpointed label rounds",
+    "sim_rrf_fusion": "rank fusion: union + aggregate + WindowGroupLimit — no corpus rescan",
     "multimodal_scene_cuts": "render + FRAME-stride SAD walk: two Arrow mapInPandas, zero exchanges",
 }
 
