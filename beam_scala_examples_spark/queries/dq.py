@@ -37,6 +37,14 @@ ROW_RULES = (
     ("events", "value_not_null", "value IS NOT NULL"),
     ("events", "type_domain",
      "event_type IN ('click', 'error', 'purchase', 'signup', 'view')"),
+    # round-6: the LLM-data corpus table gets the same gate — a 100 TB
+    # ingest promotes a documents batch only if the declared length
+    # matches the payload, the text is non-empty, and the language tag
+    # is in the supported set.
+    ("documents", "n_chars_matches_text", "n_chars = length(text)"),
+    ("documents", "text_nonempty", "length(text) > 0"),
+    ("documents", "lang_domain",
+     "lang IN ('en', 'de', 'zh', 'fr', 'es')"),
 )
 
 
@@ -67,7 +75,21 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _row_rule_report(load(spark, sf_dir, "orders"), "orders"),
         _row_rule_report(load(spark, sf_dir, "lineitem"), "lineitem"),
         _row_rule_report(load(spark, sf_dir, "events"), "events"),
+        _row_rule_report(load(spark, sf_dir, "documents"), "documents"),
     ]
+
+    docs = load(spark, sf_dir, "documents")
+    doc_dup = docs.groupBy("doc_id").count().filter(F.col("count") > 1)
+    parts.append(
+        docs.agg(F.count(F.lit(1)).alias("n_checked")).crossJoin(
+            doc_dup.agg(F.count(F.lit(1)).alias("n_violations"))
+        ).select(
+            F.lit("documents").alias("tbl"),
+            "n_checked",
+            F.lit("doc_id_unique").alias("rule"),
+            "n_violations",
+        )
+    )
 
     orders = load(spark, sf_dir, "orders")
     # uniqueness: primary key must not repeat
@@ -149,6 +171,13 @@ ORACLE_SQL = f"""
         {_duck_row_rules("orders")}
         UNION ALL {_duck_row_rules("lineitem")}
         UNION ALL {_duck_row_rules("events")}
+        UNION ALL {_duck_row_rules("documents")}
+        UNION ALL
+        SELECT 'documents', 'doc_id_unique', count(*)::BIGINT,
+               (SELECT count(*)::BIGINT FROM (
+                   SELECT doc_id FROM documents
+                   GROUP BY 1 HAVING count(*) > 1))
+        FROM documents
         UNION ALL
         SELECT 'orders', 'orderkey_unique', count(*)::BIGINT,
                (SELECT count(*)::BIGINT FROM (
