@@ -2911,3 +2911,126 @@ def _rrf_oracle() -> str:
 
 
 ORACLE["sim_rrf_fusion"] = _rrf_oracle()
+
+
+# Round-6: pseudo-relevance feedback (Rocchio-style query expansion).
+PRF_FB = 3            # feedback depth: top-3 first-pass docs
+PRF_SCALE = 10**6     # integer quantization of embedding coordinates
+PRF_TOPK = 5
+
+
+def sim_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback retrieval (Rocchio 1971 shape): run
+    the exact first pass, take each query's top ``PRF_FB`` neighbors as
+    implicit relevance feedback, form the EXPANDED query as their
+    integer-quantized centroid (coordinates ``round(x · 10⁶)`` summed —
+    exact int64, order-independent, so the centroid hashes across
+    engines where a float mean would not), and re-rank the corpus by
+    the exact integer inner product against the expanded query.  The
+    classic recall lever when the original query vector is noisy or
+    off-manifold.
+
+    Scale: the first pass is the engine's existing ranking; the
+    centroid is O(queries × dims) and BROADCAST; the re-rank is the
+    same map-side broadcast cross join as ``sim_cosine_topk`` — the
+    corpus never shuffles, top-k rides WindowGroupLimit."""
+    from .llmdata import N_QUERY_VECS, sim_cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ivec = F.expr(
+        f"transform(embedding, x ->"
+        f" cast(round(cast(x as double) * {PRF_SCALE}, 0) as bigint))"
+    )
+    first = sim_cosine_topk(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    fb = (
+        first.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= PRF_FB)
+        .select("qid", "vec_id")
+    )
+    qcent = (
+        fb.join(emb, "vec_id")
+        .select("qid", F.posexplode(ivec).alias("dim", "v"))
+        .groupBy("qid", "dim")
+        .agg(F.sum("v").alias("qv"))
+        .groupBy("qid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, qv))),"
+                " s -> s.qv)"
+            ).alias("qv")
+        )
+    )
+    scored = (
+        emb.select("vec_id", ivec.alias("iv"))
+        .crossJoin(F.broadcast(qcent))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(iv, qv, (x, y) -> x * y),"
+                " cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("prf_score"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.desc("prf_score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= PRF_TOPK)
+        .select("qid", "vec_id", "prf_score",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+QUERIES["sim_prf_expand"] = sim_prf_expand
+
+
+def _prf_oracle() -> str:
+    from .llmdata import EMB_DIM as _D
+    from .llmdata import N_QUERY_VECS as _NQ
+    from .llmdata import ORACLE as _LLM_ORACLE
+
+    return f"""
+        WITH fb AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id, row_number() OVER (
+                    PARTITION BY qid ORDER BY cosine DESC, vec_id
+                ) AS r
+                FROM ({_LLM_ORACLE["sim_cosine_topk"]})
+            ) WHERE r <= {PRF_FB}
+        ),
+        dims AS (SELECT unnest(range(1, {_D} + 1)) AS dim),
+        qcent AS (
+            SELECT f.qid, d.dim,
+                   sum(round(e.embedding[d.dim]::DOUBLE * {PRF_SCALE})::BIGINT)
+                       ::BIGINT AS qv
+            FROM fb f
+            JOIN embeddings e ON e.vec_id = f.vec_id
+            CROSS JOIN dims d
+            GROUP BY 1, 2
+        ),
+        corpus AS (
+            SELECT vec_id, d.dim,
+                   round(embedding[d.dim]::DOUBLE * {PRF_SCALE})::BIGINT AS v
+            FROM embeddings CROSS JOIN dims d
+        ),
+        scored AS (
+            SELECT q.qid, c.vec_id,
+                   sum(c.v * q.qv)::BIGINT AS prf_score
+            FROM qcent q JOIN corpus c USING (dim)
+            WHERE c.vec_id <> q.qid
+            GROUP BY 1, 2
+        )
+        SELECT qid, vec_id, prf_score, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY prf_score DESC, vec_id
+            )::BIGINT AS rank
+            FROM scored
+        ) WHERE rank <= {PRF_TOPK}
+    """
+
+
+ORACLE["sim_prf_expand"] = _prf_oracle()
