@@ -3034,3 +3034,70 @@ def _prf_oracle() -> str:
 
 
 ORACLE["sim_prf_expand"] = _prf_oracle()
+
+
+def sim_prf_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much PRF moved the ranking: per query, the overlap between
+    the first-pass top-5 and the PRF-expanded top-5 (``n_common``) and
+    the count of newly-surfaced candidates (``n_new``) — the standard
+    before/after diagnostic a retrieval team reads before enabling
+    query expansion (all-common means PRF is a no-op; all-new means the
+    feedback set dragged the query off-topic).
+
+    Exact integers over two rankings the engine already serves; one
+    outer join + one aggregate."""
+    from .llmdata import sim_cosine_topk
+
+    first = sim_cosine_topk(spark, sf_dir).select(
+        "qid", "vec_id", F.lit(1).alias("in_first")
+    )
+    prf = sim_prf_expand(spark, sf_dir).select(
+        "qid", "vec_id", F.lit(1).alias("in_prf")
+    )
+    return (
+        first.join(prf, ["qid", "vec_id"], "full")
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("in_first").isNotNull()
+                    & F.col("in_prf").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_common"),
+            F.sum(
+                F.when(
+                    F.col("in_first").isNull()
+                    & F.col("in_prf").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+
+
+QUERIES["sim_prf_shift"] = sim_prf_shift
+
+
+def _prf_shift_oracle() -> str:
+    from .llmdata import ORACLE as _LLM_ORACLE
+
+    return f"""
+        WITH f AS (
+            SELECT qid, vec_id FROM ({_LLM_ORACLE["sim_cosine_topk"]})
+        ),
+        p AS (
+            SELECT qid, vec_id FROM ({ORACLE["sim_prf_expand"]})
+        )
+        SELECT coalesce(f.qid, p.qid) AS qid,
+               sum(CASE WHEN f.qid IS NOT NULL AND p.qid IS NOT NULL
+                   THEN 1 ELSE 0 END)::BIGINT AS n_common,
+               sum(CASE WHEN f.qid IS NULL AND p.qid IS NOT NULL
+                   THEN 1 ELSE 0 END)::BIGINT AS n_new
+        FROM f FULL OUTER JOIN p
+          ON f.qid = p.qid AND f.vec_id = p.vec_id
+        GROUP BY 1
+    """
+
+
+ORACLE["sim_prf_shift"] = _prf_shift_oracle()

@@ -8829,3 +8829,25 @@ ORACLE["multimodal_phash_components"] = f"""
     SELECT u AS img_id, min(v) AS component, u = min(v) AS keep
     FROM reach GROUP BY u
 """
+
+
+def card_source_estimates(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, float]:
+    """Driver-side per-source distinct-text cardinality estimates from
+    the same grouped registers ``data_dataset_card`` counts — bounded
+    collect (≤ sources × HLL_M slim rows), then the HLL estimator per
+    source.  The ±3σ accuracy test compares these against the exact
+    per-source ``countDistinct(text)`` — completing the card's sketch
+    story the way ``profile_estimates`` did for the profiler."""
+    from .dq import hll_estimate, hll_partial_registers
+
+    docs = load(spark, sf_dir, "documents")
+    regs = hll_partial_registers(
+        docs.select("source", "text"), id_col="text",
+        group_cols=("source",),
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in regs:
+        by_src.setdefault(r.source, []).append((r.register, r.max_rank))
+    return {s: hll_estimate(rs) for s, rs in by_src.items()}

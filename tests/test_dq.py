@@ -124,3 +124,31 @@ def test_hll_cumulative_curve_within_3_sigma(spark, sf_dir):
         for r in dq_hll_registers(spark, sf_dir).collect()
     )
     assert final == glob
+
+
+def test_card_source_estimates_within_3_sigma(spark, sf_dir):
+    """The dataset card's per-source register counts back a real
+    estimator: per-source distinct-text estimates land within 3 sigma
+    of the exact counts for EVERY source."""
+    import pyspark.sql.functions as F
+
+    from beam_scala_examples_spark.queries.dq import HLL_M
+    from beam_scala_examples_spark.queries.llmdata import (
+        card_source_estimates,
+    )
+    from beam_scala_examples_spark.tables import load
+
+    ests = card_source_estimates(spark, sf_dir)
+    exact = {
+        r.source: r.nd
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.countDistinct("text").alias("nd"))
+        .collect()
+    }
+    sigma = 1.04 / (HLL_M ** 0.5)
+    assert set(ests) == set(exact) and len(ests) >= 5
+    for s in exact:
+        assert abs(ests[s] - exact[s]) / exact[s] <= 3 * sigma, (
+            s, ests[s], exact[s],
+        )
