@@ -766,6 +766,8 @@ def phash_bmp(payload: bytes) -> int:
         raise ValueError("only 24bpp uncompressed BI_RGB is supported")
     if w <= 0:
         raise ValueError("non-positive BMP width")
+    if h_raw == 0:
+        raise ValueError("non-positive BMP height")
     h = abs(h_raw)
     row_size = (3 * w + 3) // 4 * 4
     if off + h * row_size > len(payload):

@@ -2934,7 +2934,7 @@ def sim_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid is O(queries × dims) and BROADCAST; the re-rank is the
     same map-side broadcast cross join as ``sim_cosine_topk`` — the
     corpus never shuffles, top-k rides WindowGroupLimit."""
-    from .llmdata import N_QUERY_VECS, sim_cosine_topk
+    from .llmdata import sim_cosine_topk
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ivec = F.expr(
@@ -2990,7 +2990,6 @@ QUERIES["sim_prf_expand"] = sim_prf_expand
 
 def _prf_oracle() -> str:
     from .llmdata import EMB_DIM as _D
-    from .llmdata import N_QUERY_VECS as _NQ
     from .llmdata import ORACLE as _LLM_ORACLE
 
     return f"""

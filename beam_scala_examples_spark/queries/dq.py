@@ -788,18 +788,58 @@ ORACLE["dq_hll_by_day"] = f"""
 """
 
 
+# The hashed profile surface must not depend on either engine's float /
+# timestamp string formatting (Spark emits Java scientific notation for
+# doubles >= 1e7 or < 1e-3; DuckDB never does) — so values are
+# CANONICALIZED before hashing: doubles via the PRF_SCALE-style
+# fixed-scale integer quantization (round(x·10⁶) as bigint — the same
+# round-once idiom sim_prf_expand pins), timestamps via unix
+# microseconds.  Integers and strings are format-stable as-is.
+PROFILE_VAL_SCALE = 10**6
+
+_PROFILE_CANON_SPARK = {
+    # ts is TIMESTAMP_NTZ — epoch micros via NTZ wall-clock arithmetic
+    # (the operators.windows.epoch_us idiom: session-tz-independent,
+    # matches DuckDB epoch_us on the same naive instant exactly).
+    "ts": (
+        "cast(timestampdiff(MICROSECOND,"
+        " cast('1970-01-01 00:00:00' as timestamp_ntz),"
+        " cast(ts as timestamp_ntz)) as string)"
+    ),
+    "value": (
+        f"cast(cast(round(value * {PROFILE_VAL_SCALE}, 0) as bigint)"
+        " as string)"
+    ),
+}
+
+_PROFILE_CANON_DUCK = {
+    "ts": "epoch_us(ts)::VARCHAR",
+    "value": f"round(value::DOUBLE * {PROFILE_VAL_SCALE})::BIGINT::VARCHAR",
+}
+
+
+def _canon_val_spark(c: str):
+    return F.expr(_PROFILE_CANON_SPARK.get(c, f"cast({c} as string)"))
+
+
+def _canon_val_duck(c: str) -> str:
+    return _PROFILE_CANON_DUCK.get(c, f"{c}::VARCHAR")
+
+
 def profile_pairs(ev: DataFrame) -> DataFrame:
     """(column_name, val) stacked pairs over the profiled columns —
     the shared input of the sketch profiler, the driver-side estimate
     helper, and the streaming profile sink.  One explode per row, nulls
-    dropped (null accounting is the conditional aggregate's job)."""
+    dropped (null accounting is the conditional aggregate's job).
+    Values are canonicalized (see ``_PROFILE_CANON_SPARK``) so the
+    hashed register surface never rides engine string formatting."""
     return (
         ev.select(
             F.explode(
                 F.array(*[
                     F.struct(
                         F.lit(c).alias("column_name"),
-                        F.col(c).cast("string").alias("val"),
+                        _canon_val_spark(c).alias("val"),
                     )
                     for c in PROFILE_COLUMNS
                 ])
@@ -881,7 +921,8 @@ _HLL_VAL_H = "('0x' || substr(md5(val), 1, 8))::BIGINT"
 ORACLE["dq_profile_events_sketch"] = f"""
     WITH stacked AS (
         {" UNION ALL ".join(
-            f"SELECT '{c}' AS column_name, {c}::VARCHAR AS val FROM events"
+            f"SELECT '{c}' AS column_name, {_canon_val_duck(c)} AS val"
+            " FROM events"
             for c in PROFILE_COLUMNS
         )}
     ),

@@ -8334,20 +8334,11 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate cost is Σ|bucket|² over (band, 16-bit bucket) —
     never all-pairs; at 100 TB widen the hash (32×32 DCT input, 256-bit
     hash, more bands) so bucket occupancy stays bounded, plan
-    unchanged.  The hash relation feeds both self-join sides and is
-    O(images) slim rows; raster bytes never reach the join."""
-    sig = _phash_relation(spark, sf_dir).filter(
-        F.expr("bit_count(phash)") >= PHASH_MIN_BITS
-    )
-    width = 16
-    mask = (1 << width) - 1
-    bands = sig.select(
-        "img_id",
-        "phash",
-        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
-    ).withColumn(
-        "bucket", F.expr(f"shiftright(phash, band * {width}) & {mask}")
-    )
+    unchanged.  Both self-join sides read :func:`phash_banded`'s
+    checkpointed banding relation — O(gated images × bands) slim rows;
+    the render+hash pipeline runs once and raster bytes never reach the
+    join."""
+    bands = phash_banded(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b").hint("SHUFFLE_HASH")
     return (
@@ -8475,7 +8466,10 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["multimodal_scene_cuts"] = multimodal_scene_cuts
 
-ORACLE["multimodal_scene_cuts"] = """
+from ..operators.multimodal import SCENE_CUT_DEN as _SC_DEN
+from ..operators.multimodal import SCENE_CUT_NUM as _SC_NUM
+
+ORACLE["multimodal_scene_cuts"] = f"""
     WITH d AS (
         SELECT doc_id, text, len(text) AS nc,
                1 + (len(text) % 7) AS w,
@@ -8507,7 +8501,8 @@ ORACLE["multimodal_scene_cuts"] = """
     SELECT doc_id, nf::BIGINT AS n_frames, ns::BIGINT AS n_sampled,
            nt AS n_transitions, sum_sad, max_sad,
            coalesce(len(list_filter(sads,
-               x -> 10 * x * nt > 12 * sum_sad)), 0)::BIGINT AS n_cuts
+               x -> {_SC_NUM} * x * nt > {_SC_DEN} * sum_sad)), 0)::BIGINT
+               AS n_cuts
     FROM agg
 """
 
