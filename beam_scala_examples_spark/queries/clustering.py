@@ -2919,28 +2919,25 @@ PRF_SCALE = 10**6     # integer quantization of embedding coordinates
 PRF_TOPK = 5
 
 
-def sim_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pseudo-relevance feedback retrieval (Rocchio 1971 shape): run
-    the exact first pass, take each query's top ``PRF_FB`` neighbors as
-    implicit relevance feedback, form the EXPANDED query as their
-    integer-quantized centroid (coordinates ``round(x · 10⁶)`` summed —
-    exact int64, order-independent, so the centroid hashes across
-    engines where a float mean would not), and re-rank the corpus by
-    the exact integer inner product against the expanded query.  The
-    classic recall lever when the original query vector is noisy or
-    off-manifold.
+# The integer-quantized embedding: round(x · PRF_SCALE) per coordinate,
+# exact int64 — shared by the Rocchio centroid, both PRF second passes,
+# and the integer MIPS cell probe.
+_PRF_IVEC = (
+    f"transform(embedding, x ->"
+    f" cast(round(cast(x as double) * {PRF_SCALE}, 0) as bigint))"
+)
 
-    Scale: the first pass is the engine's existing ranking; the
-    centroid is O(queries × dims) and BROADCAST; the re-rank is the
-    same map-side broadcast cross join as ``sim_cosine_topk`` — the
-    corpus never shuffles, top-k rides WindowGroupLimit."""
+
+def _prf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, qv array<bigint>): the Rocchio expanded query — each
+    query's top ``PRF_FB`` first-pass neighbors summed coordinate-wise
+    after integer quantization (``round(x · 10⁶)`` — exact int64,
+    order-independent, so the centroid hashes across engines where a
+    float mean would not).  O(queries × dims) slim rows, built for
+    BROADCAST into whichever second pass serves the expansion."""
     from .llmdata import sim_cosine_topk
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ivec = F.expr(
-        f"transform(embedding, x ->"
-        f" cast(round(cast(x as double) * {PRF_SCALE}, 0) as bigint))"
-    )
     first = sim_cosine_topk(spark, sf_dir)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     fb = (
@@ -2948,9 +2945,9 @@ def sim_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= PRF_FB)
         .select("qid", "vec_id")
     )
-    qcent = (
+    return (
         fb.join(emb, "vec_id")
-        .select("qid", F.posexplode(ivec).alias("dim", "v"))
+        .select("qid", F.posexplode(F.expr(_PRF_IVEC)).alias("dim", "v"))
         .groupBy("qid", "dim")
         .agg(F.sum("v").alias("qv"))
         .groupBy("qid")
@@ -2961,6 +2958,27 @@ def sim_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qv")
         )
     )
+
+
+def sim_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback retrieval (Rocchio 1971 shape): run
+    the exact first pass, take each query's top ``PRF_FB`` neighbors as
+    implicit relevance feedback, form the EXPANDED query as their
+    integer-quantized centroid (:func:`_prf_centroid`), and re-rank the
+    corpus by the exact integer inner product against the expanded
+    query.  The classic recall lever when the original query vector is
+    noisy or off-manifold.
+
+    This is the EXACT rung — the full-corpus ground truth the served
+    form (:func:`sim_prf_expand_ivf`) is recall-measured against.
+
+    Scale: the first pass is the engine's existing ranking; the
+    centroid is O(queries × dims) and BROADCAST; the re-rank is the
+    same map-side broadcast cross join as ``sim_cosine_topk`` — the
+    corpus never shuffles, top-k rides WindowGroupLimit."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ivec = F.expr(_PRF_IVEC)
+    qcent = _prf_centroid(spark, sf_dir)
     scored = (
         emb.select("vec_id", ivec.alias("iv"))
         .crossJoin(F.broadcast(qcent))
@@ -3100,3 +3118,203 @@ def _prf_shift_oracle() -> str:
 
 
 ORACLE["sim_prf_shift"] = _prf_shift_oracle()
+
+
+# Round-7: the PRF second pass SERVED through the trained IVF index
+# (round-6 verdict #1 — the exact re-rank was the one serving path that
+# wouldn't survive 100×).
+PRF_IVF_NPROBE = 2    # probed cells (of the KM_K trained cells)
+
+
+def sim_prf_expand_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`sim_prf_expand` served at scale: the same Rocchio
+    expanded query (:func:`_prf_centroid`), but the second pass probes
+    the TRAINED IVF index (``sim_ivf_trained_topk``'s Lloyd cells)
+    instead of exact-scoring the corpus.  Because PRF ranks by inner
+    product (not L2), cells are probed MIPS-style — ranked by the
+    expanded query's inner product with each cell centroid — and the
+    probe ranking is EXACT int64 (both the centroid and the cell means
+    are quantized by ``round(x · 10⁶)``), so cell selection never rides
+    float tie-breaks.  Only vectors assigned to the top
+    ``PRF_IVF_NPROBE`` cells are scored, by the same integer inner
+    product as the exact rung.
+
+    Scale: centroids are bounded (KM_K rows) and broadcast; the corpus
+    leg is the k-means assignment (one narrow Arrow pass, shared with
+    every trained rung via ``_TRAIN_MEMO``) filtered to probed cells —
+    the corpus is never fully scored; top-k rides WindowGroupLimit.
+    Measured recall vs the exact PRF ranking: ``sim_prf_ivf_recall``
+    (docs/SCALE.md)."""
+    prev = _KM_CACHE.pop("prfivf", None)
+    if prev is not None:
+        prev.unpersist()
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
+    _KM_CACHE["prfivf"] = emb
+    cents = _trained("kmeans", sf_dir, _kmeans_train, emb)
+    assign = _assign(emb, cents)  # (vec_id, cluster, embedding)
+    qcent = _prf_centroid(spark, sf_dir)
+    # cell means quantized by the SAME fixed-scale rounding as the
+    # query centroid — Spark round() (HALF_UP) == DuckDB round() (half
+    # away from zero) on these non-negative products
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "cluster bigint, c array<double>",
+    ).select(
+        "cluster",
+        F.expr(
+            f"transform(c, x -> cast(round(x * {PRF_SCALE}, 0) as bigint))"
+        ).alias("ci"),
+    )
+    pdot = F.expr(
+        "aggregate(zip_with(qv, ci, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.desc("pscore"), F.asc("cluster")
+    )
+    probes = (
+        qcent.crossJoin(F.broadcast(cdf))
+        .select("qid", "qv", "cluster", pdot.alias("pscore"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= PRF_IVF_NPROBE)
+        .select("qid", "qv", "cluster")
+    )
+    sdot = F.expr(
+        "aggregate(zip_with(iv, qv, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    cand = (
+        assign.select("vec_id", "cluster", F.expr(_PRF_IVEC).alias("iv"))
+        .join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sdot.alias("prf_score"))
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.desc("prf_score"), F.asc("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= PRF_TOPK)
+        .select("qid", "vec_id", "prf_score",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+QUERIES["sim_prf_expand_ivf"] = sim_prf_expand_ivf
+
+
+def sim_prf_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF-served PRF second pass vs the exact PRF
+    ranking — the measured cost of serving the expansion through the
+    trained index instead of rescoring the corpus (the same harness
+    shape as every other rung's ``*_recall`` twin)."""
+    hits = sim_prf_expand_ivf(spark, sf_dir).select(
+        "qid", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        sim_prf_expand(spark, sf_dir)
+        .select("qid", "vec_id")
+        .join(hits, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.round(F.count("hit") / float(PRF_TOPK), 4).alias(
+                "recall_at_k"
+            )
+        )
+    )
+
+
+QUERIES["sim_prf_ivf_recall"] = sim_prf_ivf_recall
+
+
+def _prf_ivf_oracle() -> str:
+    from .llmdata import EMB_DIM as _D
+    from .llmdata import ORACLE as _LLM_ORACLE
+
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (e.embedding[i]::DOUBLE - c.c[i])"
+        " * (e.embedding[i]::DOUBLE - c.c[i])))"
+    )
+    tail = f"""fb AS MATERIALIZED (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY cosine DESC, vec_id
+            ) AS r
+            FROM ({_LLM_ORACLE["sim_cosine_topk"]})
+        ) WHERE r <= {PRF_FB}
+    ),
+    dims AS (SELECT unnest(range(1, {_D} + 1)) AS dim),
+    qcent AS MATERIALIZED (
+        SELECT f.qid, d.dim,
+               sum(round(e.embedding[d.dim]::DOUBLE * {PRF_SCALE})::BIGINT)
+                   ::BIGINT AS qv
+        FROM fb f
+        JOIN embeddings e ON e.vec_id = f.vec_id
+        CROSS JOIN dims d
+        GROUP BY 1, 2
+    ),
+    icent AS (
+        SELECT c.cluster, d.dim,
+               round(c.c[d.dim] * {PRF_SCALE})::BIGINT AS cv
+        FROM c{KM_ITERS} c CROSS JOIN dims d
+    ),
+    pscore AS (
+        SELECT q.qid, ic.cluster, sum(q.qv * ic.cv)::BIGINT AS ps
+        FROM qcent q JOIN icent ic USING (dim)
+        GROUP BY 1, 2
+    ),
+    probe AS (
+        SELECT qid, cluster FROM (
+            SELECT qid, cluster, row_number() OVER (
+                PARTITION BY qid ORDER BY ps DESC, cluster) AS rn
+            FROM pscore
+        ) WHERE rn <= {PRF_IVF_NPROBE}
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dist}, c.cluster) AS rn
+            FROM emb e CROSS JOIN c{KM_ITERS} c
+        ) WHERE rn = 1
+    ),
+    corpus AS (
+        SELECT vec_id, d.dim,
+               round(embedding[d.dim]::DOUBLE * {PRF_SCALE})::BIGINT AS v
+        FROM embeddings CROSS JOIN dims d
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id, sum(cv.v * q.qv)::BIGINT AS prf_score
+        FROM probe p
+        JOIN assign a ON a.cluster = p.cluster
+        JOIN qcent q ON q.qid = p.qid
+        JOIN corpus cv ON cv.vec_id = a.vec_id AND cv.dim = q.dim
+        WHERE a.vec_id <> p.qid
+        GROUP BY 1, 2
+    )
+    SELECT qid, vec_id, prf_score, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY prf_score DESC, vec_id
+        )::BIGINT AS rank
+        FROM cand
+    ) WHERE rank <= {PRF_TOPK}"""
+    return "WITH " + ",\n".join(_kmeans_ctes() + [tail])
+
+
+ORACLE["sim_prf_expand_ivf"] = _prf_ivf_oracle()
+
+ORACLE["sim_prf_ivf_recall"] = f"""
+    SELECT e.qid,
+           round(count(a.vec_id) * 1.0 / {PRF_TOPK}, 4) AS recall_at_k
+    FROM ({ORACLE["sim_prf_expand"]}) e
+    LEFT JOIN ({ORACLE["sim_prf_expand_ivf"]}) a
+      ON e.qid = a.qid AND e.vec_id = a.vec_id
+    GROUP BY e.qid
+"""

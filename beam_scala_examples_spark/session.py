@@ -78,6 +78,8 @@ def clear_session_memos() -> None:
       DataFrames (one live entry per shape; ~O(docs) slim rows each);
     * ``queries.llmdata._STRUCT_MEMO`` — the persisted structured
       corpus (one per sf_dir; O(docs) text rows);
+    * ``queries.llmdata._WINNOW_PRINT_MEMO`` — the persisted positioned
+      winnowing prints (one per sf_dir; O(prints) slim int64 triples);
     * ``queries.llmdata._BPE_MERGE_MEMO`` — plain merge-rule lists;
     * ``queries.clustering._KM_CACHE`` — persisted embedding corpora;
     * ``queries.clustering._TRAIN_MEMO`` — plain codebook lists.
@@ -90,9 +92,11 @@ def clear_session_memos() -> None:
         _BPE_MERGE_MEMO,
         _MINHASH_CACHE,
         _STRUCT_MEMO,
+        _WINNOW_PRINT_MEMO,
     )
 
-    for cache in (_MINHASH_CACHE, _STRUCT_MEMO, _KM_CACHE):
+    for cache in (_MINHASH_CACHE, _STRUCT_MEMO, _WINNOW_PRINT_MEMO,
+                  _KM_CACHE):
         for df in cache.values():
             try:
                 df.unpersist(blocking=False)

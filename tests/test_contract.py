@@ -98,6 +98,48 @@ def test_band_gate_trips_on_deliberate_slowdown():
     assert not bench.anchor_regressed(27.0, None)
 
 
+def test_band_merge_keeps_historical_minima():
+    """Round-7 gate hygiene: regenerating bands min-merges the new
+    capture into the existing file — a noisy-high machine can never
+    loosen the gate, new queries enter verbatim, removed queries drop
+    out, and --reset (or an sf change) rebuilds from the capture."""
+    import importlib.util as _ilu
+    import os as _os
+
+    spec = _ilu.spec_from_file_location(
+        "update_bench_bands",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "tools", "update_bench_bands.py",
+        ),
+    )
+    ubb = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(ubb)
+
+    old = {
+        "sf": 0.1,
+        "anchor_r01_shared_total": 11.0,
+        "queries": {"a": 1.0, "b": 3.0, "removed": 0.5},
+    }
+    detail = {
+        "sf": 0.1,
+        "r01_shared_total": 13.0,          # noisier capture
+        "queries": {"a": 2.0, "b": 2.5, "new_q": 4.0},
+    }
+    merged = ubb.merged_bands(detail, old, reset=False)
+    assert merged["queries"] == {"a": 1.0, "b": 2.5, "new_q": 4.0}
+    assert merged["anchor_r01_shared_total"] == 11.0
+    assert "removed" not in merged["queries"]
+    assert "MIN-OF-N" in merged["comment"]
+
+    reset = ubb.merged_bands(detail, old, reset=True)
+    assert reset["queries"] == detail["queries"]
+    assert reset["anchor_r01_shared_total"] == 13.0
+
+    other_sf = ubb.merged_bands(detail, {**old, "sf": 0.01}, reset=False)
+    assert other_sf["queries"] == detail["queries"]
+
+
 def test_bands_file_matches_registry():
     """bench_bands.json must cover the registered queries it claims to
     gate — a band for an unregistered name is a stale file."""
@@ -138,7 +180,9 @@ def test_clear_session_memos_rebuilds_identically(spark, sf_dir):
     )
     from beam_scala_examples_spark.queries.llmdata import (
         _STRUCT_MEMO,
+        _WINNOW_PRINT_MEMO,
         text_structured,
+        winnow_prints_memo,
     )
     from beam_scala_examples_spark.session import clear_session_memos
 
@@ -148,14 +192,22 @@ def test_clear_session_memos_rebuilds_identically(spark, sf_dir):
     before_km = sorted(
         tuple(r[0:2]) for r in emb_kmeans(spark, sf_dir).collect()
     )
-    assert _STRUCT_MEMO and _TRAIN_MEMO  # memos are live
+    before_prints = sorted(
+        tuple(r) for r in winnow_prints_memo(spark, sf_dir).collect()
+    )
+    assert _STRUCT_MEMO and _TRAIN_MEMO and _WINNOW_PRINT_MEMO
     clear_session_memos()
-    assert not _STRUCT_MEMO and not _TRAIN_MEMO
+    assert (not _STRUCT_MEMO and not _TRAIN_MEMO
+            and not _WINNOW_PRINT_MEMO)
     after_struct = sorted(
         tuple(r) for r in text_structured(spark, sf_dir).collect()
     )
     after_km = sorted(
         tuple(r[0:2]) for r in emb_kmeans(spark, sf_dir).collect()
     )
+    after_prints = sorted(
+        tuple(r) for r in winnow_prints_memo(spark, sf_dir).collect()
+    )
     assert before_struct == after_struct
     assert before_km == after_km
+    assert before_prints == after_prints

@@ -1,41 +1,91 @@
 #!/usr/bin/env python
-"""Regenerate bench_bands.json from the latest bench_detail.json.
+"""Regenerate bench_bands.json from the latest bench_detail.json,
+keeping HISTORICAL MINIMA per query.
 
 Run after a full `python bench.py` at the reference scale factor when a
 perf change (or a batch of new queries) deliberately moves timings; the
 committed bands file is the per-query reference the bench regression
-gate compares against.  Timings are taken verbatim from the detail run
-(best-of-N already applied by bench.py).
+gate compares against.
+
+Round-7 gate hygiene (round-6 verdict finding 1): a refresh no longer
+re-baselines every query to the latest capture — that let a noisy-high
+machine inflate all 280 references at once, and a slow drift spread
+across rounds could never trip a band.  Instead each query's band is
+min(existing band, new capture): bands only ratchet DOWN, so the gate
+keeps the best machine ever measured as its reference and cross-round
+drift stays detectable.  Queries new in this capture enter verbatim;
+queries no longer benched drop out.  After a DELIBERATE perf trade that
+makes a query permanently slower, pass --reset to rebuild all bands
+from the current capture alone (the pre-round-7 behavior) — and say so
+in the commit message.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    with open(os.path.join(ROOT, "bench_detail.json")) as f:
-        detail = json.load(f)
-    bands = {
+def merged_bands(detail: dict, old: dict | None, reset: bool) -> dict:
+    """Min-of-N merge of the new capture into the existing bands (same
+    sf only); `reset` or an sf change rebuilds from the capture alone."""
+    queries = dict(detail["queries"])
+    anchor = float(detail["r01_shared_total"])
+    if (
+        not reset
+        and old is not None
+        and abs(float(old.get("sf", -1)) - float(detail["sf"])) < 1e-9
+    ):
+        for name, band in old.get("queries", {}).items():
+            if name in queries:
+                queries[name] = min(queries[name], band)
+        prev_anchor = old.get("anchor_r01_shared_total")
+        if prev_anchor is not None:
+            anchor = min(anchor, float(prev_anchor))
+    return {
         "comment": (
             "Per-query reference timings (sec, sf%s, local[32]) for the "
-            "bench regression gate. Regenerate with "
-            "tools/update_bench_bands.py after a deliberate perf change."
-            % detail["sf"]
+            "bench regression gate. MIN-OF-N rule: each regeneration "
+            "(tools/update_bench_bands.py) keeps min(existing band, new "
+            "capture) per query, so bands only ratchet down and a "
+            "noisy-high capture can never loosen the gate; use --reset "
+            "after a deliberate perf trade." % detail["sf"]
         ),
         "sf": detail["sf"],
-        "anchor_r01_shared_total": detail["r01_shared_total"],
-        "queries": detail["queries"],
+        "anchor_r01_shared_total": anchor,
+        "queries": queries,
     }
+
+
+def main() -> None:
+    reset = "--reset" in sys.argv[1:]
+    with open(os.path.join(ROOT, "bench_detail.json")) as f:
+        detail = json.load(f)
     out = os.path.join(ROOT, "bench_bands.json")
+    old = None
+    if os.path.exists(out):
+        with open(out) as f:
+            old = json.load(f)
+    bands = merged_bands(detail, old, reset)
     with open(out, "w") as f:
         json.dump(bands, f, indent=1, sort_keys=True)
+    lowered = sum(
+        1
+        for k, v in bands["queries"].items()
+        if old and k in old.get("queries", {}) and v < old["queries"][k]
+    )
     print(
-        "wrote %d bands (anchor %.3f s) -> %s"
-        % (len(detail["queries"]), detail["r01_shared_total"], out)
+        "wrote %d bands (anchor %.3f s, %s, %d kept lower history) -> %s"
+        % (
+            len(bands["queries"]),
+            bands["anchor_r01_shared_total"],
+            "reset" if reset else "min-merged",
+            lowered,
+            out,
+        )
     )
 
 
