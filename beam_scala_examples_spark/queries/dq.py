@@ -863,11 +863,20 @@ def dq_profile_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±3σ-tested against the exact profiler rather than hashed, per the
     house float discipline.
 
+    Round-7: the report also carries DISTRIBUTION SHAPE for the numeric
+    ``value`` column — ``p50_lo``/``p90_lo``/``p99_lo``, the exact
+    integer lower bounds (quantized micros) of the log bins holding
+    those percentiles, served from the :func:`vbin_partial_counts`
+    sketch (NULL for non-numeric columns).  The true percentile
+    provably lies in the reported bin (containment test in
+    ``tests/test_dq.py``).
+
     Scale: where the exact profiler pays one expand-based
     multi-distinct aggregate (a full re-shuffle of every column's
     values), the sketch pays one map-side-combined aggregate to at most
     ``n_columns × HLL_M`` slim rows — the difference between "rescan
-    100 TB per column" and "merge 1024 integers per column"."""
+    100 TB per column" and "merge 1024 integers per column"; the bin
+    counters add O(bins) more."""
     ev = load(spark, sf_dir, "events")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in PROFILE_COLUMNS:
@@ -904,13 +913,33 @@ def dq_profile_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_null",
         F.expr("(n_null * 10000) div n_rows").alias("null_bp"),
     )
+    vq = profile_value_quantiles(vbin_partial_counts(ev, "value"))
     return (
         rows.join(sketch, "column_name", "left")
+        .join(vq, "column_name", "left")
         .select(
             "column_name", "n_rows", "n_null", "null_bp",
             F.coalesce("hll_registers", F.lit(0)).alias("hll_registers"),
             F.coalesce("hll_sum_rank", F.lit(0)).alias("hll_sum_rank"),
+            "p50_lo", "p90_lo", "p99_lo",
         )
+    )
+
+
+def profile_value_quantiles(vbins: DataFrame) -> DataFrame:
+    """One row (column_name='value', p50_lo, p90_lo, p99_lo) from an
+    ungrouped (sign, vbin, cnt) counter relation — the profiler's
+    distribution-shape member, shared with
+    :class:`~..streaming.profileview.ProfileSketchSink` so the served
+    report derives the bounds identically."""
+    return (
+        vbin_quantile_bounds(vbins, ())
+        .agg(
+            F.max(F.when(F.col("p") == 50, F.col("q_lo"))).alias("p50_lo"),
+            F.max(F.when(F.col("p") == 90, F.col("q_lo"))).alias("p90_lo"),
+            F.max(F.when(F.col("p") == 99, F.col("q_lo"))).alias("p99_lo"),
+        )
+        .withColumn("column_name", F.lit("value"))
     )
 
 
@@ -1051,4 +1080,423 @@ ORACLE["dq_hll_cumulative"] = f"""
     )
     SELECT day, register::BIGINT AS register, cum_rank::BIGINT AS max_rank
     FROM cum WHERE cum_rank IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped log-binned quantile sketch (round 7): the distribution-shape
+# twin of hll_partial_registers.  The binning is the DDSketch shape
+# (Masson, Rim & Lee, VLDB 2019 — relative-error-bounded log bins,
+# mergeable by plain counter addition), made DETERMINISTIC and
+# hash-pinnable by computing the bin from the fixed-scale-quantized
+# integer value with pure integer ops (msb via length(bin(v)) — the
+# idiom the HLL rank already pins cross-engine — plus the top two
+# mantissa bits): four sub-bins per octave, so gamma = 2^(1/4) and any
+# quantile answered from the bins is within ~9% relative error, with
+# EXACT integer bin bounds (the bin containing a rank is exact — only
+# the position inside the bin is unknown).  Counters merge by addition
+# across partitions, batches, and days; per group the state is
+# O(bins) = O(4 · 63) slim rows max.
+# ---------------------------------------------------------------------------
+
+VBIN_SCALE = PROFILE_VAL_SCALE   # same fixed-scale micro quantization
+VBIN_QUANTILES = (50, 90, 99)    # percentiles the report rungs serve
+
+
+def vbin_partial_counts(
+    df: DataFrame, value_col: str = "value",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group..., sign, vbin, cnt) log-binned value counters over
+    ``df[value_col]`` — THE shared bin constructor for the batch
+    queries and the streaming profile sink.  Nulls are dropped (null
+    accounting is the profiler's conditional aggregate's job); the
+    quantized value, its magnitude, and its msb are each staged ONCE
+    via ``withColumn`` (the ``hll_partial_registers`` discipline)."""
+    staged = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn(
+            "__q",
+            F.expr(
+                f"cast(round({value_col} * {VBIN_SCALE}, 0) as bigint)"
+            ),
+        )
+        .withColumn("__v", F.expr("abs(__q)"))
+        .withColumn("__m", F.expr("length(bin(__v)) - 1"))
+    )
+    return (
+        staged.select(
+            *group_cols,
+            F.expr(
+                "cast(case when __q < 0 then -1 when __q = 0 then 0"
+                " else 1 end as bigint)"
+            ).alias("sign"),
+            F.expr(
+                "cast(case when __q = 0 then 0 else 4 * __m"
+                " + shiftright(__v * 4, __m) - 4 end as bigint)"
+            ).alias("vbin"),
+        )
+        .groupBy(*group_cols, "sign", "vbin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _vbin_duck(grp_select: str, grp_by: str) -> str:
+    """DuckDB twin of :func:`vbin_partial_counts` over ``events.value``
+    — identical integer binning, parameterized on the group columns."""
+    return f"""
+    vq AS (
+        SELECT {grp_select} round(value::DOUBLE * {VBIN_SCALE})::BIGINT
+                   AS q
+        FROM events WHERE value IS NOT NULL
+    ),
+    vbinned AS (
+        SELECT {grp_select}
+               (CASE WHEN q < 0 THEN -1 WHEN q = 0 THEN 0
+                     ELSE 1 END)::BIGINT AS sign,
+               (CASE WHEN q = 0 THEN 0
+                     ELSE 4 * (length(bin(abs(q))) - 1)
+                          + ((abs(q) * 4) >> (length(bin(abs(q))) - 1))
+                          - 4 END)::BIGINT AS vbin
+        FROM vq
+    ),
+    vbins AS (
+        SELECT {grp_by} sign, vbin, count(*)::BIGINT AS cnt
+        FROM vbinned GROUP BY {grp_by} sign, vbin
+    )"""
+
+
+def dq_value_bins_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED quantile sketch, category axis: per-event-type log-bin
+    counters over ``events.value`` — the per-source value-distribution
+    state a 100 TB pipeline persists so ANY group's percentiles (and
+    any rollup of groups: counters ADD) are served from O(bins) rows,
+    never a per-group exact-percentile shuffle of the raw values.
+    Construction shared with the profiler via
+    :func:`vbin_partial_counts`."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    return vbin_partial_counts(ev, group_cols=("event_type",))
+
+
+QUERIES["dq_value_bins_by_type"] = dq_value_bins_by_type
+
+ORACLE["dq_value_bins_by_type"] = f"""
+    WITH {_vbin_duck("event_type,", "event_type,")}
+    SELECT event_type, sign, vbin, cnt FROM vbins
+"""
+
+
+# Exact integer bin bounds (inclusive, quantized units): the ceil forms
+# are exact for every REACHABLE bin and keep msb=0/1 correct.
+_VBIN_LO_U = (
+    "(((4 + vbin % 4) * shiftleft(cast(1 as bigint),"
+    " cast(vbin div 4 as int))) + 3) div 4"
+)
+_VBIN_HI_U = (
+    "(((5 + vbin % 4) * shiftleft(cast(1 as bigint),"
+    " cast(vbin div 4 as int))) + 3) div 4 - 1"
+)
+_VBIN_LO_U_DUCK = "(((4 + vbin % 4) * (1::BIGINT << (vbin // 4))) + 3) // 4"
+_VBIN_HI_U_DUCK = (
+    "(((5 + vbin % 4) * (1::BIGINT << (vbin // 4))) + 3) // 4 - 1"
+)
+
+
+def vbin_quantile_bounds(
+    bins: DataFrame, group_cols: tuple[str, ...],
+    quantiles: tuple[int, ...] = VBIN_QUANTILES,
+) -> DataFrame:
+    """(group..., p, n_values, q_lo, q_hi) — for each percentile p, the
+    EXACT inclusive integer bounds (quantized units) of the bin holding
+    the rank-``ceil(n·p/100)`` value, derived from a (group..., sign,
+    vbin, cnt) counter relation.  All integer arithmetic: the rank rule
+    and the bounds hash identically across engines; only the position
+    inside the bin is approximate (bounded by gamma = 2^(1/4)).
+
+    Scale: one cumulative window per group over O(bins) rows."""
+    from pyspark.sql.window import Window
+
+    gl = list(group_cols)
+    signed_lo = F.expr(
+        "cast(case when sign = 0 then 0 when sign = 1 then ("
+        + _VBIN_LO_U + ") else -(" + _VBIN_HI_U + ") end as bigint)"
+    )
+    signed_hi = F.expr(
+        "cast(case when sign = 0 then 0 when sign = 1 then ("
+        + _VBIN_HI_U + ") else -(" + _VBIN_LO_U + ") end as bigint)"
+    )
+    ordk = F.expr("sign * vbin")
+    w = Window.partitionBy(*gl).orderBy("sign", ordk)
+    cum = (
+        bins.select(
+            *gl, "sign", "vbin", "cnt",
+            signed_lo.alias("q_lo"), signed_hi.alias("q_hi"),
+        )
+        .withColumn("cum", F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .withColumn(
+            "n_values",
+            F.sum("cnt").over(
+                Window.partitionBy(*gl).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    ps = F.explode(
+        F.array(*[F.lit(p) for p in quantiles])
+    ).alias("p")
+    return (
+        cum.select(*gl, "cnt", "cum", "n_values", "q_lo", "q_hi", ps)
+        .withColumn("rank_p", F.expr("(n_values * p + 99) div 100"))
+        .filter(
+            (F.col("cum") >= F.col("rank_p"))
+            & (F.col("cum") - F.col("cnt") < F.col("rank_p"))
+        )
+        .select(
+            *gl, F.col("p").cast("long").alias("p"),
+            "n_values", "q_lo", "q_hi",
+        )
+    )
+
+
+def dq_value_quantiles_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type value percentiles SERVED FROM THE BINS: p50/p90/
+    p99 as exact integer bin bounds (quantized micros) — what an exact
+    per-group ``percentile()`` would need a full re-shuffle of every
+    group's values for, answered from the O(bins)-row sketch of
+    :func:`dq_value_bins_by_type`.  The true percentile provably lies
+    in [q_lo, q_hi] (rank arithmetic over exact counters), pinned by
+    the containment test in ``tests/test_dq.py``."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    bins = vbin_partial_counts(ev, group_cols=("event_type",))
+    return vbin_quantile_bounds(bins, ("event_type",))
+
+
+QUERIES["dq_value_quantiles_by_type"] = dq_value_quantiles_by_type
+
+_VBIN_QUANTILE_TAIL = f"""
+    bounds AS (
+        SELECT *,
+               (CASE WHEN sign = 0 THEN 0
+                     WHEN sign = 1 THEN ({_VBIN_LO_U_DUCK})
+                     ELSE -({_VBIN_HI_U_DUCK}) END)::BIGINT AS q_lo,
+               (CASE WHEN sign = 0 THEN 0
+                     WHEN sign = 1 THEN ({_VBIN_HI_U_DUCK})
+                     ELSE -({_VBIN_LO_U_DUCK}) END)::BIGINT AS q_hi
+        FROM vbins
+    ),
+    cum AS (
+        SELECT *,
+               sum(cnt) OVER (PARTITION BY {{grp}} ORDER BY sign,
+                   sign * vbin ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY {{grp}}) AS n_values
+        FROM bounds
+    ),
+    picked AS (
+        SELECT c.*, p.p, ((c.n_values * p.p + 99) // 100) AS rank_p
+        FROM cum c
+        CROSS JOIN (SELECT unnest(ARRAY{list(VBIN_QUANTILES)}) AS p) p
+        WHERE c.cum >= ((c.n_values * p.p + 99) // 100)
+          AND c.cum - c.cnt < ((c.n_values * p.p + 99) // 100)
+    )
+"""
+
+ORACLE["dq_value_quantiles_by_type"] = (
+    "WITH "
+    + _vbin_duck("event_type,", "event_type,").lstrip()
+    + ","
+    + _VBIN_QUANTILE_TAIL.format(grp="event_type")
+    + """
+    SELECT event_type, p::BIGINT AS p, n_values::BIGINT AS n_values,
+           q_lo, q_hi
+    FROM picked
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Grouped count-min sketch (round 7): the frequency twin — per-day
+# heavy-hitter serving state.  Same integer md5-slice hashing as
+# ``text_heavy_hitters`` (Cormode & Muthukrishnan 2005), grouped like
+# hll_partial_registers so each day's counters are an independent,
+# ADDITIVELY mergeable O(depth × width) block (day blocks sum into
+# week/month blocks with no rescan).
+# ---------------------------------------------------------------------------
+
+CMS_DAY_DEPTH = 3    # independent hash rows (disjoint md5 slices)
+CMS_DAY_WIDTH = 64   # counters per row
+CMS_DAY_DENOM = 32   # heavy iff est * 32 >= the day's event count
+
+
+def cms_partial_counters(
+    df: DataFrame, item_col: str,
+    group_cols: tuple[str, ...] = (),
+    depth: int = CMS_DAY_DEPTH, width: int = CMS_DAY_WIDTH,
+) -> DataFrame:
+    """(group..., r, b, cnt) count-min counters over ``df[item_col]``
+    — the shared counter constructor (md5 staged once per row; each of
+    the ``depth`` rows uses a disjoint 8-hex md5 slice, the
+    ``text_heavy_hitters`` idiom).  One map-side-combined aggregate to
+    at most ``depth × width`` slim rows per group."""
+    staged = df.withColumn(
+        "__s", F.expr(f"md5(cast({item_col} as string))")
+    )
+    arr = F.array(*[
+        F.struct(
+            F.lit(i).cast("long").alias("r"),
+            F.expr(
+                f"cast(conv(substr(__s, {1 + 8 * i}, 8), 16, 10)"
+                f" as bigint) % {width}"
+            ).alias("b"),
+        )
+        for i in range(depth)
+    ])
+    return (
+        staged.select(*group_cols, F.explode(arr).alias("p"))
+        .select(*group_cols, "p.r", "p.b")
+        .groupBy(*group_cols, "r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _cms_day_pos_duck(i: int, item: str) -> str:
+    return (
+        f"('0x' || substr(md5({item}::VARCHAR), {1 + 8 * i}, 8))::BIGINT"
+        f" % {CMS_DAY_WIDTH}"
+    )
+
+
+def dq_cms_user_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED count-min sketch, time axis: per-day user-frequency
+    counters over ``events`` — the per-ingestion-day heavy-hitter
+    state.  Counters are additive, so any date range's sketch is a SUM
+    over the covered days' blocks, never a rescan — the CMS analogue of
+    :func:`dq_hll_by_day`'s register-max."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    return cms_partial_counters(ev, "user_id", group_cols=("day",))
+
+
+QUERIES["dq_cms_user_by_day"] = dq_cms_user_by_day
+
+_CMS_DAY_INC = " UNION ALL ".join(
+    f"SELECT day, {i}::BIGINT AS r,"
+    f" {_cms_day_pos_duck(i, 'user_id')} AS b FROM ev"
+    for i in range(CMS_DAY_DEPTH)
+)
+
+ORACLE["dq_cms_user_by_day"] = f"""
+    WITH ev AS (
+        SELECT date_trunc('day', ts)::TIMESTAMP AS day, user_id
+        FROM events
+    ),
+    inc AS ({_CMS_DAY_INC})
+    SELECT day, r, b, count(*)::BIGINT AS cnt
+    FROM inc GROUP BY 1, 2, 3
+"""
+
+
+def dq_heavy_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day heavy hitters served from the grouped CMS: users whose
+    ESTIMATED count (min over the depth rows — never an undercount) is
+    at least 1/``CMS_DAY_DENOM`` of the day's events.  The CMS
+    guarantee means no true heavy hitter is ever missed; collisions
+    can only ADD candidates (the documented one-sided error, same as
+    ``text_heavy_hitters``).
+
+    Scale: probes are the distinct (day, user) pairs (bounded by the
+    day's distinct actives, not events); the counter join keys on
+    (day, r, b) against O(days × depth × width) slim rows."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    counters = cms_partial_counters(ev, "user_id", group_cols=("day",))
+    totals = ev.groupBy("day").agg(F.count("*").alias("n_day"))
+    probes = (
+        ev.distinct()
+        .withColumn("__s", F.expr("md5(cast(user_id as string))"))
+        .select(
+            "day", "user_id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(i).cast("long").alias("r"),
+                    F.expr(
+                        f"cast(conv(substr(__s, {1 + 8 * i}, 8), 16, 10)"
+                        f" as bigint) % {CMS_DAY_WIDTH}"
+                    ).alias("b"),
+                )
+                for i in range(CMS_DAY_DEPTH)
+            ])).alias("p"),
+        )
+        .select("day", "user_id", "p.r", "p.b")
+    )
+    est = (
+        probes.join(counters, ["day", "r", "b"])
+        .groupBy("day", "user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.join(totals, "day")
+        .filter(F.col("est_count") * CMS_DAY_DENOM >= F.col("n_day"))
+        .select("day", "user_id", "est_count", "n_day")
+    )
+
+
+QUERIES["dq_heavy_users_by_day"] = dq_heavy_users_by_day
+
+_CMS_DAY_PROBES = " UNION ALL ".join(
+    f"SELECT day, user_id, {i}::BIGINT AS r,"
+    f" {_cms_day_pos_duck(i, 'user_id')} AS b FROM du"
+    for i in range(CMS_DAY_DEPTH)
+)
+
+ORACLE["dq_heavy_users_by_day"] = f"""
+    WITH ev AS (
+        SELECT date_trunc('day', ts)::TIMESTAMP AS day, user_id
+        FROM events
+    ),
+    inc AS ({_CMS_DAY_INC}),
+    counters AS (
+        SELECT day, r, b, count(*)::BIGINT AS cnt
+        FROM inc GROUP BY 1, 2, 3
+    ),
+    totals AS (
+        SELECT day, count(*)::BIGINT AS n_day FROM ev GROUP BY 1
+    ),
+    du AS (SELECT DISTINCT day, user_id FROM ev),
+    probes AS ({_CMS_DAY_PROBES}),
+    est AS (
+        SELECT p.day, p.user_id, min(c.cnt)::BIGINT AS est_count
+        FROM probes p
+        JOIN counters c ON c.day = p.day AND c.r = p.r AND c.b = p.b
+        GROUP BY 1, 2
+    )
+    SELECT e.day, e.user_id, e.est_count, t.n_day
+    FROM est e JOIN totals t ON t.day = e.day
+    WHERE e.est_count * {CMS_DAY_DENOM} >= t.n_day
+"""
+
+
+# Round-7: the profiler report gained distribution-shape members (the
+# p50/p90/p99 bin lower bounds over `value`); its oracle is
+# re-assembled here, after the vbin oracle helpers exist (later
+# assignment wins — the dict is flattened once at package import).
+ORACLE["dq_profile_events_sketch"] = f"""
+    WITH prof AS ({ORACLE["dq_profile_events_sketch"]}),
+    {_vbin_duck("", "").lstrip()},
+    {_VBIN_QUANTILE_TAIL.format(grp="1").lstrip()},
+    vp AS (
+        SELECT 'value' AS column_name,
+               max(CASE WHEN p = 50 THEN q_lo END)::BIGINT AS p50_lo,
+               max(CASE WHEN p = 90 THEN q_lo END)::BIGINT AS p90_lo,
+               max(CASE WHEN p = 99 THEN q_lo END)::BIGINT AS p99_lo
+        FROM picked
+    )
+    SELECT prof.*, vp.p50_lo, vp.p90_lo, vp.p99_lo
+    FROM prof LEFT JOIN vp USING (column_name)
 """

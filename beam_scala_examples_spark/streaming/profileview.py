@@ -4,7 +4,7 @@
 incrementally over an arriving event stream instead of recomputed
 corpus-wide per audit.
 
-Two batch_id-partitioned contribution logs (the house discipline):
+Three batch_id-partitioned contribution logs (the house discipline):
 
  - ``profile_stats``: one additive row per batch — row count and
    per-column null counts (a conditional aggregate over batch rows
@@ -13,7 +13,12 @@ Two batch_id-partitioned contribution logs (the house discipline):
    the stacked (column_name, value) pairs (the batch query's own
    :func:`~..queries.dq.profile_pairs` + register constructor) —
    registers merge with a plain max, so appends never read earlier
-   batches (the ``HllIngestSink`` property, per column).
+   batches (the ``HllIngestSink`` property, per column);
+ - ``profile_vbins`` (round 7): the batch's log-bin value counters
+   (:func:`~..queries.dq.vbin_partial_counts` over ``value``) —
+   counters merge by plain ADDITION, so appends never read earlier
+   batches either; serving derives the same p50/p90/p99 bin bounds
+   the batch profiler reports.
 
 Serving re-aggregates the logs into the identical report relation the
 batch query returns — pinned EXACTLY equal once the corpus has
@@ -34,6 +39,8 @@ from ..queries.dq import (
     PROFILE_COLUMNS,
     hll_partial_registers,
     profile_pairs,
+    profile_value_quantiles,
+    vbin_partial_counts,
 )
 
 
@@ -44,6 +51,7 @@ class ProfileSketchSink:
     def __init__(self, base_path: str):
         self.stats_path = f"{base_path}/profile_stats"
         self.regs_path = f"{base_path}/profile_regs"
+        self.vbins_path = f"{base_path}/profile_vbins"
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -58,7 +66,9 @@ class ProfileSketchSink:
             profile_pairs(batch_df), id_col="val",
             group_cols=("column_name",),
         )
-        for df, path in ((stats, self.stats_path), (regs, self.regs_path)):
+        vbins = vbin_partial_counts(batch_df, "value")
+        for df, path in ((stats, self.stats_path), (regs, self.regs_path),
+                         (vbins, self.vbins_path)):
             (
                 df.withColumn("batch_id", F.lit(int(batch_id)))
                 .write.mode("overwrite")
@@ -102,8 +112,22 @@ class ProfileSketchSink:
             "n_null",
             F.expr("(n_null * 10000) div n_rows").alias("null_bp"),
         )
-        return rows.join(sketch, "column_name", "left").select(
-            "column_name", "n_rows", "n_null", "null_bp",
-            F.coalesce("hll_registers", F.lit(0)).alias("hll_registers"),
-            F.coalesce("hll_sum_rank", F.lit(0)).alias("hll_sum_rank"),
+        vq = profile_value_quantiles(
+            spark.read.parquet(self.vbins_path)
+            .groupBy("sign", "vbin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        return (
+            rows.join(sketch, "column_name", "left")
+            .join(vq, "column_name", "left")
+            .select(
+                "column_name", "n_rows", "n_null", "null_bp",
+                F.coalesce("hll_registers", F.lit(0)).alias(
+                    "hll_registers"
+                ),
+                F.coalesce("hll_sum_rank", F.lit(0)).alias(
+                    "hll_sum_rank"
+                ),
+                "p50_lo", "p90_lo", "p99_lo",
+            )
         )

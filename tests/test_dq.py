@@ -152,3 +152,138 @@ def test_card_source_estimates_within_3_sigma(spark, sf_dir):
         assert abs(ests[s] - exact[s]) / exact[s] <= 3 * sigma, (
             s, ests[s], exact[s],
         )
+
+
+def test_vbin_quantile_bounds_contain_exact(spark, sf_dir):
+    """Round-7 grouped quantile sketch: for every event_type and every
+    served percentile, the EXACT percentile of the quantized values
+    (same ceil-rank rule) lies inside the reported [q_lo, q_hi] bin —
+    the containment guarantee that makes the bin bounds an honest
+    distribution-shape answer (only the position inside the bin is
+    approximate, bounded by gamma = 2^(1/4))."""
+    from beam_scala_examples_spark.queries.dq import (
+        VBIN_SCALE,
+        dq_value_quantiles_by_type,
+    )
+    from beam_scala_examples_spark.tables import load
+    import pyspark.sql.functions as F
+
+    got = {
+        (r.event_type, r.p): (r.n_values, r.q_lo, r.q_hi)
+        for r in dq_value_quantiles_by_type(spark, sf_dir).collect()
+    }
+    assert got, "no quantile rows"
+    vals = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                f"cast(round(value * {VBIN_SCALE}, 0) as bigint)"
+            ).alias("q"),
+        )
+        .collect()
+    )
+    by_type: dict = {}
+    for r in vals:
+        by_type.setdefault(r.event_type, []).append(r.q)
+    for (etype, p), (n_values, q_lo, q_hi) in got.items():
+        qs = sorted(by_type[etype])
+        assert n_values == len(qs)
+        rank = (len(qs) * p + 99) // 100  # ceil, 1-indexed
+        exact = qs[rank - 1]
+        assert q_lo <= exact <= q_hi, (etype, p, q_lo, exact, q_hi)
+        # relative width of the bin respects the gamma bound (~9%
+        # around the geometric midpoint; generous integer check)
+        if exact > 0:
+            assert (q_hi + 1) * 8 <= q_lo * 10 or q_hi - q_lo <= 1, (
+                etype, p, q_lo, q_hi,
+            )
+
+
+def test_vbin_counters_merge_additively(spark, sf_dir):
+    """Bin counters of the whole equal the SUM of the counters of an
+    even/odd split — the mergeability that lets per-day bin blocks roll
+    up into any date range with no rescan."""
+    from beam_scala_examples_spark.queries.dq import vbin_partial_counts
+    from beam_scala_examples_spark.tables import load
+    import pyspark.sql.functions as F
+
+    ev = load(spark, sf_dir, "events")
+    whole = sorted(
+        tuple(r) for r in vbin_partial_counts(ev, "value").collect()
+    )
+    parts = vbin_partial_counts(
+        ev.filter(F.col("event_id") % 2 == 0), "value"
+    ).unionByName(
+        vbin_partial_counts(ev.filter(F.col("event_id") % 2 == 1), "value")
+    )
+    merged = sorted(
+        tuple(r)
+        for r in parts.groupBy("sign", "vbin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    assert whole == merged and len(whole) > 0
+
+
+def test_cms_never_undercounts_and_no_heavy_hitter_missed(spark, sf_dir):
+    """Round-7 grouped CMS: per (day, user) the sketch estimate is >=
+    the true count (one-sided error), and every TRUE heavy hitter
+    (true count * DENOM >= day total) appears in dq_heavy_users_by_day
+    — the Cormode-Muthukrishnan guarantee on the grouped counters."""
+    from beam_scala_examples_spark.queries.dq import (
+        CMS_DAY_DENOM,
+        dq_heavy_users_by_day,
+        dq_cms_user_by_day,
+    )
+    from beam_scala_examples_spark.tables import load
+    import pyspark.sql.functions as F
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    true_counts = {
+        (r.day, r.user_id): r.c
+        for r in ev.groupBy("day", "user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    day_totals: dict = {}
+    for (day, _), c in true_counts.items():
+        day_totals[day] = day_totals.get(day, 0) + c
+    hh = {
+        (r.day, r.user_id): r.est_count
+        for r in dq_heavy_users_by_day(spark, sf_dir).collect()
+    }
+    # est >= true for every reported row
+    for k, est in hh.items():
+        assert est >= true_counts[k], (k, est, true_counts[k])
+    # no true heavy hitter missed
+    missed = [
+        k
+        for k, c in true_counts.items()
+        if c * CMS_DAY_DENOM >= day_totals[k[0]] and k not in hh
+    ]
+    assert not missed, missed
+    assert len(hh) > 0  # the gate actually fires on the fixture
+    # counters of the whole == sum of an even/odd user split
+    whole = sorted(
+        tuple(r) for r in dq_cms_user_by_day(spark, sf_dir).collect()
+    )
+    from beam_scala_examples_spark.queries.dq import cms_partial_counters
+
+    parts = cms_partial_counters(
+        ev.filter(F.col("user_id") % 2 == 0), "user_id", ("day",)
+    ).unionByName(
+        cms_partial_counters(
+            ev.filter(F.col("user_id") % 2 == 1), "user_id", ("day",)
+        )
+    )
+    merged = sorted(
+        tuple(r)
+        for r in parts.groupBy("day", "r", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    assert whole == merged
