@@ -4381,6 +4381,16 @@ def data_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of the standalone stage outputs).  Catalyst dedupes the shared
     scans; nothing here collects or re-shuffles beyond the component
     stages' own keys."""
+    return _corpus_build_plan(spark, sf_dir)
+
+
+def _corpus_build_plan(
+    spark: SparkSession, sf_dir: str, extra_gates: tuple = ()
+) -> DataFrame:
+    """The shared quality→dedup→split→pack plan behind
+    :func:`data_corpus_build` and its policy variants; each extra gate
+    is a (doc_id) keep-relation composed in as one more semi join
+    BEFORE the packing window (bins shift when documents drop)."""
     docs = load(spark, sf_dir, "documents")
     quality_keep = (
         text_quality_filter(spark, sf_dir).filter("keep").select("doc_id")
@@ -4392,15 +4402,16 @@ def data_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
         .otherwise("test")
     )
-    kept = (
-        docs.join(quality_keep, "doc_id", "semi")
-        .join(survivors, "doc_id", "semi")
-        .select(
-            "doc_id",
-            "source",
-            split.alias("split"),
-            F.size(F.expr(_SPARK_TOKS)).alias("n_tokens"),
-        )
+    kept = docs.join(quality_keep, "doc_id", "semi").join(
+        survivors, "doc_id", "semi"
+    )
+    for gate in extra_gates:
+        kept = kept.join(gate, "doc_id", "semi")
+    kept = kept.select(
+        "doc_id",
+        "source",
+        split.alias("split"),
+        F.size(F.expr(_SPARK_TOKS)).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("split", "source")
@@ -6291,6 +6302,18 @@ def data_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         region_docs.crossJoin(F.broadcast(base)).select(
             F.lit("copy_region_doc_bp").alias("metric"),
             F.expr("(n_region_docs * 10000) div n_docs").alias("value"),
+        ),
+        # round-7: the copyaware-gate drop rate — docs above the
+        # COPY_COVERAGE_MAX_BP policy threshold (the survivors of
+        # data_corpus_build_copyaware are n_docs minus these, modulo
+        # the other gates); coverage rides the shared prints memo.
+        text_winnow_coverage(spark, sf_dir)
+        .filter(F.col("coverage_bp") > COPY_COVERAGE_MAX_BP)
+        .agg(F.count("*").alias("n_heavy"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.lit("copy_heavy_doc_bp").alias("metric"),
+            F.expr("(n_heavy * 10000) div n_docs").alias("value"),
         ),
     ]
     out = rows[0]
@@ -8881,3 +8904,95 @@ def card_source_estimates(
     for r in regs:
         by_src.setdefault(r.source, []).append((r.register, r.max_rank))
     return {s: hll_estimate(rs) for s, rs in by_src.items()}
+
+
+# ---------------------------------------------------------------------------
+# Round-7: coverage-driven dedup policy (round-6 verdict #6) — the
+# winnowing copy-coverage number composed into the corpus pipeline as
+# an actual gate.
+# ---------------------------------------------------------------------------
+
+COPY_COVERAGE_MAX_BP = 5000   # drop docs >50% covered by copy regions
+
+
+def data_corpus_build_copyaware(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`data_corpus_build` with the COPY-COVERAGE policy gate
+    composed in: documents whose winnowing copy coverage
+    (:func:`text_winnow_coverage`) exceeds ``COPY_COVERAGE_MAX_BP``
+    basis points are dropped alongside the quality and near-dup gates —
+    the "drop if >50% of the doc appears elsewhere" rule the coverage
+    query was built to serve.  Near-dup survivorship keeps ONE copy of
+    a duplicated text; the coverage gate additionally removes heavy
+    PARTIAL copies (mosaics/quote-farms) that are not near-dups of any
+    single document.  Packing re-runs over the final survivor set (bins
+    shift when documents drop — same reason the base build is one
+    plan).
+
+    Scale: one more semi join on doc_id; the coverage side is the
+    interval-union over O(regions) rows fed by the shared positioned-
+    print memo — the gate costs no new corpus scan."""
+    low_copy = (
+        text_winnow_coverage(spark, sf_dir)
+        .filter(F.col("coverage_bp") <= COPY_COVERAGE_MAX_BP)
+        .select("doc_id")
+    )
+    return _corpus_build_plan(spark, sf_dir, extra_gates=(low_copy,))
+
+
+QUERIES["data_corpus_build_copyaware"] = data_corpus_build_copyaware
+
+ORACLE["data_corpus_build_copyaware"] = f"""
+    WITH qf AS ({ORACLE["text_quality_filter"]}),
+    surv AS ({ORACLE["dedup_survivors"]}),
+    cov AS (
+        SELECT doc_id FROM ({ORACLE["text_winnow_coverage"]})
+        WHERE coverage_bp <= {COPY_COVERAGE_MAX_BP}
+    ),
+    toksz AS (
+        SELECT doc_id, len({_DUCK_TOKS})::INTEGER AS n_tokens FROM documents
+    ),
+    kept AS (
+        SELECT d.doc_id, d.source,
+               CASE WHEN ({_DUCK_H.format(col='d.doc_id::VARCHAR')}) % 100
+                         < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN ({_DUCK_H.format(col='d.doc_id::VARCHAR')}) % 100
+                         < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               t.n_tokens
+        FROM documents d
+        JOIN toksz t ON d.doc_id = t.doc_id
+        WHERE d.doc_id IN (SELECT doc_id FROM qf WHERE keep)
+          AND d.doc_id IN (SELECT doc_id FROM surv)
+          AND d.doc_id IN (SELECT doc_id FROM cov)
+    ),
+    packed AS (
+        SELECT doc_id, source, split, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY split, source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM kept
+    )
+    SELECT doc_id, source, split, n_tokens,
+           (cum_before // {PACK_CTX_TOKENS})::BIGINT AS bin,
+           (cum_before % {PACK_CTX_TOKENS})::BIGINT AS bin_offset
+    FROM packed
+"""
+
+
+# The card gained the copyaware-gate member (copy_heavy_doc_bp); its
+# oracle is extended here, after ORACLE["text_winnow_coverage"] and
+# COPY_COVERAGE_MAX_BP exist (later assignment wins, the round-6
+# convention).
+ORACLE["data_dataset_card"] = f"""
+    SELECT * FROM ({ORACLE["data_dataset_card"]})
+    UNION ALL
+    SELECT 'copy_heavy_doc_bp' AS metric,
+           (ch.n_heavy * 10000) // b.n_docs AS value
+    FROM (SELECT count(*)::BIGINT AS n_heavy
+          FROM ({ORACLE["text_winnow_coverage"]})
+          WHERE coverage_bp > {COPY_COVERAGE_MAX_BP}) ch
+    CROSS JOIN (SELECT count(*)::BIGINT AS n_docs FROM documents) b
+"""

@@ -2381,3 +2381,46 @@ def test_hll_sink_by_day_matches_batch(spark, sf_dir, event_rows, tmpdir):
         tuple(r) for r in dq_hll_cumulative(spark, sf_dir).collect()
     )
     assert got_cum == expect_cum
+
+
+def test_scene_cut_sink_matches_batch_and_replays(spark, sf_dir, tmpdir):
+    """Round-7: the scene-cut ingest log over two micro-batches equals
+    batch multimodal_scene_cuts exactly; replaying the latest batch
+    changes nothing (dynamic partition overwrite re-derives its own
+    rows); the novelty view counts only cut-bearing videos per batch."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        multimodal_scene_cuts,
+    )
+    from beam_scala_examples_spark.streaming.scenecutview import (
+        SceneCutIngestSink,
+    )
+
+    rows = _doc_rows(sf_dir)
+    sink = SceneCutIngestSink(f"{tmpdir}/cuts")
+    mk = lambda rs: spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rs], "doc_id long, text string"
+    )
+    half = len(rows) // 2
+    sink(mk(rows[:half]), 0)
+    sink(mk(rows[half:]), 1)
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in multimodal_scene_cuts(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
+    sink(mk(rows[half:]), 1)  # replay
+    again = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    assert again == expect
+    novelty = {
+        r.batch_id: (r.n_cut_videos, r.total_cuts)
+        for r in sink.newly_cut_view(spark).collect()
+    }
+    by_doc = {t[0]: t[6] for t in expect}  # doc_id -> n_cuts
+    for b, rs in ((0, rows[:half]), (1, rows[half:])):
+        cut = [r for r in rs if by_doc[r["doc_id"]] > 0]
+        if cut:
+            assert novelty[b] == (
+                len(cut), sum(by_doc[r["doc_id"]] for r in cut)
+            )
+        else:
+            assert b not in novelty
