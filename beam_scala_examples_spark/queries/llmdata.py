@@ -8579,12 +8579,28 @@ def text_winnow_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass windows on doc_id (partitions bounded by per-doc region
     counts); the token counts ride the scan."""
     docs = load(spark, sf_dir, "documents")
-    # NB: the union consumes regions twice (doc_a / doc_b sides), but a
-    # localCheckpoint here was a measured NO-win at sf0.1 (1.8 s either
-    # way — AQE stage reuse already dedupes the identical subplans), so
-    # the cut stays lazy.  The prints come from the shared session memo
-    # so the tokenize→hash→window-min scan never reruns per consumer.
+    # The prints come from the shared session memo so the
+    # tokenize→hash→window-min scan never reruns per consumer.
     regions = winnow_regions_from_prints(winnow_prints_memo(spark, sf_dir))
+    toks = docs.select(
+        "doc_id",
+        F.size(F.expr(_SPARK_TOKS)).cast("long").alias("n_tokens"),
+    )
+    return winnow_coverage_from_regions(regions, toks)
+
+
+def winnow_coverage_from_regions(
+    regions: DataFrame, toks: DataFrame
+) -> DataFrame:
+    """The interval-union half of :func:`text_winnow_coverage`, over an
+    already-built regions relation and a (doc_id, n_tokens) relation —
+    factored so the streaming card (``streaming/cardview.py``) serves
+    the coverage gate from its accumulated logs.
+
+    NB: the union consumes regions twice (doc_a / doc_b sides), but a
+    localCheckpoint here was a measured NO-win at sf0.1 (1.8 s either
+    way — AQE stage reuse already dedupes the identical subplans), so
+    the cut stays lazy."""
     iv = regions.select(
         F.col("doc_a").alias("doc_id"),
         F.col("start_a").alias("s"),
@@ -8620,10 +8636,6 @@ def text_winnow_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_islands"),
             F.sum("ilen").alias("covered_tokens"),
         )
-    )
-    toks = docs.select(
-        "doc_id",
-        F.size(F.expr(_SPARK_TOKS)).cast("long").alias("n_tokens"),
     )
     return toks.join(isl, "doc_id", "left").select(
         "doc_id",

@@ -19,7 +19,11 @@ partition overwrite + serve-by-reaggregation) covers the whole card:
    drives the real registry sink per batch and serves its decision log;
  - chunk-dup rate: per-batch distinct (doc_id, chunk_md5) pairs ->
    owners >= 2 recomputed over the log (``dedup_chunk_dups``'s exact
-   aggregate, applied to the accumulated chunk registry).
+   aggregate, applied to the accumulated chunk registry);
+ - copy-region members + the round-7 coverage gate
+   (``copy_heavy_doc_bp``): positioned winnow prints + per-doc token
+   counts logged per batch -> regions and the interval-union coverage
+   recomputed over the accumulated logs at serving time.
 
 Served card == batch ``data_dataset_card`` EXACTLY when the stream
 delivers each doc once in doc_id order (the house arrival contract; the
@@ -39,9 +43,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.llmdata import (
+    COPY_COVERAGE_MAX_BP,
     _SPARK_TOKS,
     chunk_relation,
     gopher_verdicts,
+    winnow_coverage_from_regions,
     winnow_print_positions,
     winnow_regions_from_prints,
 )
@@ -68,6 +74,7 @@ class DatasetCardSink:
         self.texthash_path = f"{base_path}/card_texthash"
         self.chunks_path = f"{base_path}/card_chunks"
         self.winnow_path = f"{base_path}/card_winnow_prints"
+        self.doctokens_path = f"{base_path}/card_doctokens"
         self.neardup = NearDupIngestSink(
             f"{base_path}/card_nd_registry", f"{base_path}/card_nd_decisions"
         )
@@ -120,6 +127,17 @@ class DatasetCardSink:
             batch_id,
             self.winnow_path,
         )
+        # Round-7: per-doc token counts (slim pairs, pure per-row
+        # function) — the coverage-gate member joins them against the
+        # regions recomputed from the prints log at serving time.
+        _write_partition(
+            batch_df.select(
+                "doc_id",
+                F.size(F.expr(_SPARK_TOKS)).cast("long").alias("n_tokens"),
+            ),
+            batch_id,
+            self.doctokens_path,
+        )
         # Composed registry sinks: near-dup decisions at arrival time,
         # per-source text-cardinality registers.
         self.neardup(batch_df.select("doc_id", "text"), batch_id)
@@ -163,6 +181,16 @@ class DatasetCardSink:
         region_docs = regions.select(
             F.explode(F.array("doc_a", "doc_b")).alias("d")
         ).agg(F.countDistinct("d").alias("n_region_docs"))
+        cov_heavy = (
+            winnow_coverage_from_regions(
+                regions,
+                spark.read.parquet(self.doctokens_path).select(
+                    "doc_id", "n_tokens"
+                ),
+            )
+            .filter(F.col("coverage_bp") > COPY_COVERAGE_MAX_BP)
+            .agg(F.count("*").alias("n_heavy"))
+        )
         src_regs = (
             self.src_hll.serving_view(spark)
             .groupBy("source")
@@ -177,7 +205,7 @@ class DatasetCardSink:
         base = (
             stats.crossJoin(sl).crossJoin(fp).crossJoin(nd)
             .crossJoin(chunkdup).crossJoin(region_stats)
-            .crossJoin(region_docs)
+            .crossJoin(region_docs).crossJoin(cov_heavy)
             .localCheckpoint()
         )
         rows = [
@@ -221,6 +249,10 @@ class DatasetCardSink:
                 F.expr(
                     "(n_region_docs * 10000) div n_docs"
                 ).alias("value"),
+            ),
+            base.select(
+                F.lit("copy_heavy_doc_bp").alias("metric"),
+                F.expr("(n_heavy * 10000) div n_docs").alias("value"),
             ),
         ]
         out = rows[0]

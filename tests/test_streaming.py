@@ -1833,7 +1833,8 @@ def test_dataset_card_sink_matches_batch(spark, sf_dir, tmpdir):
 
 def test_dataset_card_sink_replay_idempotent(spark, sf_dir, tmpdir):
     """Replaying a micro-batch re-derives exactly the contribution rows
-    it owned across ALL five logs, so the served card is unchanged."""
+    it owned across ALL the contribution logs, so the served card is
+    unchanged."""
     from beam_scala_examples_spark.streaming.cardview import DatasetCardSink
 
     rows = _full_doc_rows(sf_dir)
