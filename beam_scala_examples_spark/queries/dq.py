@@ -1143,7 +1143,9 @@ def vbin_partial_counts(
 
 def _vbin_duck(grp_select: str, grp_by: str) -> str:
     """DuckDB twin of :func:`vbin_partial_counts` over ``events.value``
-    — identical integer binning, parameterized on the group columns."""
+    — identical integer binning, parameterized on the group columns
+    (``grp_select`` may carry an expression + alias for the first CTE;
+    ``grp_by`` is the bare column list the later CTEs reference)."""
     return f"""
     vq AS (
         SELECT {grp_select} round(value::DOUBLE * {VBIN_SCALE})::BIGINT
@@ -1151,7 +1153,7 @@ def _vbin_duck(grp_select: str, grp_by: str) -> str:
         FROM events WHERE value IS NOT NULL
     ),
     vbinned AS (
-        SELECT {grp_select}
+        SELECT {grp_by}
                (CASE WHEN q < 0 THEN -1 WHEN q = 0 THEN 0
                      ELSE 1 END)::BIGINT AS sign,
                (CASE WHEN q = 0 THEN 0
@@ -1499,4 +1501,207 @@ ORACLE["dq_profile_events_sketch"] = f"""
     )
     SELECT prof.*, vp.p50_lo, vp.p90_lo, vp.p99_lo
     FROM prof LEFT JOIN vp USING (column_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-7 rollup rungs: the mergeable-serving payoff for the two new
+# sketch families, mirroring what dq_hll_cumulative is to dq_hll_by_day
+# — date-range/percentile answers from PURE counter merges, never a
+# rescan of the raw events.
+# ---------------------------------------------------------------------------
+
+
+def dq_value_bins_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED quantile sketch, time axis: per-day log-bin value
+    counters — the per-ingestion-day distribution state.  Any date
+    range's distribution is the SUM of the covered days' counters."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    return vbin_partial_counts(ev, group_cols=("day",))
+
+
+QUERIES["dq_value_bins_by_day"] = dq_value_bins_by_day
+
+ORACLE["dq_value_bins_by_day"] = f"""
+    WITH {_vbin_duck(
+        "date_trunc('day', ts)::TIMESTAMP AS day,", "day,"
+    )}
+    SELECT day, sign, vbin, cnt FROM vbins
+"""
+
+
+def dq_value_quantiles_cumulative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The percentile CURVE from pure counter addition: for every day,
+    p50/p90/p99 bin bounds of ALL values through that day, built by a
+    running SUM of the per-day bin counters (:func:`dq_value_bins_by_day`)
+    — the exact shape a 100 TB pipeline serves "p99 this quarter" from:
+    merge the covered days' O(bins) blocks, walk the cumulative counts;
+    events are never rescanned.
+
+    Scale: O(days × bins) slim rows through one window sum (the
+    day-grid carry-forward of ``dq_hll_cumulative``), then the same
+    rank walk as :func:`dq_value_quantiles_by_type` per day."""
+    from pyspark.sql.window import Window
+
+    daily = dq_value_bins_by_day(spark, sf_dir)
+    # carry bins forward across days they don't appear in (bounded
+    # grid: days × occupied (sign, vbin) keys — the hll_cumulative
+    # pattern; compiles to a broadcast nested loop, not a cartesian)
+    days = daily.select("day").distinct()
+    keys = daily.select("sign", "vbin").distinct()
+    grid = days.crossJoin(keys)
+    w = (
+        Window.partitionBy("sign", "vbin")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(daily, ["day", "sign", "vbin"], "left")
+        .withColumn("ccnt", F.sum("cnt").over(w))
+        .filter(F.col("ccnt").isNotNull())
+        .select("day", "sign", "vbin", F.col("ccnt").alias("cnt"))
+    )
+    return vbin_quantile_bounds(cum, ("day",))
+
+
+QUERIES["dq_value_quantiles_cumulative"] = dq_value_quantiles_cumulative
+
+ORACLE["dq_value_quantiles_cumulative"] = (
+    "WITH "
+    + _vbin_duck(
+        "date_trunc('day', ts)::TIMESTAMP AS day,", "day,"
+    ).lstrip()
+    + """,
+    grid AS (
+        SELECT d.day, k.sign, k.vbin
+        FROM (SELECT DISTINCT day FROM vbins) d
+        CROSS JOIN (SELECT DISTINCT sign, vbin FROM vbins) k
+    ),
+    cumd AS (
+        SELECT g.day, g.sign, g.vbin,
+               sum(v.cnt) OVER (
+                   PARTITION BY g.sign, g.vbin ORDER BY g.day
+                   ROWS UNBOUNDED PRECEDING) AS cnt
+        FROM grid g LEFT JOIN vbins v
+          ON v.day = g.day AND v.sign = g.sign AND v.vbin = g.vbin
+    ),
+    cvbins AS (
+        SELECT day, sign, vbin, cnt::BIGINT AS cnt FROM cumd
+        WHERE cnt IS NOT NULL
+    ),
+    """
+    + _VBIN_QUANTILE_TAIL.format(grp="day").replace(
+        "FROM vbins", "FROM cvbins"
+    ).lstrip()
+    + """
+    SELECT day, p::BIGINT AS p, n_values::BIGINT AS n_values,
+           q_lo, q_hi
+    FROM picked
+"""
+)
+
+
+CMS_ROLLUP_TOPK = 10   # range "top talkers" served from merged blocks
+
+
+def dq_heavy_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range TOP TALKERS from the per-day CMS blocks: SUM the
+    per-day counters (:func:`dq_cms_user_by_day`) into one range
+    sketch — exactly the counters a whole-range CMS would hold, since
+    count-min merges by addition — probe the range's distinct users
+    against it, and report the ``CMS_ROLLUP_TOPK`` highest estimates
+    (est desc, user_id tie-break).  Top-k rather than a φ-threshold
+    because a near-uniform range legitimately has NO φ-heavy hitter —
+    the top-talker list is the question a range rollup answers either
+    way; the raw events are touched only for the probe list and the
+    total, never re-sketched.
+
+    Scale: the merge is one aggregate over O(days × depth × width)
+    slim rows; probes are distinct users; top-k rides one global
+    WindowGroupLimit over O(users) estimates."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    merged = (
+        dq_cms_user_by_day(spark, sf_dir)
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    total = ev.agg(F.count("*").alias("n_range"))
+    probes = (
+        ev.select("user_id").distinct()
+        .withColumn("__s", F.expr("md5(cast(user_id as string))"))
+        .select(
+            "user_id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(i).cast("long").alias("r"),
+                    F.expr(
+                        f"cast(conv(substr(__s, {1 + 8 * i}, 8), 16, 10)"
+                        f" as bigint) % {CMS_DAY_WIDTH}"
+                    ).alias("b"),
+                )
+                for i in range(CMS_DAY_DEPTH)
+            ])).alias("p"),
+        )
+        .select("user_id", "p.r", "p.b")
+    )
+    est = (
+        probes.join(merged, ["r", "b"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    w = Window.orderBy(F.desc("est_count"), F.asc("user_id"))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CMS_ROLLUP_TOPK)
+        .crossJoin(F.broadcast(total))
+        .select("user_id", "est_count", "n_range",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+QUERIES["dq_heavy_users_rollup"] = dq_heavy_users_rollup
+
+_CMS_ROLLUP_PROBES = " UNION ALL ".join(
+    f"SELECT user_id, {i}::BIGINT AS r,"
+    f" {_cms_day_pos_duck(i, 'user_id')} AS b FROM du"
+    for i in range(CMS_DAY_DEPTH)
+)
+
+ORACLE["dq_heavy_users_rollup"] = f"""
+    WITH ev AS (
+        SELECT date_trunc('day', ts)::TIMESTAMP AS day, user_id
+        FROM events
+    ),
+    inc AS ({_CMS_DAY_INC}),
+    daily AS (
+        SELECT day, r, b, count(*)::BIGINT AS cnt
+        FROM inc GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT r, b, sum(cnt)::BIGINT AS cnt FROM daily GROUP BY 1, 2
+    ),
+    total AS (SELECT count(*)::BIGINT AS n_range FROM ev),
+    du AS (SELECT DISTINCT user_id FROM ev),
+    probes AS ({_CMS_ROLLUP_PROBES}),
+    est AS (
+        SELECT p.user_id, min(m.cnt)::BIGINT AS est_count
+        FROM probes p JOIN merged m ON m.r = p.r AND m.b = p.b
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT user_id, est_count, row_number() OVER (
+            ORDER BY est_count DESC, user_id)::BIGINT AS rank
+        FROM est
+    )
+    SELECT e.user_id, e.est_count, t.n_range, e.rank
+    FROM ranked e CROSS JOIN total t
+    WHERE e.rank <= {CMS_ROLLUP_TOPK}
 """

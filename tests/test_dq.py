@@ -287,3 +287,83 @@ def test_cms_never_undercounts_and_no_heavy_hitter_missed(spark, sf_dir):
         .collect()
     )
     assert whole == merged
+
+
+def test_rollup_rungs_equal_direct_global_sketches(spark, sf_dir):
+    """Round-7 rollup rungs: (a) the cumulative percentile curve's LAST
+    day equals the bounds derived from a directly-built corpus-global
+    bin relation, and (b) date-range heavy hitters served from summed
+    per-day CMS blocks equal the probe against a directly-built global
+    CMS — merging really is lossless for both sketch kinds."""
+    from beam_scala_examples_spark.queries.dq import (
+        cms_partial_counters,
+        dq_heavy_users_rollup,
+        dq_value_quantiles_cumulative,
+        vbin_partial_counts,
+        vbin_quantile_bounds,
+    )
+    from beam_scala_examples_spark.tables import load
+    import pyspark.sql.functions as F
+
+    ev = load(spark, sf_dir, "events")
+    curve = dq_value_quantiles_cumulative(spark, sf_dir).collect()
+    last_day = max(r.day for r in curve)
+    last = sorted(
+        (r.p, r.n_values, r.q_lo, r.q_hi)
+        for r in curve
+        if r.day == last_day
+    )
+    direct = sorted(
+        (r.p, r.n_values, r.q_lo, r.q_hi)
+        for r in vbin_quantile_bounds(
+            vbin_partial_counts(ev, "value"), ()
+        ).collect()
+    )
+    assert last == direct and len(last) == 3
+
+    rollup = sorted(
+        (r.user_id, r.est_count, r.n_range, r.rank)
+        for r in dq_heavy_users_rollup(spark, sf_dir).collect()
+    )
+    gcms = cms_partial_counters(ev.select("user_id"), "user_id")
+    total = ev.count()
+    probes = (
+        ev.select("user_id").distinct()
+        .withColumn("__s", F.expr("md5(cast(user_id as string))"))
+    )
+    from beam_scala_examples_spark.queries.dq import (
+        CMS_DAY_DEPTH,
+        CMS_DAY_WIDTH,
+    )
+
+    pr = probes.select(
+        "user_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).cast("long").alias("r"),
+                F.expr(
+                    f"cast(conv(substr(__s, {1 + 8 * i}, 8), 16, 10)"
+                    f" as bigint) % {CMS_DAY_WIDTH}"
+                ).alias("b"),
+            )
+            for i in range(CMS_DAY_DEPTH)
+        ])).alias("p"),
+    ).select("user_id", "p.r", "p.b")
+    from beam_scala_examples_spark.queries.dq import CMS_ROLLUP_TOPK
+
+    direct_est = sorted(
+        ((r.est_count, r.user_id))
+        for r in pr.join(gcms, ["r", "b"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+        .collect()
+    )
+    direct_top = sorted(
+        (uid, est, total, i + 1)
+        for i, (est, uid) in enumerate(
+            sorted(direct_est, key=lambda t: (-t[0], t[1]))[
+                :CMS_ROLLUP_TOPK
+            ]
+        )
+    )
+    assert rollup == direct_top and len(rollup) > 0
