@@ -1106,19 +1106,22 @@ VBIN_QUANTILES = (50, 90, 99)    # percentiles the report rungs serve
 def vbin_partial_counts(
     df: DataFrame, value_col: str = "value",
     group_cols: tuple[str, ...] = (),
+    scale: int = VBIN_SCALE,
 ) -> DataFrame:
     """(group..., sign, vbin, cnt) log-binned value counters over
     ``df[value_col]`` — THE shared bin constructor for the batch
     queries and the streaming profile sink.  Nulls are dropped (null
     accounting is the profiler's conditional aggregate's job); the
     quantized value, its magnitude, and its msb are each staged ONCE
-    via ``withColumn`` (the ``hll_partial_registers`` discipline)."""
+    via ``withColumn`` (the ``hll_partial_registers`` discipline).
+    ``scale=1`` bins an already-integer column exactly (bounds then
+    read in the column's own units)."""
     staged = (
         df.filter(F.col(value_col).isNotNull())
         .withColumn(
             "__q",
             F.expr(
-                f"cast(round({value_col} * {VBIN_SCALE}, 0) as bigint)"
+                f"cast(round({value_col} * {scale}, 0) as bigint)"
             ),
         )
         .withColumn("__v", F.expr("abs(__q)"))
@@ -1705,3 +1708,69 @@ ORACLE["dq_heavy_users_rollup"] = f"""
     FROM ranked e CROSS JOIN total t
     WHERE e.rank <= {CMS_ROLLUP_TOPK}
 """
+
+
+# Round-7: the grouped quantile sketch pointed at the LLM-data corpus —
+# per-source document-length distribution, the dataset-card number a
+# mixture designer reads before setting packing/curriculum policy.
+# Imported at the BOTTOM of this module so the dq<->llmdata import
+# cycle stays resolvable in either entry order (llmdata's own dq
+# imports sit mid-file, after everything they need here).
+from .llmdata import _DUCK_TOKS as _DOCLEN_DUCK_TOKS  # noqa: E402
+from .llmdata import _SPARK_TOKS as _DOCLEN_SPARK_TOKS  # noqa: E402
+
+
+def dq_doclen_quantiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source DOCUMENT-LENGTH percentiles (p50/p90/p99 in whole
+    tokens) served from the log-bin sketch — the grouped quantile rung
+    on the documents table.  ``scale=1`` bins the exact integer token
+    counts, so the reported bounds are in tokens; the true percentile
+    provably lies in the reported bin (same containment law as the
+    events rung).
+
+    Scale: one tokenize pass to slim (source, n_tokens) pairs, one
+    map-side-combined aggregate to O(sources × bins) counters, one
+    rank walk per source — a 100 TB corpus's length profile without a
+    per-source exact-percentile shuffle of the raw lengths."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.expr(_DOCLEN_SPARK_TOKS)).cast("double").alias("doclen"),
+    )
+    bins = vbin_partial_counts(
+        docs, "doclen", group_cols=("source",), scale=1
+    )
+    return vbin_quantile_bounds(bins, ("source",))
+
+
+QUERIES["dq_doclen_quantiles_by_source"] = dq_doclen_quantiles_by_source
+
+ORACLE["dq_doclen_quantiles_by_source"] = (
+    f"""
+    WITH vq AS (
+        SELECT source, len({_DOCLEN_DUCK_TOKS})::BIGINT AS q
+        FROM documents
+    ),
+    vbinned AS (
+        SELECT source,
+               (CASE WHEN q < 0 THEN -1 WHEN q = 0 THEN 0
+                     ELSE 1 END)::BIGINT AS sign,
+               (CASE WHEN q = 0 THEN 0
+                     ELSE 4 * (length(bin(abs(q))) - 1)
+                          + ((abs(q) * 4) >> (length(bin(abs(q))) - 1))
+                          - 4 END)::BIGINT AS vbin
+        FROM vq
+    ),
+    vbins AS (
+        SELECT source, sign, vbin, count(*)::BIGINT AS cnt
+        FROM vbinned GROUP BY source, sign, vbin
+    ),
+    """
+    + _VBIN_QUANTILE_TAIL.format(grp="source").lstrip()
+    + """
+    SELECT source, p::BIGINT AS p, n_values::BIGINT AS n_values,
+           q_lo, q_hi
+    FROM picked
+"""
+)

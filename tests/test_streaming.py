@@ -2425,3 +2425,81 @@ def test_scene_cut_sink_matches_batch_and_replays(spark, sf_dir, tmpdir):
             )
         else:
             assert b not in novelty
+
+
+def test_cms_sink_by_day_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """Round-7 grouped CMS ingest: the additive counter log over two
+    micro-batches serves per-day counters equal to batch
+    dq_cms_user_by_day exactly; the range top-talker rollup built from
+    the served rows equals dq_heavy_users_rollup; replay changes
+    nothing (a replayed batch re-derives its own partial)."""
+    import pyspark.sql.functions as SF
+
+    from beam_scala_examples_spark.queries.dq import (
+        CMS_ROLLUP_TOPK,
+        dq_cms_user_by_day,
+        dq_heavy_users_rollup,
+    )
+    from beam_scala_examples_spark.streaming.cmsview import CmsIngestSink
+    from pyspark.sql.window import Window
+
+    sink = CmsIngestSink(f"{tmpdir}/cms_day_log", group_cols=("day",))
+    mk = lambda rs: spark.createDataFrame(
+        [(r["user_id"], r["ts"]) for r in rs], "user_id long, ts string"
+    ).select(
+        "user_id", SF.date_trunc("day", SF.to_timestamp("ts")).alias("day")
+    )
+    half = len(event_rows) // 2
+    sink(mk(event_rows[:half]), 0)
+    sink(mk(event_rows[half:]), 1)
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in dq_cms_user_by_day(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
+    sink(mk(event_rows[half:]), 1)  # replay the latest batch
+    again = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    assert again == expect
+    # range top-talkers straight off the served per-day counters
+    merged = (
+        sink.serving_view(spark)
+        .groupBy("r", "b")
+        .agg(SF.sum("cnt").alias("cnt"))
+    )
+    users = spark.createDataFrame(
+        sorted({(r["user_id"],) for r in event_rows}), "user_id long"
+    ).withColumn("__s", SF.expr("md5(cast(user_id as string))"))
+    from beam_scala_examples_spark.queries.dq import (
+        CMS_DAY_DEPTH,
+        CMS_DAY_WIDTH,
+    )
+
+    probes = users.select(
+        "user_id",
+        SF.explode(SF.array(*[
+            SF.struct(
+                SF.lit(i).cast("long").alias("r"),
+                SF.expr(
+                    f"cast(conv(substr(__s, {1 + 8 * i}, 8), 16, 10)"
+                    f" as bigint) % {CMS_DAY_WIDTH}"
+                ).alias("b"),
+            )
+            for i in range(CMS_DAY_DEPTH)
+        ])).alias("p"),
+    ).select("user_id", "p.r", "p.b")
+    w = Window.orderBy(SF.desc("est_count"), SF.asc("user_id"))
+    served_top = sorted(
+        (r.user_id, r.est_count, r.rank)
+        for r in probes.join(merged, ["r", "b"])
+        .groupBy("user_id")
+        .agg(SF.min("cnt").alias("est_count"))
+        .withColumn("rank", SF.row_number().over(w))
+        .filter(SF.col("rank") <= CMS_ROLLUP_TOPK)
+        .select("user_id", "est_count", SF.col("rank").cast("long").alias("rank"))
+        .collect()
+    )
+    batch_top = sorted(
+        (r.user_id, r.est_count, r.rank)
+        for r in dq_heavy_users_rollup(spark, sf_dir).collect()
+    )
+    assert served_top == batch_top
