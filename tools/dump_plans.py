@@ -106,6 +106,11 @@ SHOWCASE = {
     "multimodal_phash_components": "pointer-jumping CC over verified pairs; checkpointed label rounds",
     "sim_rrf_fusion": "rank fusion: union + aggregate + WindowGroupLimit — no corpus rescan",
     "multimodal_scene_cuts": "render + FRAME-stride SAD walk: two Arrow mapInPandas, zero exchanges",
+    "sim_prf_expand_ivf": "PRF served through trained IVF: broadcast cell probe restricts the corpus leg",
+    "dq_value_quantiles_by_type": "grouped log-bin counters + one rank-walk window per group — no exact-percentile reshuffle",
+    "dq_value_quantiles_cumulative": "percentile curve by running counter SUM over the day grid — merge-only",
+    "dq_heavy_users_rollup": "per-day CMS blocks summed into a range sketch; probes join O(depth × width) rows",
+    "data_corpus_build_copyaware": "coverage gate composes as one more doc_id semi join before packing",
 }
 
 
