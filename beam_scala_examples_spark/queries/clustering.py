@@ -3318,3 +3318,207 @@ ORACLE["sim_prf_ivf_recall"] = f"""
       ON e.qid = a.qid AND e.vec_id = a.vec_id
     GROUP BY e.qid
 """
+
+
+PRF_SWEEP_NPROBES = (1, 2, 4)
+
+
+def sim_prf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe tuning curve for the IVF-SERVED PRF second pass: for
+    each probe budget, mean recall@k against the EXACT PRF ranking and
+    the exact candidate rows scanned — the recall-vs-scan frontier an
+    operator reads before picking the serving nprobe (the PRF analogue
+    of ``sim_ivf_probe_sweep``; every served rung in this engine ships
+    its tuning curve).
+
+    One centroid build + one integer MIPS probe ranking feed ALL sweep
+    points: the candidate relation carries the probe rank, each budget
+    filters ``rn <= np`` and re-ranks — no per-budget recompute
+    (candidates and the truth are checkpointed, both bounded)."""
+    from .llmdata import sim_cosine_topk  # noqa: F401 (memo warm order)
+    from ..operators.topk import top_k_per_key
+
+    prev = _KM_CACHE.pop("prfsweep", None)
+    if prev is not None:
+        prev.unpersist()
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .persist()
+    )
+    _KM_CACHE["prfsweep"] = emb
+    cents = _trained("kmeans", sf_dir, _kmeans_train, emb)
+    assign = _assign(emb, cents)
+    qcent = _prf_centroid(spark, sf_dir)
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "cluster bigint, c array<double>",
+    ).select(
+        "cluster",
+        F.expr(
+            f"transform(c, x -> cast(round(x * {PRF_SCALE}, 0) as bigint))"
+        ).alias("ci"),
+    )
+    pdot = F.expr(
+        "aggregate(zip_with(qv, ci, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.desc("pscore"), F.asc("cluster")
+    )
+    max_np = max(PRF_SWEEP_NPROBES)
+    probes = (
+        qcent.crossJoin(F.broadcast(cdf))
+        .select("qid", "qv", "cluster", pdot.alias("pscore"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= max_np)
+        .select("qid", "qv", "cluster", "rn")
+    )
+    sdot = F.expr(
+        "aggregate(zip_with(iv, qv, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    cand = (
+        assign.select("vec_id", "cluster", F.expr(_PRF_IVEC).alias("iv"))
+        .join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "rn", sdot.alias("prf_score"))
+        .localCheckpoint()
+    )
+    truth = (
+        sim_prf_expand(spark, sf_dir)
+        .select("qid", "vec_id")
+        .localCheckpoint()
+    )
+    truth_rows = truth.count()
+    parts = []
+    for np_ in PRF_SWEEP_NPROBES:
+        sub = cand.filter(F.col("rn") <= np_)
+        topk = top_k_per_key(
+            sub, ["qid"], [F.desc("prf_score"), F.asc("vec_id")], PRF_TOPK
+        ).select("qid", "vec_id")
+        matches = truth.join(topk, ["qid", "vec_id"], "semi").agg(
+            F.count("*").alias("matches")
+        )
+        scanned = sub.agg(F.count("*").alias("scanned_rows"))
+        parts.append(
+            matches.crossJoin(scanned).select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "matches",
+                F.lit(truth_rows).cast("long").alias("truth_rows"),
+                F.expr(
+                    f"(matches * 10000) div {truth_rows}"
+                ).alias("mean_recall_bp"),
+                "scanned_rows",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES["sim_prf_probe_sweep"] = sim_prf_probe_sweep
+
+
+def _prf_probe_sweep_oracle() -> str:
+    from .llmdata import EMB_DIM as _D
+    from .llmdata import ORACLE as _LLM_ORACLE
+
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (e.embedding[i]::DOUBLE - c.c[i])"
+        " * (e.embedding[i]::DOUBLE - c.c[i])))"
+    )
+    max_np = max(PRF_SWEEP_NPROBES)
+    # NB: no AS MATERIALIZED anywhere in this oracle — DuckDB hits an
+    # internal error ("Recursive CTE scan found without recursive CTE
+    # node") when a MATERIALIZED CTE is referenced from multiple
+    # UNION ALL arms; un-materialized it runs in ~1 s at fixture scale.
+    tail = f"""fb AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY cosine DESC, vec_id
+            ) AS r
+            FROM ({_LLM_ORACLE["sim_cosine_topk"]})
+        ) WHERE r <= {PRF_FB}
+    ),
+    dims AS (SELECT unnest(range(1, {_D} + 1)) AS dim),
+    qcent AS (
+        SELECT f.qid, d.dim,
+               sum(round(e.embedding[d.dim]::DOUBLE * {PRF_SCALE})::BIGINT)
+                   ::BIGINT AS qv
+        FROM fb f
+        JOIN embeddings e ON e.vec_id = f.vec_id
+        CROSS JOIN dims d
+        GROUP BY 1, 2
+    ),
+    icent AS (
+        SELECT c.cluster, d.dim,
+               round(c.c[d.dim] * {PRF_SCALE})::BIGINT AS cv
+        FROM c{KM_ITERS} c CROSS JOIN dims d
+    ),
+    pscore AS (
+        SELECT q.qid, ic.cluster, sum(q.qv * ic.cv)::BIGINT AS ps
+        FROM qcent q JOIN icent ic USING (dim)
+        GROUP BY 1, 2
+    ),
+    probe AS (
+        SELECT qid, cluster, rn FROM (
+            SELECT qid, cluster, row_number() OVER (
+                PARTITION BY qid ORDER BY ps DESC, cluster) AS rn
+            FROM pscore
+        ) WHERE rn <= {max_np}
+    ),
+    assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dist}, c.cluster) AS rn
+            FROM emb e CROSS JOIN c{KM_ITERS} c
+        ) WHERE rn = 1
+    ),
+    corpus AS (
+        SELECT vec_id, d.dim,
+               round(embedding[d.dim]::DOUBLE * {PRF_SCALE})::BIGINT AS v
+        FROM embeddings CROSS JOIN dims d
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id, p.rn,
+               sum(cv.v * q.qv)::BIGINT AS prf_score
+        FROM probe p
+        JOIN assign a ON a.cluster = p.cluster
+        JOIN qcent q ON q.qid = p.qid
+        JOIN corpus cv ON cv.vec_id = a.vec_id AND cv.dim = q.dim
+        WHERE a.vec_id <> p.qid
+        GROUP BY 1, 2, 3
+    ),
+    truth AS (
+        SELECT qid, vec_id FROM ({ORACLE["sim_prf_expand"]})
+    )"""
+    parts = []
+    for np_ in PRF_SWEEP_NPROBES:
+        parts.append(f"""
+    SELECT {np_}::BIGINT AS nprobe, m.c AS matches, t.c AS truth_rows,
+           (m.c * 10000) // t.c AS mean_recall_bp, s.c AS scanned_rows
+    FROM (SELECT count(*)::BIGINT AS c FROM truth tt
+          JOIN (
+              SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id, row_number() OVER (
+                      PARTITION BY qid
+                      ORDER BY prf_score DESC, vec_id) AS r
+                  FROM cand WHERE rn <= {np_}
+              ) WHERE r <= {PRF_TOPK}
+          ) a ON a.qid = tt.qid AND a.vec_id = tt.vec_id) m
+    CROSS JOIN (SELECT count(*)::BIGINT AS c FROM truth) t
+    CROSS JOIN (SELECT count(*)::BIGINT AS c FROM cand
+                WHERE rn <= {np_}) s""")
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes() + [tail])
+        + "\n UNION ALL ".join(parts)
+    )
+
+
+ORACLE["sim_prf_probe_sweep"] = _prf_probe_sweep_oracle()

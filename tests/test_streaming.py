@@ -2503,3 +2503,62 @@ def test_cms_sink_by_day_matches_batch(spark, sf_dir, event_rows, tmpdir):
         for r in dq_heavy_users_rollup(spark, sf_dir).collect()
     )
     assert served_top == batch_top
+
+
+def test_vbin_sink_by_day_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """Round-7 grouped value-bin ingest: the additive bin log over two
+    micro-batches serves per-day counters equal to batch
+    dq_value_bins_by_day exactly; the cumulative percentile curve built
+    from the served rows equals dq_value_quantiles_cumulative; replay
+    changes nothing."""
+    import pyspark.sql.functions as SF
+
+    from beam_scala_examples_spark.queries.dq import (
+        dq_value_bins_by_day,
+        dq_value_quantiles_cumulative,
+        vbin_quantile_bounds,
+    )
+    from beam_scala_examples_spark.streaming.vbinview import VbinIngestSink
+    from pyspark.sql.window import Window
+
+    sink = VbinIngestSink(f"{tmpdir}/vbin_day_log", group_cols=("day",))
+    mk = lambda rs: spark.createDataFrame(
+        [(r["value"], r["ts"]) for r in rs], "value double, ts string"
+    ).select(
+        "value", SF.date_trunc("day", SF.to_timestamp("ts")).alias("day")
+    )
+    half = len(event_rows) // 2
+    sink(mk(event_rows[:half]), 0)
+    sink(mk(event_rows[half:]), 1)
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in dq_value_bins_by_day(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
+    sink(mk(event_rows[half:]), 1)  # replay the latest batch
+    again = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    assert again == expect
+    # cumulative percentile curve straight off the served per-day bins
+    daily = sink.serving_view(spark)
+    days = daily.select("day").distinct()
+    keys = daily.select("sign", "vbin").distinct()
+    w = (
+        Window.partitionBy("sign", "vbin").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        days.crossJoin(keys)
+        .join(daily, ["day", "sign", "vbin"], "left")
+        .withColumn("ccnt", SF.sum("cnt").over(w))
+        .filter(SF.col("ccnt").isNotNull())
+        .select("day", "sign", "vbin", SF.col("ccnt").alias("cnt"))
+    )
+    served_curve = sorted(
+        tuple(r)
+        for r in vbin_quantile_bounds(cum, ("day",)).collect()
+    )
+    batch_curve = sorted(
+        tuple(r)
+        for r in dq_value_quantiles_cumulative(spark, sf_dir).collect()
+    )
+    assert served_curve == batch_curve
