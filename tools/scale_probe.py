@@ -51,7 +51,8 @@ PROBES = (
 BASE = "/tmp/scale_probe"
 
 
-def build_dirs(spark, sf_dir: str) -> dict[int, str]:
+def build_dirs(spark, sf_dir: str,
+               factors: tuple[int, ...] = FACTORS) -> dict[int, str]:
     """Probe dirs with `documents` and `events` inflated by each factor
     (decorrelated copies: rotated text / disjoint user+event id ranges),
     all other tables symlinked."""
@@ -63,7 +64,7 @@ def build_dirs(spark, sf_dir: str) -> dict[int, str]:
     ).collect()[0]
     lower = string.ascii_lowercase
     dirs = {}
-    for f in FACTORS:
+    for f in factors:
         d = os.path.join(BASE, f"f{f}")
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d)
@@ -498,9 +499,90 @@ def regions_probe(spark, n_docs: int = 2000,
     return out
 
 
+def sketches_probe(spark, sf_dir: str) -> dict:
+    """Round-7 sketch rungs vs their exact twins over inflated events
+    (1x/4x/16x): the sketch side's OUTPUT stays bounded (columns x 1024
+    registers; groups x ~250 bins) while the exact side's
+    multi-distinct / per-group percentile pays a value shuffle that
+    grows with rows — the measured basis for docs/SCALE.md's "merge
+    integers, don't rescan" claims.  Exact-percentile twin is computed
+    inline (percentile() over the same quantized values, same groups)
+    because the engine itself deliberately has no such query."""
+    from beam_scala_examples_spark.queries.dq import (
+        PROFILE_VAL_SCALE,
+        dq_profile_events,
+        dq_profile_events_sketch,
+        dq_value_quantiles_by_type,
+    )
+
+    # one factor beyond the default probe ladder — the profiler's
+    # crossover (exact multi-distinct vs sketch) lands around 16-64x
+    dirs = build_dirs(spark, sf_dir, factors=(1, 4, 16, 64))
+
+    def timed(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return round(best, 2)
+
+    out: dict = {}
+    for f, d in sorted(dirs.items()):
+        ev = load(spark, d, "events")
+        n = ev.count()
+
+        def run(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        exact_pct = (
+            ev.filter(F.col("value").isNotNull())
+            .select(
+                "event_type",
+                F.expr(
+                    f"cast(round(value * {PROFILE_VAL_SCALE}, 0)"
+                    " as bigint)"
+                ).alias("q"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.expr("percentile(q, 0.5)").alias("p50"),
+                F.expr("percentile(q, 0.9)").alias("p90"),
+                F.expr("percentile(q, 0.99)").alias("p99"),
+            )
+        )
+        out[f"{f}x"] = {
+            "rows": n,
+            "profiler_exact_s": timed(
+                lambda: run(dq_profile_events(spark, d))
+            ),
+            "profiler_sketch_s": timed(
+                lambda: run(dq_profile_events_sketch(spark, d))
+            ),
+            "pct_exact_s": timed(lambda: run(exact_pct)),
+            "pct_sketch_s": timed(
+                lambda: run(dq_value_quantiles_by_type(spark, d))
+            ),
+            "sketch_out_rows": dq_value_quantiles_by_type(spark, d).count(),
+        }
+        print(f"sketches {f}x: {out[f'{f}x']}", flush=True)
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
-            if a not in ("--whale", "--carry", "--islands", "--regions")]
+            if a not in ("--whale", "--carry", "--islands", "--regions",
+                         "--sketches")]
+    if "--sketches" in sys.argv[1:]:
+        sf_dir = args[0] if args else "/root/testdata/sf0.1"
+        out_json = args[1] if len(args) > 1 else "/tmp/sketches_probe.json"
+        spark = get_spark(app_name="sketches-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        res = sketches_probe(spark, sf_dir)
+        with open(out_json, "w") as f:
+            json.dump(res, f, indent=1)
+        spark.stop()
+        return
     if "--regions" in sys.argv[1:]:
         n = int(args[0]) if args else 2000
         out_json = args[1] if len(args) > 1 else "/tmp/regions_probe.json"
