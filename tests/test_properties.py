@@ -758,3 +758,77 @@ def test_winnow_regions_locate_planted_copy(spark):
         assert ln <= copy_len         # never claims more than the copy
         assert ln >= copy_len - 2 * (K_WINNOW + 4)  # covers its bulk
         assert np_ >= 2
+
+
+def _vbin_py(q: int) -> tuple[int, int]:
+    """Pure-Python mirror of the dq.vbin_partial_counts binning (sign,
+    vbin) — msb via bit length, top-2 mantissa bits sub-bin."""
+    if q == 0:
+        return 0, 0
+    sign = -1 if q < 0 else 1
+    v = abs(q)
+    msb = v.bit_length() - 1
+    sub = ((v * 4) >> msb) - 4
+    return sign, 4 * msb + sub
+
+
+def _vbin_bounds_py(vbin: int) -> tuple[int, int]:
+    """Inclusive magnitude bounds of a bin — the _VBIN_LO_U/_VBIN_HI_U
+    ceil forms."""
+    msb, sub = vbin // 4, vbin % 4
+    lo = ((4 + sub) * (1 << msb) + 3) // 4
+    hi = ((5 + sub) * (1 << msb) + 3) // 4 - 1
+    return lo, hi
+
+
+@given(st.integers(min_value=-(2**52), max_value=2**52))
+@settings(max_examples=500, deadline=None)
+def test_vbin_binning_partitions_integers(q):
+    """Round-7 quantile-sketch law (pure Python, no Spark): every
+    quantized value lands in exactly one bin whose inclusive bounds
+    contain its magnitude, and the bin's relative width respects the
+    gamma = 2^(1/4) design bound (hi/lo <= ~1.26 beyond the unit
+    bins) — so a quantile answered from bin bounds is within the
+    documented relative error."""
+    sign, vbin = _vbin_py(q)
+    if q == 0:
+        assert (sign, vbin) == (0, 0)
+        return
+    assert sign == (1 if q > 0 else -1)
+    lo, hi = _vbin_bounds_py(vbin)
+    assert lo <= abs(q) <= hi, (q, vbin, lo, hi)
+    # neighbours don't overlap: value just outside lands elsewhere
+    if abs(q) == lo and lo > 1:
+        s2, b2 = _vbin_py((lo - 1) * sign)
+        assert b2 != vbin
+    if abs(q) == hi:
+        s3, b3 = _vbin_py((hi + 1) * sign)
+        assert b3 != vbin
+    # gamma bound: 4 sub-bins per octave => hi/lo <= 2^(1/4) rounded up
+    if lo >= 4:
+        assert hi * 100 <= lo * 126, (vbin, lo, hi)
+
+
+def test_vbin_spark_matches_python_mirror(spark):
+    """The Spark binning expressions produce exactly the Python-mirror
+    bins over a boundary-heavy value grid (powers of two, sub-bin
+    edges, negatives, zero)."""
+    from beam_scala_examples_spark.queries.dq import vbin_partial_counts
+
+    qs = {0, 1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17}
+    for e in (5, 10, 20, 40):
+        base = 1 << e
+        qs.update({base - 1, base, base + 1, base * 3 // 2, base * 7 // 4})
+    vals = sorted(qs | {-q for q in qs})
+    df = spark.createDataFrame(
+        [(float(q) / 10**6,) for q in vals], "value double"
+    )
+    got = {
+        (r.sign, r.vbin): r.cnt
+        for r in vbin_partial_counts(df, "value").collect()
+    }
+    expect: dict = {}
+    for q in vals:
+        k = _vbin_py(q)
+        expect[k] = expect.get(k, 0) + 1
+    assert got == expect
