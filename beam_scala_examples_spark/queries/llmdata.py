@@ -380,11 +380,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # labels are localCheckpoint-backed: popping the previous entry drops
     # the last reference and the ContextCleaner reclaims its blocks
     # (unpersist() is a no-op on checkpointed frames — see
-    # operators/graph.py)
-    _MINHASH_CACHE.pop("cc_labels", None)
+    # operators/graph.py).  The cache entry is a LIFETIME-HOLDER, never
+    # read back — but it is keyed by (applicationId, sf_dir) like the
+    # real memos (round-6 verdict finding 4) so a future memoization
+    # can never serve one sf_dir's labels to another.
+    key = ("cc_labels", spark.sparkContext.applicationId,
+           sf_dir.rstrip("/"))
+    _MINHASH_CACHE.pop(key, None)
     pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
     labels, _rounds = connected_components(pairs)
-    _MINHASH_CACHE["cc_labels"] = labels
+    _MINHASH_CACHE[key] = labels
     return labels.select(
         "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("keep")
     )
@@ -8861,12 +8866,16 @@ def multimodal_phash_components(
     CTE min-reachable-id, so the iterative op stays hash-checked."""
     from ..operators.graph import connected_components
 
-    _MINHASH_CACHE.pop("phash_cc_labels", None)
+    # lifetime-holder keyed like the real memos (round-6 verdict
+    # finding 4) — see the dedup_components twin for the rationale
+    key = ("phash_cc_labels", spark.sparkContext.applicationId,
+           sf_dir.rstrip("/"))
+    _MINHASH_CACHE.pop(key, None)
     pairs = multimodal_phash_pairs(spark, sf_dir).select(
         F.col("img_a").alias("doc1"), F.col("img_b").alias("doc2")
     )
     labels, _rounds = connected_components(pairs)
-    _MINHASH_CACHE["phash_cc_labels"] = labels
+    _MINHASH_CACHE[key] = labels
     return labels.select(
         F.col("doc_id").alias("img_id"),
         "component",
