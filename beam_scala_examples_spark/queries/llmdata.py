@@ -9017,3 +9017,70 @@ ORACLE["data_dataset_card"] = f"""
           WHERE coverage_bp > {COPY_COVERAGE_MAX_BP}) ch
     CROSS JOIN (SELECT count(*)::BIGINT AS n_docs FROM documents) b
 """
+
+
+def text_winnow_coverage_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Copy coverage AGGREGATED PER SOURCE (round 7): for each source,
+    how many of its documents carry any copy region, how many exceed
+    the ``COPY_COVERAGE_MAX_BP`` policy threshold, and the source's
+    overall covered-token share in exact basis points — the view a
+    mixture designer reads to decide WHICH source needs the copyaware
+    gate (a crawl snapshot full of mirrored pages vs a curated corpus),
+    where :func:`text_winnow_coverage` answers it per document.
+
+    Scale: one aggregate over the per-doc coverage relation (which
+    itself rides the shared positioned-prints memo) joined to the
+    (doc_id, source) projection — O(docs) slim rows in, O(sources)
+    out."""
+    docs = load(spark, sf_dir, "documents")
+    cov = text_winnow_coverage(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    return (
+        cov.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("covered_tokens") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered_docs"),
+            F.sum(
+                F.when(
+                    F.col("coverage_bp") > COPY_COVERAGE_MAX_BP, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_copy_heavy"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("covered_tokens").alias("covered_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_covered_docs",
+            "n_copy_heavy",
+            F.expr(
+                "(covered_tokens * 10000) div greatest(total_tokens, 1)"
+            ).alias("covered_bp"),
+        )
+    )
+
+
+QUERIES["text_winnow_coverage_by_source"] = text_winnow_coverage_by_source
+
+ORACLE["text_winnow_coverage_by_source"] = f"""
+    WITH cov AS (
+        SELECT * FROM ({ORACLE["text_winnow_coverage"]})
+    )
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN c.covered_tokens > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_covered_docs,
+           sum(CASE WHEN c.coverage_bp > {COPY_COVERAGE_MAX_BP}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_copy_heavy,
+           (sum(c.covered_tokens) * 10000)
+               // greatest(sum(c.n_tokens), 1) AS covered_bp
+    FROM cov c JOIN documents d USING (doc_id)
+    GROUP BY d.source
+"""
