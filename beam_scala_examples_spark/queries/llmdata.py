@@ -8470,7 +8470,7 @@ ORACLE["data_dataset_card"] = f"""
             FROM documents
         ) GROUP BY 1
     ),
-    rg AS (
+    rg AS MATERIALIZED (
         SELECT * FROM ({ORACLE["text_winnow_regions"]})
     ),
     rgstats AS (
@@ -8659,7 +8659,14 @@ def winnow_coverage_from_regions(
 QUERIES["text_winnow_coverage"] = text_winnow_coverage
 
 ORACLE["text_winnow_coverage"] = f"""
-    WITH rg AS (
+    WITH rg AS MATERIALIZED (
+        -- MATERIALIZED: rg feeds BOTH interval legs of iv; round-7
+        -- full-suite run caught a once-in-many-runs DuckDB anomaly
+        -- (one doc's coverage exactly doubled, covered > n_tokens —
+        -- physically impossible from single-evaluation intervals), so
+        -- the double evaluation of this heavy subquery is removed
+        -- structurally.  Also the house rule for expensive
+        -- multi-referenced CTEs.
         SELECT * FROM ({ORACLE["text_winnow_regions"]})
     ),
     iv AS (
