@@ -2562,3 +2562,37 @@ def test_vbin_sink_by_day_matches_batch(spark, sf_dir, event_rows, tmpdir):
         for r in dq_value_quantiles_cumulative(spark, sf_dir).collect()
     )
     assert served_curve == batch_curve
+
+
+def test_scene_cut_sink_via_real_stream(spark, sf_dir, tmpdir):
+    """The scene-cut sink driven end-to-end by an actual writeStream
+    (availableNow file stream, foreachBatch) rather than direct sink
+    calls — the served stats still equal batch multimodal_scene_cuts
+    exactly."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        multimodal_scene_cuts,
+    )
+    from beam_scala_examples_spark.streaming.scenecutview import (
+        SceneCutIngestSink,
+    )
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream,
+        write_arrival_chunks,
+    )
+
+    rows = _doc_rows(sf_dir)
+    write_arrival_chunks(
+        [{"doc_id": r["doc_id"], "text": r["text"]} for r in rows],
+        200,
+        f"{tmpdir}/scenefeed",
+    )
+    stream = read_event_stream(
+        spark, f"{tmpdir}/scenefeed", schema="doc_id long, text string"
+    )
+    sink = SceneCutIngestSink(f"{tmpdir}/cuts")
+    _run_stream(stream, "append", sink, tmpdir)
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in multimodal_scene_cuts(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
