@@ -939,3 +939,168 @@ def scene_cuts_y4m_metadata(with_payload: DataFrame,
             ]
 
     return with_payload.mapInPandas(dec, schema=SCENE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Round-8: per-scene keyframe signatures — the video near-dup ladder's
+# signature extractor (verdict item 3).  Composes the round-6 pieces:
+# scene segmentation reuses scene_cuts_y4m's exact frame walk and
+# adaptive integer cut rule; each scene is then signed by its KEYFRAME
+# (first sampled frame of the scene) with the md5-prefix integer idiom
+# the text dedup family uses — so a video becomes an O(scenes) set of
+# slim int64 signatures, and near-dup detection becomes the same
+# bucket-join + verified-overlap shape as every other dedup rung.
+# Reference anchor for the sampling shape: the sliding/sampled windowing
+# ported from complete/TrafficMaxLaneFlow.scala:63-64; the composition
+# (scene segmentation -> keyframe signatures -> banded pairs) is new.
+# --------------------------------------------------------------------------
+
+VIDEO_SIG_SCHEMA = (
+    "vid_id long, scene_idx long, scene_len long, plane_px long,"
+    " sig long"
+)
+
+
+def scene_keyframes_y4m(payload: bytes, stride: int = 2) -> list[dict]:
+    """Per-scene keyframe signatures from a real Y4M stream: the same
+    header parse, FRAME-marker stride, and skipped-frame arithmetic as
+    :func:`scene_cuts_y4m`, then scenes = maximal runs of sampled
+    frames between adaptive cuts (``SCENE_CUT_NUM/DEN`` — the rule
+    needs the per-video SAD mean, so segmentation happens after the
+    single walk), and each scene's signature is the md5-prefix integer
+    of its keyframe's luma bytes rendered as the space-joined decimal
+    string both engines can derive from text.  Sampled lumas are
+    retained for the walk's duration — O(n_sampled × plane) per video;
+    a long-video production variant would two-pass the stream (SADs
+    first, keyframes second) to keep memory O(plane).
+
+    Returns one dict per scene: scene_idx (0-based), scene_len
+    (sampled frames in the scene), plane_px (luma plane size — the
+    pair rung gates degenerate planes on it, the PHASH_MIN_BITS twin),
+    sig (int64)."""
+    import hashlib
+
+    import numpy as np
+
+    if stride < 1:
+        raise ValueError("frame stride must be >= 1")
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    ctag = "C420jpeg"
+    for tok in payload[:nl].decode("ascii", "replace").split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "C":
+            ctag = tok
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError("missing or non-positive Y4M dimensions")
+    if ctag.startswith("C444"):
+        chroma = 2 * w * h
+    elif ctag.startswith("C420"):
+        if w % 2 or h % 2:
+            raise ValueError("odd dimensions with 4:2:0 chroma")
+        chroma = (w // 2) * (h // 2) * 2
+    else:
+        raise ValueError(f"unsupported colourspace {ctag}")
+    frame_bytes = w * h + chroma
+    pos = nl + 1
+    n_frames = 0
+    lumas: list = []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt FRAME marker")
+        fnl = payload.find(b"\n", pos + 5)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME marker")
+        body = fnl + 1
+        if body + frame_bytes > len(payload):
+            raise ValueError("truncated Y4M frame")
+        if n_frames % stride == 0:
+            lumas.append(
+                np.frombuffer(
+                    payload, dtype=np.uint8, count=w * h, offset=body
+                ).astype(np.int64)
+            )
+        n_frames += 1
+        pos = body + frame_bytes
+    if n_frames == 0:
+        raise ValueError("no frames")
+    sads = [
+        int(np.abs(lumas[k] - lumas[k - 1]).sum())
+        for k in range(1, len(lumas))
+    ]
+    nt, ssum = len(sads), sum(sads)
+    # scene id of sampled frame k = cuts among transitions 1..k
+    scene_of = [0]
+    for k in range(1, len(lumas)):
+        cut = SCENE_CUT_NUM * sads[k - 1] * nt > SCENE_CUT_DEN * ssum
+        scene_of.append(scene_of[-1] + (1 if cut else 0))
+    out: list[dict] = []
+    for s in range(scene_of[-1] + 1):
+        members = [k for k, sid in enumerate(scene_of) if sid == s]
+        key = lumas[members[0]]
+        digest = hashlib.md5(
+            " ".join(str(int(v)) for v in key).encode()
+        ).hexdigest()
+        out.append(
+            {
+                "scene_idx": s,
+                "scene_len": len(members),
+                "plane_px": w * h,
+                "sig": int(digest[:8], 16),
+            }
+        )
+    return out
+
+
+def attach_y4m_payload_keyed(vids: DataFrame) -> DataFrame:
+    """(vid_id, doc_id, text) -> (vid_id, payload): renders each row's
+    text into a real Y4M stream.  Geometry and frame count stay
+    functions of the underlying ``doc_id`` (exactly like
+    :func:`attach_bmp_payload_keyed`), so a variant video of the same
+    document keeps the original dimensions and length."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "vid_id": pdf["vid_id"].values,
+                    "payload": [
+                        encode_y4m(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return vids.select("vid_id", "doc_id", "text").mapInPandas(
+        enc, schema="vid_id long, payload binary"
+    )
+
+
+def scene_keyframes_y4m_metadata(
+    with_payload: DataFrame, stride: int = 2
+) -> DataFrame:
+    """Arrow-batched per-scene keyframe signatures over Y4M payloads:
+    (vid_id, payload) -> one row per scene.  Narrow — payload bytes
+    never leave their task; the output is O(scenes) slim rows."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for v, p in zip(pdf["vid_id"], pdf["payload"]):
+                for scene in scene_keyframes_y4m(bytes(p), stride):
+                    rows.append(
+                        (int(v), scene["scene_idx"], scene["scene_len"],
+                         scene["plane_px"], scene["sig"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["vid_id", "scene_idx", "scene_len",
+                         "plane_px", "sig"],
+            )
+
+    return with_payload.mapInPandas(dec, schema=VIDEO_SIG_SCHEMA)

@@ -41,3 +41,12 @@ for _m in _MODULES:
 _extra = set(ORACLE) - set(QUERIES)
 if _extra:
     raise ValueError(f"oracle entries without queries: {sorted(_extra)}")
+
+# Round-8 determinism hardening: materialize the execution-verified
+# at-risk CTEs (multi-referenced + window/UNION body — the round-7
+# double-evaluation flake shape).  ORACLE_RAW keeps the unhardened SQL
+# for tools/oracle_stability.py to re-verify against.
+from .oraclelint import harden_oracles as _harden  # noqa: E402
+
+ORACLE_RAW: dict[str, str] = dict(ORACLE)
+ORACLE = _harden(ORACLE)

@@ -1115,9 +1115,23 @@ def vbin_partial_counts(
     quantized value, its magnitude, and its msb are each staged ONCE
     via ``withColumn`` (the ``hll_partial_registers`` discipline).
     ``scale=1`` bins an already-integer column exactly (bounds then
-    read in the column's own units)."""
+    read in the column's own units).
+
+    Input bound: |value·scale| must fit int64 (raw |value| <= ~9.2e12
+    at the default micro scale) — within that, the binning is exact
+    for EVERY representable magnitude: the sub-bin reads the top two
+    mantissa bits as ``shiftright(__v, __m - 2)`` for ``__m >= 2``
+    (identical to ``shiftright(__v * 4, __m)`` but with no multiply
+    that could wrap at |q| >= 2^61), and NaN is rejected alongside
+    NULL (Spark would round NaN to a NULL bin row while DuckDB errors
+    casting NaN — a silent cross-engine divergence otherwise)."""
     staged = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.expr(
+                f"{value_col} IS NOT NULL"
+                f" AND NOT isnan(cast({value_col} as double))"
+            )
+        )
         .withColumn(
             "__q",
             F.expr(
@@ -1135,7 +1149,10 @@ def vbin_partial_counts(
                 " else 1 end as bigint)"
             ).alias("sign"),
             F.expr(
-                "cast(case when __q = 0 then 0 else 4 * __m"
+                "cast(case when __q = 0 then 0"
+                " when __m >= 2 then 4 * __m"
+                " + shiftright(__v, __m - 2) - 4"
+                " else 4 * __m"
                 " + shiftright(__v * 4, __m) - 4 end as bigint)"
             ).alias("vbin"),
         )
@@ -1153,17 +1170,24 @@ def _vbin_duck(grp_select: str, grp_by: str) -> str:
     vq AS (
         SELECT {grp_select} round(value::DOUBLE * {VBIN_SCALE})::BIGINT
                    AS q
-        FROM events WHERE value IS NOT NULL
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+    ),
+    vm AS (
+        SELECT {grp_by} q, abs(q) AS v,
+               (CASE WHEN q = 0 THEN 0
+                     ELSE length(bin(abs(q))) - 1 END) AS m
+        FROM vq
     ),
     vbinned AS (
         SELECT {grp_by}
                (CASE WHEN q < 0 THEN -1 WHEN q = 0 THEN 0
                      ELSE 1 END)::BIGINT AS sign,
                (CASE WHEN q = 0 THEN 0
-                     ELSE 4 * (length(bin(abs(q))) - 1)
-                          + ((abs(q) * 4) >> (length(bin(abs(q))) - 1))
-                          - 4 END)::BIGINT AS vbin
-        FROM vq
+                     WHEN m >= 2 THEN 4 * m + (v >> (m - 2)) - 4
+                     ELSE 4 * m + ((v * 4) >> m) - 4
+                END)::BIGINT AS vbin
+        FROM vm
     ),
     vbins AS (
         SELECT {grp_by} sign, vbin, count(*)::BIGINT AS cnt
@@ -1752,15 +1776,21 @@ ORACLE["dq_doclen_quantiles_by_source"] = (
         SELECT source, len({_DOCLEN_DUCK_TOKS})::BIGINT AS q
         FROM documents
     ),
+    vm AS (
+        SELECT source, q, abs(q) AS v,
+               (CASE WHEN q = 0 THEN 0
+                     ELSE length(bin(abs(q))) - 1 END) AS m
+        FROM vq
+    ),
     vbinned AS (
         SELECT source,
                (CASE WHEN q < 0 THEN -1 WHEN q = 0 THEN 0
                      ELSE 1 END)::BIGINT AS sign,
                (CASE WHEN q = 0 THEN 0
-                     ELSE 4 * (length(bin(abs(q))) - 1)
-                          + ((abs(q) * 4) >> (length(bin(abs(q))) - 1))
-                          - 4 END)::BIGINT AS vbin
-        FROM vq
+                     WHEN m >= 2 THEN 4 * m + (v >> (m - 2)) - 4
+                     ELSE 4 * m + ((v * 4) >> m) - 4
+                END)::BIGINT AS vbin
+        FROM vm
     ),
     vbins AS (
         SELECT source, sign, vbin, count(*)::BIGINT AS cnt

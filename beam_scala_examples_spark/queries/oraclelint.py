@@ -1,0 +1,218 @@
+"""Oracle-determinism hardening (round 8).
+
+Round 7's single correctness flake was a DuckDB double-evaluation of a
+multi-referenced UNMATERIALIZED CTE: the windowed-islands ``rg`` CTE in
+the winnow-coverage oracle fed two UNION legs un-materialized and one
+run produced a physically impossible row (``docs/ROUND7_NOTES.md``).
+The fix there was ``AS MATERIALIZED``; the audit found the same risk
+SHAPE — a CTE that is (a) referenced more than once AND (b) contains a
+window (``OVER (``) or UNION composition — in ~146 oracles that had
+merely been empirically green.
+
+This module closes the class mechanically instead of hand-editing 146
+composed f-strings:
+
+ - :func:`parse_ctes` — an exact scanner over the oracle's OUTERMOST
+   ``WITH`` list (paren/quote aware, no regex guessing of spans);
+ - :func:`at_risk_ctes` — the audit rule above;
+ - :func:`materialize` — inserts ``MATERIALIZED`` at the recorded
+   definition span for a verified-safe name list;
+ - :func:`harden_oracles` — applies the committed, execution-verified
+   per-oracle name lists (``oracle_materialize.json``, produced by
+   ``tools/oracle_stability.py --emit``: each hardened oracle must run
+   repeatedly AND hash-equal its unhardened form before it is listed —
+   DuckDB rejects MATERIALIZED in a few compositions with an internal
+   "Recursive CTE scan" error, so blind insertion is not safe).
+
+The registry in ``queries/__init__.py`` applies :func:`harden_oracles`
+at import, so the driver's correctness gate, the parity sweeps, and
+``tools/oracle_stability.py --check`` all exercise the hardened SQL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+
+_WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_RISK_BODY = re.compile(r"\bOVER\s*\(|\bUNION\b", re.IGNORECASE)
+
+
+@dataclass
+class Cte:
+    name: str
+    name_start: int      # offset of the name token
+    body_start: int      # offset of the opening '(' of the body
+    body_end: int        # offset just past the closing ')'
+    materialized: bool
+
+
+def _skip_ws_and_comments(sql: str, i: int) -> int:
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c in " \t\r\n":
+            i += 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            break
+    return i
+
+
+def _scan_parens(sql: str, i: int) -> int:
+    """``sql[i]`` is '('; return offset just past its matching ')'.
+    Quote- and comment-aware (single quotes; doubled '' escapes)."""
+    depth = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        elif c == "(":
+            depth += 1
+            i += 1
+        elif c == ")":
+            depth -= 1
+            i += 1
+            if depth == 0:
+                return i
+        else:
+            i += 1
+    raise ValueError("unbalanced parentheses in oracle SQL")
+
+
+def parse_ctes(sql: str) -> tuple[list[Cte], int]:
+    """Parse the OUTERMOST ``WITH name AS [MATERIALIZED] (...), ...``
+    list.  Returns (ctes, main_query_start); ([], 0) when the statement
+    does not lead with WITH.  Nested WITHs inside CTE bodies are left
+    alone (their spans are inside a recorded body)."""
+    i = _skip_ws_and_comments(sql, 0)
+    m = _WORD.match(sql, i)
+    if not m or m.group(0).upper() != "WITH":
+        return [], 0
+    i = m.end()
+    out: list[Cte] = []
+    while True:
+        i = _skip_ws_and_comments(sql, i)
+        m = _WORD.match(sql, i)
+        if not m:
+            raise ValueError(f"expected CTE name at offset {i}")
+        name, name_start = m.group(0), i
+        if name.upper() == "RECURSIVE" and not out:
+            i = m.end()
+            continue
+        i = _skip_ws_and_comments(sql, m.end())
+        if i < len(sql) and sql[i] == "(":  # optional (column list)
+            i = _skip_ws_and_comments(sql, _scan_parens(sql, i))
+        m = _WORD.match(sql, i)
+        if not m or m.group(0).upper() != "AS":
+            raise ValueError(f"expected AS after CTE {name!r}")
+        i = _skip_ws_and_comments(sql, m.end())
+        materialized = False
+        m = _WORD.match(sql, i)
+        if m and m.group(0).upper() == "NOT":
+            i = _skip_ws_and_comments(sql, m.end())
+            m = _WORD.match(sql, i)
+            if not m or m.group(0).upper() != "MATERIALIZED":
+                raise ValueError(f"expected MATERIALIZED after NOT in {name!r}")
+            i = _skip_ws_and_comments(sql, m.end())
+        elif m and m.group(0).upper() == "MATERIALIZED":
+            materialized = True
+            i = _skip_ws_and_comments(sql, m.end())
+        if i >= len(sql) or sql[i] != "(":
+            raise ValueError(f"expected ( for CTE {name!r} body")
+        body_end = _scan_parens(sql, i)
+        out.append(Cte(name, name_start, i, body_end, materialized))
+        j = _skip_ws_and_comments(sql, body_end)
+        if j < len(sql) and sql[j] == ",":
+            i = j + 1
+            continue
+        return out, j
+
+
+def _ref_count(sql: str, cte: Cte, all_ctes: list[Cte]) -> int:
+    """Occurrences of the CTE name OUTSIDE its own definition header —
+    i.e. in later CTE bodies and the main query.  Word-boundary count;
+    a column sharing the name inflates the count (conservative: may
+    flag, never hides a multi-reference)."""
+    masked = sql[: cte.name_start] + " " * (
+        cte.body_end - cte.name_start
+    ) + sql[cte.body_end:]
+    return len(
+        re.findall(rf"(?<![A-Za-z0-9_.]){re.escape(cte.name)}\b", masked)
+    )
+
+
+def at_risk_ctes(sql: str) -> list[str]:
+    """Names of un-materialized top-level CTEs that are multi-referenced
+    AND whose body carries a window or UNION composition — the round-7
+    flake shape."""
+    ctes, _ = parse_ctes(sql)
+    out = []
+    for c in ctes:
+        if c.materialized:
+            continue
+        body = sql[c.body_start:c.body_end]
+        if not _RISK_BODY.search(body):
+            continue
+        if _ref_count(sql, c, ctes) >= 2:
+            out.append(c.name)
+    return out
+
+
+def materialize(sql: str, names: list[str] | set[str]) -> str:
+    """Insert ``MATERIALIZED`` into the definitions of ``names``.
+    Names that are absent or already materialized are skipped (the
+    stability tool's --check mode reports stale lists)."""
+    want = set(names)
+    ctes, _ = parse_ctes(sql)
+    inserts = [
+        c.body_start
+        for c in ctes
+        if c.name in want and not c.materialized
+    ]
+    for pos in sorted(inserts, reverse=True):
+        sql = sql[:pos] + "MATERIALIZED " + sql[pos:]
+    return sql
+
+
+_DATA_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "oracle_materialize.json"
+)
+
+
+def load_materialize_lists() -> dict[str, list[str]]:
+    if not os.path.exists(_DATA_PATH):
+        return {}
+    with open(_DATA_PATH) as f:
+        return json.load(f)
+
+
+def harden_oracles(oracle: dict[str, str]) -> dict[str, str]:
+    """Apply the committed, execution-verified materialization lists."""
+    lists = load_materialize_lists()
+    return {
+        name: materialize(sql, lists[name]) if name in lists else sql
+        for name, sql in oracle.items()
+    }

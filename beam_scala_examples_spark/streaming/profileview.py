@@ -42,6 +42,7 @@ from ..queries.dq import (
     profile_value_quantiles,
     vbin_partial_counts,
 )
+from .logio import read_log, write_log_partition
 
 
 class ProfileSketchSink:
@@ -52,6 +53,7 @@ class ProfileSketchSink:
         self.stats_path = f"{base_path}/profile_stats"
         self.regs_path = f"{base_path}/profile_regs"
         self.vbins_path = f"{base_path}/profile_vbins"
+        self._schemas: dict[str, object] = {}
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -69,18 +71,14 @@ class ProfileSketchSink:
         vbins = vbin_partial_counts(batch_df, "value")
         for df, path in ((stats, self.stats_path), (regs, self.regs_path),
                          (vbins, self.vbins_path)):
-            (
-                df.withColumn("batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(path)
-            )
+            self._schemas[path] = write_log_partition(df, batch_id, path)
 
     def serving_view(self, spark: SparkSession) -> DataFrame:
         """The sketched profile report — identical integer expressions
         to the batch ``dq_profile_events_sketch``, over the logs."""
-        stats = spark.read.parquet(self.stats_path).agg(
+        stats = read_log(
+            spark, self.stats_path, self._schemas.get(self.stats_path)
+        ).agg(
             F.sum("n_rows").alias("n_rows"),
             *[
                 F.sum(f"null_{c}").alias(f"null_{c}")
@@ -88,7 +86,9 @@ class ProfileSketchSink:
             ],
         )
         merged = (
-            spark.read.parquet(self.regs_path)
+            read_log(
+                spark, self.regs_path, self._schemas.get(self.regs_path)
+            )
             .groupBy("column_name", "register")
             .agg(F.max("max_rank").alias("max_rank"))
         )
@@ -113,7 +113,9 @@ class ProfileSketchSink:
             F.expr("(n_null * 10000) div n_rows").alias("null_bp"),
         )
         vq = profile_value_quantiles(
-            spark.read.parquet(self.vbins_path)
+            read_log(
+                spark, self.vbins_path, self._schemas.get(self.vbins_path)
+            )
             .groupBy("sign", "vbin")
             .agg(F.sum("cnt").alias("cnt"))
         )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.dq import VBIN_SCALE, vbin_partial_counts
+from .logio import read_log, write_log_partition
 
 
 class VbinIngestSink:
@@ -36,25 +37,24 @@ class VbinIngestSink:
         self.value_col = value_col
         self.group_cols = tuple(group_cols)
         self.scale = scale
+        self._log_schema = None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         partial = vbin_partial_counts(
             batch_df, self.value_col, group_cols=self.group_cols,
             scale=self.scale,
         )
-        (
-            partial.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(self.log_path)
+        self._log_schema = write_log_partition(
+            partial, batch_id, self.log_path
         )
 
     def serving_view(self, spark: SparkSession) -> DataFrame:
         """The merged sketch: sum over every batch's partial counters —
-        identical to binning the full corpus."""
+        identical to binning the full corpus.  Explicit-schema read:
+        an all-NULL stream so far serves the empty relation instead of
+        failing schema inference on a file-less log."""
         return (
-            spark.read.parquet(self.log_path)
+            read_log(spark, self.log_path, self._log_schema)
             .groupBy(*self.group_cols, "sign", "vbin")
             .agg(F.sum("cnt").alias("cnt"))
         )

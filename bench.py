@@ -249,6 +249,68 @@ def exit_code(
     return 0
 
 
+# ---------------------------------------------------------------------------
+# Capture hygiene (round-8, verdict item 2): the committed BENCH_r07.json
+# was a contention-inflated capture — 22/24 shared queries 5-45% above
+# r06 including queries whose code did not change, because other Spark
+# JVMs ran concurrently (the repo's measured 10-30% inflation).  A bench
+# number is only trustworthy with EVIDENCE it ran alone, so every capture
+# is stamped with the foreign-JVM count and 1-min loadavg observed before
+# the session starts (and the foreign-JVM count again at the end — our
+# own run saturates loadavg, so only the JVM census is meaningful there).
+# --strict refuses to start dirty and writes bench_detail.json only when
+# the whole capture stayed clean (verdict item 10: one coherent
+# (stdout, detail) pair per committed capture).
+# ---------------------------------------------------------------------------
+
+def _java_pids() -> list[int]:
+    out = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/comm") as f:
+                if f.read().strip() == "java":
+                    out.append(int(pid))
+        except OSError:
+            continue
+    return out
+
+
+def _is_descendant(pid: int, root: int) -> bool:
+    for _ in range(64):  # ppid chain walk, cycle-bounded
+        if pid == root:
+            return True
+        if pid <= 1:
+            return False
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            return False
+    return False
+
+
+def foreign_jvms() -> int:
+    """Live JVMs that are NOT part of this bench process tree."""
+    me = os.getpid()
+    return sum(1 for p in _java_pids() if not _is_descendant(p, me))
+
+
+LOADAVG_CLEAN_MAX = max(4.0, (os.cpu_count() or 8) / 4)
+
+
+def capture_evidence() -> dict:
+    ev = {
+        "foreign_jvms": foreign_jvms(),
+        "loadavg1": round(os.getloadavg()[0], 2),
+    }
+    ev["clean"] = (
+        ev["foreign_jvms"] == 0 and ev["loadavg1"] <= LOADAVG_CLEAN_MAX
+    )
+    return ev
+
+
 def main() -> None:
     # --strict (round-6, CI use): band violations that SURVIVE the
     # confirm re-measure pass also exit nonzero.  Default behavior is
@@ -256,6 +318,17 @@ def main() -> None:
     # the next bands regeneration records, so interactive runs report
     # it without failing.
     strict = "--strict" in sys.argv[1:]
+
+    start_ev = capture_evidence()
+    if not start_ev["clean"]:
+        if strict:
+            print(json.dumps(
+                {"error": "dirty_capture_refused", **start_ev},
+                separators=(",", ":"),
+            ))
+            sys.exit(4)
+        print(f"WARNING: dirty capture environment: {start_ev}",
+              file=sys.stderr)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     names = bench_names()
@@ -331,26 +404,39 @@ def main() -> None:
         )
         violations = band_violations(timings, bands)
 
+    # End-of-run hygiene census: loadavg is saturated by our own run, so
+    # only foreign JVMs (someone started Spark mid-capture) count here.
+    end_foreign = foreign_jvms()
+    capture = {
+        "start": start_ev,
+        "end_foreign_jvms": end_foreign,
+        "clean": bool(start_ev["clean"] and end_foreign == 0),
+    }
+
     # Full per-query map -> file (the driver's stdout tail buffer is
-    # ~2000 bytes; the 111-query map overflowed it in round 2).
+    # ~2000 bytes; the 111-query map overflowed it in round 2).  Under
+    # --strict a dirty capture must not overwrite the committed-quality
+    # detail file (verdict item 10: keep (stdout, detail) coherent).
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "r01_shared_total": r01_shared,
-                "query_count": len(timings),
-                "band_violations": violations,
-            },
-            f,
-            indent=1,
-        )
+    if capture["clean"] or not strict:
+        with open(detail_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "headline_queries_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "r01_shared_total": r01_shared,
+                    "query_count": len(timings),
+                    "band_violations": violations,
+                    "capture": capture,
+                },
+                f,
+                indent=1,
+            )
 
     # Compact stdout line: only the r01-shared anchor subset, 2dp.
     # band_violations carries names only (full [band, now] pairs live in
@@ -370,6 +456,7 @@ def main() -> None:
                 "r01_shared_total": r01_shared,
                 "query_count": len(timings),
                 "band_violations": sorted(violations)[:10],
+                "clean": capture["clean"],
                 "detail": "bench_detail.json",
             },
             separators=(",", ":"),
@@ -380,6 +467,8 @@ def main() -> None:
     clear_session_memos()
     spark.stop()
     code = exit_code(r01_shared, bands, violations, strict)
+    if not code and strict and not capture["clean"]:
+        code = 4
     if code:
         sys.exit(code)
 

@@ -211,3 +211,25 @@ def test_clear_session_memos_rebuilds_identically(spark, sf_dir):
     assert before_struct == after_struct
     assert before_km == after_km
     assert before_prints == after_prints
+
+
+def test_bench_capture_hygiene_evidence():
+    """Round-8 capture hygiene: the contention census must see this
+    test's own Spark JVM as OURS (descendant), report foreign JVMs as a
+    non-negative count, and classify evidence with the documented clean
+    rule — so a committed bench capture carries trustworthy evidence it
+    ran alone (the r07 committed capture was contention-inflated)."""
+    import os
+
+    import bench
+
+    assert bench._is_descendant(os.getpid(), os.getpid())
+    assert not bench._is_descendant(1, os.getpid())
+    ev = bench.capture_evidence()
+    assert set(ev) == {"foreign_jvms", "loadavg1", "clean"}
+    assert ev["foreign_jvms"] >= 0
+    # the clean rule is exactly the documented predicate
+    assert ev["clean"] == (
+        ev["foreign_jvms"] == 0
+        and ev["loadavg1"] <= bench.LOADAVG_CLEAN_MAX
+    )

@@ -367,3 +367,62 @@ def test_rollup_rungs_equal_direct_global_sketches(spark, sf_dir):
         )
     )
     assert rollup == direct_top and len(rollup) > 0
+
+
+def test_vbin_extreme_magnitudes_match_python_and_duckdb(spark):
+    """Round-8 overflow hardening (ADVICE r07): quantized magnitudes at
+    and above 2^61 — where the old ``shiftright(v * 4, m)`` sub-bin
+    silently wrapped in Spark while DuckDB raised — now bin via
+    ``shiftright(v, m - 2)`` identically in Spark, DuckDB, and the
+    arbitrary-precision Python mirror; NULL and NaN rows are dropped on
+    both engines instead of diverging (Spark used to emit a NULL bin,
+    DuckDB used to error)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from beam_scala_examples_spark.queries.dq import vbin_partial_counts
+    from tests.test_properties import _vbin_py
+
+    vals = [
+        float(2**61), float(2**62), float(2**62 + 512),
+        float(2**63 - 1024), -float(2**61), -float(2**62 + 512),
+        3.0, 4.0, 0.0, 1.0, 2.0, float(2**61 - 512),
+    ]
+    rows = [(v,) for v in vals] + [(None,), (float("nan"),)]
+    df = spark.createDataFrame(rows, "value double")
+    got = sorted(
+        (r.sign, r.vbin, r.cnt)
+        for r in vbin_partial_counts(df, "value", scale=1).collect()
+    )
+    # arbitrary-precision mirror (doubles here are exact integers)
+    from collections import Counter
+
+    exp = Counter(_vbin_py(int(v)) for v in vals)
+    assert got == sorted((s, b, c) for (s, b), c in exp.items())
+    # DuckDB twin of the same staged integer binning
+    duck = duckdb.connect()
+    duck_rows = duck.execute(
+        """
+        WITH vq AS (
+            SELECT round(value::DOUBLE)::BIGINT AS q
+            FROM (SELECT unnest(?) AS value)
+            WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+        ),
+        vm AS (
+            SELECT q, abs(q) AS v,
+                   (CASE WHEN q = 0 THEN 0
+                         ELSE length(bin(abs(q))) - 1 END) AS m
+            FROM vq
+        )
+        SELECT (CASE WHEN q < 0 THEN -1 WHEN q = 0 THEN 0
+                     ELSE 1 END)::BIGINT AS sign,
+               (CASE WHEN q = 0 THEN 0
+                     WHEN m >= 2 THEN 4 * m + (v >> (m - 2)) - 4
+                     ELSE 4 * m + ((v * 4) >> m) - 4
+                END)::BIGINT AS vbin,
+               count(*)::BIGINT AS cnt
+        FROM vm GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        [vals + [None, float("nan")]],
+    ).fetchall()
+    assert got == [tuple(r) for r in duck_rows]

@@ -1,0 +1,108 @@
+"""Round-8 oracle-determinism hardening: the CTE scanner, the at-risk
+rule, and the exact-span materializer that closes the round-7
+double-evaluation flake class (docs/ROUND7_NOTES.md)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from beam_scala_examples_spark.queries import ORACLE, ORACLE_RAW
+from beam_scala_examples_spark.queries.oraclelint import (
+    at_risk_ctes,
+    harden_oracles,
+    load_materialize_lists,
+    materialize,
+    parse_ctes,
+)
+
+_SQL = """
+    WITH rg AS (
+        SELECT a, row_number() OVER (ORDER BY a) AS rn FROM t
+    ),
+    plain AS (SELECT 1 AS one),
+    u AS (
+        SELECT a FROM x UNION ALL SELECT a FROM y
+    )
+    SELECT a, rn FROM rg JOIN u USING (a)
+    UNION ALL
+    SELECT a, rn FROM rg JOIN plain ON plain.one = 1
+"""
+
+
+def test_parse_ctes_spans_and_flags():
+    ctes, main_start = parse_ctes(_SQL)
+    assert [c.name for c in ctes] == ["rg", "plain", "u"]
+    assert not any(c.materialized for c in ctes)
+    # spans are exact: each body starts at '(' and ends just past ')'
+    for c in ctes:
+        assert _SQL[c.body_start] == "("
+        assert _SQL[c.body_end - 1] == ")"
+    assert _SQL[main_start:].lstrip().startswith("SELECT")
+    # statements without a leading WITH parse as no CTEs
+    assert parse_ctes("SELECT 1") == ([], 0)
+    # quotes and comments don't confuse the paren scanner
+    tricky = (
+        "WITH a AS (SELECT '(' AS p, ')''(' AS q -- ) comment\n"
+        ", 1 AS r) SELECT a.r FROM a, a AS b"
+    )
+    ctes, _ = parse_ctes(tricky)
+    assert [c.name for c in ctes] == ["a"]
+    # optional column list (the recursive-CC oracle shape)
+    rec = (
+        "WITH RECURSIVE reach (node, root) AS ("
+        "SELECT node, node FROM v UNION ALL "
+        "SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.node)"
+        " SELECT * FROM reach"
+    )
+    ctes, _ = parse_ctes(rec)
+    assert [c.name for c in ctes] == ["reach"]
+
+
+def test_at_risk_rule():
+    # rg: windowed + referenced twice -> at risk; u: UNION body but
+    # referenced once -> safe; plain: multi-use but riskless body
+    assert at_risk_ctes(_SQL) == ["rg"]
+    # already-materialized CTEs are never re-flagged
+    assert at_risk_ctes(materialize(_SQL, ["rg"])) == []
+
+
+def test_materialize_inserts_at_definition_only():
+    out = materialize(_SQL, ["rg"])
+    assert "rg AS MATERIALIZED (" in out.replace("\n", " ").replace(
+        "  ", " "
+    ).replace("  ", " ") or "rg AS (" not in out
+    # the two CONSUMING references are untouched
+    assert out.count("MATERIALIZED") == 1
+    # absent names are skipped silently
+    assert materialize(_SQL, ["nope"]) == _SQL
+    # idempotent
+    assert materialize(out, ["rg"]) == out
+
+
+def test_materialized_sql_equivalent_in_duckdb():
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT range AS a FROM range(5)")
+    con.sql("CREATE TABLE x AS SELECT range AS a FROM range(3)")
+    con.sql("CREATE TABLE y AS SELECT range + 2 AS a FROM range(3)")
+    base = sorted(con.sql(_SQL).fetchall())
+    hard = sorted(con.sql(materialize(_SQL, ["rg"])).fetchall())
+    assert base == hard and len(base) > 0
+
+
+def test_committed_lists_apply_cleanly():
+    """Registry invariant: every committed materialization entry names
+    a present, unmaterialized CTE of the RAW oracle, and the hardened
+    registry differs from RAW exactly on the listed oracles."""
+    lists = load_materialize_lists()
+    assert lists, "oracle_materialize.json missing or empty"
+    for name, names in lists.items():
+        assert name in ORACLE_RAW, name
+        ctes, _ = parse_ctes(ORACLE_RAW[name])
+        have = {c.name for c in ctes if not c.materialized}
+        assert set(names) <= have, (name, names)
+        assert ORACLE[name] != ORACLE_RAW[name]
+        assert ORACLE[name].count("MATERIALIZED") >= len(names)
+    unchanged = set(ORACLE) - set(lists)
+    assert all(ORACLE[n] == ORACLE_RAW[n] for n in unchanged)
+    # and the hardened registry is exactly harden_oracles(RAW)
+    assert ORACLE == harden_oracles(ORACLE_RAW)

@@ -2596,3 +2596,114 @@ def test_scene_cut_sink_via_real_stream(spark, sf_dir, tmpdir):
         tuple(r) for r in multimodal_scene_cuts(spark, sf_dir).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_vbin_and_profile_sinks_survive_all_null_batches(
+    spark, tmpdir
+):
+    """Round-8 empty-partial hardening (ADVICE r07): a stream whose
+    batches so far carried only NULL values writes file-less vbin log
+    partitions; serving must return the empty/NULL-percentile relation
+    (explicit-schema read via streaming.logio), not fail parquet schema
+    inference — and once real values arrive the served counters are
+    exactly the non-null binning."""
+    import pyspark.sql.functions as SF
+
+    from beam_scala_examples_spark.queries.dq import vbin_partial_counts
+    from beam_scala_examples_spark.streaming.profileview import (
+        ProfileSketchSink,
+    )
+    from beam_scala_examples_spark.streaming.vbinview import VbinIngestSink
+
+    null_batch = spark.createDataFrame(
+        [(None,), (None,), (float("nan"),)], "value double"
+    )
+    sink = VbinIngestSink(f"{tmpdir}/vbin_null_log")
+    sink(null_batch, 0)
+    assert sink.serving_view(spark).count() == 0  # empty, no error
+    real = spark.createDataFrame(
+        [(1.5,), (2.5,), (None,), (-3.25,)], "value double"
+    )
+    sink(real, 1)
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in vbin_partial_counts(real, "value").collect()
+    )
+    assert got == expect and len(got) > 0
+
+    # the profile sink's vbins leg has the same degenerate corner; the
+    # report must serve NULL percentile bounds, not raise
+    ev_schema = (
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp_ntz, props string"
+    )
+    psink = ProfileSketchSink(f"{tmpdir}/profile_null")
+    psink(
+        spark.createDataFrame(
+            [
+                (1, 10, "click", None, None, None),
+                (2, 11, "view", None, None, None),
+            ],
+            ev_schema,
+        ),
+        0,
+    )
+    report = psink.serving_view(spark)
+    rows = {r.column_name: r for r in report.collect()}
+    assert rows["value"].n_null == 2
+    assert rows["value"].p50_lo is None
+
+
+def test_video_sig_sink_pairs_match_batch(spark, sf_dir, tmpdir):
+    """Round-8 video near-dup ingest: the signature registry built over
+    a real availableNow writeStream serves the identical Jaccard-
+    verified pair relation to batch multimodal_video_pairs; replaying
+    the latest batch changes nothing (dynamic-overwrite idempotency);
+    and the registry rows themselves equal batch
+    multimodal_video_scenes."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        multimodal_video_pairs,
+        multimodal_video_scenes,
+    )
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream,
+        write_arrival_chunks,
+    )
+    from beam_scala_examples_spark.streaming.videodupview import (
+        VideoSigIngestSink,
+    )
+
+    rows = _doc_rows(sf_dir)
+    write_arrival_chunks(
+        [{"doc_id": r["doc_id"], "text": r["text"]} for r in rows],
+        200,
+        f"{tmpdir}/vidfeed",
+    )
+    stream = read_event_stream(
+        spark, f"{tmpdir}/vidfeed", schema="doc_id long, text string"
+    )
+    sink = VideoSigIngestSink(f"{tmpdir}/vidsigs")
+    _run_stream(stream, "append", sink, tmpdir)
+    got_sigs = sorted(
+        tuple(r) for r in sink.signatures(spark).collect()
+    )
+    expect_sigs = sorted(
+        tuple(r)
+        for r in multimodal_video_scenes(spark, sf_dir).collect()
+    )
+    assert got_sigs == expect_sigs and len(got_sigs) > 0
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in multimodal_video_pairs(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
+    # replay the last chunk as a direct sink call — idempotent
+    last = [r for r in rows if r["doc_id"] >= rows[-200]["doc_id"]]
+    replay = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in last],
+        "doc_id long, text string",
+    )
+    n_batches = (len(rows) + 199) // 200
+    sink(replay, n_batches - 1)
+    again = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    assert again == expect

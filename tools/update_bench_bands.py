@@ -78,7 +78,8 @@ def main() -> None:
         if old and k in old.get("queries", {}) and v < old["queries"][k]
     )
     print(
-        "wrote %d bands (anchor %.3f s, %s, %d kept lower history) -> %s"
+        "wrote %d bands (anchor %.3f s, %s, %d lowered by this"
+        " capture) -> %s"
         % (
             len(bands["queries"]),
             bands["anchor_r01_shared_total"],
