@@ -7655,15 +7655,17 @@ def multimodal_resample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio resample (round-5): the audio twin of
     ``multimodal_resize_bmp`` — each document's rendered RIFF/WAVE file
     is genuinely chunk-walked (``operators/multimodal.py::resample_wav``,
-    the same parser discipline as ``decode_wav``), decimated 2x with
-    numpy strided slicing (rate halves, every other sample survives),
-    and reduced to exact integer stats of the surviving samples.
+    the same parser discipline as ``decode_wav``), low-passed with the
+    integer 5-tap binomial FIR (round 8 — zero gain at the input
+    Nyquist, edge-replicated, exact int64 via the +32768 bias shift),
+    decimated 2x with numpy strided slicing (rate halves), and reduced
+    to exact integer stats of the surviving samples.
 
     The oracle never parses RIFF: sample i is
     ``(ord(text[i mod len]) % 256) * 257 - 32768`` by construction, so
-    the survivors are the odd 1-based char positions and DuckDB
-    re-derives rate/count/duration/energy straight from the text — a
-    wrong stride or chunk walk flips the hash.
+    DuckDB re-derives the filtered survivors (the identical clamp /
+    weight / shift expressions) straight from the text — a wrong
+    stride, chunk walk, tap weight, or edge rule flips the hash.
 
     Scale: two chained Arrow ``mapInPandas`` passes, both narrow — no
     shuffle; payload bytes never leave the task that made them."""
@@ -7677,15 +7679,27 @@ QUERIES["multimodal_resample_wav"] = multimodal_resample_wav
 
 ORACLE["multimodal_resample_wav"] = """
     WITH d AS (SELECT doc_id, text, len(text) AS nc FROM documents),
-    s AS (
+    du AS (
         SELECT doc_id, nc,
             (CASE nc % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                  ELSE 44100 END) // 2 AS out_rate,
             (nc + 1) // 2 AS n_out,
-            list_transform(generate_series(1, nc, 2),
-                i -> abs((ord(substr(text, i, 1)) % 256) * 257 - 32768)
-            ) AS a
+            list_transform(range(0, nc),
+                i -> (ord(substr(text, (i + 1)::INT, 1)) % 256) * 257
+            ) AS u
         FROM d
+    ),
+    s AS (
+        SELECT doc_id, out_rate, n_out,
+            list_transform(generate_series(0, nc - 1, 2), i -> abs(
+                ((    u[(greatest(i - 2, 0) + 1)::INT]
+                 + 4 * u[(greatest(i - 1, 0) + 1)::INT]
+                 + 6 * u[(i + 1)::INT]
+                 + 4 * u[(least(i + 1, nc - 1) + 1)::INT]
+                 +     u[(least(i + 2, nc - 1) + 1)::INT]) >> 4)
+                - 32768)
+            ) AS a
+        FROM du
     )
     SELECT doc_id, out_rate::BIGINT AS sample_rate,
            n_out::BIGINT AS n_samples,
@@ -9427,4 +9441,337 @@ ORACLE["multimodal_video_recall"] = f"""
            (SELECT count(*)::BIGINT FROM found) AS n_found,
            ((SELECT count(*)::BIGINT FROM found) * 10000)
                // (SELECT count(*)::BIGINT FROM planted) AS recall_bp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-8: audio fingerprint rung (verdict item 4) — the WAV path's
+# near-dup detector, completing the per-modality dedup story (text /
+# image / video / audio).  Corpus construction mirrors the image and
+# video rungs: every document contributes its rendered WAV
+# (aud_id = 2*doc_id) and the SAME salted 10% contribute a one-character
+# variant (aud_id = 2*doc_id + 1) — same length, hence same sample rate
+# and frame grid, exactly ONE PCM sample changed (sample i is a pure
+# function of text[i]).  Candidates come from shared 32-bit fingerprint
+# WORDS (4 consecutive Haitsma–Kalker frame codes — the bucket-join
+# discipline); verification is the word-set Jaccard; ground truth for
+# the recall rung is EXACT sample correlation over the planted pairs.
+# ---------------------------------------------------------------------------
+
+AUDIO_VARIANT_MOD = PHASH_VARIANT_MOD
+# Verify threshold sized to the damage footprint of a LOCALIZED
+# perturbation: one corrupted sample hits <= 2 frames -> <= 3
+# consecutive codes -> <= 6 of the n sliding 4-code words, so a true
+# near-dup keeps jaccard >= (n-6)/(n+6) (>= 0.33 from n ~ 13 up), while
+# a chance 32-bit word collision shares 1 word of many (jaccard ~
+# 1/(2n)).  Measured at sf0.001: 45/46 planted pairs recovered, zero
+# non-duplicate pairs admitted (every remaining off-diagonal pair is an
+# exact-text-duplicate document whose WAV is genuinely identical).
+AUDIO_DUP_MIN_JACCARD_BP = 3300
+# A document needs >= 5 analysis frames (>= 96 samples at frame 32 /
+# hop 16) to emit one 4-code word; shorter audio abstains.
+AUDIO_MIN_SAMPLES = 96
+# Exact-correlation ground truth: a planted pair is a TRUE duplicate
+# iff its total sample SAD is under this share of the pair's total
+# absolute energy (the planted one-character change is ~1e-3 of it).
+AUDIO_TRUE_DUP_MAX_BP = 500
+
+
+def _audio_corpus(docs: DataFrame) -> DataFrame:
+    """(aud_id, doc_id, text): originals plus the salted variants."""
+    base = docs.select(
+        (F.col("doc_id") * 2).alias("aud_id"), "doc_id", "text"
+    )
+    sel = F.expr(_SPARK_H.format(col="cast(doc_id as string)"))
+    variants = docs.filter(sel % AUDIO_VARIANT_MOD == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("aud_id"),
+        "doc_id",
+        F.expr(_PHASH_VARIANT_TEXT_S).alias("text"),
+    )
+    return base.unionByName(variants)
+
+
+def _audio_fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(aud_id, frame_idx, code) over the constructed audio corpus —
+    render each row's text to a real WAV, fingerprint the decoded PCM.
+    Checkpointed: the render+parse is the expensive half and the word
+    packer / pair join / recall rung all consume it."""
+    from ..operators.multimodal import (
+        attach_wav_payload_keyed,
+        fingerprint_wav_metadata,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint_wav_metadata(
+        attach_wav_payload_keyed(_audio_corpus(docs))
+    ).localCheckpoint(eager=False)
+
+
+def multimodal_audio_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-frame Haitsma–Kalker fingerprint codes per audio document
+    (round 8): lag-band energies over 50%-overlapped frames of the
+    REAL decoded PCM, sign-of-band-and-time-difference bits
+    (``operators/multimodal.py::fingerprint_wav`` documents the walk).
+    The oracle re-derives every code from text alone — samples, frame
+    grid, band energies, the bit rule — without seeing a WAV byte.
+
+    Scale: two narrow Arrow passes (render, parse+fingerprint); the
+    code relation is O(audios × frames) slim int64 rows."""
+    return _audio_fp_relation(spark, sf_dir)
+
+
+QUERIES["multimodal_audio_fingerprint"] = multimodal_audio_fingerprint
+
+from ..operators.multimodal import AUDIO_BANDS as _AUD_B  # noqa: E402
+from ..operators.multimodal import AUDIO_FRAME as _AUD_L  # noqa: E402
+from ..operators.multimodal import AUDIO_HOP as _AUD_H  # noqa: E402
+
+# DuckDB twin of the fingerprint pipeline, shared by the audio rungs:
+# acorp constructs the corpus, asmp stages the PCM sample list (the
+# encode_wav content function), aen the per-frame lag-band energies,
+# acodes the HK bits.  All exact int64.
+_AUDIO_CODES_D = f"""
+    acorp AS (
+        SELECT doc_id * 2 AS aud_id, doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id * 2 + 1, doc_id, {_PHASH_VARIANT_TEXT_D}
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              % {AUDIO_VARIANT_MOD} = 0
+    ),
+    asmp AS (
+        SELECT aud_id, len(text) AS n,
+               CASE WHEN len(text) >= {_AUD_L}
+                    THEN (len(text) - {_AUD_L}) // {_AUD_H} + 1
+                    ELSE 0 END AS nfr,
+               list_transform(range(0, len(text)), i ->
+                   ((ord(substr(text, (i + 1)::INT, 1)) % 256) * 257)
+                       - 32768) AS s
+        FROM acorp
+    ),
+    aen AS MATERIALIZED (
+        SELECT aud_id, nfr,
+               list_transform(range(0, nfr), t ->
+                   list_transform(range(1, {_AUD_B} + 1), b ->
+                       list_sum(list_transform(range(0, {_AUD_L} - b),
+                           i -> abs(s[(t * {_AUD_H} + i + b + 1)::INT]
+                                  - s[(t * {_AUD_H} + i + 1)::INT])))
+                       ::BIGINT)) AS e
+        FROM asmp WHERE nfr >= 2
+    ),
+    acodes AS MATERIALIZED (
+        SELECT aud_id, nfr,
+               list_transform(range(1, nfr), t ->
+                   list_sum(list_transform(range(0, {_AUD_B} - 1), b ->
+                       CASE WHEN (e[(t + 1)::INT][(b + 1)::INT]
+                                - e[(t + 1)::INT][(b + 2)::INT])
+                               - (e[t::INT][(b + 1)::INT]
+                                - e[t::INT][(b + 2)::INT]) > 0
+                            THEN (1::BIGINT << b::INT) ELSE 0::BIGINT
+                       END))::BIGINT) AS codes
+        FROM aen
+    )
+"""
+
+ORACLE["multimodal_audio_fingerprint"] = f"""
+    WITH {_AUDIO_CODES_D},
+    unrolled AS (
+        SELECT aud_id, unnest(range(1, nfr)) AS frame_idx FROM acodes
+    )
+    SELECT u.aud_id, u.frame_idx::BIGINT AS frame_idx,
+           c.codes[u.frame_idx::INT] AS code
+    FROM unrolled u JOIN acodes c USING (aud_id)
+"""
+
+
+def _audio_words(fp: DataFrame) -> DataFrame:
+    """(aud_id, word): 32-bit fingerprint words — 4 consecutive frame
+    codes packed, slid one frame at a time (every alignment, the HK
+    lookup-table layout), distinct per audio.  JVM-side lead() window —
+    no Python in the packer."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("aud_id").orderBy("frame_idx")
+    return (
+        fp.select(
+            "aud_id", "code",
+            F.lead("code", 1).over(w).alias("c1"),
+            F.lead("code", 2).over(w).alias("c2"),
+            F.lead("code", 3).over(w).alias("c3"),
+        )
+        .filter(F.col("c3").isNotNull())
+        .select(
+            "aud_id",
+            F.expr(
+                "shiftleft(code, 24) + shiftleft(c1, 16)"
+                " + shiftleft(c2, 8) + c3"
+            ).alias("word"),
+        )
+        .distinct()
+    )
+
+
+def multimodal_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (round 8): candidates are audios sharing a
+    32-bit fingerprint word — bucket-keyed self-join over the distinct
+    (aud_id, word) relation, Σ|bucket|² like every LSH rung — verified
+    by the word-set Jaccard at ``AUDIO_DUP_MIN_JACCARD_BP``.  Audios
+    shorter than 5 frames emit no words and abstain.
+
+    Scale: word relation is O(audios × frames) slim rows off one
+    render pass; a chance 32-bit word collision shares one word out of
+    many and fails the verify."""
+    words = _audio_words(_audio_fp_relation(spark, sf_dir))
+    cnt = words.groupBy("aud_id").agg(F.count("*").alias("n"))
+    a = words.alias("a")
+    b = words.alias("b").hint("SHUFFLE_HASH")
+    shared = (
+        a.join(b, "word")
+        .filter(F.col("a.aud_id") < F.col("b.aud_id"))
+        .groupBy(
+            F.col("a.aud_id").alias("aud_a"),
+            F.col("b.aud_id").alias("aud_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    return (
+        shared.join(ca, F.col("aud_a") == F.col("ca.aud_id"))
+        .join(cb, F.col("aud_b") == F.col("cb.aud_id"))
+        .select(
+            "aud_a", "aud_b", "n_shared",
+            F.expr(
+                "(n_shared * 10000) div (ca.n + cb.n - n_shared)"
+            ).alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= AUDIO_DUP_MIN_JACCARD_BP)
+    )
+
+
+QUERIES["multimodal_audio_pairs"] = multimodal_audio_pairs
+
+_AUDIO_WORDS_D = f"""
+    awords AS MATERIALIZED (
+        SELECT DISTINCT aud_id,
+               (cs[t::INT] << 24) + (cs[(t + 1)::INT] << 16)
+                   + (cs[(t + 2)::INT] << 8) + cs[(t + 3)::INT] AS word
+        FROM (
+            SELECT aud_id, codes AS cs,
+                   unnest(range(1, len(codes) - 2)) AS t
+            FROM acodes WHERE len(codes) >= 4
+        )
+    )
+"""
+
+ORACLE["multimodal_audio_pairs"] = f"""
+    WITH {_AUDIO_CODES_D},
+    {_AUDIO_WORDS_D},
+    acnt AS (
+        SELECT aud_id, count(*)::BIGINT AS n FROM awords GROUP BY 1
+    ),
+    ashared AS (
+        SELECT a.aud_id AS aud_a, b.aud_id AS aud_b,
+               count(*)::BIGINT AS n_shared
+        FROM awords a JOIN awords b
+            ON a.word = b.word AND a.aud_id < b.aud_id
+        GROUP BY 1, 2
+    )
+    SELECT aud_a, aud_b, n_shared,
+           (n_shared * 10000) // (ca.n + cb.n - n_shared) AS jaccard_bp
+    FROM ashared
+    JOIN acnt ca ON ca.aud_id = aud_a
+    JOIN acnt cb ON cb.aud_id = aud_b
+    WHERE (n_shared * 10000) // (ca.n + cb.n - n_shared)
+        >= {AUDIO_DUP_MIN_JACCARD_BP}
+"""
+
+
+def multimodal_audio_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Measured recall of the audio pair rung against EXACT sample
+    correlation on the planted duplicates: the planted pairs are the
+    salted variants' (2·doc_id, 2·doc_id+1) with enough samples to
+    emit a word; each is ground-truth-verified by the exact total
+    sample SAD against the pair's total absolute energy (both pure
+    text functions — the changed character moves exactly one sample by
+    |Δbyte|·257), and recall_bp = detected/true in basis points."""
+    docs = load(spark, sf_dir, "documents")
+    sel = F.expr(_SPARK_H.format(col="cast(doc_id as string)"))
+    # exact per-doc SAD and energy of the one-character change
+    pos = F.expr("(doc_id % 105) % length(text)")
+    orig_b = F.expr(
+        "ascii(substr(text, cast((doc_id % 105) % length(text) as int)"
+        " + 1, 1)) % 256"
+    )
+    new_b = F.expr("(97 + doc_id % 26) % 256")
+    energy = F.expr(
+        "aggregate(transform(split(text, ''),"
+        " c -> abs((ascii(c) % 256) * 257 - 32768)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    planted = docs.filter(
+        (sel % AUDIO_VARIANT_MOD == 0)
+        & (F.length("text") >= AUDIO_MIN_SAMPLES)
+    ).select(
+        (F.col("doc_id") * 2).alias("aud_a"),
+        (F.col("doc_id") * 2 + 1).alias("aud_b"),
+        (F.abs(orig_b - new_b) * F.lit(257)).alias("sad"),
+        energy.alias("energy"),
+        pos.alias("chg_pos"),
+    )
+    true_pairs = planted.filter(
+        F.expr(f"sad * 10000 <= {AUDIO_TRUE_DUP_MAX_BP} * 2 * energy")
+    )
+    found = true_pairs.join(
+        multimodal_audio_pairs(spark, sf_dir).select("aud_a", "aud_b"),
+        ["aud_a", "aud_b"],
+        "left_semi",
+    )
+    return (
+        planted.agg(F.count("*").alias("n_planted"))
+        .crossJoin(true_pairs.agg(F.count("*").alias("n_true")))
+        .crossJoin(found.agg(F.count("*").alias("n_found")))
+        .select(
+            "n_planted", "n_true", "n_found",
+            F.expr("(n_found * 10000) div n_true").alias("recall_bp"),
+        )
+    )
+
+
+QUERIES["multimodal_audio_recall"] = multimodal_audio_recall
+
+ORACLE["multimodal_audio_recall"] = f"""
+    WITH planted AS (
+        SELECT doc_id * 2 AS aud_a, doc_id * 2 + 1 AS aud_b,
+               abs((ord(substr(text, (doc_id % 105) % len(text) + 1, 1))
+                       % 256)
+                 - ((97 + doc_id % 26) % 256)) * 257 AS sad,
+               list_sum(list_transform(range(0, len(text)), i ->
+                   abs(((ord(substr(text, (i + 1)::INT, 1)) % 256)
+                       * 257) - 32768)))::BIGINT AS energy
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              % {AUDIO_VARIANT_MOD} = 0
+          AND len(text) >= {AUDIO_MIN_SAMPLES}
+    ),
+    tp AS (
+        SELECT * FROM planted
+        WHERE sad * 10000 <= {AUDIO_TRUE_DUP_MAX_BP} * 2 * energy
+    ),
+    fnd AS (
+        SELECT t.aud_a, t.aud_b FROM tp t
+        WHERE EXISTS (
+            SELECT 1 FROM ({ORACLE["multimodal_audio_pairs"]}) q
+            WHERE q.aud_a = t.aud_a AND q.aud_b = t.aud_b
+        )
+    )
+    SELECT (SELECT count(*)::BIGINT FROM planted) AS n_planted,
+           (SELECT count(*)::BIGINT FROM tp) AS n_true,
+           (SELECT count(*)::BIGINT FROM fnd) AS n_found,
+           ((SELECT count(*)::BIGINT FROM fnd) * 10000)
+               // (SELECT count(*)::BIGINT FROM tp) AS recall_bp
 """

@@ -306,7 +306,25 @@ def test_resize_rejects_truncation_and_bad_factor():
         resize_bmp(payload, factor=0)
 
 
-def test_resample_keeps_every_other_sample():
+def _fir_reference(samples, factor=2):
+    """Arbitrary-precision mirror of the round-8 resample kernel:
+    edge-replicated 5-tap binomial on the +32768-biased samples,
+    shift-16 division, then the stride."""
+    n = len(samples)
+    u = [s + 32768 for s in samples]
+
+    def c(i):
+        return u[min(max(i, 0), n - 1)]
+
+    filt = [
+        ((c(i - 2) + 4 * c(i - 1) + 6 * c(i) + 4 * c(i + 1) + c(i + 2))
+         >> 4) - 32768
+        for i in range(n)
+    ]
+    return [abs(v) for v in filt[::factor]]
+
+
+def test_resample_filters_then_keeps_every_other_sample():
     from beam_scala_examples_spark.operators.multimodal import (
         _wav_samples,
         encode_wav,
@@ -314,7 +332,7 @@ def test_resample_keeps_every_other_sample():
     )
 
     text = "resample me please"      # nc=18 -> rate 8000, 18 samples
-    kept = [abs(s) for s in _wav_samples(text)[::2]]
+    kept = _fir_reference(_wav_samples(text))
     got = resample_wav(encode_wav(1, text))
     assert got == {
         "sample_rate": 4000,
@@ -323,6 +341,39 @@ def test_resample_keeps_every_other_sample():
         "sum_abs": sum(kept),
         "peak": max(kept),
     }
+
+
+def test_resample_antialias_kills_nyquist_tone():
+    """Round-8 low-pass pin (ADVICE-era production gap, verdict item
+    5): a tone AT the input Nyquist (the worst aliasing case — plain
+    ::2 decimation folds it to a full-amplitude DC tone) must VANISH
+    through the binomial FIR, whose transfer (cos w/2)^4 is exactly
+    zero there.  Interior filtered samples are (a+b)/2 - 32768 = 0 for
+    the +/-20000 alternation; only the two edge-replicated samples may
+    carry residue."""
+    import struct
+
+    from beam_scala_examples_spark.operators.multimodal import (
+        resample_wav,
+    )
+
+    samples = [20000 if i % 2 == 0 else -20000 for i in range(64)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    got = resample_wav(payload)
+    kept = _fir_reference(samples)
+    assert got["n_samples"] == 32
+    assert got["sum_abs"] == sum(kept)
+    # every interior survivor is EXACTLY zero; without the filter each
+    # would be 20000 (the folded tone)
+    assert kept[1:-1] == [0] * 30
+    assert got["sum_abs"] <= 2 * 20000 // 2   # edge residue only
 
 
 def test_resample_rejects_truncation_and_bad_factor():
@@ -454,3 +505,75 @@ def test_phash_rejects_corrupt_payloads():
         phash_bmp(good[:40])        # truncated header
     with pytest.raises(ValueError):
         phash_bmp(good[:-4])        # truncated raster
+
+
+def test_scene_keyframes_consistent_with_scene_cuts():
+    """Round-8 video signatures: for any rendered stream the scene
+    partition must agree with the round-6 cut detector — one scene per
+    cut + 1, scene lengths summing to the sampled-frame count — and
+    the keyframe signature must equal the md5-prefix of the keyframe
+    luma string both engines derive from text."""
+    import hashlib
+
+    from beam_scala_examples_spark.operators.multimodal import (
+        _y4m_luma,
+        encode_y4m,
+        scene_cuts_y4m,
+        scene_keyframes_y4m,
+    )
+
+    for doc_id, text in [
+        (1, "hello world this is a longer text for video"),
+        (7, "abc" * 50), (12, "x" * 9), (23, "scene CUTS here!" * 9),
+    ]:
+        p = encode_y4m(doc_id, text)
+        scenes = scene_keyframes_y4m(p)
+        cuts = scene_cuts_y4m(p)
+        assert len(scenes) == cuts["n_cuts"] + 1
+        assert sum(s["scene_len"] for s in scenes) == cuts["n_sampled"]
+        w = 1 + len(text) % 7
+        h = 1 + doc_id % 5
+        assert all(s["plane_px"] == w * h for s in scenes)
+        # scene 0's keyframe is sampled frame 0 — recompute its sig
+        luma = _y4m_luma(text, 0, w * h)
+        want = int(
+            hashlib.md5(
+                " ".join(str(v) for v in luma).encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        assert scenes[0]["sig"] == want
+
+
+def test_audio_fingerprint_invariants():
+    """Round-8 audio fingerprint: codes are 8-bit, one per frame t>=1;
+    payloads shorter than a frame abstain; a one-character (one-sample)
+    perturbation leaves the large majority of codes bit-identical (the
+    robustness the pair rung's jaccard threshold is sized to); corrupt
+    payloads raise."""
+    import pytest as _pytest
+
+    from beam_scala_examples_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        AUDIO_HOP,
+        encode_wav,
+        fingerprint_wav,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    fps = fingerprint_wav(encode_wav(3, text))
+    n_frames = (len(text) - AUDIO_FRAME) // AUDIO_HOP + 1
+    assert [f["frame_idx"] for f in fps] == list(range(1, n_frames))
+    assert all(0 <= f["code"] <= 255 for f in fps)
+    variant = text[:50] + "Z" + text[51:]
+    fv = fingerprint_wav(encode_wav(3, variant))
+    agree = sum(
+        1 for a, b in zip(fps, fv) if a["code"] == b["code"]
+    )
+    assert agree >= len(fps) - 3   # <=2 frames -> <=3 codes touched
+    assert fingerprint_wav(encode_wav(1, "tiny")) == []
+    payload = encode_wav(3, text)
+    with _pytest.raises(ValueError):
+        fingerprint_wav(payload[:20])
+    with _pytest.raises(ValueError):
+        fingerprint_wav(payload[:-3])
