@@ -428,3 +428,205 @@ def test_sequential_sink_replay_idempotent(spark, tmpdir):  # noqa: F811
     assert once == twice
     timings = [r.timing for r in sink.panes(spark).collect()]
     assert timings.count("EARLY") == 2
+
+
+# ---------------------------------------------------------------------------
+# Round-8 (verdict item 7): arrival-order PROPERTY tests.  The literal
+# reference pane tables above are each pinned by one arrival script;
+# these randomize the arrival chunking/permutation within the watermark
+# constraints and assert the INVARIANTS that must hold for every
+# schedule: conservation (discarding deltas sum to the accumulated
+# total), drop determinism (regime 1 fires once with exactly the
+# on-time set, however the on-time elements were chunked), and the
+# sequential sink's label grammar + accumulating monotonicity + replay
+# idempotency under random refinement/clock schedules.
+# ---------------------------------------------------------------------------
+
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _random_chunks(data, ids, max_chunks):
+    """Draw a permutation of ``ids`` split into 1..max_chunks arrival
+    groups (every element in exactly one group, order preserved)."""
+    perm = list(data.draw(st.permutations(list(ids))))
+    n = data.draw(st.integers(1, min(max_chunks, len(perm))))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(1, len(perm) - 1),
+                min_size=n - 1, max_size=n - 1, unique=True,
+            )
+        )
+    ) if n > 1 else []
+    chunks, prev = [], 0
+    for c in cuts + [len(perm)]:
+        chunks.append(perm[prev:c])
+        prev = c
+    return [c for c in chunks if c]
+
+
+@given(data=st.data())
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_delta_sink_conservation_any_arrival_order(spark, data):
+    """For EVERY arrival permutation/chunking (on-time elements in any
+    order and grouping before the watermark advance, late elements in
+    any order after it; 1-day lateness so nothing drops), the
+    DeltaPaneSink's window-A discarding panes sum EXACTLY to the
+    accumulated total 430|10 and every pane is a positive refinement —
+    the conservation law behind the regime-2 literal table."""
+    on_chunks = _random_chunks(data, ON_TIME_IDS, 3)
+    late_chunks = _random_chunks(data, LATE_IDS, 4)
+    groups = (
+        [[_ev(i) for i in chunk] for chunk in on_chunks]
+        + [[_filler(90, "10:45:00")], [_filler(91, "11:00:00")]]
+        + [[_ev(i) for i in chunk] for chunk in late_chunks]
+    )
+    tmp = tempfile.mkdtemp(prefix="panes-prop-")
+    try:
+        panes = _run_delta(spark, groups, tmp, "1 day")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert sum(p[0] for p in panes) == 430.0
+    assert sum(p[1] for p in panes) == 10
+    assert all(n > 0 for _, n in panes)
+
+
+@given(data=st.data())
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_regime1_drop_invariant_any_arrival_order(spark, data):
+    """Regime 1's 260|6 pane is a function of the on-time SET, not the
+    arrival order: however the six on-time elements are permuted and
+    chunked before the watermark advance, and however the four late
+    ones arrive after it, append mode with zero lateness fires window A
+    exactly once with exactly the on-time elements."""
+    on_chunks = _random_chunks(data, ON_TIME_IDS, 3)
+    late_chunks = _random_chunks(data, LATE_IDS, 2)
+    groups = (
+        [[_ev(i) for i in chunk] for chunk in on_chunks]
+        + [[_filler(90, "10:45:00")], [_filler(91, "11:00:00")]]
+        + [[_ev(i) for i in chunk] for chunk in late_chunks]
+    )
+    tmp = tempfile.mkdtemp(prefix="panes-prop-")
+    try:
+        panes = _run(spark, groups, tmp, "append", "0 seconds")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert panes == [(260.0, 6)]
+
+
+@given(data=st.data())
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sequential_sink_label_grammar_any_schedule(spark, data):
+    """SequentialPaneSink invariants under RANDOM refinement totals and
+    RANDOM batch clock gaps (direct sink calls — the same foreachBatch
+    code path, deterministic injected clock):
+
+      - the window's timing labels read EARLY* ON_TIME? LATE* in batch
+        order (the AfterEach.inOrder grammar), with at most one ON_TIME;
+      - emitted totals are non-decreasing and drawn from the staged
+        accumulating sequence;
+      - after the final flush the LAST pane carries the final total;
+      - replaying the last batch changes nothing."""
+    from datetime import datetime, timedelta
+
+    from beam_scala_examples_spark.streaming.panes import SequentialPaneSink
+
+    deltas = data.draw(
+        st.lists(st.integers(1, 50), min_size=2, max_size=5)
+    )
+    totals = []
+    acc = 0
+    for d in deltas:
+        acc += d
+        totals.append(acc)
+    # random clock gaps between batches (some below the 60 s early
+    # delay, some above), watermark passes after a random prefix
+    gaps = data.draw(
+        st.lists(
+            st.integers(0, 150),
+            min_size=len(totals) + 1, max_size=len(totals) + 1,
+        )
+    )
+    n_before = data.draw(st.integers(1, len(totals)))
+    sched = []
+    t = 0.0
+    for g in gaps:
+        sched.append(t)
+        t += g
+    # the LAST batch (bid len(totals)+1) runs far past the late delay
+    # so any pending pane must flush
+    sched.append(sched[-1] + 400.0)
+    clock = lambda bid: sched[bid] if bid < len(sched) else sched[-1]
+
+    tmp = tempfile.mkdtemp(prefix="seq-prop-")
+    end = datetime(2024, 1, 1, 10, 30)
+    before = end - timedelta(seconds=1)
+    after = end + timedelta(minutes=5)
+    try:
+        sink = SequentialPaneSink(
+            tmp, win_end_col="win_end", key_cols=("k",),
+            value_cols=("v", "n"), early_delay_s=60, late_delay_s=300,
+            event_time_col="ev", clock=clock,
+        )
+        schema = "win_end timestamp, k string, v long, n long, ev timestamp"
+        for bid, tot in enumerate(totals):
+            ev = before if bid < n_before else after
+            sink(
+                spark.createDataFrame(
+                    [(end, "a", tot, bid + 1, ev)], schema
+                ),
+                bid,
+            )
+        # two flush batches on another key: the first carries the
+        # watermark past the window end, the second (far-future clock)
+        # fires any pending late pane
+        other_end = end + timedelta(hours=1)
+        sink(
+            spark.createDataFrame(
+                [(other_end, "f", 1, 1, after)], schema
+            ),
+            len(totals),
+        )
+        last_bid = len(totals) + 1
+        last_df = spark.createDataFrame(
+            [(other_end, "f", 2, 2, after)], schema
+        )
+        sink(last_df, last_bid)
+        rows = (
+            sink.panes(spark)
+            .filter(F.col("k") == "a")
+            .orderBy("batch_id")
+            .collect()
+        )
+        labels = [r.timing for r in rows]
+        vals = [r.v for r in rows]
+        # grammar: EARLY* ON_TIME? LATE*
+        phase_rank = {"EARLY": 0, "ON_TIME": 1, "LATE": 2}
+        ranks = [phase_rank[lb] for lb in labels]
+        assert ranks == sorted(ranks), labels
+        assert labels.count("ON_TIME") <= 1
+        assert vals == sorted(vals)
+        assert all(v in totals for v in vals)
+        assert rows, "final flush must have fired at least one pane"
+        assert vals[-1] == totals[-1]
+        assert rows[-1].n == len(totals)
+        # replay idempotency
+        once = sorted(tuple(r) for r in sink.panes(spark).collect())
+        sink(last_df, last_bid)
+        twice = sorted(tuple(r) for r in sink.panes(spark).collect())
+        assert once == twice
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
