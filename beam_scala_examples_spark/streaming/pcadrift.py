@@ -115,34 +115,43 @@ class PcaDriftViewSink:
         covariance re-aggregated from the log — the same ``_pca_power``
         chain over the same IEEE covariance expression as the batch
         query, so streamed == one-shot, bit for bit."""
-        log = spark.read.parquet(self.log_path)
-        tot = log.groupBy("p1", "p2").agg(F.sum("g").alias("g"))
-        n = int(
-            tot.filter((F.col("p1") == -1) & (F.col("p2") == -1))
-            .agg(F.sum("g").alias("n"))
-            .collect()[0]["n"]
+        return pca_top_component_from_log(
+            spark.read.parquet(self.log_path)
         )
-        sums = tot.filter((F.col("p1") >= 0) & (F.col("p2") == -1))
-        s1 = sums.select(F.col("p1"), F.col("g").alias("s1"))
-        s2 = sums.select(F.col("p1").alias("p2"), F.col("g").alias("s2"))
-        gram = tot.filter((F.col("p1") >= 0) & (F.col("p2") >= 0))
-        cov = (
-            gram.join(F.broadcast(s1), "p1")
-            .join(F.broadcast(s2), "p2")
-            .select(
-                "p1",
-                "p2",
-                F.round(
-                    (
-                        F.col("g") / n
-                        - (F.col("s1") / n) * (F.col("s2") / n)
-                    )
-                    / PCA_C_DIV
-                    * 1e6
+
+
+def pca_top_component_from_log(log: DataFrame) -> DataFrame:
+    """(dim, v_micro) from an accumulated moment log — factored out of
+    :class:`PcaDriftViewSink` (round 8) so the drift-triggered IVF
+    retrain sink evaluates the identical eigenvector from its own
+    moment log."""
+    tot = log.groupBy("p1", "p2").agg(F.sum("g").alias("g"))
+    n = int(
+        tot.filter((F.col("p1") == -1) & (F.col("p2") == -1))
+        .agg(F.sum("g").alias("n"))
+        .collect()[0]["n"]
+    )
+    sums = tot.filter((F.col("p1") >= 0) & (F.col("p2") == -1))
+    s1 = sums.select(F.col("p1"), F.col("g").alias("s1"))
+    s2 = sums.select(F.col("p1").alias("p2"), F.col("g").alias("s2"))
+    gram = tot.filter((F.col("p1") >= 0) & (F.col("p2") >= 0))
+    cov = (
+        gram.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .select(
+            "p1",
+            "p2",
+            F.round(
+                (
+                    F.col("g") / n
+                    - (F.col("s1") / n) * (F.col("s2") / n)
                 )
-                .cast("long")
-                .alias("cq"),
+                / PCA_C_DIV
+                * 1e6
             )
-            .localCheckpoint()
+            .cast("long")
+            .alias("cq"),
         )
-        return _pca_power(cov)
+        .localCheckpoint()
+    )
+    return _pca_power(cov)

@@ -106,3 +106,27 @@ def test_committed_lists_apply_cleanly():
     assert all(ORACLE[n] == ORACLE_RAW[n] for n in unchanged)
     # and the hardened registry is exactly harden_oracles(RAW)
     assert ORACLE == harden_oracles(ORACLE_RAW)
+
+
+def test_every_at_risk_cte_is_hardened_or_documented():
+    """Registry invariant going forward: any oracle whose RAW SQL
+    carries an at-risk CTE (the round-7 flake shape) must either have
+    it in the committed execution-verified materialization list or in
+    the documented VERIFY_REJECTED residuals — a new oracle with an
+    unhandled at-risk CTE fails here until it is run through
+    tools/oracle_stability.py --emit."""
+    from beam_scala_examples_spark.queries.oraclelint import (
+        VERIFY_REJECTED,
+        at_risk_ctes,
+    )
+
+    lists = load_materialize_lists()
+    missing = {}
+    for name, sql in ORACLE_RAW.items():
+        risk = set(at_risk_ctes(sql))
+        handled = set(lists.get(name, [])) | set(
+            VERIFY_REJECTED.get(name, [])
+        )
+        if risk - handled:
+            missing[name] = sorted(risk - handled)
+    assert not missing, missing

@@ -2707,3 +2707,84 @@ def test_video_sig_sink_pairs_match_batch(spark, sf_dir, tmpdir):
     sink(replay, n_batches - 1)
     again = sorted(tuple(r) for r in sink.serving_view(spark).collect())
     assert again == expect
+
+
+def test_drift_triggered_ivf_retrain(spark, sf_dir, tmpdir):
+    """Round-8 drift-triggered retrain (verdict item 8): ingesting the
+    fixture embeddings trains codebook v0; a same-distribution second
+    batch measures low drift and does NOT retrain; a DRIFTED batch (a
+    new population with a dominant synthetic axis) pushes the
+    accumulated top-PC past the threshold and retrains into a new
+    version; the versioned recall guard holds (recall-after-retrain >=
+    recall-before on the drifted corpus, both against the exact
+    brute-force top-k); and replaying the retraining batch re-derives
+    the identical registry, decision, and recall."""
+    from beam_scala_examples_spark.streaming.ivfretrain import (
+        DriftRetrainIvfSink,
+    )
+    from beam_scala_examples_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.orderBy("vec_id").collect()
+    base = [(int(r.vec_id), [float(v) for v in r.embedding]) for r in rows]
+    schema = "vec_id long, embedding array<double>"
+    n = len(base)
+
+    sink = DriftRetrainIvfSink(f"{tmpdir}/ivfretrain")
+    sink(spark.createDataFrame(base, schema), 0)
+    assert sink.active_version(spark) == 0      # cold start trains v0
+    # a SMALL same-distribution batch (re-keyed copies): the
+    # accumulated top PC barely moves -> no retrain
+    sink(
+        spark.createDataFrame(
+            [(n + i, vec) for i, (_, vec) in enumerate(base[:50])],
+            schema,
+        ),
+        1,
+    )
+    assert sink.active_version(spark) == 0      # same distribution: no retrain
+
+    # drifted population: dominant alternating axis on dim 0 (the
+    # +/-2 amplitude dominates the fixture's per-dim variance while
+    # staying inside the fixed-point covariance scale)
+    drifted = [
+        (n + 50 + i, [(2.0 if i % 2 == 0 else -2.0)] + vec[1:])
+        for i, (_, vec) in enumerate(base)
+    ]
+    last = spark.createDataFrame(drifted, schema)
+    sink(last, 2)
+    assert sink.active_version(spark) == 2      # drift fired a retrain
+
+    dlog = {
+        int(r.batch_id): (int(r.drift_micro), bool(r.retrained))
+        for r in spark.read.parquet(sink.drift_log_path).collect()
+    }
+    assert dlog[0][1] and dlog[2][1] and not dlog[1][1]
+    assert dlog[1][0] <= 50_000 < dlog[2][0]
+
+    # the retrain guard: under drift the query workload follows the
+    # data — recall is pinned on queries FROM the drifted population
+    # (measured 0.68 -> 1.00 on this fixture), and the mixed workload
+    # must not collapse either
+    q_drift = [n + 50 + i for i in range(5)]
+    before = sink.recall_micro(spark, version=0, query_ids=q_drift)
+    after = sink.recall_micro(spark, version=2, query_ids=q_drift)
+    assert after >= before, (before, after)
+    assert after > 0
+    q_mixed = list(range(5)) + q_drift
+    before_m = sink.recall_micro(spark, version=0, query_ids=q_mixed)
+    after_m = sink.recall_micro(spark, version=2, query_ids=q_mixed)
+    assert after_m >= before_m - 100_000, (before_m, after_m)
+
+    # replay the retraining batch: registry, decision, recall unchanged
+    cb_once = sorted(
+        (int(r.version), int(r.cluster), tuple(r.centroid))
+        for r in spark.read.parquet(sink.codebooks_path).collect()
+    )
+    sink(last, 2)
+    cb_twice = sorted(
+        (int(r.version), int(r.cluster), tuple(r.centroid))
+        for r in spark.read.parquet(sink.codebooks_path).collect()
+    )
+    assert cb_once == cb_twice
+    assert sink.recall_micro(spark, version=2, query_ids=q_drift) == after

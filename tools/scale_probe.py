@@ -569,10 +569,95 @@ def sketches_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def pairs_probe(spark, sf_dir: str,
+                factors: tuple[int, ...] = (1, 4, 16, 64)) -> dict:
+    """Quadratic-bucket-term probe (VERDICT r07 item 9): times the two
+    banded candidate-pair joins — MinHash-LSH (``dedup_minhash_pairs``)
+    and winnowing copy regions (``text_winnow_regions``) — at 1/4/16/64x
+    decorrelated document inflation, and MEASURES the Sigma|bucket|^2
+    candidate term alongside, so the SCALE.md claim "candidate cost is
+    bounded by bucket occupancy, not |docs|^2" is an empirical curve:
+    with decorrelated copies the bucket population grows ~linearly and
+    occupancy stays flat, so candidates (and time) should track docs,
+    not docs^2.  The recorded per-factor candidate counts are the
+    band-width guidance: if occupancy (candidates/docs) starts climbing
+    at some factor, that is the scale where the hash/band width must
+    widen.
+    """
+    from beam_scala_examples_spark.queries.llmdata import (
+        winnow_prints_memo,
+    )
+    from beam_scala_examples_spark.session import clear_session_memos
+
+    dirs = build_dirs(spark, sf_dir, factors)
+
+    def timed(fn) -> float:
+        fn().write.format("noop").mode("overwrite").save()   # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def choose2(df, keys):
+        return int(
+            df.groupBy(*keys).count()
+            .agg(F.sum(F.expr("count * (count - 1) div 2")).alias("c"))
+            .collect()[0]["c"] or 0
+        )
+
+    out: dict = {}
+    for f in factors:
+        d = dirs[f]
+        clear_session_memos()   # memos key on sf_dir, but bound memory
+        entry: dict = {"docs": load(spark, d, "documents").count()}
+        lsh = QUERIES["dedup_minhash_lsh"](spark, d)
+        entry["lsh_bucket_rows"] = lsh.count()
+        entry["lsh_candidates"] = choose2(lsh, ["band", "bucket"])
+        entry["lsh_pairs_sec"] = timed(
+            lambda: QUERIES["dedup_minhash_pairs"](spark, d)
+        )
+        prints = winnow_prints_memo(spark, d)
+        entry["winnow_prints"] = prints.count()
+        entry["winnow_candidates"] = choose2(prints, ["fp"])
+        entry["winnow_regions_sec"] = timed(
+            lambda: QUERIES["text_winnow_regions"](spark, d)
+        )
+        for k, v in entry.items():
+            print(f"pairs x{f} {k}: {v}", flush=True)
+        out[f] = entry
+    base = out[factors[0]]
+    for f in factors[1:]:
+        e = out[f]
+        e["lsh_time_ratio"] = round(
+            e["lsh_pairs_sec"] / base["lsh_pairs_sec"], 2
+        )
+        e["winnow_time_ratio"] = round(
+            e["winnow_regions_sec"] / base["winnow_regions_sec"], 2
+        )
+        e["lsh_cand_per_doc"] = round(e["lsh_candidates"] / e["docs"], 2)
+        e["winnow_cand_per_doc"] = round(
+            e["winnow_candidates"] / e["docs"], 2
+        )
+    clear_session_memos()
+    return {str(f): out[f] for f in factors}
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--whale", "--carry", "--islands", "--regions",
-                         "--sketches")]
+                         "--sketches", "--pairs")]
+    if "--pairs" in sys.argv[1:]:
+        sf_dir = args[0] if args else "/root/testdata/sf0.1"
+        out_json = args[1] if len(args) > 1 else "/tmp/pairs_probe.json"
+        spark = get_spark(app_name="pairs-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        res = pairs_probe(spark, sf_dir)
+        with open(out_json, "w") as f:
+            json.dump(res, f, indent=1)
+        spark.stop()
+        return
     if "--sketches" in sys.argv[1:]:
         sf_dir = args[0] if args else "/root/testdata/sf0.1"
         out_json = args[1] if len(args) > 1 else "/tmp/sketches_probe.json"
