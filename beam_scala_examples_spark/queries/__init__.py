@@ -20,12 +20,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import (autocomplete, behavior, clustering, cookbook, dq, game,
-               llmdata, relational, sessions, starschema, temporal, tfidf,
-               traffic, wordcount)
+from . import (autocomplete, behavior, classify, clustering, cookbook, dq,
+               game, llmdata, relational, sessions, starschema, temporal,
+               tfidf, traffic, wordcount)
 
 _MODULES = (wordcount, cookbook, game, tfidf, autocomplete, sessions, traffic,
-            llmdata, starschema, relational, temporal, clustering, behavior, dq)
+            llmdata, starschema, relational, temporal, clustering, behavior,
+            dq, classify)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
