@@ -788,6 +788,125 @@ ORACLE["dq_hll_by_day"] = f"""
 """
 
 
+def dq_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA: per unordered event-type pair, the register
+    summaries of each side and of their UNION (a plain register
+    max-merge) — everything inclusion–exclusion needs to estimate the
+    overlap ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` without ever
+    rescanning rows.  This is the audience-overlap / cross-source
+    leakage estimator of a 100 TB pipeline: the per-group sketches
+    already exist (``dq_hll_by_type``), so EVERY pairwise overlap is
+    O(pairs × registers) sketch math, not O(rows) scans.
+
+    The served relation stays exact-integer (register counts and rank
+    sums per side and per union) so it is oracle-hashable; the float
+    estimation composes driver-side via :func:`hll_estimate` and is
+    accuracy-tested against the exact intersections in
+    ``tests/test_sketches.py`` (the house split: hashed surface exact,
+    libm formula tolerance-tested).
+
+    Scale: the register log is ``n_types × HLL_M`` slim rows; pair
+    expansion joins it to the O(types²) pair list (broadcast), so cost
+    is independent of the event count."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = hll_partial_registers(ev, group_cols=("event_type",))
+    rc = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_regs"),
+        F.sum("max_rank").alias("sum_rank"),
+    )
+    pairs = (
+        rc.select(
+            F.col("event_type").alias("type_a"),
+            F.col("n_regs").alias("n_regs_a"),
+            F.col("sum_rank").alias("sum_rank_a"),
+        )
+        .join(
+            rc.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n_regs").alias("n_regs_b"),
+                F.col("sum_rank").alias("sum_rank_b"),
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    keys = pairs.select("type_a", "type_b")
+    side_a = regs.join(
+        F.broadcast(keys), regs.event_type == F.col("type_a")
+    ).select("type_a", "type_b", "register", "max_rank")
+    side_b = regs.join(
+        F.broadcast(keys), regs.event_type == F.col("type_b")
+    ).select("type_a", "type_b", "register", "max_rank")
+    union = (
+        side_a.unionByName(side_b)
+        .groupBy("type_a", "type_b", "register")
+        .agg(F.max("max_rank").alias("u_rank"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_regs_union"),
+            F.sum("u_rank").alias("sum_rank_union"),
+        )
+    )
+    return pairs.join(union, ["type_a", "type_b"]).select(
+        "type_a", "type_b",
+        "n_regs_a", "sum_rank_a", "n_regs_b", "sum_rank_b",
+        "n_regs_union", "sum_rank_union",
+    )
+
+
+QUERIES["dq_hll_overlap"] = dq_hll_overlap
+
+# `regs` feeds both per-side summaries and two UNION legs — exactly the
+# multi-referenced + UNION-body composition the round-7 flake taught us
+# to materialize up front.
+ORACLE["dq_hll_overlap"] = f"""
+    WITH h AS (
+        SELECT event_type, {_HLL_H} AS hv FROM events
+    ),
+    ranked AS (
+        SELECT event_type, hv % {HLL_M} AS register,
+               CASE WHEN hv // {HLL_M} = 0 THEN {HLL_VAL_BITS + 1}
+                    ELSE {HLL_VAL_BITS + 1} - length(bin(hv // {HLL_M}))
+               END AS rank
+        FROM h
+    ),
+    regs AS MATERIALIZED (
+        SELECT event_type, register::BIGINT AS register,
+               max(rank)::BIGINT AS max_rank
+        FROM ranked GROUP BY 1, 2
+    ),
+    rc AS MATERIALIZED (
+        SELECT event_type, count(*)::BIGINT AS n_regs,
+               sum(max_rank)::BIGINT AS sum_rank
+        FROM regs GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.n_regs AS n_regs_a, a.sum_rank AS sum_rank_a,
+               b.n_regs AS n_regs_b, b.sum_rank AS sum_rank_b
+        FROM rc a JOIN rc b ON a.event_type < b.event_type
+    ),
+    stacked AS (
+        SELECT p.type_a, p.type_b, r.register, r.max_rank
+        FROM pairs p JOIN regs r ON r.event_type = p.type_a
+        UNION ALL
+        SELECT p.type_a, p.type_b, r.register, r.max_rank
+        FROM pairs p JOIN regs r ON r.event_type = p.type_b
+    ),
+    uni AS (
+        SELECT type_a, type_b,
+               count(*)::BIGINT AS n_regs_union,
+               sum(u_rank)::BIGINT AS sum_rank_union
+        FROM (
+            SELECT type_a, type_b, register, max(max_rank) AS u_rank
+            FROM stacked GROUP BY 1, 2, 3
+        ) GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_regs_a, sum_rank_a, n_regs_b, sum_rank_b,
+           n_regs_union, sum_rank_union
+    FROM pairs JOIN uni USING (type_a, type_b)
+"""
+
+
 # The hashed profile surface must not depend on either engine's float /
 # timestamp string formatting (Spark emits Java scientific notation for
 # doubles >= 1e7 or < 1e-3; DuckDB never does) — so values are

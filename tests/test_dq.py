@@ -426,3 +426,63 @@ def test_vbin_extreme_magnitudes_match_python_and_duckdb(spark):
         [vals + [None, float("nan")]],
     ).fetchall()
     assert got == [tuple(r) for r in duck_rows]
+
+
+def test_hll_overlap_inclusion_exclusion_tracks_exact(spark, sf_dir):
+    """Round-8 sketch set algebra (dq_hll_overlap): per type pair, the
+    relation's side/union summaries must agree exactly with a register
+    reconstruction (union = plain max-merge), and the inclusion-
+    exclusion estimate est(A)+est(B)-est(A∪B) must track the exact
+    intersection within the compounded 3-sigma budget of its three
+    estimate terms."""
+    from beam_scala_examples_spark.queries.dq import (
+        HLL_M,
+        dq_hll_by_type,
+        dq_hll_overlap,
+        hll_estimate,
+    )
+    from beam_scala_examples_spark.tables import load
+    import pyspark.sql.functions as F
+
+    by_type: dict = {}
+    for r in dq_hll_by_type(spark, sf_dir).collect():
+        by_type.setdefault(r.event_type, {})[r.register] = r.max_rank
+
+    tu = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    users: dict = {}
+    for r in tu:
+        users.setdefault(r.event_type, set()).add(r.user_id)
+
+    pairs = dq_hll_overlap(spark, sf_dir).collect()
+    assert len(pairs) == len(by_type) * (len(by_type) - 1) // 2
+    sigma = 1.04 / (HLL_M ** 0.5)
+    for p in pairs:
+        a, b = by_type[p.type_a], by_type[p.type_b]
+        merged = dict(a)
+        for reg, rk in b.items():
+            merged[reg] = max(merged.get(reg, 0), rk)
+        # exact-integer surface == reconstruction (this is what the
+        # DuckDB oracle hash-pins too; re-checked here against the
+        # independently collected per-type registers)
+        assert (p.n_regs_a, p.sum_rank_a) == (len(a), sum(a.values()))
+        assert (p.n_regs_b, p.sum_rank_b) == (len(b), sum(b.values()))
+        assert (p.n_regs_union, p.sum_rank_union) == (
+            len(merged), sum(merged.values()),
+        )
+        est = (
+            hll_estimate(list(a.items()))
+            + hll_estimate(list(b.items()))
+            - hll_estimate(list(merged.items()))
+        )
+        exact = len(users[p.type_a] & users[p.type_b])
+        budget = 3 * sigma * (
+            len(users[p.type_a])
+            + len(users[p.type_b])
+            + len(users[p.type_a] | users[p.type_b])
+        )
+        assert abs(est - exact) <= budget, (p.type_a, p.type_b, est, exact)
