@@ -3431,17 +3431,24 @@ def _prf_probe_sweep_oracle() -> str:
         " i -> (e.embedding[i]::DOUBLE - c.c[i])"
         " * (e.embedding[i]::DOUBLE - c.c[i])))"
     )
+    from .llmdata import COSINE_TOPK_CTES as _CTK
+    from .llmdata import TOPK_NEIGHBORS as _TOPK
+
     max_np = max(PRF_SWEEP_NPROBES)
-    # NB: no AS MATERIALIZED anywhere in this oracle — DuckDB hits an
-    # internal error ("Recursive CTE scan found without recursive CTE
-    # node") when a MATERIALIZED CTE is referenced from multiple
-    # UNION ALL arms; un-materialized it runs in ~1 s at fixture scale.
-    tail = f"""fb AS (
+    # The ground-truth feedback CTE splices the FLAT cosine-topk chain
+    # (llmdata.COSINE_TOPK_CTES) into this WITH list: a nested
+    # `WITH ... ( {sim_cosine_topk} )` body cannot be MATERIALIZED
+    # (DuckDB internal "Recursive CTE scan found without recursive CTE
+    # node"), which is what kept `fb` outside the round-8 determinism
+    # hardening; flat it materializes like every other at-risk CTE.
+    tail = f"""{_CTK},
+    fb AS (
         SELECT qid, vec_id FROM (
             SELECT qid, vec_id, row_number() OVER (
                 PARTITION BY qid ORDER BY cosine DESC, vec_id
             ) AS r
-            FROM ({_LLM_ORACLE["sim_cosine_topk"]})
+            FROM (SELECT qid, vec_id, round(cos, 6) AS cosine
+                  FROM ctk_ranked WHERE rk <= {_TOPK})
         ) WHERE r <= {PRF_FB}
     ),
     dims AS (SELECT unnest(range(1, {_D} + 1)) AS dim),

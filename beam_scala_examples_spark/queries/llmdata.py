@@ -1684,6 +1684,35 @@ _DUCK_SIG_CTE = _duck_shingle_cte() + f""",
         )
     """
 
+# Flat (prefix-named, top-level) CTE chain of the brute-force cosine
+# top-k oracle.  Exists so composites can splice the ground truth into
+# their OWN top-level WITH list instead of nesting a WITH inside a CTE
+# body — DuckDB hits an internal error ("Recursive CTE scan found
+# without recursive CTE node") when such a nested-WITH CTE is
+# MATERIALIZED, which is what kept `fb` in sim_prf_probe_sweep's oracle
+# outside the round-8 determinism hardening.  Final relation:
+# ctk_ranked (qid, vec_id, cos, rk).
+COSINE_TOPK_CTES = f"""ctk_base AS (
+            SELECT vec_id, embedding,
+                   {_duck_dot('embedding', 'embedding')} AS nrm
+            FROM embeddings
+        ),
+        ctk_q AS (
+            SELECT vec_id AS qid, embedding AS qe, nrm AS qnorm
+            FROM ctk_base WHERE vec_id < {N_QUERY_VECS}
+        ),
+        ctk_pairs AS (
+            SELECT qid, vec_id,
+                   {_duck_dot('qe', 'embedding')} / sqrt(qnorm * nrm) AS cos
+            FROM ctk_q, ctk_base WHERE vec_id <> qid
+        ),
+        ctk_ranked AS (
+            SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, vec_id ASC) AS rk
+            FROM ctk_pairs
+        )"""
+
 ORACLE = {
     "multimodal_decode": """
         WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
@@ -1833,28 +1862,9 @@ ORACLE = {
         FROM p WHERE cos >= {EMB_NEARDUP_THRESHOLD}
     """,
     "sim_cosine_topk": f"""
-        WITH base AS (
-            SELECT vec_id, embedding,
-                   {_duck_dot('embedding', 'embedding')} AS nrm
-            FROM embeddings
-        ),
-        q AS (
-            SELECT vec_id AS qid, embedding AS qe, nrm AS qnorm
-            FROM base WHERE vec_id < {N_QUERY_VECS}
-        ),
-        pairs AS (
-            SELECT qid, vec_id,
-                   {_duck_dot('qe', 'embedding')} / sqrt(qnorm * nrm) AS cos
-            FROM q, base WHERE vec_id <> qid
-        ),
-        ranked AS (
-            SELECT qid, vec_id, cos,
-                   row_number() OVER (PARTITION BY qid
-                                      ORDER BY cos DESC, vec_id ASC) AS rk
-            FROM pairs
-        )
+        WITH {COSINE_TOPK_CTES}
         SELECT qid, vec_id, round(cos, 6) AS cosine
-        FROM ranked WHERE rk <= {TOPK_NEIGHBORS}
+        FROM ctk_ranked WHERE rk <= {TOPK_NEIGHBORS}
     """,
     "sim_lsh_topk": f"""
         WITH base AS (

@@ -151,14 +151,47 @@ def parse_ctes(sql: str) -> tuple[list[Cte], int]:
         return out, j
 
 
+def _shadowed_spans(sql: str, name: str) -> list[tuple[int, int]]:
+    """Spans of parenthesized subqueries whose own nested ``WITH`` list
+    re-defines ``name`` — inside such a span every occurrence of the
+    name refers to the SHADOWING inner CTE, not the outer one.  The
+    house oracles compose by embedding whole oracle strings as
+    ``FROM (WITH ... SELECT ...)`` / ``x AS (WITH ...)`` bodies, so
+    without this masking a single-referenced outer CTE whose name also
+    appears in an embedded oracle is misclassified as multi-referenced
+    (round 8 found exactly that: ``fb`` in ``sim_prf_probe_sweep``,
+    whose ``truth`` CTE embeds the ``sim_prf_expand`` oracle defining
+    its own ``fb``)."""
+    spans: list[tuple[int, int]] = []
+    for m in re.finditer(r"\bWITH\b", sql, re.IGNORECASE):
+        p = m.start()
+        q = p - 1
+        while q >= 0 and sql[q] in " \t\r\n":
+            q -= 1
+        if q < 0 or sql[q] != "(":
+            continue  # the outermost WITH, or not a subquery head
+        try:
+            inner, _ = parse_ctes(sql[p:])
+        except ValueError:
+            continue
+        if any(c.name == name for c in inner):
+            spans.append((q, _scan_parens(sql, q)))
+    return spans
+
+
 def _ref_count(sql: str, cte: Cte, all_ctes: list[Cte]) -> int:
-    """Occurrences of the CTE name OUTSIDE its own definition header —
-    i.e. in later CTE bodies and the main query.  Word-boundary count;
-    a column sharing the name inflates the count (conservative: may
-    flag, never hides a multi-reference)."""
-    masked = sql[: cte.name_start] + " " * (
-        cte.body_end - cte.name_start
-    ) + sql[cte.body_end:]
+    """Occurrences of the CTE name OUTSIDE its own definition header
+    and outside any nested-WITH scope that shadows it — i.e. true
+    references from later CTE bodies and the main query.  Word-boundary
+    count; a column sharing the name still inflates the count
+    (conservative: may flag, never hides a multi-reference)."""
+    chars = list(sql)
+    spans = [(cte.name_start, cte.body_end)]
+    spans += _shadowed_spans(sql, cte.name)
+    for lo, hi in spans:
+        for k in range(lo, hi):
+            chars[k] = " "
+    masked = "".join(chars)
     return len(
         re.findall(rf"(?<![A-Za-z0-9_.]){re.escape(cte.name)}\b", masked)
     )
@@ -223,6 +256,13 @@ def harden_oracles(oracle: dict[str, str]) -> dict[str, str]:
 # MATERIALIZED in the composition, or the hardened result hash-diverged)
 # — documented residuals, not silent gaps.  A name here is still
 # monitored by --check's repeat-run stability sweep.
-VERIFY_REJECTED: dict[str, list[str]] = {
-    "sim_prf_probe_sweep": ["fb"],
-}
+#
+# Round 8 closed the one entry this table ever held:
+# sim_prf_probe_sweep's `fb` was a SCANNER false positive — its
+# "second reference" was the shadowed `fb` defined inside the embedded
+# sim_prf_expand oracle in `truth`'s body; with shadow-aware ref
+# counting (_shadowed_spans) it is single-referenced, hence not
+# double-evaluable, hence not at risk.  (Materializing it still
+# triggers a DuckDB internal error — "Recursive CTE scan found without
+# recursive CTE node" — but that is now moot.)
+VERIFY_REJECTED: dict[str, list[str]] = {}

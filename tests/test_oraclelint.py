@@ -130,3 +130,35 @@ def test_every_at_risk_cte_is_hardened_or_documented():
         if risk - handled:
             missing[name] = sorted(risk - handled)
     assert not missing, missing
+
+
+def test_shadowed_nested_with_does_not_count_as_reference():
+    """Round-8 scanner fix: a nested WITH that re-defines an outer
+    CTE's name shadows it — occurrences inside that subquery are not
+    references to the outer CTE.  (The real case: `fb` in
+    sim_prf_probe_sweep is referenced once, but `truth` embeds the
+    sim_prf_expand oracle which defines its own `fb`.)"""
+    from beam_scala_examples_spark.queries.oraclelint import at_risk_ctes
+
+    sql = """
+        WITH fb AS (
+            SELECT a, row_number() OVER (ORDER BY a) AS r FROM t
+        ),
+        uses AS (SELECT * FROM fb),
+        embedded AS (
+            SELECT * FROM (
+                WITH fb AS (
+                    SELECT b, row_number() OVER (ORDER BY b) AS r FROM u
+                )
+                SELECT * FROM fb JOIN fb f2 USING (b)
+            )
+        )
+        SELECT * FROM uses JOIN embedded USING (a)
+    """
+    # outer fb: one true reference (uses); the three in `embedded` are
+    # the shadowing inner fb's definition and references
+    assert "fb" not in at_risk_ctes(sql)
+    # a genuinely multi-referenced windowed CTE is still flagged
+    sql2 = sql.replace("JOIN embedded USING (a)",
+                       "JOIN embedded USING (a) JOIN fb f3 USING (a)")
+    assert "fb" in at_risk_ctes(sql2)
