@@ -369,15 +369,79 @@ ORACLE["text_quality_nb_confusion"] = f"""
 """
 
 
+NB_CAL_BUCKET_MU = 2 * NB_MU   # 2-nat confidence buckets
+NB_CAL_CLAMP = 5
+
+
+def text_quality_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the NB classifier: held-out docs bucketed
+    by SIGNED keep-confidence (score(keep) − score(drop), which for two
+    classes is ``±margin_mu``), with each bucket's observed keep rate —
+    the calibration read a pipeline owner does before turning a score
+    into a threshold (well-calibrated → keep_rate rises monotonically
+    with the bucket).  Bucket = clamped floor(conf / 2 nats); exact
+    integers until the one final rate division."""
+    clf = text_quality_nb_classify(spark, sf_dir)
+    conf = F.when(
+        F.col("label_pred") == "keep", F.col("margin_mu")
+    ).otherwise(-F.col("margin_mu"))
+    bucket = F.greatest(
+        F.least(
+            F.floor(conf / float(NB_CAL_BUCKET_MU)), F.lit(NB_CAL_CLAMP)
+        ),
+        F.lit(-NB_CAL_CLAMP),
+    )
+    return (
+        clf.select(
+            bucket.cast("long").alias("conf_bucket"),
+            (F.col("label_true") == "keep").cast("long").alias("is_keep"),
+        )
+        .groupBy("conf_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_keep").alias("n_keep_true"),
+        )
+        .select(
+            "conf_bucket",
+            "n_docs",
+            "n_keep_true",
+            F.round(F.col("n_keep_true") * 1.0 / F.col("n_docs"), 6).alias(
+                "keep_rate"
+            ),
+        )
+    )
+
+
+QUERIES["text_quality_nb_calibration"] = text_quality_nb_calibration
+
+ORACLE["text_quality_nb_calibration"] = f"""
+    WITH clf AS ({_NB_CLASSIFY_DUCK}),
+    conf AS (
+        SELECT greatest(least(
+                   floor((CASE WHEN label_pred = 'keep'
+                               THEN margin_mu ELSE -margin_mu END)
+                         / {float(NB_CAL_BUCKET_MU)}),
+                   {NB_CAL_CLAMP}), -{NB_CAL_CLAMP})::BIGINT AS conf_bucket,
+               (label_true = 'keep')::BIGINT AS is_keep
+        FROM clf
+    )
+    SELECT conf_bucket, count(*)::BIGINT AS n_docs,
+           sum(is_keep)::BIGINT AS n_keep_true,
+           round(sum(is_keep) * 1.0 / count(*), 6) AS keep_rate
+    FROM conf GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # DSIR importance resampling
 # --------------------------------------------------------------------------
 
-def _dsir_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, b) hashed-bigram bucket instances — DSIR's feature
-    stream.  One narrow self-zip per doc (the ``text_lm_bigram_score``
-    idiom), bucket by md5 into ``DSIR_BUCKETS``."""
-    docs = load(spark, sf_dir, "documents")
+def dsir_bucket_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, b, c) hashed-bigram bucket COUNTS over a documents
+    relation — DSIR's additive feature partial (summing partials from
+    disjoint doc sets equals the partial over their union; the
+    streaming ``DsirIngestSink`` logs exactly this relation per
+    batch)."""
     return (
         docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
         .select(
@@ -395,28 +459,26 @@ def _dsir_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             (F.expr(_SPARK_H.format(col="bg")) % DSIR_BUCKETS).alias("b"),
         )
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
     )
 
 
-def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weights: per doc, the log-likelihood ratio of
-    its hashed-bigram stream under the TARGET bucket LM (trained on the
-    quality keepers — composing the rule filter as the target
-    definition, the paper's "formal text" slice) vs the RAW bucket LM
-    (the whole corpus).  Laplace add-1 on both, so absent target
-    buckets contribute ln(1)=0 sparsely, exactly the NB decomposition.
-
-    Scale: the bucket LMs are O(DSIR_BUCKETS) rows and broadcast; the
-    corpus-sized legs are the bigram explode and ONE map-side-combined
-    per-doc aggregate."""
-    bb = _dsir_bucketed(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents")
-    keepers = quality_label(docs).filter("label = 'keep'").select("doc_id")
-    rcnt = bb.groupBy("b").agg(F.count("*").alias("r"))
+def dsir_weights_from_counts(
+    bbc: DataFrame, reg: DataFrame
+) -> DataFrame:
+    """The shared DSIR weight computation: ``bbc`` is the (doc_id, b,
+    c) bucket-count relation, ``reg`` the (doc_id, source, label) doc
+    registry.  Builds the target (label = 'keep') and raw bucket LMs,
+    then each doc's Laplace-smoothed log importance ratio — used by
+    the batch query AND served from the streaming sink's merged logs,
+    so the two are equal by construction."""
+    keepers = reg.filter("label = 'keep'").select("doc_id")
+    rcnt = bbc.groupBy("b").agg(F.sum("c").alias("r"))
     tcnt = (
-        bb.join(keepers, "doc_id", "semi")
+        bbc.join(keepers, "doc_id", "semi")
         .groupBy("b")
-        .agg(F.count("*").alias("t"))
+        .agg(F.sum("c").alias("t"))
     )
     wts = rcnt.join(tcnt, "b", "left").select(
         "b",
@@ -436,12 +498,15 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dden_mu")
     )
     pd = (
-        bb.join(F.broadcast(wts), "b")
+        bbc.join(F.broadcast(wts), "b")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("m"), F.sum("lw_mu").alias("s_mu"))
+        .agg(
+            F.sum("c").alias("m"),
+            F.sum(F.col("c") * F.col("lw_mu")).alias("s_mu"),
+        )
     )
     return (
-        docs.select("doc_id", "source")
+        reg.select("doc_id", "source")
         .join(pd, "doc_id", "left")
         .join(F.broadcast(dd))
         .select(
@@ -457,6 +522,31 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("dsir_logratio"),
         )
+    )
+
+
+def dsir_doc_registry(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, label) — the slim doc registry the weight
+    computation joins (label via the map-only quality rule)."""
+    return docs.select("doc_id", "source").join(
+        quality_label(docs), "doc_id"
+    )
+
+
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per doc, the log-likelihood ratio of
+    its hashed-bigram stream under the TARGET bucket LM (trained on the
+    quality keepers — composing the rule filter as the target
+    definition, the paper's "formal text" slice) vs the RAW bucket LM
+    (the whole corpus).  Laplace add-1 on both, so absent target
+    buckets contribute ln(1)=0 sparsely, exactly the NB decomposition.
+
+    Scale: the bucket LMs are O(DSIR_BUCKETS) rows and broadcast; the
+    corpus-sized legs are the bigram explode and ONE map-side-combined
+    per-doc aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    return dsir_weights_from_counts(
+        dsir_bucket_counts(docs), dsir_doc_registry(docs)
     )
 
 

@@ -810,6 +810,15 @@ def dq_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is independent of the event count."""
     ev = load(spark, sf_dir, "events").select("event_type", "user_id")
     regs = hll_partial_registers(ev, group_cols=("event_type",))
+    return hll_overlap_from_regs(regs)
+
+
+def hll_overlap_from_regs(regs: DataFrame) -> DataFrame:
+    """The pairwise-overlap register algebra over a grouped register
+    relation (event_type, register, max_rank) — shared by the batch
+    query and :meth:`~..streaming.hllview.HllIngestSink.overlap_view`
+    (which feeds it the log-merged registers), so the streamed overlap
+    report equals the batch one by construction."""
     rc = regs.groupBy("event_type").agg(
         F.count("*").alias("n_regs"),
         F.sum("max_rank").alias("sum_rank"),

@@ -61,3 +61,17 @@ class HllIngestSink:
             .groupBy(*self.group_cols, "register")
             .agg(F.max("max_rank").alias("max_rank"))
         )
+
+    def overlap_view(self, spark: SparkSession) -> DataFrame:
+        """Round-8 sketch set algebra, served from the log: pairwise
+        per-group side/union register summaries (the inclusion-
+        exclusion inputs) over the merged registers — equals the batch
+        ``dq_hll_overlap`` once the ingest covers the corpus.  Requires
+        ``group_cols == ("event_type",)`` (the grouped sketch)."""
+        from ..queries.dq import hll_overlap_from_regs
+
+        if self.group_cols != ("event_type",):
+            raise ValueError(
+                "overlap_view needs the event_type-grouped sketch"
+            )
+        return hll_overlap_from_regs(self.serving_view(spark))

@@ -177,3 +177,84 @@ def test_dsir_resample_selects_k_and_enriches(spark):
         r["count"] for r in corpus if r.label == "keep"
     ) / total
     assert keep_share >= corpus_share
+
+
+def test_dsir_sink_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming DSIR (streaming/dsirview.py): bucket LMs are additive
+    counts, so the log-served weights and the Gumbel-top-K selection
+    must equal the batch queries exactly once the ingest covers the
+    corpus."""
+    from beam_scala_examples_spark.streaming.dsirview import DsirIngestSink
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream, write_arrival_chunks,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    rows = [
+        {"doc_id": r.doc_id, "text": r.text, "source": r.source}
+        for r in docs.select("doc_id", "text", "source").collect()
+    ]
+    write_arrival_chunks(rows, 15, f"{tmpdir}/docfeed")
+    stream = read_event_stream(
+        spark, f"{tmpdir}/docfeed",
+        schema="doc_id long, text string, source string",
+    )
+    sink = DsirIngestSink(tmpdir)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert (
+        spark.read.parquet(sink.counts_path)
+        .select("batch_id").distinct().count() >= 2
+    )
+
+    got_w = sorted(tuple(r) for r in sink.weights(spark).collect())
+    exp_w = sorted(
+        tuple(r) for r in sample_dsir_weights(spark, sf_dir).collect()
+    )
+    assert got_w == exp_w and len(got_w) > 0
+    got_s = sorted(tuple(r) for r in sink.resample(spark).collect())
+    exp_s = sorted(
+        tuple(r) for r in sample_dsir_resample(spark, sf_dir).collect()
+    )
+    assert got_s == exp_s
+
+
+def test_dsir_sink_replay_idempotent(spark, sf_dir, tmpdir):
+    from beam_scala_examples_spark.streaming.dsirview import DsirIngestSink
+
+    docs = load(spark, sf_dir, "documents")
+    rows = [
+        (r.doc_id, r.text, r.source)
+        for r in docs.select("doc_id", "text", "source").limit(40).collect()
+    ]
+    mk = lambda rs: spark.createDataFrame(
+        rs, "doc_id long, text string, source string"
+    )
+    sink = DsirIngestSink(tmpdir)
+    sink(mk(rows[:20]), 0)
+    sink(mk(rows[20:]), 1)
+    once = sorted(tuple(r) for r in sink.weights(spark).collect())
+    sink(mk(rows[20:]), 1)  # replay the latest batch
+    twice = sorted(tuple(r) for r in sink.weights(spark).collect())
+    assert once == twice and len(once) > 0
+
+
+def test_nb_calibration_monotone_tail(spark):
+    """The reliability table's extremes must order correctly: the most
+    confident keep bucket's observed keep rate exceeds the most
+    confident drop bucket's (deterministic fixture numbers)."""
+    from beam_scala_examples_spark.queries.classify import (
+        text_quality_nb_calibration,
+    )
+
+    rows = {
+        r.conf_bucket: r.keep_rate
+        for r in text_quality_nb_calibration(spark, SF2_DIR).collect()
+    }
+    assert rows[max(rows)] > rows[min(rows)]

@@ -2788,3 +2788,22 @@ def test_drift_triggered_ivf_retrain(spark, sf_dir, tmpdir):
     )
     assert cb_once == cb_twice
     assert sink.recall_micro(spark, version=2, query_ids=q_drift) == after
+
+
+def test_hll_sink_overlap_view_matches_batch(spark, sf_dir, event_rows, tmpdir):
+    """Round-8 sketch set algebra, served from the ingest log: the
+    grouped sink's pairwise overlap view (register max-merge + the
+    shared hll_overlap_from_regs algebra) must equal the batch
+    dq_hll_overlap exactly."""
+    from beam_scala_examples_spark.queries.dq import dq_hll_overlap
+    from beam_scala_examples_spark.streaming.hllview import HllIngestSink
+
+    stream = _feed(spark, event_rows, tmpdir)
+    sink = HllIngestSink(f"{tmpdir}/hll_log", group_cols=("event_type",))
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(tuple(r) for r in sink.overlap_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in dq_hll_overlap(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
