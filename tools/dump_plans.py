@@ -111,6 +111,10 @@ SHOWCASE = {
     "dq_value_quantiles_cumulative": "percentile curve by running counter SUM over the day grid — merge-only",
     "dq_heavy_users_rollup": "per-day CMS blocks summed into a range sketch; probes join O(depth × width) rows",
     "data_corpus_build_copyaware": "coverage gate composes as one more doc_id semi join before packing",
+    "text_quality_nb_classify": "sparse NB: O(vocab×2) model joins; ONE Window; class constants ride a 2-row broadcast",
+    "sample_dsir_weights": "bucket LMs are O(1024) rows broadcast; per-doc weights in one map-side-combined aggregate",
+    "sample_dsir_resample": "Gumbel-top-K rides TakeOrdered — per-partition top-K, never a global sort",
+    "dq_hll_overlap": "pairwise register algebra over O(types²×1024) rows — cost independent of the event count",
 }
 
 
