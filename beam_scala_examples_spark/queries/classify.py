@@ -53,11 +53,13 @@ from .llmdata import (
     _SPARK_H,
     _SPARK_H60,
     _SPARK_TOKS,
+    PACK_CTX_TOKENS,
     QF_MAX_MEAN_TOKEN_LEN,
     QF_MAX_TOKENS,
     QF_MIN_STOPWORD_RATIO,
     QF_MIN_TOKENS,
     SPLIT_TRAIN_PCT,
+    SPLIT_VAL_PCT,
     STOPWORDS,
 )
 from .llmdata import ORACLE as _LLM_ORACLE
@@ -645,4 +647,76 @@ ORACLE["sample_dsir_resample"] = f"""
         FROM w
     )
     ORDER BY gkey DESC, doc_id LIMIT {DSIR_SAMPLE_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Model-gated corpus build (the classifier composed end-to-end)
+# --------------------------------------------------------------------------
+
+def data_corpus_build_modelgated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The corpus pipeline with the trained model IN the loop: the
+    held-out split must additionally pass the NB classifier's verdict
+    (train-split docs are gated by the rule filter alone — they ARE the
+    model's training labels).  This is the belt-and-suspenders
+    composition a pipeline runs while ramping a learned gate: the delta
+    vs ``data_corpus_build`` is exactly the set of docs the model would
+    veto beyond the rules.
+
+    Plan shape: one more (doc_id) semi join before the packing window
+    (``llmdata._corpus_build_plan`` — bins shift when documents drop,
+    so packing re-runs over the final survivors)."""
+    from .llmdata import _corpus_build_plan
+
+    docs = load(spark, sf_dir, "documents")
+    train_ids = docs.filter(F.expr(_TRAIN_PRED_SPARK)).select("doc_id")
+    nb_keep = (
+        text_quality_nb_classify(spark, sf_dir)
+        .filter("label_pred = 'keep'")
+        .select("doc_id")
+    )
+    gate = train_ids.unionByName(nb_keep)
+    return _corpus_build_plan(spark, sf_dir, extra_gates=(gate,))
+
+
+QUERIES["data_corpus_build_modelgated"] = data_corpus_build_modelgated
+
+ORACLE["data_corpus_build_modelgated"] = f"""
+    WITH qf AS ({_LLM_ORACLE["text_quality_filter"]}),
+    surv AS ({_LLM_ORACLE["dedup_survivors"]}),
+    clf AS ({_NB_CLASSIFY_DUCK}),
+    toksz AS (
+        SELECT doc_id, len({_DUCK_TOKS})::INTEGER AS n_tokens FROM documents
+    ),
+    kept AS (
+        SELECT d.doc_id, d.source,
+               CASE WHEN ({_DUCK_H.format(col='d.doc_id::VARCHAR')}) % 100
+                         < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN ({_DUCK_H.format(col='d.doc_id::VARCHAR')}) % 100
+                         < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               t.n_tokens
+        FROM documents d
+        JOIN toksz t ON d.doc_id = t.doc_id
+        WHERE d.doc_id IN (SELECT doc_id FROM qf WHERE keep)
+          AND d.doc_id IN (SELECT doc_id FROM surv)
+          AND (({_DUCK_H.format(col='d.doc_id::VARCHAR')}) % 100
+                   < {SPLIT_TRAIN_PCT}
+               OR d.doc_id IN
+                   (SELECT doc_id FROM clf WHERE label_pred = 'keep'))
+    ),
+    packed AS (
+        SELECT doc_id, source, split, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY split, source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM kept
+    )
+    SELECT doc_id, source, split, n_tokens,
+           (cum_before // {PACK_CTX_TOKENS})::BIGINT AS bin,
+           (cum_before % {PACK_CTX_TOKENS})::BIGINT AS bin_offset
+    FROM packed
 """

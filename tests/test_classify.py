@@ -258,3 +258,29 @@ def test_nb_calibration_monotone_tail(spark):
         for r in text_quality_nb_calibration(spark, SF2_DIR).collect()
     }
     assert rows[max(rows)] > rows[min(rows)]
+
+
+def test_modelgated_build_is_consistent_veto_subset(spark, sf_dir):
+    """The model-gated corpus is data_corpus_build minus exactly the
+    eval-split docs the classifier vetoes (rule-keep but NB-drop) —
+    subset + exact delta.  (At the fixtures' scale the NB classifier
+    never vetoes a rule-keep doc, so the delta is typically empty —
+    the test pins the IDENTITY, not a nonzero veto count.)"""
+    from beam_scala_examples_spark.queries.classify import (
+        data_corpus_build_modelgated,
+    )
+    from beam_scala_examples_spark.queries.llmdata import data_corpus_build
+
+    base = {r.doc_id for r in data_corpus_build(spark, sf_dir).collect()}
+    gated = {
+        r.doc_id
+        for r in data_corpus_build_modelgated(spark, sf_dir).collect()
+    }
+    assert gated <= base
+    vetoes = {
+        r.doc_id
+        for r in text_quality_nb_classify(spark, sf_dir)
+        .filter("label_pred = 'drop'")
+        .collect()
+    }
+    assert base - gated == base & vetoes
