@@ -644,10 +644,78 @@ def pairs_probe(spark, sf_dir: str,
     return {str(f): out[f] for f in factors}
 
 
+def classifier_probe(spark, sf_dir: str,
+                     factors: tuple[int, ...] = FACTORS) -> dict:
+    """Scale shape of the round-8 model rungs: times NB train+classify
+    (``text_quality_nb_classify``) and the DSIR weight pass
+    (``sample_dsir_weights``) at 1/4/16x decorrelated document
+    inflation, and measures the MODEL sizes alongside — the SCALE.md
+    claim is "model relations are vocab-bounded, per-doc work is one
+    aggregate", so wall time should track docs ~linearly while the
+    DSIR LM stays at O(DSIR_BUCKETS) rows however large the corpus.
+    (NB vocab grows with the decorrelated inflation by construction —
+    the rotation mints new token types; the point is the model stays
+    a join SIDE, never a doc-crossed relation.)"""
+    from beam_scala_examples_spark.queries.classify import (
+        dsir_bucket_counts, nb_partials,
+    )
+
+    dirs = build_dirs(spark, sf_dir, factors)
+
+    def timed(fn) -> float:
+        fn().write.format("noop").mode("overwrite").save()   # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    out: dict = {}
+    for f in factors:
+        d = dirs[f]
+        docs = load(spark, d, "documents")
+        entry: dict = {"docs": docs.count()}
+        counts, _cls = nb_partials(docs)
+        entry["nb_model_rows"] = counts.count()
+        entry["nb_classify_sec"] = timed(
+            lambda: QUERIES["text_quality_nb_classify"](spark, d)
+        )
+        entry["dsir_lm_rows"] = int(
+            dsir_bucket_counts(docs).select("b").distinct().count()
+        )
+        entry["dsir_weights_sec"] = timed(
+            lambda: QUERIES["sample_dsir_weights"](spark, d)
+        )
+        for k, v in entry.items():
+            print(f"classifier x{f} {k}: {v}", flush=True)
+        out[f] = entry
+    base = out[factors[0]]
+    for f in factors[1:]:
+        e = out[f]
+        e["nb_time_ratio"] = round(
+            e["nb_classify_sec"] / base["nb_classify_sec"], 2
+        )
+        e["dsir_time_ratio"] = round(
+            e["dsir_weights_sec"] / base["dsir_weights_sec"], 2
+        )
+    return {str(f): out[f] for f in factors}
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--whale", "--carry", "--islands", "--regions",
-                         "--sketches", "--pairs")]
+                         "--sketches", "--pairs", "--classifier")]
+    if "--classifier" in sys.argv[1:]:
+        sf_dir = args[0] if args else "/root/testdata/sf0.1"
+        out_json = args[1] if len(args) > 1 else "/tmp/classifier_probe.json"
+        spark = get_spark(app_name="classifier-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        res = classifier_probe(spark, sf_dir)
+        with open(out_json, "w") as f:
+            json.dump(res, f, indent=1)
+        spark.stop()
+        return
     if "--pairs" in sys.argv[1:]:
         sf_dir = args[0] if args else "/root/testdata/sf0.1"
         out_json = args[1] if len(args) > 1 else "/tmp/pairs_probe.json"
