@@ -466,6 +466,13 @@ def dsir_bucket_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+# last persisted bucket-count DataFrame (the dedup_minhash_pairs
+# bounded-cache idiom: the relation feeds THREE legs — raw LM, target
+# LM, per-doc weights — and without a persist each leg re-runs the
+# tokenize+explode; measured 8.5 s -> lower at 16x inflation)
+_DSIR_CACHE: dict = {}
+
+
 def dsir_weights_from_counts(
     bbc: DataFrame, reg: DataFrame
 ) -> DataFrame:
@@ -475,6 +482,11 @@ def dsir_weights_from_counts(
     then each doc's Laplace-smoothed log importance ratio — used by
     the batch query AND served from the streaming sink's merged logs,
     so the two are equal by construction."""
+    prev = _DSIR_CACHE.pop("bbc", None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    bbc = bbc.persist()
+    _DSIR_CACHE["bbc"] = bbc
     keepers = reg.filter("label = 'keep'").select("doc_id")
     rcnt = bbc.groupBy("b").agg(F.sum("c").alias("r"))
     tcnt = (
