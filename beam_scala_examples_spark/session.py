@@ -82,11 +82,15 @@ def clear_session_memos() -> None:
       winnowing prints (one per sf_dir; O(prints) slim int64 triples);
     * ``queries.llmdata._BPE_MERGE_MEMO`` — plain merge-rule lists;
     * ``queries.clustering._KM_CACHE`` — persisted embedding corpora;
-    * ``queries.clustering._TRAIN_MEMO`` — plain codebook lists.
+    * ``queries.clustering._TRAIN_MEMO`` — plain codebook lists;
+    * ``queries.classify._CLS_MEMO`` / ``_DSIR_W_MEMO`` /
+      ``_DSIR_CACHE`` — the NB prediction table, DSIR weight relation,
+      and the DSIR bucket-count intermediate (round 8).
 
     Rebuilding after a clear re-derives bit-identical results (every
     memoized computation is deterministic); the only cost is the
     retraining/reconstruction time the memo was saving."""
+    from .queries.classify import _CLS_MEMO, _DSIR_CACHE, _DSIR_W_MEMO
     from .queries.clustering import _KM_CACHE, _TRAIN_MEMO
     from .queries.llmdata import (
         _BPE_MERGE_MEMO,
@@ -96,7 +100,7 @@ def clear_session_memos() -> None:
     )
 
     for cache in (_MINHASH_CACHE, _STRUCT_MEMO, _WINNOW_PRINT_MEMO,
-                  _KM_CACHE):
+                  _KM_CACHE, _CLS_MEMO, _DSIR_W_MEMO, _DSIR_CACHE):
         for df in cache.values():
             try:
                 df.unpersist(blocking=False)
