@@ -757,3 +757,100 @@ ORACLE["data_corpus_build_modelgated"] = f"""
            (cum_before % {PACK_CTX_TOKENS})::BIGINT AS bin_offset
     FROM packed
 """
+
+
+NB_PR_THRESHOLDS = list(range(-4, 5))   # signed keep-confidence, nats
+
+
+def text_quality_nb_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep of the NB classifier: for each signed
+    keep-confidence threshold (in whole nats), the keep-class
+    precision / recall / F1 against the rule truth — the table a
+    pipeline owner reads to pick the gate's threshold (the reliability
+    table says IF the score is trustworthy; this says WHERE to cut).
+
+    Exactness: every metric is a ratio of exact integer counts (F1 via
+    the 2TP/(2TP+FP+FN) identity — no float intermediate), rounded
+    once; thresholds ride a 9-row broadcast so the prediction table is
+    scanned once per aggregate, not per threshold."""
+    clf = text_quality_nb_classify(spark, sf_dir)
+    conf = F.when(
+        F.col("label_pred") == "keep", F.col("margin_mu")
+    ).otherwise(-F.col("margin_mu"))
+    base = clf.select(
+        conf.alias("conf_mu"),
+        (F.col("label_true") == "keep").cast("long").alias("is_keep"),
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in NB_PR_THRESHOLDS], "threshold_nats long"
+    )
+    j = base.join(F.broadcast(thr)).select(
+        "threshold_nats",
+        (F.col("conf_mu") >= F.col("threshold_nats") * NB_MU)
+        .cast("long")
+        .alias("pred_keep"),
+        "is_keep",
+    )
+    agg = j.groupBy("threshold_nats").agg(
+        F.sum(F.col("pred_keep") * F.col("is_keep")).alias("tp"),
+        F.sum(F.col("pred_keep") * (1 - F.col("is_keep"))).alias("fp"),
+        F.sum((1 - F.col("pred_keep")) * F.col("is_keep")).alias("fn"),
+    )
+    return agg.select(
+        "threshold_nats",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), 6),
+        ).alias("recall"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.round(
+                2.0 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+                6,
+            ),
+        ).alias("f1"),
+    )
+
+
+QUERIES["text_quality_nb_pr_curve"] = text_quality_nb_pr_curve
+
+ORACLE["text_quality_nb_pr_curve"] = f"""
+    WITH clf AS ({_NB_CLASSIFY_DUCK}),
+    base AS (
+        SELECT (CASE WHEN label_pred = 'keep'
+                     THEN margin_mu ELSE -margin_mu END) AS conf_mu,
+               (label_true = 'keep')::BIGINT AS is_keep
+        FROM clf
+    ),
+    thr AS (
+        SELECT unnest([{", ".join(str(t) for t in NB_PR_THRESHOLDS)}])
+            ::BIGINT AS threshold_nats
+    ),
+    agg AS (
+        SELECT threshold_nats,
+               sum((conf_mu >= threshold_nats * {NB_MU})::BIGINT
+                   * is_keep)::BIGINT AS tp,
+               sum((conf_mu >= threshold_nats * {NB_MU})::BIGINT
+                   * (1 - is_keep))::BIGINT AS fp,
+               sum((1 - (conf_mu >= threshold_nats * {NB_MU})::BIGINT)
+                   * is_keep)::BIGINT AS fn
+        FROM base CROSS JOIN thr
+        GROUP BY 1
+    )
+    SELECT threshold_nats, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN round(tp * 1.0 / (tp + fp), 6) END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN round(tp * 1.0 / (tp + fn), 6) END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+    FROM agg
+"""

@@ -284,3 +284,22 @@ def test_modelgated_build_is_consistent_veto_subset(spark, sf_dir):
         .collect()
     }
     assert base - gated == base & vetoes
+
+
+def test_pr_curve_monotone_tradeoff(spark):
+    """Raising the keep threshold must not increase keep-recall and
+    must not decrease keep-precision at the extremes (deterministic
+    fixture numbers at driver scale)."""
+    from beam_scala_examples_spark.queries.classify import (
+        text_quality_nb_pr_curve,
+    )
+
+    rows = sorted(
+        (r.threshold_nats, r.recall, r.precision)
+        for r in text_quality_nb_pr_curve(spark, SF2_DIR).collect()
+    )
+    recalls = [r for _, r, _ in rows if r is not None]
+    assert recalls == sorted(recalls, reverse=True)
+    lo, hi = rows[0], rows[-1]
+    if hi[2] is not None and lo[2] is not None:
+        assert hi[2] >= lo[2]
