@@ -189,7 +189,22 @@ def nb_classify_from_model(
 ) -> DataFrame:
     """Score ``eval_docs`` (doc_id, text) against an NB model given as
     its (possibly log-merged) count relations; returns
-    (doc_id, label_pred, margin_mu).
+    (doc_id, label_pred, margin_mu)."""
+    return nb_scores_from_features(
+        counts, cls,
+        nb_feature_instances(eval_docs),
+        eval_docs.select("doc_id"),
+    )
+
+
+def nb_scores_from_features(
+    counts: DataFrame, cls: DataFrame,
+    eval_feats: DataFrame, eval_ids: DataFrame,
+) -> DataFrame:
+    """The scorer core over an already-built (doc_id, f) eval feature
+    stream — factored out so the streamed model card can serve
+    predictions from its eval-feature LOG (the features were extracted
+    at arrival; serving never re-reads document text).
 
     The add-1 trick makes the score sparse: absent (f,label) rows
     contribute ln(1)=0, so the dense part collapses to the two O(labels)
@@ -216,7 +231,7 @@ def nb_classify_from_model(
         F.round(F.log(F.col("cnt") + 1) * NB_MU).cast("long").alias("lw_mu"),
     )
     vset = counts.select("f").distinct()
-    ef = nb_feature_instances(eval_docs).join(vset, "f")
+    ef = eval_feats.join(vset, "f")
     md = ef.groupBy("doc_id").agg(F.count("*").alias("m"))
     sparse = (
         ef.join(w, "f")
@@ -224,7 +239,7 @@ def nb_classify_from_model(
         .agg(F.sum("lw_mu").alias("s_mu"))
     )
     grid = (
-        eval_docs.select("doc_id")
+        eval_ids.select("doc_id")
         .join(F.broadcast(consts))
         .join(sparse, ["doc_id", "label"], "left")
         .join(md, "doc_id", "left")
@@ -853,4 +868,68 @@ ORACLE["text_quality_nb_pr_curve"] = f"""
            CASE WHEN 2 * tp + fp + fn > 0
                 THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
     FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Model-aware dataset card
+# --------------------------------------------------------------------------
+
+def data_dataset_card_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card extended with the model-selection members: the
+    NB classifier's veto rate on the held-out split (docs the cheap
+    model would drop beyond the rules — the number a team watches while
+    ramping a learned gate) and DSIR's target-likeness rate (docs whose
+    importance log-ratio is >= 0, i.e. at least as likely under the
+    target LM as under the raw corpus).  Same (metric, value) integer
+    contract as ``data_dataset_card``; both new members ride the
+    session-memoized model relations, so the card costs two O(1)-row
+    aggregates beyond the base card."""
+    from .llmdata import data_dataset_card
+
+    card = data_dataset_card(spark, sf_dir)
+    clf = text_quality_nb_classify(spark, sf_dir)
+    nb = clf.agg(
+        F.count("*").alias("n_eval"),
+        F.sum(
+            (
+                (F.col("label_true") == "keep")
+                & (F.col("label_pred") == "drop")
+            ).cast("long")
+        ).alias("n_veto"),
+    )
+    ds = sample_dsir_weights(spark, sf_dir).agg(
+        F.count("*").alias("n_w"),
+        F.sum((F.col("dsir_logratio") >= 0).cast("long")).alias("n_nonneg"),
+    )
+    members = [
+        nb.select(
+            F.lit("nb_veto_bp").alias("metric"),
+            F.expr("(n_veto * 10000) div n_eval").alias("value"),
+        ),
+        ds.select(
+            F.lit("dsir_target_like_bp").alias("metric"),
+            F.expr("(n_nonneg * 10000) div n_w").alias("value"),
+        ),
+    ]
+    out = card
+    for m in members:
+        out = out.unionByName(m)
+    return out
+
+
+QUERIES["data_dataset_card_model"] = data_dataset_card_model
+
+ORACLE["data_dataset_card_model"] = f"""
+    SELECT metric, value FROM ({_LLM_ORACLE["data_dataset_card"]})
+    UNION ALL
+    SELECT 'nb_veto_bp' AS metric,
+           ((sum((label_true = 'keep' AND label_pred = 'drop')::BIGINT)
+             * 10000) // count(*))::BIGINT AS value
+    FROM ({_NB_CLASSIFY_DUCK})
+    UNION ALL
+    SELECT 'dsir_target_like_bp' AS metric,
+           ((sum((dsir_logratio >= 0)::BIGINT) * 10000)
+             // count(*))::BIGINT AS value
+    FROM ({_DSIR_WEIGHTS_DUCK})
 """

@@ -303,3 +303,77 @@ def test_pr_curve_monotone_tradeoff(spark):
     lo, hi = rows[0], rows[-1]
     if hi[2] is not None and lo[2] is not None:
         assert hi[2] >= lo[2]
+
+
+def test_model_card_sink_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming model-aware card (streaming/modelcardview.py): the
+    composed sink (base card + NB partials over arriving train docs +
+    DSIR logs + eval feature/label logs) must serve exactly the batch
+    data_dataset_card_model — the model members are scored from logs
+    under the final model, never from re-read text."""
+    from beam_scala_examples_spark.queries.classify import (
+        data_dataset_card_model,
+    )
+    from beam_scala_examples_spark.streaming.modelcardview import (
+        ModelCardSink,
+    )
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream, write_arrival_chunks,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    rows = [
+        {"doc_id": r.doc_id, "text": r.text, "lang": r.lang,
+         "source": r.source}
+        for r in docs.select("doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    write_arrival_chunks(rows, 20, f"{tmpdir}/mcfeed")
+    stream = read_event_stream(
+        spark, f"{tmpdir}/mcfeed",
+        schema="doc_id long, text string, lang string, source string",
+    )
+    sink = ModelCardSink(str(tmpdir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    expect = sorted(
+        tuple(r) for r in data_dataset_card_model(spark, sf_dir).collect()
+    )
+    assert got == expect
+    assert spark.read.parquet(sink.nb.counts_path).select(
+        "batch_id"
+    ).distinct().count() >= 2
+
+
+def test_model_card_sink_replay_idempotent(spark, sf_dir, tmpdir):
+    from beam_scala_examples_spark.streaming.modelcardview import (
+        ModelCardSink,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    rows = [
+        (r.doc_id, r.text, r.lang, r.source)
+        for r in docs.select("doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    ]
+    mk = lambda rs: spark.createDataFrame(
+        rs, "doc_id long, text string, lang string, source string"
+    )
+    sink = ModelCardSink(str(tmpdir))
+    sink(mk(rows[:20]), 0)
+    sink(mk(rows[20:]), 1)
+    once = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    sink(mk(rows[20:]), 1)  # replay the latest batch
+    twice = sorted(tuple(r) for r in sink.serving_view(spark).collect())
+    assert once == twice and len(once) > 0
