@@ -9785,3 +9785,254 @@ ORACLE["multimodal_audio_recall"] = f"""
            ((SELECT count(*)::BIGINT FROM fnd) * 10000)
                // (SELECT count(*)::BIGINT FROM tp) AS recall_bp
 """
+
+
+# --------------------------------------------------------------------------
+# Binary-quantization (sign-bit) retrieval + Matryoshka dimension frontier
+# --------------------------------------------------------------------------
+
+BQ_BITS = 63          # sign bits over dims 1..63 — fits a signed int64
+BQ_SHORTLIST = 50     # Hamming shortlist re-ranked exactly (the PQ idiom)
+
+_SPARK_BQ_SIG = "(" + " + ".join(
+    f"(CASE WHEN element_at({{col}}, {i}) > 0"
+    f" THEN cast({1 << (i - 1)} as bigint) ELSE cast(0 as bigint) END)"
+    for i in range(1, BQ_BITS + 1)
+) + ")"
+_DUCK_BQ_SIG = "(" + " + ".join(
+    f"(CASE WHEN {{col}}[{i}] > 0 THEN {1 << (i - 1)}::BIGINT"
+    f" ELSE 0::BIGINT END)"
+    for i in range(1, BQ_BITS + 1)
+) + ")"
+
+
+def sim_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval: the corpus ranked by HAMMING
+    distance between 63-bit sign signatures (one int64 per vector — a
+    32x storage/bandwidth cut vs float32), then the shortlist re-ranked
+    by exact cosine — the modern vector-store fast path (sign bits
+    approximate cosine via the hyperplane bound; popcount is one
+    instruction).  Unlike ``sim_lsh_topk``'s bucket pruning this RANKS
+    the whole corpus, so recall is bounded by the shortlist, not by
+    bucket membership — the standard robustness trade.
+
+    Scale: the Hamming leg scans (vec_id, sig) only — 16 bytes/vector;
+    queries broadcast; both rank stages ride WindowGroupLimit; the
+    full-vector fetch is BQ_SHORTLIST rows per query, never the corpus.
+
+    Determinism: signatures and Hamming distances are exact integers;
+    ties break on vec_id; the re-rank is the house float-dot in array
+    order rounded once."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_SPARK_BQ_SIG.format(col="embedding")).alias("sig"),
+        norm.alias("nrm"),
+    )
+    q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("sig").alias("qsig"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnorm"),
+    )
+    ham = (
+        base.select("vec_id", "sig")
+        .join(F.broadcast(q.select("qid", "qsig")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.expr("bit_count(sig ^ qsig)").alias("h"),
+        )
+    )
+    short = top_k_per_key(
+        ham, ["qid"], [F.asc("h"), F.asc("vec_id")], BQ_SHORTLIST
+    ).select("qid", "vec_id")
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    scored = (
+        short.join(base.select("vec_id", "embedding", "nrm"), "vec_id")
+        .join(F.broadcast(q.select("qid", "qe", "qnorm")), "qid")
+        .select(
+            "qid", "vec_id",
+            (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    return top_k_per_key(
+        scored, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+    ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+
+
+def sim_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the sign-bit Hamming shortlist + exact re-rank vs
+    the brute-force ground truth — grades how much of the cosine
+    ordering 63 sign bits preserve (the binary-quantization quality
+    number a vector store publishes)."""
+    return _ann_recall(
+        sim_cosine_topk(spark, sf_dir), sim_bq_topk(spark, sf_dir)
+    )
+
+
+QUERIES["sim_bq_topk"] = sim_bq_topk
+QUERIES["sim_bq_recall"] = sim_bq_recall
+
+_BQ_TOPK_DUCK = f"""
+    WITH bqbase AS (
+        SELECT vec_id, embedding,
+               {_DUCK_BQ_SIG.format(col='embedding')} AS sig,
+               {_duck_dot('embedding', 'embedding')} AS nrm
+        FROM embeddings
+    ),
+    bqq AS (
+        SELECT vec_id AS qid, sig AS qsig, embedding AS qe, nrm AS qnorm
+        FROM bqbase WHERE vec_id < {N_QUERY_VECS}
+    ),
+    ham AS (
+        SELECT qid, vec_id, bit_count(xor(sig, qsig)) AS h
+        FROM bqbase, bqq WHERE vec_id <> qid
+    ),
+    short AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY h, vec_id
+            ) AS rk FROM ham
+        ) WHERE rk <= {BQ_SHORTLIST}
+    ),
+    scored AS (
+        SELECT s.qid, s.vec_id,
+               {_duck_dot('q.qe', 'b.embedding')}
+                   / sqrt(q.qnorm * b.nrm) AS cos
+        FROM short s
+        JOIN bqbase b ON b.vec_id = s.vec_id
+        JOIN bqq q ON q.qid = s.qid
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cosine FROM (
+        SELECT qid, vec_id, cos, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+        ) AS rk FROM scored
+    ) WHERE rk <= {TOPK_NEIGHBORS}
+"""
+
+ORACLE["sim_bq_topk"] = _BQ_TOPK_DUCK
+
+ORACLE["sim_bq_recall"] = f"""
+    SELECT e.qid,
+           round(count(a.vec_id) * 1.0 / {TOPK_NEIGHBORS}, 4) AS recall_at_k
+    FROM ({ORACLE["sim_cosine_topk"]}) e
+    LEFT JOIN ({_BQ_TOPK_DUCK}) a
+      ON e.qid = a.qid AND e.vec_id = a.vec_id
+    GROUP BY e.qid
+"""
+
+
+MRL_DIMS = (8, 16, 32, 64)   # Matryoshka prefix budgets (full = 64)
+
+
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension-budget frontier: mean recall@k of
+    prefix-D cosine retrieval vs the full-dimension ground truth, for
+    each budget D — the curve that prices serving at a truncated
+    dimension (MRL-style embeddings are trained so prefixes rank well;
+    this measures how THIS corpus's embeddings degrade).  One row per
+    budget, exact integer basis points.
+
+    Scale: each budget's leg is the brute-force shape (queries
+    broadcast, one corpus scan, WindowGroupLimit) reading only the
+    prefix — at a D/64 budget the scan moves D/64 of the bytes; the
+    frontier is the evidence for choosing the cheapest budget that
+    holds recall."""
+    truth = sim_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    emb = load(spark, sf_dir, "embeddings")
+    legs = []
+    for d in MRL_DIMS:
+        pdot = _SPARK_DOT.format(a=f"slice(qe, 1, {d})",
+                                 b=f"slice(embedding, 1, {d})")
+        pnorm = _SPARK_DOT.format(a=f"slice(embedding, 1, {d})",
+                                  b=f"slice(embedding, 1, {d})")
+        base = emb.select(
+            "vec_id", "embedding", F.expr(pnorm).alias("nrm")
+        ).filter(F.col("nrm") > 0)
+        q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnorm"),
+        )
+        pairs = (
+            base.join(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid", "vec_id",
+                (F.expr(pdot) / F.sqrt(F.col("qnorm") * F.col("nrm")))
+                .alias("cos"),
+            )
+        )
+        topd = top_k_per_key(
+            pairs, ["qid"], [F.desc("cos"), F.asc("vec_id")],
+            TOPK_NEIGHBORS,
+        ).select("qid", "vec_id", F.lit(1).alias("hit"))
+        legs.append(
+            truth.join(topd, ["qid", "vec_id"], "left")
+            .agg(
+                F.lit(d).cast("long").alias("dim_budget"),
+                F.count("hit").alias("hits"),
+                F.count("*").alias("truth_rows"),
+            )
+            .select(
+                "dim_budget", "hits", "truth_rows",
+                F.expr("(hits * 10000) div truth_rows").alias(
+                    "mean_recall_bp"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+QUERIES["sim_matryoshka_recall"] = sim_matryoshka_recall
+
+
+def _duck_pdot(a: str, b: str, d: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {d}),"
+        f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _mrl_leg_sql(d: int) -> str:
+    return f"""
+    SELECT {d}::BIGINT AS dim_budget,
+           count(a.vec_id)::BIGINT AS hits,
+           count(*)::BIGINT AS truth_rows,
+           ((count(a.vec_id) * 10000) // count(*))::BIGINT
+               AS mean_recall_bp
+    FROM ({ORACLE["sim_cosine_topk"]}) e
+    LEFT JOIN (
+        WITH pb AS (
+            SELECT vec_id, embedding,
+                   {_duck_pdot('embedding', 'embedding', d)} AS nrm
+            FROM embeddings
+        ),
+        pbn AS (SELECT * FROM pb WHERE nrm > 0),
+        pq AS (
+            SELECT vec_id AS qid, embedding AS qe, nrm AS qnorm
+            FROM pbn WHERE vec_id < {N_QUERY_VECS}
+        ),
+        pairs AS (
+            SELECT qid, vec_id,
+                   {_duck_pdot('qe', 'embedding', d)}
+                       / sqrt(qnorm * nrm) AS cos
+            FROM pq, pbn WHERE vec_id <> qid
+        )
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+            ) AS rk FROM pairs
+        ) WHERE rk <= {TOPK_NEIGHBORS}
+    ) a ON a.qid = e.qid AND a.vec_id = e.vec_id"""
+
+
+ORACLE["sim_matryoshka_recall"] = "\nUNION ALL\n".join(
+    _mrl_leg_sql(d) for d in MRL_DIMS
+)

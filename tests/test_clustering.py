@@ -47,3 +47,35 @@ def test_kmeans_assignment_is_narrow(spark, sf_dir):
     above_cache = p.split("InMemoryRelation")[0]
     assert "InMemoryTableScan" in above_cache  # assignment reads the cache
     assert "Exchange" not in above_cache  # narrow above the cached corpus
+
+
+def test_bq_recall_beats_single_table_lsh(spark, sf_dir):
+    """The sign-bit Hamming RANKING (sim_bq_topk) must recall more of
+    the exact top-k than single-table bucket pruning (sim_lsh_recall's
+    measured ~0.02): ranking the whole corpus by 63 sign bits cannot
+    lose a neighbor to bucket membership, only to shortlist depth."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        sim_bq_recall, sim_lsh_recall,
+    )
+
+    bq = [r.recall_at_k for r in sim_bq_recall(spark, sf_dir).collect()]
+    lsh = [r.recall_at_k for r in sim_lsh_recall(spark, sf_dir).collect()]
+    assert sum(bq) / len(bq) > sum(lsh) / len(lsh)
+    assert sum(bq) / len(bq) >= 0.5
+
+
+def test_matryoshka_frontier_monotone_with_exact_ceiling(spark, sf_dir):
+    """The dimension-budget frontier must be non-decreasing in the
+    budget and exactly 10000 bp at the full dimension (prefix-64 IS
+    the ground-truth metric)."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        EMB_DIM, sim_matryoshka_recall,
+    )
+
+    rows = sorted(
+        (r.dim_budget, r.mean_recall_bp)
+        for r in sim_matryoshka_recall(spark, sf_dir).collect()
+    )
+    vals = [v for _, v in rows]
+    assert vals == sorted(vals)
+    assert rows[-1] == (EMB_DIM, 10000)
