@@ -10036,3 +10036,144 @@ def _mrl_leg_sql(d: int) -> str:
 ORACLE["sim_matryoshka_recall"] = "\nUNION ALL\n".join(
     _mrl_leg_sql(d) for d in MRL_DIMS
 )
+
+
+BQ_BUDGETS = (10, 25, 50, 100)   # Hamming shortlist depths swept
+
+
+def sim_bq_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortlist-budget frontier for binary-quantization retrieval:
+    mean recall@k per Hamming shortlist depth — the knob that prices
+    sign-bit serving (deeper shortlist = more exact-cosine work, higher
+    recall).  ONE Hamming ranking and ONE exact scoring of the deepest
+    shortlist feed every budget (the ``sim_pq_rerank_sweep`` reuse
+    shape); per budget the top-k is re-picked among rows within the
+    budget.  Exact integer basis points."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_SPARK_BQ_SIG.format(col="embedding")).alias("sig"),
+        norm.alias("nrm"),
+    )
+    q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("sig").alias("qsig"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnorm"),
+    )
+    ham = (
+        base.select("vec_id", "sig")
+        .join(F.broadcast(q.select("qid", "qsig")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", F.expr("bit_count(sig ^ qsig)").alias("h")
+        )
+    )
+    wh = Window.partitionBy("qid").orderBy(F.asc("h"), F.asc("vec_id"))
+    short = (
+        ham.withColumn("rk", F.row_number().over(wh))
+        .filter(F.col("rk") <= max(BQ_BUDGETS))
+        .select("qid", "vec_id", "rk")
+    )
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    scored = (
+        short.join(base.select("vec_id", "embedding", "nrm"), "vec_id")
+        .join(F.broadcast(q.select("qid", "qe", "qnorm")), "qid")
+        .select(
+            "qid", "vec_id", "rk",
+            (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    truth = sim_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    legs = []
+    for b in BQ_BUDGETS:
+        wb = Window.partitionBy("qid").orderBy(
+            F.desc("cos"), F.asc("vec_id")
+        )
+        topb = (
+            scored.filter(F.col("rk") <= b)
+            .withColumn("r2", F.row_number().over(wb))
+            .filter(F.col("r2") <= TOPK_NEIGHBORS)
+            .select("qid", "vec_id", F.lit(1).alias("hit"))
+        )
+        legs.append(
+            truth.join(topb, ["qid", "vec_id"], "left")
+            .agg(
+                F.lit(b).cast("long").alias("shortlist"),
+                F.count("hit").alias("hits"),
+                F.count("*").alias("truth_rows"),
+            )
+            .select(
+                "shortlist", "hits", "truth_rows",
+                F.expr("(hits * 10000) div truth_rows").alias(
+                    "mean_recall_bp"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+QUERIES["sim_bq_budget_sweep"] = sim_bq_budget_sweep
+
+
+def _bq_sweep_leg_sql(b: int) -> str:
+    return f"""
+    SELECT {b}::BIGINT AS shortlist,
+           count(a.vec_id)::BIGINT AS hits,
+           count(*)::BIGINT AS truth_rows,
+           ((count(a.vec_id) * 10000) // count(*))::BIGINT
+               AS mean_recall_bp
+    FROM ctk AS e
+    LEFT JOIN (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+            ) AS r2 FROM bqscored WHERE rk <= {b}
+        ) WHERE r2 <= {TOPK_NEIGHBORS}
+    ) a ON a.qid = e.qid AND a.vec_id = e.vec_id"""
+
+
+# bqscored / ctk feed every UNION arm — materialized up front (the
+# round-7 flake shape, handled at authoring time).
+ORACLE["sim_bq_budget_sweep"] = f"""
+    WITH bqbase AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               {_DUCK_BQ_SIG.format(col='embedding')} AS sig,
+               {_duck_dot('embedding', 'embedding')} AS nrm
+        FROM embeddings
+    ),
+    bqq AS (
+        SELECT vec_id AS qid, sig AS qsig, embedding AS qe, nrm AS qnorm
+        FROM bqbase WHERE vec_id < {N_QUERY_VECS}
+    ),
+    ham AS (
+        SELECT qid, vec_id, bit_count(xor(sig, qsig)) AS h
+        FROM bqbase, bqq WHERE vec_id <> qid
+    ),
+    short AS (
+        SELECT qid, vec_id, rk FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY h, vec_id
+            ) AS rk FROM ham
+        ) WHERE rk <= {max(BQ_BUDGETS)}
+    ),
+    bqscored AS MATERIALIZED (
+        SELECT s.qid, s.vec_id, s.rk,
+               {_duck_dot('q.qe', 'b.embedding')}
+                   / sqrt(q.qnorm * b.nrm) AS cos
+        FROM short s
+        JOIN bqbase b ON b.vec_id = s.vec_id
+        JOIN bqq q ON q.qid = s.qid
+    ),
+    {COSINE_TOPK_CTES},
+    ctk AS MATERIALIZED (
+        SELECT qid, vec_id FROM ctk_ranked WHERE rk <= {TOPK_NEIGHBORS}
+    )
+    {chr(10).join(['UNION ALL' + _bq_sweep_leg_sql(b) for b in BQ_BUDGETS])[len('UNION ALL'):]}
+"""

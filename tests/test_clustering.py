@@ -79,3 +79,21 @@ def test_matryoshka_frontier_monotone_with_exact_ceiling(spark, sf_dir):
     vals = [v for _, v in rows]
     assert vals == sorted(vals)
     assert rows[-1] == (EMB_DIM, 10000)
+
+
+def test_bq_budget_frontier_monotone(spark, sf_dir):
+    """Deeper Hamming shortlists can only add candidates, so the
+    budget-sweep recall must be non-decreasing, and the largest budget
+    must match or beat the registered sim_bq_topk's shortlist point."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        BQ_SHORTLIST, sim_bq_budget_sweep,
+    )
+
+    rows = sorted(
+        (r.shortlist, r.mean_recall_bp)
+        for r in sim_bq_budget_sweep(spark, sf_dir).collect()
+    )
+    vals = [v for _, v in rows]
+    assert vals == sorted(vals)
+    at_default = dict(rows)[BQ_SHORTLIST]
+    assert dict(rows)[max(dict(rows))] >= at_default
