@@ -2807,3 +2807,42 @@ def test_hll_sink_overlap_view_matches_batch(spark, sf_dir, event_rows, tmpdir):
         tuple(r) for r in dq_hll_overlap(spark, sf_dir).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_bq_ingest_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming binary-quantization ingest (streaming/bqview.py): each
+    arrival signed once into the signature log; the served Hamming
+    shortlist + exact re-rank must equal the batch sim_bq_topk exactly
+    (no quantizer to train — the sign index has zero build step)."""
+    from beam_scala_examples_spark.queries.llmdata import sim_bq_topk
+    from beam_scala_examples_spark.streaming.bqview import BqIngestSink
+
+    sink = BqIngestSink(f"{tmpdir}/bq_log")
+    rows = _vec_rows(spark, sf_dir)
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<float>"
+    )
+    third = len(rows) // 3
+    sink(mk(rows[:third]), 0)
+    sink(mk(rows[third : 2 * third]), 1)
+    sink(mk(rows[2 * third :]), 2)
+
+    expect = sorted(tuple(r) for r in sim_bq_topk(spark, sf_dir).collect())
+    got = sorted(tuple(r) for r in sink.topk_view(spark).collect())
+    assert got == expect and len(got) > 0
+
+
+def test_bq_ingest_replay_idempotent(spark, sf_dir, tmpdir):
+    from beam_scala_examples_spark.streaming.bqview import BqIngestSink
+
+    sink = BqIngestSink(f"{tmpdir}/bq_log")
+    rows = _vec_rows(spark, sf_dir)
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<float>"
+    )
+    sink(mk(rows[:200]), 0)
+    sink(mk(rows[200:]), 1)
+    once = sorted(tuple(r) for r in sink.topk_view(spark).collect())
+    sink(mk(rows[200:]), 1)  # replay
+    twice = sorted(tuple(r) for r in sink.topk_view(spark).collect())
+    assert once == twice
