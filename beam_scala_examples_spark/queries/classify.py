@@ -483,9 +483,13 @@ def dsir_bucket_counts(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
+                    # element_at is 1-based on BOTH engines — the house
+                    # convention for cross-engine array code (bracket
+                    # indexing is 0-based in Spark, 1-based in DuckDB)
                     "CASE WHEN size(toks) >= 2 THEN"
-                    " transform(sequence(0, size(toks) - 2),"
-                    " i -> concat(toks[i], ' ', toks[i+1]))"
+                    " transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    " element_at(toks, i + 1)))"
                     " ELSE array() END"
                 )
             ).alias("bg"),
@@ -499,27 +503,33 @@ def dsir_bucket_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-# last persisted bucket-count DataFrame (the dedup_minhash_pairs
-# bounded-cache idiom: the relation feeds THREE legs — raw LM, target
-# LM, per-doc weights — and without a persist each leg re-runs the
-# tokenize+explode; measured 8.5 s -> lower at 16x inflation)
+# last persisted bucket-count DataFrame PER CONSUMER (the
+# dedup_minhash_pairs bounded-cache idiom: the relation feeds THREE
+# legs — raw LM, target LM, per-doc weights — and without a persist
+# each leg re-runs the tokenize+explode; measured 8.5 s -> lower at
+# 16x inflation).  Round-9 ADVICE fix: a single slot made interleaved
+# consumers (the batch memo and live DsirIngestSink.weights() serves)
+# unpersist each other's relation — each consumer now replaces only
+# its OWN previous persist; the dict stays bounded by live consumers
+# and clear_session_memos() releases them all.
 _DSIR_CACHE: dict = {}
 
 
 def dsir_weights_from_counts(
-    bbc: DataFrame, reg: DataFrame
+    bbc: DataFrame, reg: DataFrame, cache_key="batch"
 ) -> DataFrame:
     """The shared DSIR weight computation: ``bbc`` is the (doc_id, b,
     c) bucket-count relation, ``reg`` the (doc_id, source, label) doc
     registry.  Builds the target (label = 'keep') and raw bucket LMs,
     then each doc's Laplace-smoothed log importance ratio — used by
     the batch query AND served from the streaming sink's merged logs,
-    so the two are equal by construction."""
-    prev = _DSIR_CACHE.pop("bbc", None)
+    so the two are equal by construction.  ``cache_key`` scopes the
+    persisted three-leg intermediate to the calling consumer."""
+    prev = _DSIR_CACHE.pop(cache_key, None)
     if prev is not None:
         prev.unpersist(blocking=False)
     bbc = bbc.persist()
-    _DSIR_CACHE["bbc"] = bbc
+    _DSIR_CACHE[cache_key] = bbc
     keepers = reg.filter("label = 'keep'").select("doc_id")
     rcnt = bbc.groupBy("b").agg(F.sum("c").alias("r"))
     tcnt = (

@@ -37,7 +37,12 @@ import re
 from dataclasses import dataclass
 
 _WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
-_RISK_BODY = re.compile(r"\bOVER\s*\(|\bUNION\b", re.IGNORECASE)
+_RISK_BODY = re.compile(
+    # OVER ( ... ) inline windows, OVER w named windows (the winnow
+    # chain's `brk` uses `WINDOW w AS (...)` — round 9), and UNION legs
+    r"\bOVER\s*\(|\bOVER\s+[A-Za-z_]|\bUNION\b",
+    re.IGNORECASE,
+)
 
 
 @dataclass
@@ -179,17 +184,33 @@ def _shadowed_spans(sql: str, name: str) -> list[tuple[int, int]]:
     return spans
 
 
-def _ref_count(sql: str, cte: Cte, all_ctes: list[Cte]) -> int:
-    """Occurrences of the CTE name OUTSIDE its own definition header
-    and outside any nested-WITH scope that shadows it — i.e. true
-    references from later CTE bodies and the main query.  Word-boundary
-    count; a column sharing the name still inflates the count
-    (conservative: may flag, never hides a multi-reference)."""
+def _ref_count(
+    sql: str, cte: Cte, scope: tuple[int, int] = (0, -1)
+) -> int:
+    """Occurrences of the CTE name WITHIN ITS SCOPE, outside its own
+    definition header and outside any deeper nested-WITH span that
+    shadows it — i.e. true references from later same-scope CTE bodies
+    and the scope's main query.  Word-boundary count; a column sharing
+    the name still inflates the count (conservative: may flag, never
+    hides a multi-reference)."""
+    lo, hi = scope
+    if hi < 0:
+        hi = len(sql)
     chars = list(sql)
+    for k in range(0, lo):
+        chars[k] = " "
+    for k in range(hi, len(sql)):
+        chars[k] = " "
     spans = [(cte.name_start, cte.body_end)]
-    spans += _shadowed_spans(sql, cte.name)
-    for lo, hi in spans:
-        for k in range(lo, hi):
+    # a shadow span containing this CTE's own definition is its defining
+    # scope (or an ancestor wrapper) — not a shadow of it
+    spans += [
+        (slo, shi)
+        for slo, shi in _shadowed_spans(sql, cte.name)
+        if not (slo <= cte.name_start < shi)
+    ]
+    for slo, shi in spans:
+        for k in range(slo, shi):
             chars[k] = " "
     masked = "".join(chars)
     return len(
@@ -197,34 +218,162 @@ def _ref_count(sql: str, cte: Cte, all_ctes: list[Cte]) -> int:
     )
 
 
-def at_risk_ctes(sql: str) -> list[str]:
-    """Names of un-materialized top-level CTEs that are multi-referenced
-    AND whose body carries a window or UNION composition — the round-7
-    flake shape."""
+def _scopes(sql: str):
+    """Yield ``(span_lo, span_hi, ctes)`` for every WITH scope in the
+    statement — the outermost list (span = whole statement) and every
+    nested ``(WITH ...)`` subquery — with ABSOLUTE Cte offsets.
+
+    Round 9: the round-8 audit only parsed the outermost list, so an
+    oracle that embeds another oracle as a subquery (the house
+    composition idiom, e.g. ``text_winnow_coverage_by_source`` wrapping
+    the whole ``text_winnow_coverage`` SQL inside its ``cov`` CTE) hid
+    its inner multi-referenced windowed CTEs from the audit entirely —
+    which is exactly where round 8's live flake lived."""
     ctes, _ = parse_ctes(sql)
-    out = []
-    for c in ctes:
-        if c.materialized:
+    if ctes:
+        yield 0, len(sql), ctes
+    for m in re.finditer(r"\bWITH\b", sql, re.IGNORECASE):
+        p = m.start()
+        q = p - 1
+        while q >= 0 and sql[q] in " \t\r\n":
+            q -= 1
+        if q < 0 or sql[q] != "(":
+            continue  # the outermost WITH, or not a subquery head
+        try:
+            inner, _ = parse_ctes(sql[p:])
+        except ValueError:
             continue
-        body = sql[c.body_start:c.body_end]
-        if not _RISK_BODY.search(body):
+        if not inner:
             continue
-        if _ref_count(sql, c, ctes) >= 2:
-            out.append(c.name)
+        try:
+            hi = _scan_parens(sql, q)
+        except ValueError:
+            continue
+        yield q, hi, [
+            Cte(
+                c.name,
+                c.name_start + p,
+                c.body_start + p,
+                c.body_end + p,
+                c.materialized,
+            )
+            for c in inner
+        ]
+
+
+def _cte_refs(sql: str, ctes: list[Cte]) -> dict[str, set[str]]:
+    """For each CTE of one scope, the set of EARLIER same-scope CTE
+    names its body references (word-boundary, shadow-aware: an
+    occurrence inside a DEEPER nested-WITH scope that re-defines the
+    name is the inner CTE, not this one; a shadow span that CONTAINS
+    the referenced CTE's own definition is its defining scope or an
+    ancestor, not a shadow)."""
+    refs: dict[str, set[str]] = {}
+    for idx, c in enumerate(ctes):
+        r: set[str] = set()
+        for o in ctes[:idx]:
+            shadow = [
+                (lo, hi)
+                for lo, hi in _shadowed_spans(sql, o.name)
+                if not (lo <= o.name_start < hi)
+            ]
+            pat = re.compile(rf"(?<![A-Za-z0-9_.]){re.escape(o.name)}\b")
+            for m in pat.finditer(sql, c.body_start, c.body_end):
+                if any(lo <= m.start() < hi for lo, hi in shadow):
+                    continue
+                r.add(o.name)
+                break
+        refs[c.name] = r
+    return refs
+
+
+def _risky_closure(sql: str, ctes: list[Cte]) -> set[str]:
+    """Names whose TRANSITIVE expansion carries a window or UNION.
+
+    Round 9: the round-8 rule tested only a CTE's own body, but DuckDB
+    inlines plain CTE chains — re-evaluating a multi-referenced CTE
+    re-evaluates its un-materialized ancestors too, so a riskless body
+    over a windowed ancestor is exactly as double-evaluable as the
+    windowed body itself (round 8's live flake:
+    ``text_winnow_coverage_by_source``'s ``mp``/``prints`` chain).
+    Risk propagates consumer-ward only through UN-materialized
+    ancestors — a MATERIALIZED ancestor evaluates once by definition."""
+    risky = {
+        c.name
+        for c in ctes
+        if _RISK_BODY.search(sql[c.body_start:c.body_end])
+    }
+    inline = {c.name for c in ctes if not c.materialized}
+    refs = _cte_refs(sql, ctes)
+    changed = True
+    while changed:
+        changed = False
+        for c in ctes:
+            if c.name in risky:
+                continue
+            if refs[c.name] & (risky & inline):
+                risky.add(c.name)
+                changed = True
+    return risky
+
+
+def at_risk_ctes(sql: str) -> list[str]:
+    """Names of un-materialized CTEs — in ANY scope, outermost or
+    nested — that are multi-referenced within their scope AND whose
+    transitive expansion (own body, or any un-materialized same-scope
+    ancestor CTE it references, recursively) carries a window or UNION
+    composition.
+
+    Round 7 established the base shape (multi-referenced windowed CTE
+    double-evaluated by DuckDB); round 8's live flake
+    (``text_winnow_coverage_by_source``) showed two gaps this closes:
+    risk is TRANSITIVE over the CTE dependency graph (DuckDB inlines
+    plain CTE chains, so a riskless body over a windowed ancestor
+    re-evaluates the window at each reference), and composition hides
+    chains in NESTED ``(WITH ...)`` scopes the outer-only parse never
+    audited."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for lo, hi, ctes in _scopes(sql):
+        risky = _risky_closure(sql, ctes)
+        for c in ctes:
+            if c.materialized or c.name in seen:
+                continue
+            if c.name not in risky:
+                continue
+            if _ref_count(sql, c, (lo, hi)) >= 2:
+                out.append(c.name)
+                seen.add(c.name)
     return out
 
 
+def all_unmaterialized_cte_names(sql: str) -> set[str]:
+    """Every un-materialized CTE name across all scopes — the stale-list
+    domain for ``tools/oracle_stability.py --check`` and the registry
+    invariant test."""
+    return {
+        c.name
+        for _, _, ctes in _scopes(sql)
+        for c in ctes
+        if not c.materialized
+    }
+
+
 def materialize(sql: str, names: list[str] | set[str]) -> str:
-    """Insert ``MATERIALIZED`` into the definitions of ``names``.
-    Names that are absent or already materialized are skipped (the
-    stability tool's --check mode reports stale lists)."""
+    """Insert ``MATERIALIZED`` into the definitions of ``names`` — in
+    EVERY scope that defines them (round 9: nested-scope definitions
+    are where the live flake's CTEs live; a name colliding across
+    scopes gets each definition materialized, which --emit's
+    hash-equality verification vouches for).  Names that are absent or
+    already materialized are skipped (the stability tool's --check mode
+    reports stale lists)."""
     want = set(names)
-    ctes, _ = parse_ctes(sql)
-    inserts = [
+    inserts = {
         c.body_start
+        for _, _, ctes in _scopes(sql)
         for c in ctes
         if c.name in want and not c.materialized
-    ]
+    }
     for pos in sorted(inserts, reverse=True):
         sql = sql[:pos] + "MATERIALIZED " + sql[pos:]
     return sql
@@ -265,4 +414,15 @@ def harden_oracles(oracle: dict[str, str]) -> dict[str, str]:
 # double-evaluable, hence not at risk.  (Materializing it still
 # triggers a DuckDB internal error — "Recursive CTE scan found without
 # recursive CTE node" — but that is now moot.)
-VERIFY_REJECTED: dict[str, list[str]] = {}
+#
+# Round 9 (nested-scope audit): sim_prf_probe_sweep's `qcent` is
+# defined BOTH at the outer scope and inside the embedded
+# sim_prf_expand oracle (`truth`'s nested WITH); materializing both
+# definitions trips DuckDB's "Duplicate alias \"qcent\" in query"
+# binder error, so --emit rejected it.  Residual risk is bounded: the
+# outer `qcent` is a windowless mean over a bounded query set, and the
+# parity harness's fresh-connection retry adjudicates any remaining
+# oracle-side instability (tests/oracle_harness.compare).
+VERIFY_REJECTED: dict[str, list[str]] = {
+    "sim_prf_probe_sweep": ["qcent"],
+}

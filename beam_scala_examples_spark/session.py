@@ -109,3 +109,38 @@ def clear_session_memos() -> None:
         cache.clear()
     _BPE_MERGE_MEMO.clear()
     _TRAIN_MEMO.clear()
+
+
+def memo_snapshot() -> dict[str, int]:
+    """Entry count of every session-lifetime memo cache, keyed by cache
+    name — the round-9 bench instrument that makes per-query memo
+    warmth EXPLICIT in bench captures (round-8 verdict item 2: two
+    band violations were adjudicated as shared-memo warmth the bench
+    design silently conflated; a capture now records which caches each
+    timed query found populated)."""
+    from .queries.classify import _CLS_MEMO, _DSIR_CACHE, _DSIR_W_MEMO
+    from .queries.clustering import _KM_CACHE, _TRAIN_MEMO
+    from .queries.llmdata import (
+        _BPE_MERGE_MEMO,
+        _MINHASH_CACHE,
+        _STRUCT_MEMO,
+        _WINNOW_PRINT_MEMO,
+    )
+    from .queries.relational import _LPA_CACHE
+
+    return {
+        name: len(cache)
+        for name, cache in (
+            ("minhash", _MINHASH_CACHE),
+            ("struct", _STRUCT_MEMO),
+            ("winnow_prints", _WINNOW_PRINT_MEMO),
+            ("bpe_merges", _BPE_MERGE_MEMO),
+            ("kmeans_corpora", _KM_CACHE),
+            ("trained_codebooks", _TRAIN_MEMO),
+            ("nb_classifier", _CLS_MEMO),
+            ("dsir_weights", _DSIR_W_MEMO),
+            ("dsir_counts", _DSIR_CACHE),
+            ("lpa_edges", _LPA_CACHE),
+        )
+        if len(cache)
+    }

@@ -30,6 +30,7 @@ from ..queries.llmdata import (
     N_QUERY_VECS,
     TOPK_NEIGHBORS,
 )
+from .logio import read_log, write_log_partition
 
 
 class BqIngestSink:
@@ -38,6 +39,7 @@ class BqIngestSink:
 
     def __init__(self, log_path: str):
         self.log_path = log_path
+        self._schema = None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
@@ -47,17 +49,14 @@ class BqIngestSink:
             F.expr(_SPARK_BQ_SIG.format(col="embedding")).alias("sig"),
             norm.alias("nrm"),
         )
-        (
-            rows.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(self.log_path)
-        )
+        # logio write (round-9 ADVICE fix): the stashed schema makes an
+        # all-empty ingest prefix read as the empty relation instead of
+        # failing parquet schema inference, like the NB/DSIR sinks.
+        self._schema = write_log_partition(rows, batch_id, self.log_path)
 
     def topk_view(self, spark: SparkSession) -> DataFrame:
         """The batch ``sim_bq_topk`` relation served from the log."""
-        base = spark.read.parquet(self.log_path).select(
+        base = read_log(spark, self.log_path, self._schema).select(
             "vec_id", "embedding", "sig", "nrm"
         )
         q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(

@@ -63,7 +63,9 @@ class DsirIngestSink:
         reg = read_log(spark, self.reg_path, self._reg_schema).select(
             "doc_id", "source", "label"
         )
-        return dsir_weights_from_counts(bbc, reg)
+        return dsir_weights_from_counts(
+            bbc, reg, cache_key=("sink", self.counts_path)
+        )
 
     def resample(self, spark: SparkSession) -> DataFrame:
         """Gumbel-top-K selection over the served weights — equals the

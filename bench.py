@@ -358,16 +358,35 @@ def main() -> None:
     # 3 samples; the long tail gets 2 — full coverage at ~210 queries
     # has to fit a bounded wall-clock budget, and the tail timings are
     # informational rather than gated.
+    # Memo-state instrument (round-9, verdict item 2): per-query bench
+    # timings are NOT independent measurements — queries that lean on
+    # session memos (_trained codebooks, _copurchase_edges, winnow
+    # prints, ...) run warm or cold depending on which queries ran
+    # before them, and inserting new queries into the bench order can
+    # silently flip a query's state (round 8's two band flags).  Each
+    # capture now records, per query, which memo caches were populated
+    # BEFORE its first rep and which caches it built/replaced — so a
+    # band adjudication can tell warmth drift from a real regression by
+    # reading bench_detail.json instead of re-deriving the bench order.
+    from beam_scala_examples_spark.session import memo_snapshot
+
     timings: dict[str, float] = {}
+    memo_state: dict[str, dict] = {}
     for name in names:
         fn = QUERIES[name]
         reps = 3 if name in _R01_HEADLINE else 2
+        before = memo_snapshot()
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        after = memo_snapshot()
+        if before or after != before:
+            memo_state[name] = {"warm": before, "built": {
+                k: v for k, v in after.items() if before.get(k, 0) != v
+            }}
 
     total = round(sum(timings.values()), 3)
     # Aux key for fair round-over-round comparison: the headline set has
@@ -433,6 +452,7 @@ def main() -> None:
                     "query_count": len(timings),
                     "band_violations": violations,
                     "capture": capture,
+                    "memo_state": memo_state,
                 },
                 f,
                 indent=1,

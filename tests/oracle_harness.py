@@ -43,16 +43,7 @@ def canonicalize(rows, colnames):
     return sorted(c for c in colnames), out
 
 
-def compare(spark_df, con, sql: str):
-    """Return (ok, message) comparing a Spark DataFrame against oracle SQL."""
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    s_cols = spark_df.columns
-    d_res = con.sql(sql)
-    d_rows = [tuple(r) for r in d_res.fetchall()]
-    d_cols = list(d_res.columns)
-
-    sc, sr = canonicalize(s_rows, s_cols)
-    dc, dr = canonicalize(d_rows, d_cols)
+def _diff(sc, sr, dc, dr):
     if sc != dc:
         return False, f"column mismatch: spark={sc} duck={dc}"
     if len(sr) != len(dr):
@@ -63,3 +54,54 @@ def compare(spark_df, con, sql: str):
         ][:5]
         return False, f"value mismatch ({len(diffs)}+ shown): {diffs}"
     return True, f"ok ({len(sr)} rows)"
+
+
+def compare(spark_df, con, sql: str, fresh_factory=None):
+    """Return (ok, message) comparing a Spark DataFrame against oracle SQL.
+
+    ``fresh_factory`` (round 9): rounds 7 and 8 each saw ONE parity
+    failure where the ORACLE evaluated wrong on a long-lived DuckDB
+    connection while the engine matched the stable truth
+    (``VERDICT.md`` round 8, "What's wrong").  When the first
+    evaluation mismatches and a factory is given, the oracle — never
+    the Spark side — is re-evaluated once on a brand-new connection and
+    the verdict records which side moved: a retry that matches passes
+    with a loud warning (oracle-side instability, engine exonerated); a
+    retry that still mismatches is a real failure, confirmed on two
+    independent connections."""
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = spark_df.columns
+    sc, sr = canonicalize(s_rows, s_cols)
+
+    def run_oracle(c):
+        res = c.sql(sql)
+        rows = [tuple(r) for r in res.fetchall()]
+        return canonicalize(rows, list(res.columns))
+
+    dc, dr = run_oracle(con)
+    ok, msg = _diff(sc, sr, dc, dr)
+    if ok or fresh_factory is None:
+        return ok, msg
+
+    con2 = fresh_factory()
+    try:
+        dc2, dr2 = run_oracle(con2)
+    finally:
+        con2.close()
+    ok2, msg2 = _diff(sc, sr, dc2, dr2)
+    moved = (
+        "oracle MOVED between connections (DuckDB-side instability)"
+        if (dc2, dr2) != (dc, dr)
+        else "oracle stable across connections"
+    )
+    if ok2:
+        import warnings
+
+        warnings.warn(
+            "oracle flake adjudicated: first evaluation diverged"
+            f" [{msg}] but a fresh-connection re-evaluation matches the"
+            f" engine exactly — {moved}",
+            stacklevel=2,
+        )
+        return True, f"ok after fresh-connection oracle retry ({moved})"
+    return False, f"{msg2} [confirmed on fresh connection; {moved}; first: {msg}]"

@@ -93,12 +93,15 @@ def test_committed_lists_apply_cleanly():
     """Registry invariant: every committed materialization entry names
     a present, unmaterialized CTE of the RAW oracle, and the hardened
     registry differs from RAW exactly on the listed oracles."""
+    from beam_scala_examples_spark.queries.oraclelint import (
+        all_unmaterialized_cte_names,
+    )
+
     lists = load_materialize_lists()
     assert lists, "oracle_materialize.json missing or empty"
     for name, names in lists.items():
         assert name in ORACLE_RAW, name
-        ctes, _ = parse_ctes(ORACLE_RAW[name])
-        have = {c.name for c in ctes if not c.materialized}
+        have = all_unmaterialized_cte_names(ORACLE_RAW[name])
         assert set(names) <= have, (name, names)
         assert ORACLE[name] != ORACLE_RAW[name]
         assert ORACLE[name].count("MATERIALIZED") >= len(names)
@@ -150,15 +153,102 @@ def test_shadowed_nested_with_does_not_count_as_reference():
                 WITH fb AS (
                     SELECT b, row_number() OVER (ORDER BY b) AS r FROM u
                 )
-                SELECT * FROM fb JOIN fb f2 USING (b)
+                SELECT * FROM fb
             )
         )
         SELECT * FROM uses JOIN embedded USING (a)
     """
-    # outer fb: one true reference (uses); the three in `embedded` are
-    # the shadowing inner fb's definition and references
+    # outer fb: one true reference (uses); the occurrences in `embedded`
+    # are the shadowing inner fb's definition and single reference
     assert "fb" not in at_risk_ctes(sql)
     # a genuinely multi-referenced windowed CTE is still flagged
     sql2 = sql.replace("JOIN embedded USING (a)",
                        "JOIN embedded USING (a) JOIN fb f3 USING (a)")
     assert "fb" in at_risk_ctes(sql2)
+
+
+def test_transitive_risk_over_cte_chain():
+    """Round-9 rule: a multi-referenced CTE whose OWN body is riskless
+    but which references a windowed ancestor is exactly as
+    double-evaluable as the ancestor (DuckDB inlines plain CTE chains
+    — round 8's live flake shape)."""
+    sql = """
+        WITH w AS (
+            SELECT a, row_number() OVER (ORDER BY a) AS rn FROM t
+        ),
+        plain AS (SELECT a, rn + 1 AS rp FROM w),
+        leaf AS (SELECT a FROM u)
+        SELECT * FROM plain p1 JOIN plain p2 USING (a) JOIN leaf USING (a)
+    """
+    # plain: riskless body, risky ancestor, referenced twice -> flagged;
+    # w: windowed but single-referenced (only by plain) -> safe;
+    # leaf: no risk anywhere -> safe
+    assert at_risk_ctes(sql) == ["plain"]
+    # materializing the ANCESTOR cuts the transitive edge: plain's
+    # expansion then evaluates the window once regardless
+    hardened = materialize(sql, ["w"])
+    assert at_risk_ctes(hardened) == []
+
+
+def test_named_window_counts_as_risk():
+    """`WINDOW w AS (...)` + `OVER w` (the winnow chain's `brk`) is a
+    window even without `OVER (`."""
+    sql = """
+        WITH b AS (
+            SELECT a, lag(a) OVER w AS pa FROM t
+            WINDOW w AS (PARTITION BY g ORDER BY a)
+        )
+        SELECT * FROM b x JOIN b y USING (a)
+    """
+    assert at_risk_ctes(sql) == ["b"]
+
+
+def test_nested_scope_ctes_are_audited():
+    """Round-9 rule: the house composition idiom embeds whole oracles
+    as `x AS ( WITH ... SELECT ... )` — multi-referenced windowed CTEs
+    INSIDE that nested scope must be flagged and materializable (round
+    8's flake: `iv` inside text_winnow_coverage_by_source's `cov`)."""
+    sql = """
+        WITH cov AS (
+            WITH iv AS (
+                SELECT g, sum(a) OVER (PARTITION BY g ORDER BY a) AS s
+                FROM t
+            ),
+            top AS (SELECT g, max(s) AS m FROM iv GROUP BY g)
+            SELECT iv.g, iv.s, m FROM iv JOIN top USING (g)
+        )
+        SELECT * FROM cov
+    """
+    # outer cov: single-referenced -> safe; nested iv: windowed +
+    # referenced twice within its scope (top's body + main query)
+    assert at_risk_ctes(sql) == ["iv"]
+    hardened = materialize(sql, ["iv"])
+    assert "MATERIALIZED" in hardened
+    assert at_risk_ctes(hardened) == []
+    # the nested definition got the keyword, not a reference site
+    assert hardened.count("MATERIALIZED") == 1
+    from beam_scala_examples_spark.queries.oraclelint import (
+        all_unmaterialized_cte_names,
+    )
+    assert all_unmaterialized_cte_names(sql) == {"cov", "iv", "top"}
+
+
+def test_nested_materialized_sql_equivalent_in_duckdb():
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE t AS SELECT range % 3 AS g, range AS a FROM range(12)"
+    )
+    sql = """
+        WITH cov AS (
+            WITH iv AS (
+                SELECT g, sum(a) OVER (PARTITION BY g ORDER BY a) AS s
+                FROM t
+            ),
+            top AS (SELECT g, max(s) AS m FROM iv GROUP BY g)
+            SELECT iv.g, iv.s, top.m FROM iv JOIN top USING (g)
+        )
+        SELECT * FROM cov
+    """
+    base = sorted(con.sql(sql).fetchall())
+    hard = sorted(con.sql(materialize(sql, ["iv"])).fetchall())
+    assert base == hard and len(base) == 12

@@ -2846,3 +2846,17 @@ def test_bq_ingest_replay_idempotent(spark, sf_dir, tmpdir):
     sink(mk(rows[200:]), 1)  # replay
     twice = sorted(tuple(r) for r in sink.topk_view(spark).collect())
     assert once == twice
+
+
+def test_bq_ingest_empty_prefix_serves_empty(spark, tmpdir):
+    """An all-empty ingest prefix serves the EMPTY top-k relation
+    (logio's explicit-schema read — round-9 ADVICE fix), not a parquet
+    schema-inference error."""
+    from beam_scala_examples_spark.streaming.bqview import BqIngestSink
+
+    sink = BqIngestSink(f"{tmpdir}/bq_log")
+    sink(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        0,
+    )
+    assert sink.topk_view(spark).count() == 0

@@ -152,8 +152,7 @@ def check(sf_dir: str, repeats: int, only: set[str] | None) -> int:
         if name not in ORACLE_RAW:
             stale.append((name, "oracle gone"))
             continue
-        ctes, _ = oraclelint.parse_ctes(ORACLE_RAW[name])
-        have = {c.name for c in ctes if not c.materialized}
+        have = oraclelint.all_unmaterialized_cte_names(ORACLE_RAW[name])
         missing = [n for n in names if n not in have]
         if missing:
             stale.append((name, f"CTEs not applicable: {missing}"))

@@ -659,13 +659,20 @@ def classifier_probe(spark, sf_dir: str,
     from beam_scala_examples_spark.queries.classify import (
         dsir_bucket_counts, nb_partials,
     )
+    from beam_scala_examples_spark.session import clear_session_memos
 
     dirs = build_dirs(spark, sf_dir, factors)
 
     def timed(fn) -> float:
-        fn().write.format("noop").mode("overwrite").save()   # warm
+        """Time the UN-memoized pipeline: these queries memoize their
+        trained model per (applicationId, sf_dir), so without clearing,
+        iterations after the first scan a persisted cache instead of
+        re-running the training/weight pass (round-9 ADVICE item 1 —
+        the probe would silently stop measuring the claimed scaling)."""
+        fn().write.format("noop").mode("overwrite").save()   # plan warm
         best = float("inf")
         for _ in range(2):
+            clear_session_memos()
             t0 = time.perf_counter()
             fn().write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

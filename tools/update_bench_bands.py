@@ -61,7 +61,17 @@ def merged_bands(detail: dict, old: dict | None, reset: bool) -> dict:
 
 
 def main() -> None:
-    reset = "--reset" in sys.argv[1:]
+    args = sys.argv[1:]
+    reset = "--reset" in args
+    # --reset-names a,b (round 9): re-baseline ONLY the named queries to
+    # the current capture (drop their historical minima) while every
+    # other band keeps the min-merge rule — for adjudicated warmth-drift
+    # bands (a min captured memo-warm is unattainable under the current
+    # bench order; see bench_detail.json's memo_state).  Say so in the
+    # commit message, with the measurement attached.
+    reset_names: set[str] = set()
+    if "--reset-names" in args:
+        reset_names = set(args[args.index("--reset-names") + 1].split(","))
     with open(os.path.join(ROOT, "bench_detail.json")) as f:
         detail = json.load(f)
     out = os.path.join(ROOT, "bench_bands.json")
@@ -69,6 +79,16 @@ def main() -> None:
     if os.path.exists(out):
         with open(out) as f:
             old = json.load(f)
+    if reset_names and old is not None:
+        unknown = reset_names - set(detail["queries"])
+        if unknown:
+            raise KeyError(f"--reset-names not in capture: {sorted(unknown)}")
+        old = dict(old)
+        old["queries"] = {
+            k: v
+            for k, v in old.get("queries", {}).items()
+            if k not in reset_names
+        }
     bands = merged_bands(detail, old, reset)
     with open(out, "w") as f:
         json.dump(bands, f, indent=1, sort_keys=True)
