@@ -10038,6 +10038,148 @@ ORACLE["sim_matryoshka_recall"] = "\nUNION ALL\n".join(
 )
 
 
+# Round 9 (verdict item 8): the frontier above is honestly FLAT on the
+# fixture's structureless random embeddings — every prefix is equally
+# (un)informative, so it demonstrates the measurement, not the
+# operator's value.  This twin applies a deterministic MRL-style
+# energy profile (dim j scaled by MRL_DECAY^j, so the leading dims
+# carry most of the energy exactly as Matryoshka-trained embeddings
+# do: prefix-8 holds ~81.5% of total energy at 0.9 decay, prefix-16
+# ~96.6%, prefix-32 ~99.9%) and measures the same frontier against the
+# full-dimension truth OVER THE STRUCTURED VECTORS — the curve now has
+# to climb toward 10000 bp with the budget, pinning a non-trivial
+# shape the oracle checks exactly.
+MRL_DECAY = 0.9
+_SPARK_MRL_EMB = (
+    f"transform(embedding, (x, i) ->"
+    f" cast(x as double) * power({MRL_DECAY}D, i))"
+)
+_DUCK_MRL_EMB = (
+    f"list_transform(generate_series(1, {EMB_DIM}),"
+    f" i -> embedding[i]::DOUBLE * pow({MRL_DECAY}, i - 1))"
+)
+
+
+def sim_matryoshka_recall_structured(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``sim_matryoshka_recall`` over MRL-structured embeddings: the
+    deterministic per-dim decay is applied identically on both engines,
+    truth is the full-dimension top-k over the SAME structured vectors,
+    and each prefix budget is scored against it.  Same scale posture as
+    the base frontier: per leg, queries broadcast, one corpus scan
+    reading only the prefix, WindowGroupLimit top-k."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_MRL_EMB).alias("embedding")
+    )
+
+    def topd(d: int) -> DataFrame:
+        pdot = _SPARK_DOT.format(a=f"slice(qe, 1, {d})",
+                                 b=f"slice(embedding, 1, {d})")
+        pnorm = _SPARK_DOT.format(a=f"slice(embedding, 1, {d})",
+                                  b=f"slice(embedding, 1, {d})")
+        base = emb.select(
+            "vec_id", "embedding", F.expr(pnorm).alias("nrm")
+        ).filter(F.col("nrm") > 0)
+        q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnorm"),
+        )
+        pairs = (
+            base.join(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid", "vec_id",
+                (F.expr(pdot) / F.sqrt(F.col("qnorm") * F.col("nrm")))
+                .alias("cos"),
+            )
+        )
+        return top_k_per_key(
+            pairs, ["qid"], [F.desc("cos"), F.asc("vec_id")],
+            TOPK_NEIGHBORS,
+        ).select("qid", "vec_id")
+
+    truth = topd(EMB_DIM)
+    legs = []
+    for d in MRL_DIMS:
+        legs.append(
+            truth.join(
+                topd(d).withColumn("hit", F.lit(1)), ["qid", "vec_id"],
+                "left",
+            )
+            .agg(
+                F.lit(d).cast("long").alias("dim_budget"),
+                F.count("hit").alias("hits"),
+                F.count("*").alias("truth_rows"),
+            )
+            .select(
+                "dim_budget", "hits", "truth_rows",
+                F.expr("(hits * 10000) div truth_rows").alias(
+                    "mean_recall_bp"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+QUERIES["sim_matryoshka_recall_structured"] = (
+    sim_matryoshka_recall_structured
+)
+
+
+def _mrl_structured_rank_sql(d: int) -> str:
+    """Prefix-d top-k ranking over the decayed embeddings (self-
+    contained — each leg embeds its own chain, keeping every CTE
+    single-referenced for the determinism audit)."""
+    return f"""(
+        WITH de AS (
+            SELECT vec_id, {_DUCK_MRL_EMB} AS embedding FROM embeddings
+        ),
+        pb AS (
+            SELECT vec_id, embedding,
+                   {_duck_pdot('embedding', 'embedding', d)} AS nrm
+            FROM de
+        ),
+        pbn AS (SELECT * FROM pb WHERE nrm > 0),
+        pq AS (
+            SELECT vec_id AS qid, embedding AS qe, nrm AS qnorm
+            FROM pbn WHERE vec_id < {N_QUERY_VECS}
+        ),
+        pairs AS (
+            SELECT qid, vec_id,
+                   {_duck_pdot('qe', 'embedding', d)}
+                       / sqrt(qnorm * nrm) AS cos
+            FROM pq, pbn WHERE vec_id <> qid
+        )
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+            ) AS rk FROM pairs
+        ) WHERE rk <= {TOPK_NEIGHBORS}
+    )"""
+
+
+def _mrl_structured_leg_sql(d: int) -> str:
+    return f"""
+    SELECT {d}::BIGINT AS dim_budget,
+           count(a.vec_id)::BIGINT AS hits,
+           count(*)::BIGINT AS truth_rows,
+           ((count(a.vec_id) * 10000) // count(*))::BIGINT
+               AS mean_recall_bp
+    FROM {_mrl_structured_rank_sql(EMB_DIM)} e
+    LEFT JOIN {_mrl_structured_rank_sql(d)} a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id"""
+
+
+ORACLE["sim_matryoshka_recall_structured"] = "\nUNION ALL\n".join(
+    _mrl_structured_leg_sql(d) for d in MRL_DIMS
+)
+
+
 BQ_BUDGETS = (10, 25, 50, 100)   # Hamming shortlist depths swept
 
 

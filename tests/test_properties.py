@@ -832,3 +832,64 @@ def test_vbin_spark_matches_python_mirror(spark):
         k = _vbin_py(q)
         expect[k] = expect.get(k, 0) + 1
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Memo-lifecycle property (round-9 verdict item 4): the winnow / NB /
+# DSIR session memos are load-bearing for ~10 queries; one test pins
+# rebuild bit-identity but nothing tested INTERLEAVING — build, clear,
+# partial rebuild, consumer mix.  The property: after ANY sequence of
+# consumer calls and memo clears, every consumer's result equals its
+# memo-free build (captured once per session from a cold start).
+# ---------------------------------------------------------------------------
+
+_MEMO_CONSUMERS = [
+    "text_winnow_coverage",        # _WINNOW_PRINT_MEMO
+    "text_quality_nb_classify",    # _CLS_MEMO
+    "sample_dsir_weights",         # _DSIR_W_MEMO + _DSIR_CACHE
+    "sample_dsir_resample",        # consumes the weight memo
+]
+
+_memo_truth: dict[str, list] = {}
+
+
+def _memo_result(spark, sf_dir, name):
+    from beam_scala_examples_spark.queries import QUERIES
+
+    return sorted(
+        tuple(r) for r in QUERIES[name](spark, sf_dir).collect()
+    )
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.sampled_from(_MEMO_CONSUMERS).map(lambda n: ("run", n)),
+            st.just(("clear", None)),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_memo_lifecycle_interleaving(spark, sf_dir, ops):
+    """Random consumer/clear interleavings never change any consumer's
+    result vs its memo-free (cold) build."""
+    from beam_scala_examples_spark.session import clear_session_memos
+
+    if not _memo_truth:
+        clear_session_memos()
+        for n in _MEMO_CONSUMERS:
+            _memo_truth[n] = _memo_result(spark, sf_dir, n)
+            clear_session_memos()
+
+    clear_session_memos()
+    for op, name in ops:
+        if op == "clear":
+            clear_session_memos()
+        else:
+            got = _memo_result(spark, sf_dir, name)
+            assert got == _memo_truth[name], (
+                f"{name} diverged from its memo-free build after {ops}"
+            )
+    clear_session_memos()

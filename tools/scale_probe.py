@@ -644,6 +644,123 @@ def pairs_probe(spark, sf_dir: str,
     return {str(f): out[f] for f in factors}
 
 
+def graph_probe(spark, sf_dir: str,
+                factors: tuple[int, ...] = FACTORS) -> dict:
+    """Iteration cost of the graph queries at 1/4/16x (round-9 verdict
+    item 6): inflate ``lineitem`` with DISJOINT decorrelated copies
+    (shifted order + part key ranges — each copy is an isolated
+    subgraph, so the graph gets f-times more components while every
+    component keeps its structure).  The scaling claim under test:
+    iteration counts are bounded by component structure (PageRank is a
+    CONSTANT ``PR_ITERS`` rounds by construction; the k-core peel
+    early-exits at its fixpoint, whose depth is a property of component
+    degree topology, not data size) — so per-factor wall time should
+    track edges ~linearly while the measured peel depth stays flat."""
+    from beam_scala_examples_spark.queries.relational import (
+        K_CORE,
+        KCORE_ROUNDS,
+        PR_ITERS,
+        _copurchase_edges,
+    )
+    from beam_scala_examples_spark.session import clear_session_memos
+
+    li = load(spark, sf_dir, "lineitem")
+    spans = li.agg(
+        F.max("l_orderkey").alias("o"), F.max("l_partkey").alias("p")
+    ).collect()[0]
+    dirs = {}
+    for f in factors:
+        d = os.path.join(BASE, f"g{f}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        for t in TABLES:
+            if t != "lineitem":
+                os.symlink(
+                    os.path.join(os.path.abspath(sf_dir), f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"),
+                )
+        parts = [
+            li.select(
+                (F.col("l_orderkey") + F.lit(k * (spans.o + 1))).alias(
+                    "l_orderkey"
+                ),
+                (F.col("l_partkey") + F.lit(k * (spans.p + 1))).alias(
+                    "l_partkey"
+                ),
+                *[c for c in li.columns
+                  if c not in ("l_orderkey", "l_partkey")],
+            )
+            for k in range(f)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(
+            os.path.join(d, "lineitem.parquet")
+        )
+        dirs[f] = d
+
+    def timed(fn) -> float:
+        fn().write.format("noop").mode("overwrite").save()   # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def peel_depth(alive) -> int:
+        """The kcore peel loop, instrumented: rounds to fixpoint."""
+        prev, rounds = -1, 0
+        for _ in range(KCORE_ROUNDS):
+            keep = (
+                alive.groupBy("src")
+                .agg(F.count("*").alias("d"))
+                .filter(F.col("d") >= K_CORE)
+                .select("src")
+                .localCheckpoint(eager=True)
+            )
+            n = keep.count()
+            rounds += 1
+            if n == prev:
+                break
+            prev = n
+            alive = alive.join(keep, "src", "semi").join(
+                keep.select(F.col("src").alias("dst")), "dst", "semi"
+            )
+        return rounds
+
+    out: dict = {}
+    for f in factors:
+        d = dirs[f]
+        e: dict = {
+            "edges": _copurchase_edges(spark, d, "probe_edges").count(),
+            "pr_iters": PR_ITERS,
+        }
+        e["pagerank_sec"] = timed(
+            lambda: QUERIES["star_part_pagerank"](spark, d)
+        )
+        e["kcore_peel_depth"] = peel_depth(
+            _copurchase_edges(spark, d, "probe_edges")
+        )
+        e["kcore_sec"] = timed(
+            lambda: QUERIES["star_copurchase_kcore"](spark, d)
+        )
+        for k, v in e.items():
+            print(f"graph x{f} {k}: {v}", flush=True)
+        out[f] = e
+    base = out[factors[0]]
+    for f in factors[1:]:
+        e = out[f]
+        e["edge_ratio"] = round(e["edges"] / base["edges"], 2)
+        e["pagerank_time_ratio"] = round(
+            e["pagerank_sec"] / base["pagerank_sec"], 2
+        )
+        e["kcore_time_ratio"] = round(e["kcore_sec"] / base["kcore_sec"], 2)
+    clear_session_memos()
+    return {str(f): out[f] for f in factors}
+
+
 def classifier_probe(spark, sf_dir: str,
                      factors: tuple[int, ...] = FACTORS) -> dict:
     """Scale shape of the round-8 model rungs: times NB train+classify
@@ -712,7 +829,18 @@ def classifier_probe(spark, sf_dir: str,
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--whale", "--carry", "--islands", "--regions",
-                         "--sketches", "--pairs", "--classifier")]
+                         "--sketches", "--pairs", "--classifier",
+                         "--graph")]
+    if "--graph" in sys.argv[1:]:
+        sf_dir = args[0] if args else "/root/testdata/sf0.1"
+        out_json = args[1] if len(args) > 1 else "/tmp/graph_probe.json"
+        spark = get_spark(app_name="graph-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        res = graph_probe(spark, sf_dir)
+        with open(out_json, "w") as f:
+            json.dump(res, f, indent=1)
+        spark.stop()
+        return
     if "--classifier" in sys.argv[1:]:
         sf_dir = args[0] if args else "/root/testdata/sf0.1"
         out_json = args[1] if len(args) > 1 else "/tmp/classifier_probe.json"
