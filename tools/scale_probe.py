@@ -701,9 +701,14 @@ def graph_probe(spark, sf_dir: str,
         dirs[f] = d
 
     def timed(fn) -> float:
-        fn().write.format("noop").mode("overwrite").save()   # warm
+        """Time the UN-memoized pipeline: the co-purchase edge list is
+        session-memoized (round 9), so without clearing, iterations
+        after the first serve the persisted edges instead of re-running
+        the basket self-join the probe is pricing."""
+        fn().write.format("noop").mode("overwrite").save()   # plan warm
         best = float("inf")
         for _ in range(2):
+            clear_session_memos()
             t0 = time.perf_counter()
             fn().write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -734,14 +739,14 @@ def graph_probe(spark, sf_dir: str,
     for f in factors:
         d = dirs[f]
         e: dict = {
-            "edges": _copurchase_edges(spark, d, "probe_edges").count(),
+            "edges": _copurchase_edges(spark, d).count(),
             "pr_iters": PR_ITERS,
         }
         e["pagerank_sec"] = timed(
             lambda: QUERIES["star_part_pagerank"](spark, d)
         )
         e["kcore_peel_depth"] = peel_depth(
-            _copurchase_edges(spark, d, "probe_edges")
+            _copurchase_edges(spark, d)
         )
         e["kcore_sec"] = timed(
             lambda: QUERIES["star_copurchase_kcore"](spark, d)
