@@ -100,6 +100,7 @@ def pagerank_int(
     scale: int = 10**9,
     damp_num: int = 85,
     damp_den: int = 100,
+    prepartitioned: bool = False,
 ) -> DataFrame:
     """PageRank in exact integer fixed point (per-node normalization:
     every node starts with ``scale`` units; classic PR times N).
@@ -124,7 +125,10 @@ def pagerank_int(
     rank relation in plus the partially-combined contribution sums out
     — O(nodes × partitions), never the raw edge list.
     """
-    e = edges.repartition("src").persist()
+    # ``prepartitioned=True``: the caller hands in an edge list already
+    # hash-partitioned by src and persisted (e.g. a session memo shared
+    # across calls — round 9); its lifecycle belongs to the caller.
+    e = edges if prepartitioned else edges.repartition("src").persist()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("node"))
     base = (scale * (damp_den - damp_num)) // damp_den
@@ -156,5 +160,6 @@ def pagerank_int(
             )
             .localCheckpoint(eager=True)
         )
-    e.unpersist()
+    if not prepartitioned:
+        e.unpersist()
     return ranks
