@@ -9925,6 +9925,215 @@ ORACLE["sim_bq_recall"] = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Scalar (int8) quantization retrieval — round 9.  The industry-default
+# rung between 1-bit signatures (sim_bq_*) and subspace codebooks
+# (sim_pq_*): per-dim global min/max linear quantization to [0, 255],
+# approximate cosine in INTEGER arithmetic over the 8-bit codes (a 4x
+# bandwidth cut vs float32 with far better fidelity than sign bits),
+# shortlist re-ranked exactly.  No training step beyond the two
+# O(corpus) min/max aggregates — SQ's operational selling point, same
+# as BQ's.
+# --------------------------------------------------------------------------
+
+SQ8_SHORTLIST = 50   # approx-cosine shortlist re-ranked exactly
+
+_SPARK_SQ8_QV = (
+    f"transform(sequence(1, {EMB_DIM}), i -> CASE"
+    " WHEN element_at(scs, i) = 0D THEN 0L"
+    " ELSE cast(least(greatest(round("
+    "(cast(element_at({col}, i) as double) - element_at(mns, i))"
+    " / element_at(scs, i)), 0D), 255D) as bigint) END)"
+)
+_SPARK_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+
+def _sq8_stats(emb: DataFrame) -> DataFrame:
+    """ONE-row (mns, scs) relation: per-dim corpus min and the [0,255]
+    linear step — the whole 'codebook' of scalar quantization, sized
+    2*EMB_DIM doubles however large the corpus (broadcast side by
+    construction)."""
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mn", "mx"))
+            ).alias("s")
+        )
+        .select(
+            F.expr("transform(s, x -> cast(x.mn as double))").alias("mns"),
+            F.expr(
+                "transform(s, x -> (cast(x.mx as double)"
+                " - cast(x.mn as double)) / 255.0D)"
+            ).alias("scs"),
+        )
+    )
+
+
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization retrieval: per-dim min/max linear int8
+    codes, whole-corpus approximate-cosine ranking in exact integer
+    dot products over the codes, exact re-rank of the shortlist.
+
+    Scale: the stats relation is one narrow corpus aggregate collapsing
+    to 2*EMB_DIM doubles (broadcast); the ranking leg scans 8-bit codes
+    (64 B/vector vs 256 B float32); queries broadcast; both rank stages
+    ride WindowGroupLimit; the full-vector fetch is SQ8_SHORTLIST rows
+    per query.  Determinism: quantization rounds half-away-from-zero on
+    non-negative arguments (Spark HALF_UP == DuckDB round there), code
+    dot products and norms are exact int64, the approximate cosine is
+    ONE float division, ties break on vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = (
+        emb.join(F.broadcast(_sq8_stats(emb)))
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_SPARK_SQ8_QV.format(col="embedding")).alias("qv"),
+            norm.alias("nrm"),
+        )
+        .withColumn("qn", F.expr(_SPARK_IDOT.format(a="qv", b="qv")))
+        .filter(F.col("qn") > 0)
+    )
+    q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("qqv"),
+        F.col("qn").alias("qqn"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnorm"),
+    )
+    approx = (
+        base.select("vec_id", "qv", "qn")
+        .join(F.broadcast(q.select("qid", "qqv", "qqn")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            (
+                F.expr(_SPARK_IDOT.format(a="qv", b="qqv"))
+                .cast("double")
+                / F.sqrt((F.col("qn") * F.col("qqn")).cast("double"))
+            ).alias("acos"),
+        )
+    )
+    short = top_k_per_key(
+        approx, ["qid"], [F.desc("acos"), F.asc("vec_id")], SQ8_SHORTLIST
+    ).select("qid", "vec_id")
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    scored = (
+        short.join(base.select("vec_id", "embedding", "nrm"), "vec_id")
+        .join(F.broadcast(q.select("qid", "qe", "qnorm")), "qid")
+        .select(
+            "qid", "vec_id",
+            (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    return top_k_per_key(
+        scored, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+    ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+
+
+def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of int8 scalar quantization vs the brute-force truth —
+    the fidelity number that prices the 4x bandwidth cut (expected to
+    sit far above the 1-bit sign signature and below exact)."""
+    return _ann_recall(
+        sim_cosine_topk(spark, sf_dir), sim_sq8_topk(spark, sf_dir)
+    )
+
+
+QUERIES["sim_sq8_topk"] = sim_sq8_topk
+QUERIES["sim_sq8_recall"] = sim_sq8_recall
+
+_DUCK_SQ8_QV = (
+    f"list_transform(generate_series(1, {EMB_DIM}), i -> CASE"
+    " WHEN scs[i] = 0 THEN 0"
+    " ELSE least(greatest(round(({col}[i]::DOUBLE - mns[i]) / scs[i]),"
+    " 0), 255)::BIGINT END)"
+)
+
+
+def _duck_idot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        f" i -> {a}[i] * {b}[i]))"
+    )
+
+
+_SQ8_TOPK_DUCK = f"""
+    WITH sq_stats AS (
+        SELECT list(mn ORDER BY dim) AS mns,
+               list((mx - mn) / 255.0 ORDER BY dim) AS scs
+        FROM (
+            SELECT i AS dim,
+                   min(embedding[i]::DOUBLE) AS mn,
+                   max(embedding[i]::DOUBLE) AS mx
+            FROM embeddings, generate_series(1, {EMB_DIM}) AS t(i)
+            GROUP BY i
+        )
+    ),
+    sqbase0 AS (
+        SELECT vec_id, embedding,
+               {_DUCK_SQ8_QV.format(col='embedding')} AS qv,
+               {_duck_dot('embedding', 'embedding')} AS nrm
+        FROM embeddings, sq_stats
+    ),
+    sqbase AS (
+        SELECT vec_id, embedding, qv, nrm,
+               {_duck_idot('qv', 'qv')} AS qn
+        FROM sqbase0
+        WHERE {_duck_idot('qv', 'qv')} > 0
+    ),
+    sqq AS (
+        SELECT vec_id AS qid, qv AS qqv, qn AS qqn,
+               embedding AS qe, nrm AS qnorm
+        FROM sqbase WHERE vec_id < {N_QUERY_VECS}
+    ),
+    approx AS (
+        SELECT qid, vec_id,
+               {_duck_idot('qv', 'qqv')}::DOUBLE
+                   / sqrt((qn * qqn)::DOUBLE) AS acos
+        FROM sqbase, sqq WHERE vec_id <> qid
+    ),
+    short AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY acos DESC, vec_id ASC
+            ) AS rk FROM approx
+        ) WHERE rk <= {SQ8_SHORTLIST}
+    ),
+    sqscored AS (
+        SELECT s.qid, s.vec_id,
+               {_duck_dot('q.qe', 'b.embedding')}
+                   / sqrt(q.qnorm * b.nrm) AS cos
+        FROM short s
+        JOIN sqbase b ON b.vec_id = s.vec_id
+        JOIN sqq q ON q.qid = s.qid
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cosine FROM (
+        SELECT qid, vec_id, cos, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+        ) AS rk FROM sqscored
+    ) WHERE rk <= {TOPK_NEIGHBORS}
+"""
+
+ORACLE["sim_sq8_topk"] = _SQ8_TOPK_DUCK
+
+ORACLE["sim_sq8_recall"] = f"""
+    SELECT e.qid,
+           round(count(a.vec_id) * 1.0 / {TOPK_NEIGHBORS}, 4) AS recall_at_k
+    FROM ({ORACLE["sim_cosine_topk"]}) e
+    LEFT JOIN ({_SQ8_TOPK_DUCK}) a
+      ON e.qid = a.qid AND e.vec_id = a.vec_id
+    GROUP BY e.qid
+"""
+
+
 MRL_DIMS = (8, 16, 32, 64)   # Matryoshka prefix budgets (full = 64)
 
 

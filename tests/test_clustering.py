@@ -127,3 +127,27 @@ def test_bq_budget_frontier_monotone(spark, sf_dir):
     assert vals == sorted(vals)
     at_default = dict(rows)[BQ_SHORTLIST]
     assert dict(rows)[max(dict(rows))] >= at_default
+
+
+def test_quantization_ladder_fidelity_ordering(spark, sf_dir):
+    """The quantization rungs must grade in their designed fidelity
+    order: int8 scalar quantization (64 B/vec) >= 1-bit sign
+    signatures (8 B/vec) >= single-table LSH bucket pruning, and SQ8
+    must sit near the exact ceiling (it keeps 8 bits/dim of the
+    geometry; measured 1.0 / 0.64 / 0.02 at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from beam_scala_examples_spark.queries.llmdata import (
+        sim_bq_recall,
+        sim_lsh_recall,
+        sim_sq8_recall,
+    )
+
+    def mean(fn):
+        return fn(spark, sf_dir).agg(F.avg("recall_at_k")).first()[0]
+
+    sq8, bq, lsh = (
+        mean(sim_sq8_recall), mean(sim_bq_recall), mean(sim_lsh_recall)
+    )
+    assert sq8 >= bq >= lsh
+    assert sq8 >= 0.9
