@@ -2860,3 +2860,53 @@ def test_bq_ingest_empty_prefix_serves_empty(spark, tmpdir):
         0,
     )
     assert sink.topk_view(spark).count() == 0
+
+
+def test_sq8_ingest_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming SQ8 ingest (streaming/sq8view.py): per-batch min/max
+    PARTIALS merge into the exact global stats (min/max are mergeable,
+    unlike a k-means codebook), so the served quantize+rank+rerank
+    equals the batch sim_sq8_topk exactly."""
+    from beam_scala_examples_spark.queries.llmdata import sim_sq8_topk
+    from beam_scala_examples_spark.streaming.sq8view import Sq8IngestSink
+
+    sink = Sq8IngestSink(f"{tmpdir}/sq8_log")
+    rows = _vec_rows(spark, sf_dir)
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<float>"
+    )
+    third = len(rows) // 3
+    sink(mk(rows[:third]), 0)
+    sink(mk(rows[third : 2 * third]), 1)
+    sink(mk(rows[2 * third :]), 2)
+
+    expect = sorted(tuple(r) for r in sim_sq8_topk(spark, sf_dir).collect())
+    got = sorted(tuple(r) for r in sink.topk_view(spark).collect())
+    assert got == expect and len(got) > 0
+
+
+def test_sq8_ingest_replay_idempotent(spark, sf_dir, tmpdir):
+    from beam_scala_examples_spark.streaming.sq8view import Sq8IngestSink
+
+    sink = Sq8IngestSink(f"{tmpdir}/sq8_log")
+    rows = _vec_rows(spark, sf_dir)
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<float>"
+    )
+    sink(mk(rows[:200]), 0)
+    sink(mk(rows[200:]), 1)
+    once = sorted(tuple(r) for r in sink.topk_view(spark).collect())
+    sink(mk(rows[200:]), 1)  # replay
+    twice = sorted(tuple(r) for r in sink.topk_view(spark).collect())
+    assert once == twice
+
+
+def test_sq8_ingest_empty_prefix_serves_empty(spark, tmpdir):
+    from beam_scala_examples_spark.streaming.sq8view import Sq8IngestSink
+
+    sink = Sq8IngestSink(f"{tmpdir}/sq8_log")
+    sink(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        0,
+    )
+    assert sink.topk_view(spark).count() == 0
