@@ -10050,6 +10050,111 @@ def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sim_sq8_topk"] = sim_sq8_topk
 QUERIES["sim_sq8_recall"] = sim_sq8_recall
 
+SQ_BITS = (2, 3, 4, 8)   # bit-per-dim budgets swept (8 = the SQ8 rung)
+
+
+def sim_sq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-budget frontier for scalar quantization: mean recall@k of
+    the quantize-rank-rerank pipeline at 2/3/4/8 bits per dimension —
+    the curve that prices code width (together with the 1-bit
+    ``sim_bq_recall`` point it is the full storage/fidelity ladder a
+    vector store publishes).  Each leg quantizes to ``2^bits - 1``
+    levels off the SAME one-row min/max stats relation, ranks the
+    whole corpus by integer approximate cosine, re-ranks the shortlist
+    exactly, and scores against the brute-force truth.  Exact integer
+    basis points.
+
+    Scale: per leg one narrow corpus pass over ``bits``/8 of the
+    float32 bytes; stats and queries broadcast; ranks ride
+    WindowGroupLimit."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    stats = F.broadcast(_sq8_stats(emb))
+    truth = sim_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    legs = []
+    for bits in SQ_BITS:
+        lv = (1 << bits) - 1
+        # per-dim step for this budget: the 255-level step rescaled —
+        # scs holds (mx-mn)/255, so (mx-mn)/lv = scs*255/lv
+        qv_expr = (
+            f"transform(sequence(1, {EMB_DIM}), i -> CASE"
+            " WHEN element_at(scs, i) = 0D THEN 0L"
+            " ELSE cast(least(greatest(round("
+            "(cast(element_at(embedding, i) as double)"
+            " - element_at(mns, i))"
+            f" / (element_at(scs, i) * 255.0D / {lv}.0D)), 0D),"
+            f" {lv}D) as bigint) END)"
+        )
+        base = (
+            emb.join(stats)
+            .select(
+                "vec_id",
+                "embedding",
+                F.expr(qv_expr).alias("qv"),
+                norm.alias("nrm"),
+            )
+            .withColumn("qn", F.expr(_SPARK_IDOT.format(a="qv", b="qv")))
+            .filter(F.col("qn") > 0)
+        )
+        q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("qid"),
+            F.col("qv").alias("qqv"),
+            F.col("qn").alias("qqn"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnorm"),
+        )
+        approx = (
+            base.select("vec_id", "qv", "qn")
+            .join(F.broadcast(q.select("qid", "qqv", "qqn")))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid", "vec_id",
+                (
+                    F.expr(_SPARK_IDOT.format(a="qv", b="qqv"))
+                    .cast("double")
+                    / F.sqrt((F.col("qn") * F.col("qqn")).cast("double"))
+                ).alias("acos"),
+            )
+        )
+        short = top_k_per_key(
+            approx, ["qid"], [F.desc("acos"), F.asc("vec_id")],
+            SQ8_SHORTLIST,
+        ).select("qid", "vec_id")
+        dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+        scored = (
+            short.join(base.select("vec_id", "embedding", "nrm"), "vec_id")
+            .join(F.broadcast(q.select("qid", "qe", "qnorm")), "qid")
+            .select(
+                "qid", "vec_id",
+                (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+            )
+        )
+        topb = top_k_per_key(
+            scored, ["qid"], [F.desc("cos"), F.asc("vec_id")],
+            TOPK_NEIGHBORS,
+        ).select("qid", "vec_id", F.lit(1).alias("hit"))
+        legs.append(
+            truth.join(topb, ["qid", "vec_id"], "left")
+            .agg(
+                F.lit(bits).cast("long").alias("bits"),
+                F.count("hit").alias("hits"),
+                F.count("*").alias("truth_rows"),
+            )
+            .select(
+                "bits", "hits", "truth_rows",
+                F.expr("(hits * 10000) div truth_rows").alias(
+                    "mean_recall_bp"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+QUERIES["sim_sq_bits_sweep"] = sim_sq_bits_sweep
+
 _DUCK_SQ8_QV = (
     f"list_transform(generate_series(1, {EMB_DIM}), i -> CASE"
     " WHEN scs[i] = 0 THEN 0"
@@ -10132,6 +10237,90 @@ ORACLE["sim_sq8_recall"] = f"""
       ON e.qid = a.qid AND e.vec_id = a.vec_id
     GROUP BY e.qid
 """
+
+
+def _sq_bits_topk_sql(bits: int) -> str:
+    """Self-contained quantize-rank-rerank chain at ``bits``/dim (each
+    leg embeds its own stats CTEs, keeping every CTE single-referenced
+    for the determinism audit)."""
+    lv = (1 << bits) - 1
+    qv = (
+        f"list_transform(generate_series(1, {EMB_DIM}), i -> CASE"
+        " WHEN scs[i] = 0 THEN 0"
+        " ELSE least(greatest(round((embedding[i]::DOUBLE - mns[i])"
+        f" / (scs[i] * 255.0 / {lv}.0)), 0), {lv})::BIGINT END)"
+    )
+    return f"""(
+    WITH sq_stats AS (
+        SELECT list(mn ORDER BY dim) AS mns,
+               list((mx - mn) / 255.0 ORDER BY dim) AS scs
+        FROM (
+            SELECT i AS dim,
+                   min(embedding[i]::DOUBLE) AS mn,
+                   max(embedding[i]::DOUBLE) AS mx
+            FROM embeddings, generate_series(1, {EMB_DIM}) AS t(i)
+            GROUP BY i
+        )
+    ),
+    sqbase0 AS (
+        SELECT vec_id, embedding, {qv} AS qv,
+               {_duck_dot('embedding', 'embedding')} AS nrm
+        FROM embeddings, sq_stats
+    ),
+    sqbase AS (
+        SELECT vec_id, embedding, qv, nrm, {_duck_idot('qv', 'qv')} AS qn
+        FROM sqbase0
+        WHERE {_duck_idot('qv', 'qv')} > 0
+    ),
+    sqq AS (
+        SELECT vec_id AS qid, qv AS qqv, qn AS qqn,
+               embedding AS qe, nrm AS qnorm
+        FROM sqbase WHERE vec_id < {N_QUERY_VECS}
+    ),
+    approx AS (
+        SELECT qid, vec_id,
+               {_duck_idot('qv', 'qqv')}::DOUBLE
+                   / sqrt((qn * qqn)::DOUBLE) AS acos
+        FROM sqbase, sqq WHERE vec_id <> qid
+    ),
+    short AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY acos DESC, vec_id ASC
+            ) AS rk FROM approx
+        ) WHERE rk <= {SQ8_SHORTLIST}
+    ),
+    sqscored AS (
+        SELECT s.qid, s.vec_id,
+               {_duck_dot('q.qe', 'b.embedding')}
+                   / sqrt(q.qnorm * b.nrm) AS cos
+        FROM short s
+        JOIN sqbase b ON b.vec_id = s.vec_id
+        JOIN sqq q ON q.qid = s.qid
+    )
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+        ) AS rk FROM sqscored
+    ) WHERE rk <= {TOPK_NEIGHBORS}
+    )"""
+
+
+def _sq_bits_leg_sql(bits: int) -> str:
+    return f"""
+    SELECT {bits}::BIGINT AS bits,
+           count(a.vec_id)::BIGINT AS hits,
+           count(*)::BIGINT AS truth_rows,
+           ((count(a.vec_id) * 10000) // count(*))::BIGINT
+               AS mean_recall_bp
+    FROM ({ORACLE["sim_cosine_topk"]}) e
+    LEFT JOIN {_sq_bits_topk_sql(bits)} a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id"""
+
+
+ORACLE["sim_sq_bits_sweep"] = "\nUNION ALL\n".join(
+    _sq_bits_leg_sql(b) for b in SQ_BITS
+)
 
 
 MRL_DIMS = (8, 16, 32, 64)   # Matryoshka prefix budgets (full = 64)

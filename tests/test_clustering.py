@@ -151,3 +151,21 @@ def test_quantization_ladder_fidelity_ordering(spark, sf_dir):
     )
     assert sq8 >= bq >= lsh
     assert sq8 >= 0.9
+
+
+def test_sq_bits_frontier_monotone_with_exact_ceiling(spark, sf_dir):
+    """The bit-budget frontier must be non-decreasing in bits/dim and
+    reach the exact ceiling by 8 bits; together with the 1-bit BQ
+    point it is the full storage/fidelity ladder (measured at sf0.01:
+    1b 6400 < 2b 8000 < 3b 9800 < 4b/8b 10000 bp)."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        sim_sq_bits_sweep,
+    )
+
+    rows = sorted(
+        (r.bits, r.mean_recall_bp)
+        for r in sim_sq_bits_sweep(spark, sf_dir).collect()
+    )
+    vals = [v for _, v in rows]
+    assert vals == sorted(vals), "recall must not fall as bits grow"
+    assert rows[-1][1] >= 9900
