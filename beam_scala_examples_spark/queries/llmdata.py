@@ -10448,13 +10448,22 @@ ORACLE["sim_matryoshka_recall"] = "\nUNION ALL\n".join(
 # to climb toward 10000 bp with the budget, pinning a non-trivial
 # shape the oracle checks exactly.
 MRL_DECAY = 0.9
+# The per-dim decay factors are computed ONCE here and inlined as
+# identical shortest-repr double literals into BOTH engines' expressions
+# (round-9 ADVICE: Java Math.pow vs C++ std::pow may differ in the last
+# ulp, and float cosine near-ties break only after the cos sort key —
+# a literal shared by both sides removes the cross-engine pow entirely;
+# shortest-repr decimals round-trip to the identical IEEE double in
+# every parser).
+_MRL_W = [repr(MRL_DECAY ** i) for i in range(EMB_DIM)]
 _SPARK_MRL_EMB = (
-    f"transform(embedding, (x, i) ->"
-    f" cast(x as double) * power({MRL_DECAY}D, i))"
+    "zip_with(embedding, array("
+    + ", ".join(f"{w}D" for w in _MRL_W)
+    + "), (x, w) -> cast(x as double) * w)"
 )
 _DUCK_MRL_EMB = (
     f"list_transform(generate_series(1, {EMB_DIM}),"
-    f" i -> embedding[i]::DOUBLE * pow({MRL_DECAY}, i - 1))"
+    f" i -> embedding[i]::DOUBLE * ([{', '.join(_MRL_W)}])[i])"
 )
 
 

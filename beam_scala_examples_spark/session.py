@@ -85,7 +85,10 @@ def clear_session_memos() -> None:
     * ``queries.clustering._TRAIN_MEMO`` — plain codebook lists;
     * ``queries.classify._CLS_MEMO`` / ``_DSIR_W_MEMO`` /
       ``_DSIR_CACHE`` — the NB prediction table, DSIR weight relation,
-      and the DSIR bucket-count intermediate (round 8).
+      and the DSIR bucket-count intermediate (round 8);
+    * ``queries.relational._LPA_CACHE`` — the persisted co-purchase
+      edge list and PageRank pair relations (round 9; one entry per
+      (kind, application, sf_dir), O(edges) slim int64 rows each).
 
     Rebuilding after a clear re-derives bit-identical results (every
     memoized computation is deterministic); the only cost is the
@@ -98,9 +101,11 @@ def clear_session_memos() -> None:
         _STRUCT_MEMO,
         _WINNOW_PRINT_MEMO,
     )
+    from .queries.relational import _LPA_CACHE
 
     for cache in (_MINHASH_CACHE, _STRUCT_MEMO, _WINNOW_PRINT_MEMO,
-                  _KM_CACHE, _CLS_MEMO, _DSIR_W_MEMO, _DSIR_CACHE):
+                  _KM_CACHE, _CLS_MEMO, _DSIR_W_MEMO, _DSIR_CACHE,
+                  _LPA_CACHE):
         for df in cache.values():
             try:
                 df.unpersist(blocking=False)

@@ -184,6 +184,10 @@ def test_clear_session_memos_rebuilds_identically(spark, sf_dir):
         text_structured,
         winnow_prints_memo,
     )
+    from beam_scala_examples_spark.queries.relational import (
+        _LPA_CACHE,
+        _copurchase_edges,
+    )
     from beam_scala_examples_spark.session import clear_session_memos
 
     before_struct = sorted(
@@ -195,10 +199,14 @@ def test_clear_session_memos_rebuilds_identically(spark, sf_dir):
     before_prints = sorted(
         tuple(r) for r in winnow_prints_memo(spark, sf_dir).collect()
     )
-    assert _STRUCT_MEMO and _TRAIN_MEMO and _WINNOW_PRINT_MEMO
+    before_edges = sorted(
+        tuple(r) for r in _copurchase_edges(spark, sf_dir).collect()
+    )
+    assert (_STRUCT_MEMO and _TRAIN_MEMO and _WINNOW_PRINT_MEMO
+            and _LPA_CACHE)
     clear_session_memos()
     assert (not _STRUCT_MEMO and not _TRAIN_MEMO
-            and not _WINNOW_PRINT_MEMO)
+            and not _WINNOW_PRINT_MEMO and not _LPA_CACHE)
     after_struct = sorted(
         tuple(r) for r in text_structured(spark, sf_dir).collect()
     )
@@ -208,9 +216,13 @@ def test_clear_session_memos_rebuilds_identically(spark, sf_dir):
     after_prints = sorted(
         tuple(r) for r in winnow_prints_memo(spark, sf_dir).collect()
     )
+    after_edges = sorted(
+        tuple(r) for r in _copurchase_edges(spark, sf_dir).collect()
+    )
     assert before_struct == after_struct
     assert before_km == after_km
     assert before_prints == after_prints
+    assert before_edges == after_edges
 
 
 def test_bench_capture_hygiene_evidence():

@@ -252,3 +252,39 @@ def test_nested_materialized_sql_equivalent_in_duckdb():
     base = sorted(con.sql(sql).fetchall())
     hard = sorted(con.sql(materialize(sql, ["iv"])).fetchall())
     assert base == hard and len(base) == 12
+
+
+def test_flake_ledger_demands_fixes():
+    """Round-10 ADVICE: adjudicated oracle flakes are a hard artifact.
+    Every fresh-connection re-adjudication appends to the committed
+    ledger; if the SAME oracle ever accumulates two or more entries, the
+    suite fails here until the oracle gets a materialization fix (and
+    the ledger entries are retired alongside it).  Allowlist entries
+    require an inline justification below."""
+    import json
+
+    from tests.oracle_harness import FLAKE_LEDGER
+
+    # name -> reason; empty means no oracle is currently allowed to be
+    # repeatedly flaky.
+    allowlist: dict = {}
+
+    counts: dict = {}
+    try:
+        with open(FLAKE_LEDGER) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                counts[rec["oracle"]] = counts.get(rec["oracle"], 0) + 1
+    except FileNotFoundError:
+        return
+    repeat = {
+        n: c for n, c in counts.items() if c >= 2 and n not in allowlist
+    }
+    assert not repeat, (
+        f"oracles adjudicated repeatedly across runs: {repeat} — "
+        "materialize the offending CTE (tools/oracle_stability.py --emit) "
+        "instead of re-adjudicating, then retire the ledger entries"
+    )

@@ -50,7 +50,8 @@ def duck(sf_dir):
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     df = QUERIES[name](spark, sf_dir)
     ok, msg = compare(
-        df, duck, ORACLE[name], fresh_factory=lambda: duck_connect(sf_dir)
+        df, duck, ORACLE[name],
+        fresh_factory=lambda: duck_connect(sf_dir), name=name,
     )
     assert ok, f"{name}: {msg}"
 
@@ -70,7 +71,7 @@ def test_high_risk_family_driver_scale(name, spark):
         df = QUERIES[name](spark, SF2_DIR)
         ok, msg = compare(
             df, con, ORACLE[name],
-            fresh_factory=lambda: duck_connect(SF2_DIR),
+            fresh_factory=lambda: duck_connect(SF2_DIR), name=name,
         )
         assert ok, f"{name}@sf0.01: {msg}"
     finally:
@@ -89,7 +90,7 @@ def test_query_matches_oracle_driver_scale(name, spark):
         df = QUERIES[name](spark, SF2_DIR)
         ok, msg = compare(
             df, con, ORACLE[name],
-            fresh_factory=lambda: duck_connect(SF2_DIR),
+            fresh_factory=lambda: duck_connect(SF2_DIR), name=name,
         )
         assert ok, f"{name}@sf0.01: {msg}"
     finally:

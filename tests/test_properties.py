@@ -848,6 +848,7 @@ _MEMO_CONSUMERS = [
     "text_quality_nb_classify",    # _CLS_MEMO
     "sample_dsir_weights",         # _DSIR_W_MEMO + _DSIR_CACHE
     "sample_dsir_resample",        # consumes the weight memo
+    "star_copurchase_assortativity",  # _LPA_CACHE edge memo (round 10)
 ]
 
 _memo_truth: dict[str, list] = {}
