@@ -41,42 +41,89 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
-# queries() — through round 8 that window was frozen at the round-1-era
-# registration order, so none of the later flagship operators were ever
-# driver-checked.  This curated prefix keeps the §2 pipeline queries
-# and dedup/sim core but rotates in the round-8 model rungs (NB
-# classifier, DSIR resample, binary-quantization retrieval, video /
-# audio near-dup, HLL set algebra, the model-gated corpus build) —
-# VERDICT r08 item 5.  Every name here is parity-green at sf0.001 AND
-# sf0.01 locally before entering this list; the displaced variants
-# (q05 branches/recursive, q10 pandas twin, cogroup literal form, ...)
-# remain fully covered by tests/test_parity.py over all of QUERIES.
-_DRIVER_PREFIX = [
+# queries().  Through round 9 that window was a hand-curated list whose
+# members were admitted only after local parity verification — which
+# biased the gate toward known-passing queries and cost it independence
+# as a check (round-9 ADVICE).  The window is now DERIVED, a pure
+# function of the query registry and the committed gate history, never
+# of local test results:
+#
+#   CORE   — the canonical SURVEY §2.12 reference pipeline queries
+#            (fixed; the surface the reference's own examples exercise,
+#            always driver-checked);
+#   FRESH  — the queries the round-(N-1) VERDICT explicitly asked to
+#            rotate in (judge-named, not builder-filtered);
+#   ROTATE — the remaining slots walk the never-driver-checked part of
+#            the registry in salted-hash order, where the salt is the
+#            upcoming round index (1 + the highest committed
+#            CORRECTNESS_r*.json) and "never checked" is read from
+#            those same committed artifacts — so membership rotates
+#            every round, is reproducible from the repo alone, and a
+#            query CANNOT be excluded for not being green.
+_CORE = [
     "q01_minimal_wordcount", "q02_wordcount", "q03_debugging_wordcount",
-    "q04_windowed_wordcount", "q06_streaming_word_extract", "q18_distinct",
-    "q16_tornado_months", "q17_plays_per_word", "q19_below_mean_july",
-    "q20_join_default", "q21_max_per_month", "q11_user_score",
+    "q04_windowed_wordcount", "q05_autocomplete",
+    "q06_streaming_word_extract", "q07_tfidf", "q08_top_month_sessions",
+    "q09_max_lane_flow", "q10_traffic_routes", "q11_user_score",
     "q12_hourly_team_score", "q13_leaderboard_user",
     "q14_spam_filtered_team_score", "q14_session_mean",
-    "q15_threshold_crossings", "q07_tfidf", "text_top_terms_per_doc",
-    "q05_autocomplete", "q08_top_month_sessions", "p08_json_parse",
-    "q09_max_lane_flow", "p06_lane_explode", "q10_traffic_routes",
-    "q22_trigger_flow", "multimodal_decode", "multimodal_frames",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_pairs",
-    "dedup_simhash", "data_global_shuffle", "dedup_jaccard_pairs",
-    "dedup_embedding_pairs", "dedup_components", "sim_cosine_topk",
-    "sim_lsh_topk", "sim_ivf_topk", "sim_lsh_recall", "sim_ivf_recall",
-    "sim_lsh_multi_topk",
-    # round-8 flagship rotation (VERDICT item 5)
-    "text_quality_nb_classify", "sample_dsir_resample", "sim_bq_topk",
-    "sim_bq_recall", "multimodal_video_pairs", "multimodal_audio_pairs",
-    "dq_hll_overlap", "data_corpus_build_modelgated",
+    "q15_threshold_crossings", "q16_tornado_months",
+    "q17_plays_per_word", "q18_distinct", "q19_below_mean_july",
+    "q20_join_default", "q21_max_per_month", "q22_trigger_flow",
+    "p06_lane_explode", "p08_json_parse",
 ]
+# VERDICT r09 item 1: the round-9 flagships enter the hard gate.
+_FRESH = [
+    "sim_sq8_topk", "sim_sq8_recall", "sim_sq_bits_sweep",
+    "sim_matryoshka_recall_structured", "dedup_lsh_eval",
+    "sim_ivfpq_topk",
+]
+_WINDOW = 50
+
+
+def _gate_history() -> tuple[int, set[str]]:
+    """(upcoming round index, names ever driver-checked) — read from
+    the committed CORRECTNESS_r*.json artifacts next to this file."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last, seen = 0, set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        last = max(last, int(m.group(1)))
+        try:
+            with open(path) as f:
+                seen.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return last + 1, seen
+
+
+def driver_window() -> list[str]:
+    """The derived 50-query driver-gate window (see comment above)."""
+    import hashlib
+
+    salt, seen = _gate_history()
+    head = list(_CORE) + [n for n in _FRESH if n not in _CORE]
+    picked = set(head)
+
+    def hkey(n: str) -> str:
+        return hashlib.sha256(f"{salt}:{n}".encode()).hexdigest()
+
+    rest = sorted(
+        (n for n in QUERIES if n not in picked),
+        key=lambda n: (n in seen, hkey(n)),   # never-checked first
+    )
+    return head + rest[: _WINDOW - len(head)]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 — the
-    curated driver-gate prefix first, then every remaining registered
+    derived driver-gate window first, then every remaining registered
     query in registration order."""
 
     def _wrap(fn):
@@ -85,12 +132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    missing = [n for n in _DRIVER_PREFIX if n not in QUERIES]
+    window = driver_window()
+    missing = [n for n in window if n not in QUERIES]
     if missing:
-        raise KeyError(f"_DRIVER_PREFIX names not registered: {missing}")
-    ordered = list(_DRIVER_PREFIX) + [
-        n for n in QUERIES if n not in set(_DRIVER_PREFIX)
-    ]
+        raise KeyError(f"driver window names not registered: {missing}")
+    ordered = window + [n for n in QUERIES if n not in set(window)]
     return {name: _wrap(QUERIES[name]) for name in ordered}
 
 

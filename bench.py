@@ -202,26 +202,93 @@ def load_bands(sf: float) -> dict | None:
 # (on top of doubling) before it is called a regression.
 BAND_ABS_FLOOR_SEC = 0.25
 BAND_RATIO = 2.0
+# Host drift is only allowed to RELAX the gate (a slower host scales
+# every band up by the measured anchor ratio, capped); a faster host
+# never tightens it — bands tighten exclusively through the min-merge
+# in tools/update_bench_bands.py.
+DRIFT_CAP = 4.0
+
+
+def warmth_sig(ms_entry: dict | None) -> str:
+    """Compact signature of a query's memo warmth during a capture —
+    which session caches it found populated and which it built inside
+    its timed reps (from bench_detail's memo_state).  Two measurements
+    of the same query are like-for-like ONLY when these match: a
+    codebook-cold run is a different experiment from a codebook-warm
+    one (round-9 verdict: sim_ivfpq_recall trained 4 codebooks inside
+    a timed run that was then judged against a codebook-warm band)."""
+    if not ms_entry:
+        return ""
+    warm = ",".join(sorted(ms_entry.get("warm", {})))
+    built = ",".join(sorted(ms_entry.get("built", {})))
+    return f"warm[{warm}]built[{built}]"
+
+
+def _drift(bands: dict, anchor_now: float | None) -> float:
+    ref_anchor = bands.get("anchor_r01_shared_total")
+    if not anchor_now or not ref_anchor:
+        return 1.0
+    return min(max(anchor_now / float(ref_anchor), 1.0), DRIFT_CAP)
 
 
 def band_violations(
-    timings: dict[str, float], bands: dict | None
+    timings: dict[str, float],
+    bands: dict | None,
+    memo_state: dict | None = None,
+    anchor_now: float | None = None,
 ) -> dict[str, list[float]]:
     """Queries whose current best-of-N time exceeds the recorded band by
     >BAND_RATIO x AND by >BAND_ABS_FLOOR_SEC seconds absolute.  Returns
     {name: [band_sec, now_sec]}; queries without a recorded band (new
     this round) are never violations — they enter the bands file at the
-    next tools/update_bench_bands.py regeneration."""
+    next tools/update_bench_bands.py regeneration.
+
+    Round-10 drift-proofing (verdict item 2): every false band flag of
+    rounds 8-9 was a host/warmth artifact on a min-of-N absolute gate,
+    so the gate now (a) compares like-warmth with like-warmth — when
+    the bands file records a warmth signature for a query and this
+    capture's signature differs, the query is adjudicated out (listed
+    in bench_detail's warmth_skipped, never a violation); and (b)
+    scales every band by the capture's anchor ratio (capped, relax-
+    only) so uniform host drift cancels instead of tripping the tail."""
     if not bands:
         return {}
     ref = bands.get("queries", {})
+    wref = bands.get("warmth", {})
+    drift = _drift(bands, anchor_now)
     out: dict[str, list[float]] = {}
     for name, now in timings.items():
         band = ref.get(name)
         if band is None:
             continue
-        if now > BAND_RATIO * band and now - band > BAND_ABS_FLOOR_SEC:
+        if (
+            memo_state is not None
+            and name in wref
+            and wref[name] != warmth_sig(memo_state.get(name))
+        ):
+            continue
+        scaled = band * drift
+        if now > BAND_RATIO * scaled and now - scaled > BAND_ABS_FLOOR_SEC:
             out[name] = [round(band, 3), round(now, 3)]
+    return out
+
+
+def warmth_skips(
+    timings: dict[str, float], bands: dict | None, memo_state: dict
+) -> dict[str, list[str]]:
+    """{name: [band_sig, capture_sig]} for queries whose warmth differs
+    from their band's — the measurements band_violations refused to
+    compare, surfaced in bench_detail.json so the adjudication is
+    readable from the capture itself."""
+    if not bands:
+        return {}
+    wref = bands.get("warmth", {})
+    out: dict[str, list[str]] = {}
+    for name in timings:
+        if name in wref and name in bands.get("queries", {}):
+            sig = warmth_sig(memo_state.get(name))
+            if wref[name] != sig:
+                out[name] = [wref[name], sig]
     return out
 
 
@@ -311,6 +378,65 @@ def capture_evidence() -> dict:
     return ev
 
 
+def wait_for_quiet() -> dict:
+    """Capture-start self-defense (round-10, verdict item 4): the
+    committed BENCH_r09 capture started with a foreign JVM alive — the
+    exact condition the repo measured as +10-30% inflation — because
+    the driver's capture path has no builder at the keyboard.  On a
+    dirty start, wait and re-census up to N times before proceeding;
+    the full retry history is stamped into the capture evidence so a
+    dirty committed capture proves the host never quieted rather than
+    that nobody looked."""
+    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "5"))
+    wait = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_WAIT", "25"))
+    ev = capture_evidence()
+    history: list[dict] = []
+    while not ev["clean"] and len(history) < attempts:
+        history.append(ev)
+        print(
+            f"dirty capture start {ev}; waiting {wait:.0f}s"
+            f" ({len(history)}/{attempts})",
+            file=sys.stderr,
+        )
+        time.sleep(wait)
+        ev = capture_evidence()
+    if history:
+        ev = {**ev, "retry_history": history}
+    return ev
+
+
+def train_warmup(spark, sf_dir: str) -> dict[str, float]:
+    """Price the TRAIN leg of the trained-index rungs separately
+    (round-10, verdict item 6): touch each session trainer once at the
+    bench sf_dir before the timing loop, so (a) the per-query numbers
+    below are the honest SERVE leg of the "index is trained once,
+    queried many times" posture the docstrings claim, and (b) every
+    trained rung's warmth signature is stable across captures.  The
+    measured legs are reported in bench_detail.json as train_legs; on
+    an already-warm session they read ~0 and say so truthfully."""
+    from beam_scala_examples_spark.queries.clustering import (
+        _emb_corpus,
+        _km_assigned,
+        _kmeans_train,
+        _pq_train,
+        _trained,
+    )
+
+    legs: dict[str, float] = {}
+    t0 = time.perf_counter()
+    emb = _emb_corpus(spark, sf_dir)
+    emb.count()
+    legs["embedding_corpus_sec"] = round(time.perf_counter() - t0, 3)
+    for kind, trainer in (("kmeans", _kmeans_train), ("pq", _pq_train)):
+        t0 = time.perf_counter()
+        _trained(kind, sf_dir, trainer, emb)
+        legs[f"train_{kind}_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _km_assigned(spark, sf_dir).count()
+    legs["kmeans_assign_sec"] = round(time.perf_counter() - t0, 3)
+    return legs
+
+
 def main() -> None:
     # --strict (round-6, CI use): band violations that SURVIVE the
     # confirm re-measure pass also exit nonzero.  Default behavior is
@@ -318,8 +444,9 @@ def main() -> None:
     # the next bands regeneration records, so interactive runs report
     # it without failing.
     strict = "--strict" in sys.argv[1:]
+    trace = bool(os.environ.get("SPARK_GRAFT_BENCH_TRACE"))
 
-    start_ev = capture_evidence()
+    start_ev = wait_for_quiet()
     if not start_ev["clean"]:
         if strict:
             print(json.dumps(
@@ -370,9 +497,13 @@ def main() -> None:
     # reading bench_detail.json instead of re-deriving the bench order.
     from beam_scala_examples_spark.session import memo_snapshot
 
+    train_legs = train_warmup(spark, sf_dir)
+
     timings: dict[str, float] = {}
     memo_state: dict[str, dict] = {}
     for name in names:
+        if trace:
+            print(f"bench: {name}", file=sys.stderr, flush=True)
         fn = QUERIES[name]
         reps = 3 if name in _R01_HEADLINE else 2
         before = memo_snapshot()
@@ -401,7 +532,7 @@ def main() -> None:
     # bands file.  A single query regressing 5x inside 256 is invisible
     # to the one-total gate; this surfaces it by name.
     bands = load_bands(sf)
-    violations = band_violations(timings, bands)
+    violations = band_violations(timings, bands, memo_state, r01_shared)
 
     # Confirm before reporting: a best-of-2 tail query can double on one
     # mid-run GC pause hitting both back-to-back reps (observed:
@@ -421,7 +552,7 @@ def main() -> None:
         r01_shared = round(
             sum(t for n, t in timings.items() if n in _R01_HEADLINE), 3
         )
-        violations = band_violations(timings, bands)
+        violations = band_violations(timings, bands, memo_state, r01_shared)
 
     # End-of-run hygiene census: loadavg is saturated by our own run, so
     # only foreign JVMs (someone started Spark mid-capture) count here.
@@ -451,6 +582,13 @@ def main() -> None:
                     "r01_shared_total": r01_shared,
                     "query_count": len(timings),
                     "band_violations": violations,
+                    "warmth_skipped": warmth_skips(
+                        timings, bands, memo_state
+                    ),
+                    "band_drift_factor": round(
+                        _drift(bands, r01_shared), 3
+                    ) if bands else None,
+                    "train_legs": train_legs,
                     "capture": capture,
                     "memo_state": memo_state,
                 },

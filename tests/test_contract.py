@@ -98,6 +98,50 @@ def test_band_gate_trips_on_deliberate_slowdown():
     assert not bench.anchor_regressed(27.0, None)
 
 
+def test_band_gate_is_drift_proof():
+    """Round-10 verdict item 2: a deliberately dirty/cold replay must
+    produce ZERO false flags while an injected slowdown in one query
+    still trips.
+
+    (a) Uniform host drift: every query 2.2x its band because the host
+    is 2.2x slower (anchor moved identically) -> the anchor-normalized
+    gate cancels it (drift capped at DRIFT_CAP).
+    (b) Warmth: a codebook-cold measurement is never judged against a
+    codebook-warm band — it lands in warmth_skipped instead.
+    (c) A genuine 2x+ regression (anchor flat, same warmth) trips."""
+    import bench
+
+    warm = bench.warmth_sig({"warm": {"trained_codebooks": 2}, "built": {}})
+    cold = bench.warmth_sig({"warm": {}, "built": {"trained_codebooks": 2}})
+    assert warm != cold and bench.warmth_sig(None) == ""
+
+    bands = {
+        "sf": 0.1,
+        "anchor_r01_shared_total": 10.0,
+        "queries": {"ann": 2.0, "steady": 1.0},
+        "warmth": {"ann": warm, "steady": ""},
+    }
+    # (a) uniformly slow host: everything 2.2x, anchor too -> no flags
+    slow_host = {"ann": 4.4, "steady": 2.2}
+    ms_warm = {"ann": {"warm": {"trained_codebooks": 2}, "built": {}}}
+    assert bench.band_violations(slow_host, bands, ms_warm, 22.0) == {}
+    # (b) codebook-cold replay of ann (trained inside its timed run):
+    # 3x the warm band on a quiet host -> adjudicated out, not flagged
+    ms_cold = {"ann": {"warm": {}, "built": {"trained_codebooks": 2}}}
+    cold_run = {"ann": 6.0, "steady": 1.05}
+    assert bench.band_violations(cold_run, bands, ms_cold, 10.1) == {}
+    skips = bench.warmth_skips(cold_run, bands, ms_cold)
+    assert skips == {"ann": [warm, cold]}
+    # (c) real regression: same warmth, anchor flat, one query 3x
+    regressed = {"ann": 6.0, "steady": 1.05}
+    assert bench.band_violations(regressed, bands, ms_warm, 10.1) == {
+        "ann": [2.0, 6.0]
+    }
+    # drift relaxes only: a FASTER host never tightens the gate
+    assert bench._drift(bands, 5.0) == 1.0
+    assert bench._drift(bands, 100.0) == bench.DRIFT_CAP
+
+
 def test_band_merge_keeps_historical_minima():
     """Round-7 gate hygiene: regenerating bands min-merges the new
     capture into the existing file — a noisy-high machine can never
@@ -245,3 +289,41 @@ def test_bench_capture_hygiene_evidence():
         ev["foreign_jvms"] == 0
         and ev["loadavg1"] <= bench.LOADAVG_CLEAN_MAX
     )
+
+
+def test_driver_window_is_derived_and_unbiased():
+    """Round-10 (ADVICE): the driver-gate window is a pure function of
+    the query registry and the committed CORRECTNESS_r*.json history —
+    deterministic across calls, exactly _WINDOW names, CORE + FRESH
+    always present, and the rotating slots filled never-driver-checked-
+    first so no query can be held out of the gate for not being green."""
+    import importlib.util as _ilu
+    import os as _os
+
+    spec = _ilu.spec_from_file_location(
+        "entry_mod_t",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "__spark_entry__.py",
+        ),
+    )
+    m = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    w1, w2 = m.driver_window(), m.driver_window()
+    assert w1 == w2, "window must be deterministic"
+    assert len(w1) == m._WINDOW and len(set(w1)) == m._WINDOW
+    for name in m._CORE + m._FRESH:
+        assert name in w1, f"core/fresh query {name} missing from window"
+    from beam_scala_examples_spark.queries import QUERIES
+    assert all(n in QUERIES for n in w1)
+    # rotation prefers never-driver-checked queries: while unseen
+    # queries remain, no rotated slot may hold an already-checked one
+    salt, seen = m._gate_history()
+    head = set(m._CORE) | set(m._FRESH)
+    rotated = [n for n in w1 if n not in head]
+    unseen_pool = [n for n in QUERIES if n not in head and n not in seen]
+    if len(unseen_pool) >= len(rotated):
+        assert all(n not in seen for n in rotated)
+    # the window is the exact prefix of queries()
+    assert list(m.queries())[: m._WINDOW] == w1

@@ -31,17 +31,40 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def merged_bands(detail: dict, old: dict | None, reset: bool) -> dict:
     """Min-of-N merge of the new capture into the existing bands (same
-    sf only); `reset` or an sf change rebuilds from the capture alone."""
+    sf only); `reset` or an sf change rebuilds from the capture alone.
+
+    Round 10: each band also records the memo-WARMTH SIGNATURE of the
+    capture that set it (from bench_detail's memo_state, via
+    bench.warmth_sig) — band_violations refuses to judge a measurement
+    against a band taken at different warmth (a codebook-cold run vs a
+    codebook-warm band was rounds 8-9's recurring false flag).  When a
+    query keeps its old (lower) band, it keeps that band's recorded
+    warmth; a legacy bands file without warmth adopts the current
+    capture's signatures (the min was captured under the same bench
+    order, so same warmth, in every known case)."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py")
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    ms = detail.get("memo_state", {})
     queries = dict(detail["queries"])
+    warmth = {n: bench.warmth_sig(ms.get(n)) for n in queries}
     anchor = float(detail["r01_shared_total"])
     if (
         not reset
         and old is not None
         and abs(float(old.get("sf", -1)) - float(detail["sf"])) < 1e-9
     ):
+        old_w = old.get("warmth", {})
         for name, band in old.get("queries", {}).items():
-            if name in queries:
-                queries[name] = min(queries[name], band)
+            if name in queries and band < queries[name]:
+                queries[name] = band
+                if name in old_w:
+                    warmth[name] = old_w[name]
         prev_anchor = old.get("anchor_r01_shared_total")
         if prev_anchor is not None:
             anchor = min(anchor, float(prev_anchor))
@@ -52,11 +75,15 @@ def merged_bands(detail: dict, old: dict | None, reset: bool) -> dict:
             "(tools/update_bench_bands.py) keeps min(existing band, new "
             "capture) per query, so bands only ratchet down and a "
             "noisy-high capture can never loosen the gate; use --reset "
-            "after a deliberate perf trade." % detail["sf"]
+            "after a deliberate perf trade. Each band carries the memo-"
+            "warmth signature of the capture that set it; the gate only "
+            "compares like-warmth (bench.py band_violations)."
+            % detail["sf"]
         ),
         "sf": detail["sf"],
         "anchor_r01_shared_total": anchor,
         "queries": queries,
+        "warmth": warmth,
     }
 
 
