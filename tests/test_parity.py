@@ -38,6 +38,39 @@ HIGH_RISK = sorted(
     n for n in ORACLE if n.startswith(HIGH_RISK_PREFIXES)
 )
 
+# Round-10 (verdict item 5): a rotating driver-scale sample in the
+# DEFAULT suite.  The full sf0.01 sweep stays behind SPARK_GRAFT_TWO_SF
+# (2x suite cost), but every default run now parity-checks a
+# deterministic 30-query sample at sf0.01, rotated by the upcoming
+# round index (from the committed CORRECTNESS_r*.json history, same
+# derivation as __spark_entry__.driver_window) — so every oracle gets
+# driver-scale parity every ~10 rounds without gating.  Suppressed when
+# the full sweep is on (it subsumes the sample).
+ROTATING_SAMPLE_K = 30
+
+
+def _rotating_sample(k: int = ROTATING_SAMPLE_K) -> list[str]:
+    import glob
+    import hashlib
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last = 0
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            last = max(last, int(m.group(1)))
+    salt = last + 1
+    return sorted(
+        ORACLE,
+        key=lambda n: hashlib.sha256(
+            f"parity:{salt}:{n}".encode()
+        ).hexdigest(),
+    )[:k]
+
+
+ROTATING_SAMPLE = [] if TWO_SF else _rotating_sample()
+
 
 @pytest.fixture()
 def duck(sf_dir):
@@ -66,6 +99,23 @@ def test_query_runs(name, spark, sf_dir):
 def test_high_risk_family_driver_scale(name, spark):
     """Ungated sf0.01 sweep for the flake-prone oracle family — the
     exact scale the driver's correctness gate runs at."""
+    con = duck_connect(SF2_DIR)
+    try:
+        df = QUERIES[name](spark, SF2_DIR)
+        ok, msg = compare(
+            df, con, ORACLE[name],
+            fresh_factory=lambda: duck_connect(SF2_DIR), name=name,
+        )
+        assert ok, f"{name}@sf0.01: {msg}"
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", ROTATING_SAMPLE)
+def test_rotating_sample_driver_scale(name, spark):
+    """Deterministic rotating sf0.01 sample (see ROTATING_SAMPLE above)
+    — driver-scale parity for every oracle every ~10 rounds, in the
+    default suite."""
     con = duck_connect(SF2_DIR)
     try:
         df = QUERIES[name](spark, SF2_DIR)

@@ -2910,3 +2910,92 @@ def test_sq8_ingest_empty_prefix_serves_empty(spark, tmpdir):
         0,
     )
     assert sink.topk_view(spark).count() == 0
+
+
+def test_mrl_ingest_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming MRL ingest (streaming/mrlview.py): the index state is
+    PER-ROW (each vector's prefix norms are functions of that vector
+    alone — no global stats, no retrain gate, the simplest rung of the
+    repo's streaming-index ladder), so the served prefix-budget recall
+    frontier equals the batch sim_matryoshka_recall_structured exactly,
+    whatever the batch boundaries."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        sim_matryoshka_recall_structured,
+    )
+    from beam_scala_examples_spark.streaming.mrlview import MrlIngestSink
+
+    sink = MrlIngestSink(f"{tmpdir}/mrl_log")
+    rows = _vec_rows(spark, sf_dir)
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<float>"
+    )
+    third = len(rows) // 3
+    sink(mk(rows[:third]), 0)
+    sink(mk(rows[third : 2 * third]), 1)
+    sink(mk(rows[2 * third :]), 2)
+
+    expect = sorted(
+        tuple(r)
+        for r in sim_matryoshka_recall_structured(spark, sf_dir).collect()
+    )
+    got = sorted(tuple(r) for r in sink.recall_view(spark).collect())
+    assert got == expect and len(got) == 4
+
+
+def test_mrl_ingest_replay_idempotent(spark, sf_dir, tmpdir):
+    from beam_scala_examples_spark.streaming.mrlview import MrlIngestSink
+
+    sink = MrlIngestSink(f"{tmpdir}/mrl_log")
+    rows = _vec_rows(spark, sf_dir)
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<float>"
+    )
+    sink(mk(rows[:200]), 0)
+    sink(mk(rows[200:]), 1)
+    once = sorted(tuple(r) for r in sink.topk_view(spark, 16).collect())
+    sink(mk(rows[200:]), 1)  # replay
+    twice = sorted(tuple(r) for r in sink.topk_view(spark, 16).collect())
+    assert once == twice and len(once) > 0
+
+
+def test_mrl_ingest_empty_prefix_serves_empty(spark, tmpdir):
+    from beam_scala_examples_spark.streaming.mrlview import MrlIngestSink
+
+    sink = MrlIngestSink(f"{tmpdir}/mrl_log")
+    sink(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        0,
+    )
+    assert sink.topk_view(spark, 8).count() == 0
+    frontier = sink.recall_view(spark).collect()
+    assert len(frontier) == 4
+    assert all(r.truth_rows == 0 for r in frontier)
+
+
+def test_mrl_budget_scan_prunes_segments(spark, sf_dir, tmpdir):
+    """The scale claim of the segmented MRL layout: serving budget 16
+    must read ONLY seg0/seg1 (+ pnorms) from the log — the higher
+    segments are pruned at the parquet scan, so serve IO is
+    proportional to the dim budget."""
+    from beam_scala_examples_spark.streaming.mrlview import MrlIngestSink
+
+    sink = MrlIngestSink(f"{tmpdir}/mrl_log")
+    rows = _vec_rows(spark, sf_dir)
+    sink(
+        spark.createDataFrame(
+            rows[:100], "vec_id long, embedding array<float>"
+        ),
+        0,
+    )
+    plan = (
+        sink.topk_view(spark, 16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert scans, "no parquet scan in the budget-16 serve plan"
+    for ln in scans:
+        assert "seg2" not in ln and "seg3" not in ln, (
+            f"budget-16 serve reads pruned segments: {ln}"
+        )
