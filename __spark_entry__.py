@@ -72,11 +72,12 @@ _CORE = [
     "q20_join_default", "q21_max_per_month", "q22_trigger_flow",
     "p06_lane_explode", "p08_json_parse",
 ]
-# VERDICT r09 item 1: the round-9 flagships enter the hard gate.
+# VERDICT r09 item 1: the round-9 flagships enter the hard gate,
+# plus the round-10 additions (adaptive Matryoshka serving rung).
 _FRESH = [
     "sim_sq8_topk", "sim_sq8_recall", "sim_sq_bits_sweep",
     "sim_matryoshka_recall_structured", "dedup_lsh_eval",
-    "sim_ivfpq_topk",
+    "sim_ivfpq_topk", "sim_mrl_adaptive_topk", "sim_mrl_adaptive_recall",
 ]
 _WINDOW = 50
 

@@ -10587,6 +10587,182 @@ ORACLE["sim_matryoshka_recall_structured"] = "\nUNION ALL\n".join(
 )
 
 
+# --------------------------------------------------------------------------
+# Matryoshka ADAPTIVE retrieval — round 10.  The serving rung the
+# structured-MRL frontier prices: rank the whole corpus with only the
+# first MRL_SERVE_DIM dims (the budget the frontier showed carries most
+# of the energy), then re-rank the shortlist with the full vectors —
+# the "adaptive retrieval" pattern Matryoshka embeddings exist for,
+# and the MRL analogue of the SQ8/BQ quantize-rank-rerank rungs (same
+# shortlist discipline, but the bandwidth cut comes from reading FEWER
+# DIMS instead of narrower codes; streaming/mrlview.py's segmented
+# layout makes that an actual parquet column prune).
+# --------------------------------------------------------------------------
+
+MRL_SERVE_DIM = 16   # prefix budget for the ranking leg
+MRL_SHORTLIST = 50   # prefix-cosine shortlist re-ranked full-dim
+
+
+def sim_mrl_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive Matryoshka retrieval: prefix-``MRL_SERVE_DIM`` cosine
+    ranks the corpus, the full-dimension exact cosine re-ranks the
+    shortlist.
+
+    Scale: the ranking leg touches 16/64 of the float bytes per vector
+    (with the segmented log layout of ``streaming/mrlview.py`` that is
+    a parquet column prune, not an in-memory slice); queries broadcast;
+    both rank stages ride WindowGroupLimit; the full-vector fetch is
+    MRL_SHORTLIST rows per query.  Determinism: the decay structuring
+    reuses the shared double literals (``_SPARK_MRL_EMB``), dots are
+    fixed-order folds, ties break on vec_id."""
+    d = MRL_SERVE_DIM
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_MRL_EMB).alias("embedding")
+    )
+    pnorm = _SPARK_DOT.format(
+        a=f"slice(embedding, 1, {d})", b=f"slice(embedding, 1, {d})"
+    )
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(pnorm).alias("pnrm"),
+        F.expr(_SPARK_DOT.format(a="embedding", b="embedding")).alias(
+            "nrm"
+        ),
+    ).filter(F.col("pnrm") > 0)
+    q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("pnrm").alias("qpn"),
+        F.col("nrm").alias("qnorm"),
+    )
+    pdot = _SPARK_DOT.format(
+        a=f"slice(qe, 1, {d})", b=f"slice(embedding, 1, {d})"
+    )
+    approx = (
+        base.select("vec_id", "embedding", "pnrm")
+        .join(F.broadcast(q.select("qid", "qe", "qpn")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            (F.expr(pdot) / F.sqrt(F.col("qpn") * F.col("pnrm"))).alias(
+                "acos"
+            ),
+        )
+    )
+    short = top_k_per_key(
+        approx, ["qid"], [F.desc("acos"), F.asc("vec_id")], MRL_SHORTLIST
+    ).select("qid", "vec_id")
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    scored = (
+        short.join(base.select("vec_id", "embedding", "nrm"), "vec_id")
+        .join(F.broadcast(q.select("qid", "qe", "qnorm")), "qid")
+        .select(
+            "qid", "vec_id",
+            (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    return top_k_per_key(
+        scored, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+    ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+
+
+def sim_mrl_adaptive_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of adaptive MRL retrieval vs the full-dimension exact
+    truth over the SAME structured vectors — prices the 4x dim cut of
+    the ranking leg (expected near-perfect: the decay concentrates
+    ~96.6% of energy in the first 16 dims)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_SPARK_MRL_EMB).alias("embedding")
+    )
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_SPARK_DOT.format(a="embedding", b="embedding")).alias(
+            "nrm"
+        ),
+    ).filter(F.col("nrm") > 0)
+    q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnorm"),
+    )
+    pairs = (
+        base.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            (
+                F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+                / F.sqrt(F.col("qnorm") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    truth = top_k_per_key(
+        pairs, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+    ).select("qid", "vec_id")
+    return _ann_recall(truth, sim_mrl_adaptive_topk(spark, sf_dir))
+
+
+QUERIES["sim_mrl_adaptive_topk"] = sim_mrl_adaptive_topk
+QUERIES["sim_mrl_adaptive_recall"] = sim_mrl_adaptive_recall
+
+_MRL_ADAPTIVE_TOPK_DUCK = f"""(
+    WITH de AS (
+        SELECT vec_id, {_DUCK_MRL_EMB} AS embedding FROM embeddings
+    ),
+    pb AS (
+        SELECT vec_id, embedding,
+               {_duck_pdot('embedding', 'embedding', MRL_SERVE_DIM)}
+                   AS pnrm,
+               {_duck_pdot('embedding', 'embedding', EMB_DIM)} AS nrm
+        FROM de
+    ),
+    pbn AS (SELECT * FROM pb WHERE pnrm > 0),
+    pq AS (
+        SELECT vec_id AS qid, embedding AS qe, pnrm AS qpn, nrm AS qnorm
+        FROM pbn WHERE vec_id < {N_QUERY_VECS}
+    ),
+    apx AS (
+        SELECT qid, vec_id,
+               {_duck_pdot('qe', 'embedding', MRL_SERVE_DIM)}
+                   / sqrt(qpn * pnrm) AS acos
+        FROM pq, pbn WHERE vec_id <> qid
+    ),
+    short AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY acos DESC, vec_id ASC
+            ) AS rk FROM apx
+        ) WHERE rk <= {MRL_SHORTLIST}
+    ),
+    scored AS (
+        SELECT s.qid, s.vec_id,
+               {_duck_pdot('q.qe', 'b.embedding', EMB_DIM)}
+                   / sqrt(q.qnorm * b.nrm) AS cos
+        FROM short s
+        JOIN pbn b ON b.vec_id = s.vec_id
+        JOIN pq q ON q.qid = s.qid
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cosine FROM (
+        SELECT qid, vec_id, cos, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+        ) AS rk FROM scored
+    ) WHERE rk <= {TOPK_NEIGHBORS}
+)"""
+
+ORACLE["sim_mrl_adaptive_topk"] = f"SELECT * FROM {_MRL_ADAPTIVE_TOPK_DUCK}"
+
+ORACLE["sim_mrl_adaptive_recall"] = f"""
+    SELECT e.qid,
+           round(count(a.vec_id) * 1.0 / {TOPK_NEIGHBORS}, 4) AS recall_at_k
+    FROM {_mrl_structured_rank_sql(EMB_DIM)} e
+    LEFT JOIN {_MRL_ADAPTIVE_TOPK_DUCK} a
+      ON e.qid = a.qid AND e.vec_id = a.vec_id
+    GROUP BY e.qid
+"""
+
+
 BQ_BUDGETS = (10, 25, 50, 100)   # Hamming shortlist depths swept
 
 
