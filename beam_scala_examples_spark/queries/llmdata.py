@@ -6270,7 +6270,7 @@ def data_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebuilds the positional-selection scan its sibling queries built.
     regions = winnow_regions_from_prints(
         winnow_prints_memo(spark, sf_dir)
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     region_stats = regions.agg(
         F.countDistinct("doc_a", "doc_b").alias("n_pairs"),
         F.coalesce(F.sum("length_tokens"), F.lit(0)).alias("n_tokens"),
@@ -8762,7 +8762,7 @@ def phash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         # self-join sides, novelty's firsts+membership, the verified
         # ladder) otherwise re-renders and re-hashes the whole image
         # corpus per reference — the render is the expensive half.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
 
@@ -9173,7 +9173,7 @@ def _video_scene_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return scene_keyframes_y4m_metadata(
         attach_y4m_payload_keyed(_video_corpus(docs))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
 
 def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9514,7 +9514,7 @@ def _audio_fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return fingerprint_wav_metadata(
         attach_wav_payload_keyed(_audio_corpus(docs))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
 
 def multimodal_audio_fingerprint(
@@ -10810,7 +10810,17 @@ def sim_bq_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", "vec_id", "rk",
             (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
         )
-        .localCheckpoint(eager=False)
+        # EAGER on purpose (round 10): the lazy form materialized the
+        # checkpoint mid-action, and the DAGScheduler then logged an
+        # ERROR burst ("attempted to access non-existent accumulator")
+        # when task-end events from the truncated pre-checkpoint stages
+        # arrived after their SQL-metric accumulators were unregistered
+        # — the BENCH_r09/r10 tail noise, attributed to this query via
+        # the bench trace markers.  Eager checkpointing materializes in
+        # its own job before lineage truncation, which the repo's many
+        # eager sites show is race-free; cost is identical (all four
+        # sweep legs consume the full relation either way).
+        .localCheckpoint(eager=True)
     )
     truth = sim_cosine_topk(spark, sf_dir).select("qid", "vec_id")
     legs = []
