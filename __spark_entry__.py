@@ -78,6 +78,7 @@ _FRESH = [
     "sim_sq8_topk", "sim_sq8_recall", "sim_sq_bits_sweep",
     "sim_matryoshka_recall_structured", "dedup_lsh_eval",
     "sim_ivfpq_topk", "sim_mrl_adaptive_topk", "sim_mrl_adaptive_recall",
+    "sim_filtered_ivf_topk", "sim_filtered_ivf_recall",
 ]
 _WINDOW = 50
 

@@ -1687,6 +1687,244 @@ def _ivf_trained_recall_oracle() -> str:
 ORACLE["sim_ivf_trained_recall"] = _ivf_trained_recall_oracle()
 
 
+# --------------------------------------------------------------------------
+# FILTERED trained-IVF (hybrid search) — round 10.  Production vector
+# stores must compose a metadata predicate with ANN retrieval; the
+# exact scan-based form gets this for free (``llmdata.
+# sim_hard_negatives`` documents that engine property for a label
+# predicate).  This rung does it on the APPROXIMATE path with a
+# CROSS-TABLE predicate: candidates are restricted to embeddings whose
+# document row passes ``documents.lang = FILTER_LANG``, and the
+# restriction is applied INSIDE the probed cells, before any scoring —
+# in-filter, not post-filter (post-filtering a top-k list under-fills
+# it; dedicated ANN indexes famously struggle exactly here).
+# --------------------------------------------------------------------------
+
+FILTER_LANG = "en"   # the metadata predicate of the filtered rung
+
+
+def _allowed_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_ids whose document passes the metadata predicate (the
+    fixture maps vec_id 1:1 onto doc_id).  Slim one-column relation —
+    the semi-join side; at scale the runtime bloom filter turns this
+    into map-side row pruning before the probe join's exchange."""
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang") == FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+
+
+def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-cell IVF retrieval under a document-metadata predicate:
+    probe the IVF_TR_NPROBE nearest trained cells per query, scan ONLY
+    rows that are both in a probed cell AND allowed by the predicate,
+    exact cosine on the survivors.
+
+    Scale: the predicate enters as a semi join against a slim id
+    relation BEFORE the exact-cosine scoring — the scan fraction is
+    (probed cells) x (filter selectivity), strictly less work than the
+    unfiltered rung, never a top-k list that comes back short.
+    Queries are NOT filtered (the caller asks "nearest allowed docs to
+    this query", whatever the query's own language)."""
+    from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _SPARK_DOT
+    from ..operators.topk import top_k_per_key
+
+    emb = _emb_corpus(spark, sf_dir)
+    cents = _trained("kmeans", sf_dir, _kmeans_train, emb)
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    assign = (
+        _km_assigned(spark, sf_dir)
+        .select("vec_id", "cluster", "embedding", norm.alias("nrm"))
+        .join(_allowed_vecs(spark, sf_dir), "vec_id", "semi")
+    )
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "cluster bigint, c array<double>",
+    )
+    qdf = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm.alias("qnorm"),
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(qe, c,"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    probes = top_k_per_key(
+        qdf.crossJoin(F.broadcast(cdf)).select(
+            "qid", "qe", "qnorm", "cluster", l2.alias("d2")
+        ),
+        ["qid"],
+        [F.asc("d2"), F.asc("cluster")],
+        IVF_TR_NPROBE,
+    ).select("qid", "qe", "qnorm", "cluster")
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    cand = (
+        assign.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    return top_k_per_key(
+        cand, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+    ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+
+
+def sim_filtered_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of filtered trained-IVF vs the exact FILTERED truth
+    (brute-force cosine over the allowed set) — prices the in-cell
+    filter: allowed neighbors living in unprobed cells are the only
+    recall loss, exactly as in the unfiltered rung."""
+    from .llmdata import (
+        N_QUERY_VECS,
+        TOPK_NEIGHBORS,
+        _SPARK_DOT,
+        _ann_recall,
+    )
+    from ..operators.topk import top_k_per_key
+
+    emb = _emb_corpus(spark, sf_dir)
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    cand = emb.select(
+        "vec_id", "embedding", norm.alias("cnorm")
+    ).join(_allowed_vecs(spark, sf_dir), "vec_id", "semi")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm.alias("qnorm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    pairs = (
+        cand.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot / F.sqrt(F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+        )
+    )
+    truth = top_k_per_key(
+        pairs, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+    ).select("qid", "vec_id")
+    return _ann_recall(truth, sim_filtered_ivf_topk(spark, sf_dir))
+
+
+QUERIES["sim_filtered_ivf_topk"] = sim_filtered_ivf_topk
+QUERIES["sim_filtered_ivf_recall"] = sim_filtered_ivf_recall
+
+
+def _filtered_ivf_oracle() -> str:
+    from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _duck_dot
+
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (e.embedding[i]::DOUBLE - c.c[i])"
+        " * (e.embedding[i]::DOUBLE - c.c[i])))"
+    )
+    qdist = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}),"
+        " i -> (q.qe[i]::DOUBLE - c.c[i])"
+        " * (q.qe[i]::DOUBLE - c.c[i])))"
+    )
+    tail = f"""assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dist}, c.cluster) AS rn
+            FROM emb e CROSS JOIN c{KM_ITERS} c
+        ) WHERE rn = 1
+    ),
+    allowed AS (
+        SELECT doc_id AS vec_id FROM documents
+        WHERE lang = '{FILTER_LANG}'
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               {_duck_dot('embedding', 'embedding')} AS qnorm
+        FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ),
+    probe AS (
+        SELECT qid, cluster FROM (
+            SELECT q.qid, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {qdist}, c.cluster) AS rn
+            FROM q CROSS JOIN c{KM_ITERS} c
+        ) WHERE rn <= {IVF_TR_NPROBE}
+    ),
+    cand AS (
+        SELECT q.qid, a.vec_id,
+               {_duck_dot('q.qe', 'e.embedding')}
+                   / sqrt(q.qnorm
+                          * {_duck_dot('e.embedding', 'e.embedding')})
+                   AS cos
+        FROM assign a
+        JOIN allowed al ON al.vec_id = a.vec_id
+        JOIN probe p ON p.cluster = a.cluster
+        JOIN q ON q.qid = p.qid
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cosine FROM (
+        SELECT qid, vec_id, cos,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        FROM cand
+    ) WHERE rn <= {TOPK_NEIGHBORS}"""
+    return "WITH " + ",\n".join(_kmeans_ctes() + [tail])
+
+
+ORACLE["sim_filtered_ivf_topk"] = _filtered_ivf_oracle()
+
+
+def _filtered_ivf_recall_oracle() -> str:
+    from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _duck_dot
+
+    truth = f"""(
+        WITH fq AS (
+            SELECT vec_id AS qid, embedding AS qe,
+                   {_duck_dot('embedding', 'embedding')} AS qnorm
+            FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+        ),
+        fc AS (
+            SELECT e.vec_id, e.embedding,
+                   {_duck_dot('e.embedding', 'e.embedding')} AS cnorm
+            FROM embeddings e
+            JOIN documents d ON d.doc_id = e.vec_id
+            WHERE d.lang = '{FILTER_LANG}'
+        ),
+        fpairs AS (
+            SELECT qid, vec_id,
+                   {_duck_dot('qe', 'embedding')}
+                       / sqrt(qnorm * cnorm) AS cos
+            FROM fq, fc WHERE vec_id <> qid
+        )
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+            ) AS rk FROM fpairs
+        ) WHERE rk <= {TOPK_NEIGHBORS}
+    )"""
+    return f"""
+        SELECT e.qid,
+               round(count(a.vec_id) * 1.0 / {TOPK_NEIGHBORS}, 4)
+                   AS recall_at_k
+        FROM {truth} e
+        LEFT JOIN ({ORACLE["sim_filtered_ivf_topk"]}) a
+          ON e.qid = a.qid AND e.vec_id = a.vec_id
+        GROUP BY e.qid
+    """
+
+
+ORACLE["sim_filtered_ivf_recall"] = _filtered_ivf_recall_oracle()
+
+
 def _ivfpq_trained_scored(spark: SparkSession, sf_dir: str):
     """The trained-cell ADC scan shared by ``sim_ivfpq_trained_topk``
     and ``sim_ivfpq_trained_rerank``: returns ``(emb, qdf, scored)``
