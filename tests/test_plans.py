@@ -706,3 +706,23 @@ def test_multimodal_y4m_sampling_is_narrow(plans):
     assert "Exchange" not in p
     assert p.count("MapInPandas") >= 2
     assert "BatchEvalPython" not in p
+
+
+def test_filtered_ivf_predicate_scan_is_pruned(plans):
+    """Round-10 filtered trained-IVF: the metadata predicate side must
+    be (a) a pruned documents scan — only doc_id and lang read, never
+    text — with the lang filter pushed down, and (b) applied as a
+    semi/filter join, never a post-filter on a finished top-k (the
+    in-filter claim in docs/SCALE.md)."""
+    p = plans("sim_filtered_ivf_topk")
+    doc_reads = [
+        ln for ln in p.splitlines()
+        if "ReadSchema" in ln and "doc_id" in ln
+    ]
+    assert doc_reads, "no documents scan in the filtered-IVF plan"
+    for ln in doc_reads:
+        assert "text" not in ln and "n_chars" not in ln, (
+            f"filtered-IVF reads unpruned documents columns: {ln}"
+        )
+    assert "EqualTo(lang,en)" in p and "IsNotNull(lang)" in p
+    assert "LeftSemi" in p
