@@ -2999,3 +2999,42 @@ def test_mrl_budget_scan_prunes_segments(spark, sf_dir, tmpdir):
         assert "seg2" not in ln and "seg3" not in ln, (
             f"budget-16 serve reads pruned segments: {ln}"
         )
+
+
+@pytest.mark.parametrize(
+    "cuts",
+    [
+        (1,),              # one singleton batch, rest in one chunk
+        (7, 7),            # tiny uneven prefix batches
+        (0, 250),          # an EMPTY batch in the stream
+    ],
+)
+def test_mrl_ingest_chunking_invariant(spark, sf_dir, tmpdir, cuts):
+    """Arrival chunking must not change the served MRL frontier — the
+    per-row index state composes under ANY batch boundaries, including
+    singleton and empty batches (the same invariant the pane sinks pin
+    via Hypothesis; here the state is stateless-per-row so three
+    adversarial chunkings pin it)."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        sim_matryoshka_recall_structured,
+    )
+    from beam_scala_examples_spark.streaming.mrlview import MrlIngestSink
+
+    sink = MrlIngestSink(f"{tmpdir}/mrl_log_{'_'.join(map(str, cuts))}")
+    rows = _vec_rows(spark, sf_dir)
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<float>"
+    )
+    pos, bid = 0, 0
+    for c in cuts:
+        sink(mk(rows[pos : pos + c]), bid)
+        pos += c
+        bid += 1
+    sink(mk(rows[pos:]), bid)
+
+    expect = sorted(
+        tuple(r)
+        for r in sim_matryoshka_recall_structured(spark, sf_dir).collect()
+    )
+    got = sorted(tuple(r) for r in sink.recall_view(spark).collect())
+    assert got == expect
