@@ -70,14 +70,22 @@ class IvfIngestSink:
         the batch ``_assign`` relation over all ingested vectors."""
         return self._log(spark).select("vec_id", "cluster")
 
-    def topk_view(self, spark: SparkSession) -> DataFrame:
+    def topk_view(
+        self, spark: SparkSession, allowed: DataFrame | None = None
+    ) -> DataFrame:
         """The batch ``sim_ivf_trained_topk`` relation served from the
         postings log: identical probe ranking (squared-L2 fold over the
         broadcast centroids), identical exact-cosine scoring inside the
         probed cells, identical top-k order — so streamed == batch
         exactly once the same vectors are in.  The cluster equi-join
         against the (batch_id, cluster)-partitioned log is where the
-        inverted-list pruning pays off at scale."""
+        inverted-list pruning pays off at scale.
+
+        ``allowed`` (round 10): an optional slim (vec_id) relation —
+        the hybrid-search predicate.  Applied to the postings as a
+        semi join BEFORE scoring, exactly like the batch
+        ``clustering.sim_filtered_ivf_topk`` (in-filter, never a
+        post-filter on a finished top-k); queries stay unfiltered."""
         cdf = spark.createDataFrame(
             [(cid, vec) for cid, vec in self.centroids],
             "cluster bigint, c array<double>",
@@ -103,8 +111,11 @@ class IvfIngestSink:
             IVF_TR_NPROBE,
         ).select("qid", "qe", "qnorm", "cluster")
         dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+        corpus = log if allowed is None else log.join(
+            allowed.select("vec_id"), "vec_id", "semi"
+        )
         cand = (
-            log.join(F.broadcast(probes), "cluster")
+            corpus.join(F.broadcast(probes), "cluster")
             .filter(F.col("vec_id") != F.col("qid"))
             .select(
                 "qid",

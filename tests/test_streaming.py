@@ -3038,3 +3038,38 @@ def test_mrl_ingest_chunking_invariant(spark, sf_dir, tmpdir, cuts):
     )
     got = sorted(tuple(r) for r in sink.recall_view(spark).collect())
     assert got == expect
+
+
+def test_ivf_ingest_filtered_serve_matches_batch(spark, sf_dir, tmpdir):
+    """Hybrid search served from the streaming postings log: passing
+    the metadata-allowed id relation into topk_view applies the
+    predicate inside the probed cells (semi join before scoring),
+    and the served result equals the batch sim_filtered_ivf_topk
+    exactly — the predicate composes with the log at serve time, no
+    re-ingest needed when the filter changes."""
+    from beam_scala_examples_spark.queries.clustering import (
+        _allowed_vecs,
+        sim_filtered_ivf_topk,
+    )
+    from beam_scala_examples_spark.streaming.ivfview import IvfIngestSink
+
+    cents = _trained_cents(spark, sf_dir)
+    sink = IvfIngestSink(f"{tmpdir}/ivf_postings_filt", cents)
+    rows = _vec_rows(spark, sf_dir)
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<float>"
+    )
+    half = len(rows) // 2
+    sink(mk(rows[:half]), 0)
+    sink(mk(rows[half:]), 1)
+
+    expect = sorted(
+        tuple(r) for r in sim_filtered_ivf_topk(spark, sf_dir).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in sink.topk_view(
+            spark, allowed=_allowed_vecs(spark, sf_dir)
+        ).collect()
+    )
+    assert got == expect and len(got) > 0
