@@ -1715,18 +1715,12 @@ def _allowed_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-cell IVF retrieval under a document-metadata predicate:
-    probe the IVF_TR_NPROBE nearest trained cells per query, scan ONLY
-    rows that are both in a probed cell AND allowed by the predicate,
-    exact cosine on the survivors.
-
-    Scale: the predicate enters as a semi join against a slim id
-    relation BEFORE the exact-cosine scoring — the scan fraction is
-    (probed cells) x (filter selectivity), strictly less work than the
-    unfiltered rung, never a top-k list that comes back short.
-    Queries are NOT filtered (the caller asks "nearest allowed docs to
-    this query", whatever the query's own language)."""
+def _filtered_ivf_for(
+    spark: SparkSession, sf_dir: str, allowed: DataFrame
+) -> DataFrame:
+    """Trained-cell IVF top-k restricted to ``allowed`` (vec_id) rows —
+    the parametrized core of the filtered rung (round-10 selectivity
+    sweep shares it across predicates)."""
     from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _SPARK_DOT
     from ..operators.topk import top_k_per_key
 
@@ -1736,7 +1730,7 @@ def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         _km_assigned(spark, sf_dir)
         .select("vec_id", "cluster", "embedding", norm.alias("nrm"))
-        .join(_allowed_vecs(spark, sf_dir), "vec_id", "semi")
+        .join(allowed.select("vec_id"), "vec_id", "semi")
     )
     cdf = spark.createDataFrame(
         [(cid, vec) for cid, vec in cents],
@@ -1775,24 +1769,19 @@ def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
 
 
-def sim_filtered_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of filtered trained-IVF vs the exact FILTERED truth
-    (brute-force cosine over the allowed set) — prices the in-cell
-    filter: allowed neighbors living in unprobed cells are the only
-    recall loss, exactly as in the unfiltered rung."""
-    from .llmdata import (
-        N_QUERY_VECS,
-        TOPK_NEIGHBORS,
-        _SPARK_DOT,
-        _ann_recall,
-    )
+def _filtered_truth_for(
+    spark: SparkSession, sf_dir: str, allowed: DataFrame
+) -> DataFrame:
+    """Exact FILTERED truth: brute-force cosine top-k over the allowed
+    candidate set (queries unfiltered)."""
+    from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _SPARK_DOT
     from ..operators.topk import top_k_per_key
 
     emb = _emb_corpus(spark, sf_dir)
     norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
     cand = emb.select(
         "vec_id", "embedding", norm.alias("cnorm")
-    ).join(_allowed_vecs(spark, sf_dir), "vec_id", "semi")
+    ).join(allowed.select("vec_id"), "vec_id", "semi")
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -1808,17 +1797,108 @@ def sim_filtered_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot / F.sqrt(F.col("qnorm") * F.col("cnorm"))).alias("cos"),
         )
     )
-    truth = top_k_per_key(
+    return top_k_per_key(
         pairs, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
     ).select("qid", "vec_id")
-    return _ann_recall(truth, sim_filtered_ivf_topk(spark, sf_dir))
+
+
+def sim_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-cell IVF retrieval under a document-metadata predicate:
+    probe the IVF_TR_NPROBE nearest trained cells per query, scan ONLY
+    rows that are both in a probed cell AND allowed by the predicate,
+    exact cosine on the survivors.
+
+    Scale: the predicate enters as a semi join against a slim id
+    relation BEFORE the exact-cosine scoring — the scan fraction is
+    (probed cells) x (filter selectivity), strictly less work than the
+    unfiltered rung, never a top-k list that comes back short.
+    Queries are NOT filtered (the caller asks "nearest allowed docs to
+    this query", whatever the query's own language)."""
+    return _filtered_ivf_for(
+        spark, sf_dir, _allowed_vecs(spark, sf_dir)
+    )
+
+
+def sim_filtered_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of filtered trained-IVF vs the exact FILTERED truth
+    (brute-force cosine over the allowed set) — prices the in-cell
+    filter: allowed neighbors living in unprobed cells are the only
+    recall loss, exactly as in the unfiltered rung."""
+    from .llmdata import _ann_recall
+
+    allowed = _allowed_vecs(spark, sf_dir)
+    return _ann_recall(
+        _filtered_truth_for(spark, sf_dir, allowed),
+        _filtered_ivf_for(spark, sf_dir, allowed),
+    )
 
 
 QUERIES["sim_filtered_ivf_topk"] = sim_filtered_ivf_topk
 QUERIES["sim_filtered_ivf_recall"] = sim_filtered_ivf_recall
 
+SEL_LANGS = ("en", "zh", "fr")   # ~44% / ~15% / ~13% selective
 
-def _filtered_ivf_oracle() -> str:
+
+def sim_filtered_selectivity_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Selectivity frontier for hybrid search: mean recall@k of
+    filtered trained-IVF vs its exact filtered truth at three
+    predicate selectivities — the operational knob a vector store
+    publishes for metadata-filtered retrieval (when the predicate gets
+    very selective, brute-forcing the filtered set starts beating the
+    index; this curve is the evidence).  Exact integer basis points;
+    per leg the allowed-row count rides along so selectivity is read
+    off the relation itself.
+
+    Scale: the trained codebook and assignment are session memos
+    shared across legs; each leg is one semi-joined cell scan +
+    shortlist-bounded exact work, so the sweep costs |legs| filtered
+    serves, never |legs| retrains."""
+    legs = []
+    for lang in SEL_LANGS:
+        allowed = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("lang") == lang)
+            .select(F.col("doc_id").alias("vec_id"))
+        )
+        truth = _filtered_truth_for(spark, sf_dir, allowed)
+        hit = _filtered_ivf_for(spark, sf_dir, allowed).select(
+            "qid", "vec_id", F.lit(1).alias("hit")
+        )
+        acnt = allowed.agg(
+            F.count("*").cast("long").alias("allowed_rows")
+        )
+        legs.append(
+            truth.join(hit, ["qid", "vec_id"], "left")
+            .agg(
+                F.lit(lang).alias("lang"),
+                F.count("hit").alias("hits"),
+                F.count("*").alias("truth_rows"),
+            )
+            .crossJoin(F.broadcast(acnt))
+            .select(
+                "lang", "allowed_rows", "hits", "truth_rows",
+                F.expr("(hits * 10000) div truth_rows").alias(
+                    "mean_recall_bp"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+QUERIES["sim_filtered_selectivity_sweep"] = sim_filtered_selectivity_sweep
+
+
+def _filtered_ivf_oracle(lang: str = FILTER_LANG, p: str = "") -> str:
+    """Filtered trained-IVF top-k oracle, parametrized by predicate
+    language and CTE-name prefix (the sweep embeds one self-contained
+    prefixed copy per leg — the `_mrl_structured_rank_sql` discipline:
+    every CTE single-referenced within its own scope, no cross-leg
+    name collisions for the materialization audit)."""
     from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _duck_dot
 
     dist = (
@@ -1831,43 +1911,43 @@ def _filtered_ivf_oracle() -> str:
         " i -> (q.qe[i]::DOUBLE - c.c[i])"
         " * (q.qe[i]::DOUBLE - c.c[i])))"
     )
-    tail = f"""assign AS (
+    tail = f"""{p}assign AS (
         SELECT vec_id, cluster FROM (
             SELECT e.vec_id, c.cluster,
                    row_number() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY {dist}, c.cluster) AS rn
-            FROM emb e CROSS JOIN c{KM_ITERS} c
+            FROM {p}emb e CROSS JOIN {p}c{KM_ITERS} c
         ) WHERE rn = 1
     ),
-    allowed AS (
+    {p}allowed AS (
         SELECT doc_id AS vec_id FROM documents
-        WHERE lang = '{FILTER_LANG}'
+        WHERE lang = '{lang}'
     ),
-    q AS (
+    {p}q AS (
         SELECT vec_id AS qid, embedding AS qe,
                {_duck_dot('embedding', 'embedding')} AS qnorm
         FROM embeddings WHERE vec_id < {N_QUERY_VECS}
     ),
-    probe AS (
+    {p}probe AS (
         SELECT qid, cluster FROM (
             SELECT q.qid, c.cluster,
                    row_number() OVER (
                        PARTITION BY q.qid
                        ORDER BY {qdist}, c.cluster) AS rn
-            FROM q CROSS JOIN c{KM_ITERS} c
+            FROM {p}q q CROSS JOIN {p}c{KM_ITERS} c
         ) WHERE rn <= {IVF_TR_NPROBE}
     ),
-    cand AS (
+    {p}cand AS (
         SELECT q.qid, a.vec_id,
                {_duck_dot('q.qe', 'e.embedding')}
                    / sqrt(q.qnorm
                           * {_duck_dot('e.embedding', 'e.embedding')})
                    AS cos
-        FROM assign a
-        JOIN allowed al ON al.vec_id = a.vec_id
-        JOIN probe p ON p.cluster = a.cluster
-        JOIN q ON q.qid = p.qid
+        FROM {p}assign a
+        JOIN {p}allowed al ON al.vec_id = a.vec_id
+        JOIN {p}probe pr ON pr.cluster = a.cluster
+        JOIN {p}q q ON q.qid = pr.qid
         JOIN embeddings e ON e.vec_id = a.vec_id
         WHERE a.vec_id <> q.qid
     )
@@ -1875,47 +1955,53 @@ def _filtered_ivf_oracle() -> str:
         SELECT qid, vec_id, cos,
                row_number() OVER (
                    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-        FROM cand
+        FROM {p}cand
     ) WHERE rn <= {TOPK_NEIGHBORS}"""
-    return "WITH " + ",\n".join(_kmeans_ctes() + [tail])
+    return "WITH " + ",\n".join(_kmeans_ctes(p) + [tail])
 
 
 ORACLE["sim_filtered_ivf_topk"] = _filtered_ivf_oracle()
 
 
-def _filtered_ivf_recall_oracle() -> str:
+def _filtered_truth_sql(lang: str, p: str = "") -> str:
+    """Exact filtered brute-force top-k as a self-contained subquery."""
     from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _duck_dot
 
-    truth = f"""(
-        WITH fq AS (
+    return f"""(
+        WITH {p}fq AS (
             SELECT vec_id AS qid, embedding AS qe,
                    {_duck_dot('embedding', 'embedding')} AS qnorm
             FROM embeddings WHERE vec_id < {N_QUERY_VECS}
         ),
-        fc AS (
+        {p}fc AS (
             SELECT e.vec_id, e.embedding,
                    {_duck_dot('e.embedding', 'e.embedding')} AS cnorm
             FROM embeddings e
             JOIN documents d ON d.doc_id = e.vec_id
-            WHERE d.lang = '{FILTER_LANG}'
+            WHERE d.lang = '{lang}'
         ),
-        fpairs AS (
+        {p}fpairs AS (
             SELECT qid, vec_id,
                    {_duck_dot('qe', 'embedding')}
                        / sqrt(qnorm * cnorm) AS cos
-            FROM fq, fc WHERE vec_id <> qid
+            FROM {p}fq, {p}fc WHERE vec_id <> qid
         )
         SELECT qid, vec_id FROM (
             SELECT qid, vec_id, row_number() OVER (
                 PARTITION BY qid ORDER BY cos DESC, vec_id ASC
-            ) AS rk FROM fpairs
+            ) AS rk FROM {p}fpairs
         ) WHERE rk <= {TOPK_NEIGHBORS}
     )"""
+
+
+def _filtered_ivf_recall_oracle() -> str:
+    from .llmdata import TOPK_NEIGHBORS
+
     return f"""
         SELECT e.qid,
                round(count(a.vec_id) * 1.0 / {TOPK_NEIGHBORS}, 4)
                    AS recall_at_k
-        FROM {truth} e
+        FROM {_filtered_truth_sql(FILTER_LANG)} e
         LEFT JOIN ({ORACLE["sim_filtered_ivf_topk"]}) a
           ON e.qid = a.qid AND e.vec_id = a.vec_id
         GROUP BY e.qid
@@ -1923,6 +2009,26 @@ def _filtered_ivf_recall_oracle() -> str:
 
 
 ORACLE["sim_filtered_ivf_recall"] = _filtered_ivf_recall_oracle()
+
+
+def _filtered_sweep_leg_sql(lang: str, p: str) -> str:
+    return f"""
+    SELECT '{lang}' AS lang,
+           (SELECT count(*) FROM documents
+            WHERE lang = '{lang}')::BIGINT AS allowed_rows,
+           count(a.vec_id)::BIGINT AS hits,
+           count(*)::BIGINT AS truth_rows,
+           ((count(a.vec_id) * 10000) // count(*))::BIGINT
+               AS mean_recall_bp
+    FROM {_filtered_truth_sql(lang, p + "t")} e
+    LEFT JOIN ({_filtered_ivf_oracle(lang, p)}) a
+      ON a.qid = e.qid AND a.vec_id = e.vec_id"""
+
+
+ORACLE["sim_filtered_selectivity_sweep"] = "\nUNION ALL\n".join(
+    _filtered_sweep_leg_sql(lang, f"l{i}_")
+    for i, lang in enumerate(SEL_LANGS)
+)
 
 
 def _ivfpq_trained_scored(spark: SparkSession, sf_dir: str):
