@@ -3073,3 +3073,41 @@ def test_ivf_ingest_filtered_serve_matches_batch(spark, sf_dir, tmpdir):
         ).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_mrl_ingest_real_stream_matches_batch(spark, sf_dir, tmpdir):
+    """The MRL sink driven end-to-end by an actual availableNow
+    writeStream over a file-stream feed (one chunk per micro-batch):
+    the served recall frontier equals the batch
+    sim_matryoshka_recall_structured exactly."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        sim_matryoshka_recall_structured,
+    )
+    from beam_scala_examples_spark.streaming.mrlview import MrlIngestSink
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream,
+        write_arrival_chunks,
+    )
+
+    rows = _vec_rows(spark, sf_dir)
+    write_arrival_chunks(
+        [
+            {"vec_id": r.vec_id, "embedding": [float(v) for v in r.embedding]}
+            for r in rows
+        ],
+        200,
+        f"{tmpdir}/mrlfeed",
+    )
+    stream = read_event_stream(
+        spark, f"{tmpdir}/mrlfeed",
+        schema="vec_id long, embedding array<float>",
+    )
+    sink = MrlIngestSink(f"{tmpdir}/mrl_stream_log")
+    _run_stream(stream, "append", sink, tmpdir)
+
+    expect = sorted(
+        tuple(r)
+        for r in sim_matryoshka_recall_structured(spark, sf_dir).collect()
+    )
+    got = sorted(tuple(r) for r in sink.recall_view(spark).collect())
+    assert got == expect and len(got) == 4
