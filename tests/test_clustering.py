@@ -9,6 +9,8 @@ centroids, no join).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from beam_scala_examples_spark.queries import QUERIES
 from beam_scala_examples_spark.queries.clustering import KM_K
 from tests.test_plans import plan_str
@@ -169,3 +171,33 @@ def test_sq_bits_frontier_monotone_with_exact_ceiling(spark, sf_dir):
     vals = [v for _, v in rows]
     assert vals == sorted(vals), "recall must not fall as bits grow"
     assert rows[-1][1] >= 9900
+
+
+def test_filtered_selectivity_frontier_ordering(spark, sf_dir):
+    """Hybrid-search selectivity frontier: the LEAST selective
+    predicate (most allowed rows) must retain at least the recall of
+    the MOST selective one — tighter predicates can only push allowed
+    neighbors into unprobed cells, never pull them in.  Also pins the
+    frontier's shape fields: full truth rows per leg (the truth is
+    always top-k-deep on this fixture) and allowed_rows matching the
+    documents lang counts."""
+    from beam_scala_examples_spark.queries.clustering import (
+        sim_filtered_selectivity_sweep,
+    )
+    from beam_scala_examples_spark.tables import load
+
+    rows = {
+        r.lang: r
+        for r in sim_filtered_selectivity_sweep(spark, sf_dir).collect()
+    }
+    widest = max(rows.values(), key=lambda r: r.allowed_rows)
+    narrowest = min(rows.values(), key=lambda r: r.allowed_rows)
+    assert widest.mean_recall_bp >= narrowest.mean_recall_bp
+    counts = {
+        r["lang"]: r["n"]
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, r in rows.items():
+        assert r.allowed_rows == counts[lang]
+        assert 0 < r.mean_recall_bp <= 10000
