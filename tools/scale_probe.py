@@ -766,6 +766,145 @@ def graph_probe(spark, sf_dir: str,
     return {str(f): out[f] for f in factors}
 
 
+def hybrid_probe(spark, sf_dir: str,
+                 factors: tuple[int, ...] = FACTORS) -> dict:
+    """Scale shape of the round-10 hybrid-search rung: time the
+    filtered trained-IVF TRAIN and SERVE legs separately at 1/4/16x
+    embedding+document inflation, and measure recall stability
+    alongside.  The SCALE.md claim under test: the serve leg's work is
+    (probed cells) x (filter selectivity) of the corpus — one semi-
+    joined cell scan, shortlist-bounded exact work — so serve time
+    should track corpus size ~linearly at constant selectivity while
+    recall stays in the same band; training is the separately-priced
+    once-per-index leg (the bench train/serve discipline applied to
+    the probe).
+
+    Copies are DECORRELATED: per-copy cyclic dim rotation of the
+    embedding (norm-preserving, geometry-shifting) with disjoint
+    vec_id ranges, and documents follow with the same id shift so the
+    lang selectivity proportion is invariant.  Queries stay the
+    original N_QUERY_VECS vectors (copy 0)."""
+    from beam_scala_examples_spark.queries.clustering import (
+        FILTER_LANG,
+        _allowed_vecs,
+        _emb_corpus,
+        _filtered_ivf_for,
+        _km_assigned,
+        _kmeans_train,
+        _trained,
+    )
+    from beam_scala_examples_spark.queries.llmdata import EMB_DIM
+    from beam_scala_examples_spark.session import clear_session_memos
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    n_vecs = emb.count()
+    lower = string.ascii_lowercase
+    dirs = {}
+    for f in factors:
+        d = os.path.join(BASE, f"h{f}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        for t in TABLES:
+            if t not in ("embeddings", "documents"):
+                os.symlink(
+                    os.path.join(os.path.abspath(sf_dir), f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"),
+                )
+        emb_parts, doc_parts = [], []
+        for k in range(f):
+            rot = (
+                f"transform(sequence(1, {EMB_DIM}),"
+                f" i -> element_at(embedding,"
+                f" ((i - 1 + {k % EMB_DIM}) % {EMB_DIM}) + 1))"
+            )
+            emb_parts.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(k * n_vecs)).alias("vec_id"),
+                    F.expr(rot).alias("embedding"),
+                    "label",
+                )
+            )
+            trot = lower[k % 26:] + lower[: k % 26]
+            doc_parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(k * n_vecs)).alias("doc_id"),
+                    F.translate("text", lower, trot).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+            )
+        out_e, out_d = emb_parts[0], doc_parts[0]
+        for p in emb_parts[1:]:
+            out_e = out_e.unionByName(p)
+        for p in doc_parts[1:]:
+            out_d = out_d.unionByName(p)
+        out_e.write.mode("overwrite").parquet(
+            os.path.join(d, "embeddings.parquet")
+        )
+        out_d.write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        dirs[f] = d
+
+    # codegen warmup on the SOURCE dir (separate memo keys), so the
+    # first timed factor doesn't pay whole-stage compile for the Lloyd
+    # and serve pipelines
+    clear_session_memos()
+    _trained("kmeans", sf_dir, _kmeans_train, _emb_corpus(spark, sf_dir))
+    _km_assigned(spark, sf_dir).count()
+    _filtered_ivf_for(
+        spark, sf_dir, _allowed_vecs(spark, sf_dir)
+    ).write.format("noop").mode("overwrite").save()
+
+    out: dict = {}
+    for f in factors:
+        d = dirs[f]
+        clear_session_memos()
+        e: dict = {"vectors": load(spark, d, "embeddings").count()}
+        e["allowed_rows"] = _allowed_vecs(spark, d).count()
+        t0 = time.perf_counter()
+        corpus = _emb_corpus(spark, d)
+        _trained("kmeans", d, _kmeans_train, corpus)
+        _km_assigned(spark, d).count()
+        e["train_sec"] = round(time.perf_counter() - t0, 3)
+
+        def serve():
+            _filtered_ivf_for(
+                spark, d, _allowed_vecs(spark, d)
+            ).write.format("noop").mode("overwrite").save()
+
+        serve()   # plan warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            serve()
+            best = min(best, time.perf_counter() - t0)
+        e["serve_sec"] = round(best, 3)
+        rec = QUERIES["sim_filtered_ivf_recall"](spark, d)
+        e["mean_recall_bp"] = int(
+            rec.agg(
+                (F.avg("recall_at_k") * 10000).cast("long").alias("bp")
+            ).collect()[0]["bp"]
+        )
+        for k, v in e.items():
+            print(f"hybrid x{f} {k}: {v}", flush=True)
+        out[f] = e
+    base = out[factors[0]]
+    for f in factors[1:]:
+        e = out[f]
+        e["vector_ratio"] = round(e["vectors"] / base["vectors"], 2)
+        e["serve_time_ratio"] = round(
+            e["serve_sec"] / base["serve_sec"], 2
+        )
+        e["train_time_ratio"] = round(
+            e["train_sec"] / base["train_sec"], 2
+        )
+    clear_session_memos()
+    return {str(f): out[f] for f in factors}
+
+
 def classifier_probe(spark, sf_dir: str,
                      factors: tuple[int, ...] = FACTORS) -> dict:
     """Scale shape of the round-8 model rungs: times NB train+classify
@@ -835,7 +974,17 @@ def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--whale", "--carry", "--islands", "--regions",
                          "--sketches", "--pairs", "--classifier",
-                         "--graph")]
+                         "--graph", "--hybrid")]
+    if "--hybrid" in sys.argv[1:]:
+        sf_dir = args[0] if args else "/root/testdata/sf0.1"
+        out_json = args[1] if len(args) > 1 else "/tmp/hybrid_probe.json"
+        spark = get_spark(app_name="hybrid-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        res = hybrid_probe(spark, sf_dir)
+        with open(out_json, "w") as f:
+            json.dump(res, f, indent=1)
+        spark.stop()
+        return
     if "--graph" in sys.argv[1:]:
         sf_dir = args[0] if args else "/root/testdata/sf0.1"
         out_json = args[1] if len(args) > 1 else "/tmp/graph_probe.json"
