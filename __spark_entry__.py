@@ -79,7 +79,7 @@ _FRESH = [
     "sim_matryoshka_recall_structured", "dedup_lsh_eval",
     "sim_ivfpq_topk", "sim_mrl_adaptive_topk", "sim_mrl_adaptive_recall",
     "sim_filtered_ivf_topk", "sim_filtered_ivf_recall",
-    "sim_filtered_selectivity_sweep",
+    "sim_filtered_selectivity_sweep", "sim_filtered_auto_topk",
 ]
 _WINDOW = 50
 

@@ -1892,6 +1892,92 @@ def sim_filtered_selectivity_sweep(
 
 QUERIES["sim_filtered_selectivity_sweep"] = sim_filtered_selectivity_sweep
 
+# Brute-force the filtered set below this many allowed rows; probe the
+# index above it.  The crossover the selectivity frontier documents
+# (recall falls with selectivity on the index path while the
+# brute-force cost IS the allowed count) made executable.  On a
+# cluster this becomes a fraction-of-corpus rule; on the fixture a row
+# constant keeps both branches exercised at both test SFs.
+AUTO_BRUTE_MAX = 100
+
+
+def _filtered_brute_topk_for(
+    spark: SparkSession, sf_dir: str, allowed: DataFrame
+) -> DataFrame:
+    """Exact filtered top-k WITH the cosine column — the brute-force
+    serving plan of the auto router (same pipeline as
+    ``_filtered_truth_for``, scores kept)."""
+    from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _SPARK_DOT
+    from ..operators.topk import top_k_per_key
+
+    emb = _emb_corpus(spark, sf_dir)
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    cand = emb.select(
+        "vec_id", "embedding", norm.alias("cnorm")
+    ).join(allowed.select("vec_id"), "vec_id", "semi")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm.alias("qnorm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    pairs = (
+        cand.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot / F.sqrt(F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+        )
+    )
+    return top_k_per_key(
+        pairs, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+    ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+
+
+def sim_filtered_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid-search ROUTER: for each predicate, serve filtered
+    top-k from whichever plan the allowed-count says is right —
+    brute-force the filtered set when it is small (<= AUTO_BRUTE_MAX
+    rows: exact recall, cost = the allowed set itself), probe the
+    trained index when it is large (cost = probed-cells x
+    selectivity).  Output is tagged with the chosen plan, so the
+    routing decision is itself oracle-checked; across SEL_LANGS and
+    both test SFs both branches are exercised.
+
+    The allowed-count is a bounded driver-side scalar per predicate
+    (a count on one pruned documents column — the same class of
+    bounded action as the centroid collects), mirroring exactly what
+    a query planner would read from table statistics at 100 TB."""
+    legs = []
+    for lang in SEL_LANGS:
+        allowed = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("lang") == lang)
+            .select(F.col("doc_id").alias("vec_id"))
+        )
+        n = allowed.count()
+        if n <= AUTO_BRUTE_MAX:
+            plan, topk = "brute", _filtered_brute_topk_for(
+                spark, sf_dir, allowed
+            )
+        else:
+            plan, topk = "ivf", _filtered_ivf_for(spark, sf_dir, allowed)
+        legs.append(
+            topk.select(
+                F.lit(lang).alias("lang"),
+                F.lit(plan).alias("plan"),
+                "qid", "vec_id", "cosine",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+QUERIES["sim_filtered_auto_topk"] = sim_filtered_auto_topk
+
 
 def _filtered_ivf_oracle(lang: str = FILTER_LANG, p: str = "") -> str:
     """Filtered trained-IVF top-k oracle, parametrized by predicate
@@ -2028,6 +2114,54 @@ def _filtered_sweep_leg_sql(lang: str, p: str) -> str:
 ORACLE["sim_filtered_selectivity_sweep"] = "\nUNION ALL\n".join(
     _filtered_sweep_leg_sql(lang, f"l{i}_")
     for i, lang in enumerate(SEL_LANGS)
+)
+
+
+def _filtered_brute_sql(lang: str, p: str = "") -> str:
+    """Exact filtered top-k WITH scores, self-contained subquery."""
+    from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _duck_dot
+
+    return f"""(
+        WITH {p}fq AS (
+            SELECT vec_id AS qid, embedding AS qe,
+                   {_duck_dot('embedding', 'embedding')} AS qnorm
+            FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+        ),
+        {p}fc AS (
+            SELECT e.vec_id, e.embedding,
+                   {_duck_dot('e.embedding', 'e.embedding')} AS cnorm
+            FROM embeddings e
+            JOIN documents d ON d.doc_id = e.vec_id
+            WHERE d.lang = '{lang}'
+        ),
+        {p}fpairs AS (
+            SELECT qid, vec_id,
+                   {_duck_dot('qe', 'embedding')}
+                       / sqrt(qnorm * cnorm) AS cos
+            FROM {p}fq, {p}fc WHERE vec_id <> qid
+        )
+        SELECT qid, vec_id, round(cos, 6) AS cosine FROM (
+            SELECT qid, vec_id, cos, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, vec_id ASC
+            ) AS rk FROM {p}fpairs
+        ) WHERE rk <= {TOPK_NEIGHBORS}
+    )"""
+
+
+def _filtered_auto_leg_sql(lang: str, i: int) -> str:
+    gate = f"(SELECT count(*) FROM documents WHERE lang = '{lang}')"
+    return f"""
+    SELECT '{lang}' AS lang, 'brute' AS plan, qid, vec_id, cosine
+    FROM {_filtered_brute_sql(lang, f"a{i}b")}
+    WHERE {gate} <= {AUTO_BRUTE_MAX}
+    UNION ALL
+    SELECT '{lang}' AS lang, 'ivf' AS plan, qid, vec_id, cosine
+    FROM ({_filtered_ivf_oracle(lang, f"a{i}_")})
+    WHERE {gate} > {AUTO_BRUTE_MAX}"""
+
+
+ORACLE["sim_filtered_auto_topk"] = "\nUNION ALL\n".join(
+    _filtered_auto_leg_sql(lang, i) for i, lang in enumerate(SEL_LANGS)
 )
 
 
