@@ -72,14 +72,14 @@ _CORE = [
     "q20_join_default", "q21_max_per_month", "q22_trigger_flow",
     "p06_lane_explode", "p08_json_parse",
 ]
-# VERDICT r09 item 1: the round-9 flagships enter the hard gate,
-# plus the round-10 additions (adaptive Matryoshka serving rung).
+# Round-11 rotation (VERDICT r10 item 6): the round-10 flagships are
+# now driver-checked (CORRECTNESS_r10), so FRESH carries this round's
+# work — the single-pass setops rewrite plus its literal set-op
+# variant, the stats-derived auto router (oracle text changed), and
+# the new graph-ANN rung.
 _FRESH = [
-    "sim_sq8_topk", "sim_sq8_recall", "sim_sq_bits_sweep",
-    "sim_matryoshka_recall_structured", "dedup_lsh_eval",
-    "sim_ivfpq_topk", "sim_mrl_adaptive_topk", "sim_mrl_adaptive_recall",
-    "sim_filtered_ivf_topk", "sim_filtered_ivf_recall",
-    "sim_filtered_selectivity_sweep", "sim_filtered_auto_topk",
+    "star_customer_setops", "star_customer_setops_literal",
+    "sim_filtered_auto_topk", "sim_graph_topk", "sim_graph_recall",
 ]
 _WINDOW = 50
 
@@ -100,9 +100,14 @@ def _gate_history() -> tuple[int, set[str]]:
         last = max(last, int(m.group(1)))
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                data = json.load(f)
         except (OSError, ValueError):
             continue
+        # round-11 (ADVICE): a valid-JSON artifact whose top level is
+        # not an object (e.g. a list) must not crash the driver entry
+        # point with AttributeError — skip it like any unreadable file.
+        if isinstance(data, dict):
+            seen.update(data.keys())
     return last + 1, seen
 
 
@@ -112,6 +117,15 @@ def driver_window() -> list[str]:
 
     salt, seen = _gate_history()
     head = list(_CORE) + [n for n in _FRESH if n not in _CORE]
+    # round-11 (ADVICE): growing _CORE+_FRESH past _WINDOW would make
+    # the rest[:_WINDOW - len(head)] slice NEGATIVE and silently append
+    # nearly the whole registry — fail loudly on the driver path, not
+    # just in the test suite.
+    if len(head) > _WINDOW:
+        raise ValueError(
+            f"driver window overfull: len(_CORE + _FRESH) = {len(head)}"
+            f" > _WINDOW = {_WINDOW}; trim _FRESH"
+        )
     picked = set(head)
 
     def hkey(n: str) -> str:

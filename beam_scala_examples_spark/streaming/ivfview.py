@@ -24,7 +24,12 @@ relation, and ``topk_view`` replays the batch query's exact
 probe-and-score pipeline over the log — both pinned EXACTLY equal to
 their batch twins (assignment is a pure per-row function of the frozen
 centroids, so batching cannot change it; cosine uses the identical
-``_SPARK_DOT`` expression).
+``_SPARK_DOT`` expression).  ``auto_topk_view`` (round 11) is the
+hybrid-search router over the LIVE log: per predicate it reads the
+log's own ingested/allowed vector counts and serves from
+``brute_topk_view`` (exact, no cell restriction) or the probed index
+by the same stats-derived nprobe/K crossover as the batch
+``clustering.sim_filtered_auto_topk``.
 
 Scale posture: per batch O(batch x K) kernel work; the log is O(vectors)
 — it IS the index; serving never touches historical raw arrivals beyond
@@ -126,3 +131,75 @@ class IvfIngestSink:
         return top_k_per_key(
             cand, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
         ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+
+    def brute_topk_view(
+        self, spark: SparkSession, allowed: DataFrame
+    ) -> DataFrame:
+        """Exact filtered top-k served from the postings log with NO
+        cell restriction — every allowed posting scored (the brute leg
+        of the auto router; equal to the batch
+        ``clustering._filtered_brute_topk_for`` once the same vectors
+        are in: identical dot/norm expressions, identical rounding and
+        tie order).  The log's stored ``nrm`` is reused, so the brute
+        scan reads postings only — never the raw arrival stream."""
+        log = self._log(spark)
+        qdf = log.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnorm"),
+        )
+        dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+        pairs = (
+            log.join(allowed.select("vec_id"), "vec_id", "semi")
+            .join(F.broadcast(qdf))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid",
+                "vec_id",
+                (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+            )
+        )
+        return top_k_per_key(
+            pairs, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
+        ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+
+    def auto_topk_view(
+        self, spark: SparkSession, predicates
+    ) -> DataFrame:
+        """The hybrid-search auto ROUTER over the LIVE postings log
+        (round-11, verdict item 4 — the batch twin is
+        ``clustering.sim_filtered_auto_topk``): for each ``(tag,
+        allowed)`` predicate, read two stats scalars from the log —
+        vectors ingested and allowed vectors ingested — and serve from
+        brute-force when ``allowed_in_log <= auto_brute_max(in_log)``
+        (the same stats-derived nprobe/K crossover as batch, evaluated
+        against what has actually ARRIVED, so mid-ingest the router
+        answers from live index stats, not a stale batch census), else
+        from the probed index.  Output rows are tagged (lang, plan,
+        qid, vec_id, cosine), identical to the batch router once the
+        same vectors are in."""
+        from ..queries.clustering import auto_brute_max
+
+        log = self._log(spark)
+        in_log = log.select("vec_id").distinct().count()
+        legs = []
+        for tag, allowed in predicates:
+            n = (
+                log.join(allowed.select("vec_id"), "vec_id", "semi")
+                .select("vec_id").distinct().count()
+            )
+            if n <= auto_brute_max(in_log):
+                plan, topk = "brute", self.brute_topk_view(spark, allowed)
+            else:
+                plan, topk = "ivf", self.topk_view(spark, allowed=allowed)
+            legs.append(
+                topk.select(
+                    F.lit(tag).alias("lang"),
+                    F.lit(plan).alias("plan"),
+                    "qid", "vec_id", "cosine",
+                )
+            )
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return out

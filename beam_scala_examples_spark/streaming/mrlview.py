@@ -37,11 +37,11 @@ from pyspark.sql import functions as F
 from ..operators.topk import top_k_per_key
 from ..queries.llmdata import (
     _SPARK_DOT,
-    _SPARK_MRL_EMB,
     EMB_DIM,
     MRL_DIMS,
     N_QUERY_VECS,
     TOPK_NEIGHBORS,
+    mrl_structured,
 )
 from .logio import read_log, write_log_partition
 
@@ -61,8 +61,10 @@ class MrlIngestSink:
         self._schema = None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        structured = batch_df.select(
-            "vec_id", F.expr(_SPARK_MRL_EMB).alias("embedding")
+        # guarded build (round-11 ADVICE): a wrong-dim arrival fails the
+        # micro-batch loudly instead of logging null-padded segments
+        structured = mrl_structured(
+            batch_df.select("vec_id", "embedding")
         )
         cols = [F.col("vec_id")]
         for i, (lo, hi) in enumerate(_SEG_BOUNDS):

@@ -16,32 +16,38 @@ import duckdb
 from beam_scala_examples_spark.tables import TABLES
 
 # Round-10 (ADVICE): adjudicated oracle flakes are a hard artifact, not
-# just a python warning.  Per-process counts by oracle name; every
-# adjudication is appended to the committed ledger so repeated
-# instability of the SAME oracle across runs is visible and test-gated
+# just a python warning.  Per-process counts; every adjudication is
+# appended to the committed ledger so repeated instability of the SAME
+# oracle across runs is visible and test-gated
 # (tests/test_oraclelint.py::test_flake_ledger_demands_fixes).
-ADJUDICATED: dict[str, int] = {}
+# Round-11 (ADVICE): keyed by (oracle name, scale) — one oracle
+# legitimately adjudicated once at sf0.001 and once in the rotating
+# sf0.01 sample within one pytest process is two independent
+# single-flake events, not a repeat offender.
+ADJUDICATED: dict[tuple[str, str], int] = {}
 FLAKE_LEDGER = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     os.pardir, "docs", "oracle_flake_ledger.jsonl",
 )
 
 
-def _record_flake(name: str, moved: str, first_msg: str) -> int:
+def _record_flake(name: str, scale: str, moved: str, first_msg: str) -> int:
     """Count and persist an adjudicated oracle flake; returns the
-    per-process adjudication count for this oracle."""
-    ADJUDICATED[name] = ADJUDICATED.get(name, 0) + 1
+    per-process adjudication count for this (oracle, scale)."""
+    key = (name, scale)
+    ADJUDICATED[key] = ADJUDICATED.get(key, 0) + 1
     try:
         with open(FLAKE_LEDGER, "a") as f:
             f.write(json.dumps({
                 "ts": round(time.time(), 1),
                 "oracle": name,
+                "scale": scale,
                 "moved": moved,
                 "first": first_msg[:200],
             }) + "\n")
     except OSError:
         pass  # read-only checkout — the in-process count still gates
-    return ADJUDICATED[name]
+    return ADJUDICATED[key]
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -86,7 +92,10 @@ def _diff(sc, sr, dc, dr):
     return True, f"ok ({len(sr)} rows)"
 
 
-def compare(spark_df, con, sql: str, fresh_factory=None, name: str = ""):
+def compare(
+    spark_df, con, sql: str, fresh_factory=None, name: str = "",
+    scale: str = "",
+):
     """Return (ok, message) comparing a Spark DataFrame against oracle SQL.
 
     ``fresh_factory`` (round 9): rounds 7 and 8 each saw ONE parity
@@ -101,10 +110,14 @@ def compare(spark_df, con, sql: str, fresh_factory=None, name: str = ""):
     independent connections.
 
     Round 10 (ADVICE): an adjudicated pass is no longer free — it is
-    counted per oracle ``name`` and appended to ``FLAKE_LEDGER``; a
-    SECOND adjudication of the same oracle within one process is a hard
+    counted per oracle and appended to ``FLAKE_LEDGER``; a SECOND
+    adjudication of the same oracle within one process is a hard
     failure (the oracle needs a materialization fix, not perpetual
-    re-adjudication)."""
+    re-adjudication).  Round 11 (ADVICE): the count keys on
+    ``(name, scale)`` — pass ``scale`` (e.g. the sf_dir) so a query
+    checked at two scales in one process gets independent budgets —
+    and a caller that omits ``name`` falls back to a full-SQL hash,
+    never a collision-prone prefix."""
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
     sc, sr = canonicalize(s_rows, s_cols)
@@ -131,9 +144,13 @@ def compare(spark_df, con, sql: str, fresh_factory=None, name: str = ""):
         else "oracle stable across connections"
     )
     if ok2:
+        import hashlib
         import warnings
 
-        n = _record_flake(name or sql[:80], moved, msg)
+        n = _record_flake(
+            name or f"sql:{hashlib.sha256(sql.encode()).hexdigest()[:16]}",
+            scale, moved, msg,
+        )
         if n > 1:
             return False, (
                 f"oracle flaked {n}x this process ({moved}; first: {msg})"

@@ -142,6 +142,59 @@ def test_band_gate_is_drift_proof():
     assert bench._drift(bands, 100.0) == bench.DRIFT_CAP
 
 
+def test_drift_requires_cpu_corroboration():
+    """Round-11 (round-10 ADVICE, medium): the anchor-derived drift
+    factor alone cannot tell a slower host from a uniform code
+    regression.  When the bands file records the host-independent CPU
+    probe reference, the gate's relaxing factor is min(anchor ratio,
+    cpu ratio):
+
+    (a) genuine host slowdown (cpu probe also 2.2x) -> bands relax,
+        no flags — the round-10 behavior preserved;
+    (b) uniform CODE regression (anchor 2.2x, cpu probe flat) -> the
+        gate does NOT relax: every slowed query is flagged, closing the
+        'a change can slow up to ~8x without tripping' hole;
+    (c) raw-band breaches excused by corroborated drift are surfaced
+        (drift_excused) and fail a --strict run (exit 5) instead of
+        vanishing into the relaxed gate."""
+    import bench
+
+    bands = {
+        "sf": 0.1,
+        "anchor_r01_shared_total": 10.0,
+        "queries": {"a": 2.0, "b": 1.0},
+        "cpu_micro_ref": 0.02,
+    }
+    slowed = {"a": 4.4, "b": 2.2}
+    # (a) host really is 2.2x slower: cpu probe corroborates -> no flags
+    assert bench.band_violations(slowed, bands, {}, 22.0, 0.044) == {}
+    # (b) cpu probe flat: the 2.2x is code, not host -> both flagged
+    flagged = bench.band_violations(slowed, bands, {}, 22.0, 0.02)
+    assert set(flagged) == {"a", "b"}
+    # legacy bands without the probe keep the round-10 anchor fallback
+    legacy = {k: v for k, v in bands.items() if k != "cpu_micro_ref"}
+    assert bench.band_violations(slowed, legacy, {}, 22.0, 0.02) == {}
+    # (c) corroborated-drift excusals are reportable, and strict-fatal
+    excused = bench.drift_excused(slowed, bands, {}, 22.0, 0.044)
+    assert set(excused) == {"a", "b"}
+    assert bench.exit_code(11.0, bands, {}, strict=False, excused=excused) == 0
+    assert bench.exit_code(11.0, bands, {}, strict=True, excused=excused) == 5
+    assert bench.exit_code(
+        11.0, bands, {}, strict=True, warmth_skipped={"a": ["w", "c"]}
+    ) == 5
+    assert bench.exit_code(11.0, bands, {}, strict=True) == 0
+
+
+def test_loadavg_gate_sees_ghost_load():
+    """Round-11 (verdict item 2): the documented firecracker ghost-load
+    state (loadavg 5-10 with zero busy procs, ~2x small-query
+    inflation) must never stamp a capture clean — BENCH_r10 was stamped
+    clean at loadavg1 6.71 under the old cores/4 threshold."""
+    import bench
+
+    assert bench.LOADAVG_CLEAN_MAX < 5.0
+
+
 def test_band_merge_keeps_historical_minima():
     """Round-7 gate hygiene: regenerating bands min-merges the new
     capture into the existing file — a noisy-high machine can never
@@ -182,6 +235,18 @@ def test_band_merge_keeps_historical_minima():
 
     other_sf = ubb.merged_bands(detail, {**old, "sf": 0.01}, reset=False)
     assert other_sf["queries"] == detail["queries"]
+
+    # round-11: the cpu probe reference min-merges too, and an old
+    # reference survives a capture that lacks the probe
+    m2 = ubb.merged_bands(
+        {**detail, "cpu_micro_sec": 0.03},
+        {**old, "cpu_micro_ref": 0.02},
+        reset=False,
+    )
+    assert m2["cpu_micro_ref"] == 0.02
+    m3 = ubb.merged_bands(detail, {**old, "cpu_micro_ref": 0.02}, False)
+    assert m3["cpu_micro_ref"] == 0.02
+    assert "cpu_micro_ref" not in ubb.merged_bands(detail, old, False)
 
 
 def test_bands_file_matches_registry():

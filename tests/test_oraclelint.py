@@ -277,7 +277,12 @@ def test_flake_ledger_demands_fixes():
                 if not line:
                     continue
                 rec = json.loads(line)
-                counts[rec["oracle"]] = counts.get(rec["oracle"], 0) + 1
+                # round-11: keyed (oracle, scale) like the in-process
+                # budget — one flake at each SF is two independent
+                # events, not a repeat offender (legacy lines without a
+                # scale field group under "").
+                key = (rec["oracle"], rec.get("scale", ""))
+                counts[key] = counts.get(key, 0) + 1
     except FileNotFoundError:
         return
     repeat = {

@@ -84,7 +84,7 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     df = QUERIES[name](spark, sf_dir)
     ok, msg = compare(
         df, duck, ORACLE[name],
-        fresh_factory=lambda: duck_connect(sf_dir), name=name,
+        fresh_factory=lambda: duck_connect(sf_dir), name=name, scale=sf_dir,
     )
     assert ok, f"{name}: {msg}"
 
@@ -104,7 +104,7 @@ def test_high_risk_family_driver_scale(name, spark):
         df = QUERIES[name](spark, SF2_DIR)
         ok, msg = compare(
             df, con, ORACLE[name],
-            fresh_factory=lambda: duck_connect(SF2_DIR), name=name,
+            fresh_factory=lambda: duck_connect(SF2_DIR), name=name, scale=SF2_DIR,
         )
         assert ok, f"{name}@sf0.01: {msg}"
     finally:
@@ -121,7 +121,7 @@ def test_rotating_sample_driver_scale(name, spark):
         df = QUERIES[name](spark, SF2_DIR)
         ok, msg = compare(
             df, con, ORACLE[name],
-            fresh_factory=lambda: duck_connect(SF2_DIR), name=name,
+            fresh_factory=lambda: duck_connect(SF2_DIR), name=name, scale=SF2_DIR,
         )
         assert ok, f"{name}@sf0.01: {msg}"
     finally:
@@ -140,7 +140,7 @@ def test_query_matches_oracle_driver_scale(name, spark):
         df = QUERIES[name](spark, SF2_DIR)
         ok, msg = compare(
             df, con, ORACLE[name],
-            fresh_factory=lambda: duck_connect(SF2_DIR), name=name,
+            fresh_factory=lambda: duck_connect(SF2_DIR), name=name, scale=SF2_DIR,
         )
         assert ok, f"{name}@sf0.01: {msg}"
     finally:

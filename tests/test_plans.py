@@ -323,6 +323,28 @@ def test_q12_conditional_counts_single_agg(plans):
     assert "Window" not in p
 
 
+def test_customer_setops_single_scan(plans):
+    """star_customer_setops (round-11 verdict item 1): the four churn/
+    retention counts ride ONE orders scan — per-customer membership
+    flags then one conditional aggregate — never the four independent
+    set-op legs (~8 scans) the literal variant keeps for plan
+    coverage."""
+    p = plans("star_customer_setops")
+    # formatted explain prints each node once in the tree and once in
+    # the detail section — count detail headers, i.e. physical nodes
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final per agg level
+
+
+def test_customer_setops_literal_covers_set_operators(plans):
+    """star_customer_setops_literal IS the INTERSECT/EXCEPT coverage:
+    Catalyst must plan them as distinct + left-semi/left-anti joins."""
+    p = plans("star_customer_setops_literal")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+
+
 def test_q21_is_aggregate_rewrite_not_self_join(plans):
     """star_sole_late_supplier (Q21 shape): the engine form must carry
     no correlated-EXISTS residue — no LeftSemi/LeftAnti of lineitem

