@@ -970,11 +970,122 @@ def classifier_probe(spark, sf_dir: str,
     return {str(f): out[f] for f in factors}
 
 
+def graphann_probe(spark, sf_dir: str,
+                   factors: tuple[int, ...] = FACTORS) -> dict:
+    """Scale shape of the round-11 graph-ANN rung: at 1/4/16x
+    embedding inflation (decorrelated cyclic-rotation copies, disjoint
+    vec_id ranges — the hybrid_probe scheme), measure (a) the end-to-
+    end build+search wall time, and (b) the claim that actually
+    defines graph ANN: the number of SCORED nodes per query is
+    structurally capped at 1 + GRAPH_ROUNDS x GRAPH_BEAM x GRAPH_M
+    regardless of corpus size — so it must stay FLAT from 1x to 16x
+    while the brute-force cost grows 16x.  Recall rides along.
+
+    (The wall time still grows with corpus at local scale — the base
+    relation scan and graph BUILD are corpus-sized; the flat curve is
+    the SERVE-side scoring budget, which is what survives a 100x
+    scale-up when the graph is a prebuilt index like the IVF postings
+    log.)"""
+    from beam_scala_examples_spark.queries.llmdata import (
+        EMB_DIM,
+        GRAPH_BEAM,
+        GRAPH_M,
+        GRAPH_ROUNDS,
+        N_QUERY_VECS,
+        _graph_visited,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    dirs = {}
+    for f in factors:
+        d = os.path.join(BASE, f"ga{f}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        for t in TABLES:
+            if t != "embeddings":
+                os.symlink(
+                    os.path.join(os.path.abspath(sf_dir), f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"),
+                )
+        parts = []
+        for k in range(f):
+            rot = (
+                f"transform(sequence(1, {EMB_DIM}),"
+                f" i -> element_at(embedding,"
+                f" ((i - 1 + {k % EMB_DIM}) % {EMB_DIM}) + 1))"
+            )
+            parts.append(
+                emb.select(
+                    (F.col("vec_id") + F.lit(k * n_vecs)).alias("vec_id"),
+                    F.expr(rot).alias("embedding"),
+                    "label",
+                )
+            )
+        out_e = parts[0]
+        for p in parts[1:]:
+            out_e = out_e.unionByName(p)
+        out_e.write.mode("overwrite").parquet(
+            os.path.join(d, "embeddings.parquet")
+        )
+        dirs[f] = d
+
+    cap = 1 + GRAPH_ROUNDS * GRAPH_BEAM * GRAPH_M
+    out: dict = {"scored_cap": cap}
+    for f in factors:
+        d = dirs[f]
+        e: dict = {"vectors": load(spark, d, "embeddings").count()}
+
+        def run():
+            QUERIES["sim_graph_topk"](spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        run()   # codegen warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        e["build_and_search_sec"] = round(best, 3)
+        per_q = (
+            _graph_visited(spark, d)
+            .groupBy("qid").count()
+            .agg(
+                F.max("count").alias("mx"),
+                (F.sum("count") / N_QUERY_VECS).alias("mean"),
+            )
+            .collect()[0]
+        )
+        e["scored_max_per_query"] = int(per_q.mx)
+        e["scored_mean_per_query"] = round(float(per_q.mean), 1)
+        assert per_q.mx <= cap, (per_q.mx, cap)
+        rec = QUERIES["sim_graph_recall"](spark, d)
+        e["mean_recall_bp"] = int(
+            rec.agg(
+                (F.avg("recall_at_k") * 10000).cast("long").alias("bp")
+            ).collect()[0].bp
+        )
+        out[f"x{f}"] = e
+        print(f"graphann x{f}: {e}", flush=True)
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--whale", "--carry", "--islands", "--regions",
                          "--sketches", "--pairs", "--classifier",
-                         "--graph", "--hybrid")]
+                         "--graph", "--hybrid", "--graphann")]
+    if "--graphann" in sys.argv[1:]:
+        sf_dir = args[0] if args else "/root/testdata/sf0.1"
+        out_json = args[1] if len(args) > 1 else "/tmp/graphann_probe.json"
+        spark = get_spark(app_name="graphann-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        res = graphann_probe(spark, sf_dir)
+        with open(out_json, "w") as f:
+            json.dump(res, f, indent=1)
+        spark.stop()
+        return
     if "--hybrid" in sys.argv[1:]:
         sf_dir = args[0] if args else "/root/testdata/sf0.1"
         out_json = args[1] if len(args) > 1 else "/tmp/hybrid_probe.json"
