@@ -11038,16 +11038,23 @@ def _graph_edges(base: DataFrame) -> DataFrame:
     ).select("src", "dst")
 
 
-def sim_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-beam graph-ANN top-k (see the section comment): per
-    query, greedy beam search over the LSH-built kNN graph from the
-    deterministic entry node, GRAPH_ROUNDS rounds, each (qid, vec_id)
-    scored exactly once; output the TOPK_NEIGHBORS best visited
-    (excluding the query itself), ties -> smaller vec_id."""
+def _graph_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, vec_id, cos): every node the bounded-beam search SCORED —
+    entry + GRAPH_ROUNDS expansion rounds, each (qid, vec_id) scored
+    exactly once.  The shared core of ``sim_graph_topk`` (final
+    ranking) and ``sim_graph_cost`` (the cost cap as a relation)."""
     emb = load(spark, sf_dir, "embeddings")
     norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
     base = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    edges = _graph_edges(base)
+    # Materialization boundaries (house rule: eager localCheckpoint,
+    # never lazy): each round references the visited relation three
+    # times (frontier, anti-join, union) — without boundaries the
+    # lineage re-derives everything ~3^ROUNDS times (measured 7.6 s at
+    # sf0.1 vs ~1 s bounded).  The graph itself is a session memo
+    # (persisted once per sf_dir) because on a cluster the built graph
+    # IS the index — like the IVF postings log — so the boundary
+    # mirrors the real serving architecture, not just a local-mode fix.
+    edges = _graph_edges_memo(spark, sf_dir, base)
     q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -11068,6 +11075,7 @@ def sim_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry = base.agg(F.min("vec_id").alias("vec_id"))
     visited = score(q.select("qid").crossJoin(F.broadcast(entry)))
     for _ in range(GRAPH_ROUNDS):
+        visited = visited.localCheckpoint()
         frontier = top_k_per_key(
             visited, ["qid"], [F.desc("cos"), F.asc("vec_id")], GRAPH_BEAM
         ).select("qid", F.col("vec_id").alias("src"))
@@ -11078,10 +11086,58 @@ def sim_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited.select("qid", "vec_id"), ["qid", "vec_id"], "anti")
         )
         visited = visited.unionByName(score(fresh))
+    return visited
+
+
+_GRAPH_EDGE_MEMO: dict = {}
+
+
+def _graph_edges_memo(spark: SparkSession, sf_dir: str,
+                      base: DataFrame) -> DataFrame:
+    """The built kNN graph, persisted ONCE per (application, sf_dir) —
+    the graph IS the index (trained once, queried many), exactly the
+    _TRAIN_MEMO/_KM_CACHE serving posture; all three graph queries and
+    every search round share one build.  Released by
+    ``session.clear_session_memos``; rebuilds bit-identical (the build
+    is deterministic)."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _GRAPH_EDGE_MEMO:
+        _GRAPH_EDGE_MEMO[key] = _graph_edges(base).persist()
+    return _GRAPH_EDGE_MEMO[key]
+
+
+def sim_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-beam graph-ANN top-k (see the section comment): per
+    query, greedy beam search over the LSH-built kNN graph from the
+    deterministic entry node, GRAPH_ROUNDS rounds, each (qid, vec_id)
+    scored exactly once; output the TOPK_NEIGHBORS best visited
+    (excluding the query itself), ties -> smaller vec_id."""
+    visited = _graph_visited(spark, sf_dir)
     return top_k_per_key(
         visited.filter(F.col("vec_id") != F.col("qid")),
         ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS,
     ).select("qid", "vec_id", F.round("cos", 6).alias("cosine"))
+
+
+def sim_graph_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph rung's cost cap as an ORACLE-CHECKED relation: per
+    query, how many nodes the search scored, alongside the structural
+    bound 1 + GRAPH_ROUNDS x GRAPH_BEAM x GRAPH_M and whether the
+    bound held.  This is the number that stays FLAT as the corpus
+    grows (measured 1x/4x/16x in docs/graphann_probe.json) — the
+    defining economics of graph ANN vs a corpus-fraction scan, pinned
+    per query instead of asserted in prose."""
+    cap = 1 + GRAPH_ROUNDS * GRAPH_BEAM * GRAPH_M
+    return (
+        _graph_visited(spark, sf_dir)
+        .groupBy("qid")
+        .agg(F.count("*").alias("scored_nodes"))
+        .select(
+            "qid", "scored_nodes",
+            F.lit(cap).cast("long").alias("scored_cap"),
+            (F.col("scored_nodes") <= cap).alias("within_cap"),
+        )
+    )
 
 
 def sim_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11095,13 +11151,16 @@ def sim_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_graph_topk"] = sim_graph_topk
 QUERIES["sim_graph_recall"] = sim_graph_recall
+QUERIES["sim_graph_cost"] = sim_graph_cost
 
 
-def _graph_topk_sql() -> str:
-    """The unrolled CTE chain mirroring sim_graph_topk exactly: same
+def _graph_search_sql(final: str) -> str:
+    """The unrolled CTE chain mirroring _graph_visited exactly: same
     LSH-candidate graph, same entry, same per-round beam/expand/score,
     same tie order — cosines via the shared fold expressions, so float
-    ranks agree bit-for-bit across engines."""
+    ranks agree bit-for-bit across engines.  ``final`` is the SELECT
+    over the last visited relation v{GRAPH_ROUNDS} (top-k ranking for
+    sim_graph_topk, per-qid counts for sim_graph_cost)."""
     gtab = " UNION ALL ".join(
         f"""SELECT vec_id, {t} AS tb,
             ({" + ".join(f"(CASE WHEN embedding[{d}] > 0 THEN {1 << j} ELSE 0 END)"
@@ -11177,15 +11236,23 @@ def _graph_topk_sql() -> str:
             WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
         ) e
     ),{",".join(rounds)}
+    {final}
+"""
+
+
+ORACLE["sim_graph_topk"] = _graph_search_sql(f"""
     SELECT qid, vec_id, round(cos, 6) AS cosine FROM (
         SELECT qid, vec_id, cos, row_number() OVER (
             PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rk
         FROM v{GRAPH_ROUNDS} WHERE vec_id <> qid
-    ) WHERE rk <= {TOPK_NEIGHBORS}
-"""
+    ) WHERE rk <= {TOPK_NEIGHBORS}""")
 
-
-ORACLE["sim_graph_topk"] = _graph_topk_sql()
+_GRAPH_CAP = 1 + GRAPH_ROUNDS * GRAPH_BEAM * GRAPH_M
+ORACLE["sim_graph_cost"] = _graph_search_sql(f"""
+    SELECT qid, count(*)::BIGINT AS scored_nodes,
+           {_GRAPH_CAP}::BIGINT AS scored_cap,
+           count(*) <= {_GRAPH_CAP} AS within_cap
+    FROM v{GRAPH_ROUNDS} GROUP BY qid""")
 
 ORACLE["sim_graph_recall"] = f"""
     SELECT e.qid,

@@ -88,7 +88,10 @@ def clear_session_memos() -> None:
       and the DSIR bucket-count intermediate (round 8);
     * ``queries.relational._LPA_CACHE`` — the persisted co-purchase
       edge list and PageRank pair relations (round 9; one entry per
-      (kind, application, sf_dir), O(edges) slim int64 rows each).
+      (kind, application, sf_dir), O(edges) slim int64 rows each);
+    * ``queries.llmdata._GRAPH_EDGE_MEMO`` — the persisted ANN kNN
+      graph (round 11; one per (application, sf_dir), O(corpus x M)
+      slim int64 pairs — the graph-search index).
 
     Rebuilding after a clear re-derives bit-identical results (every
     memoized computation is deterministic); the only cost is the
@@ -97,6 +100,7 @@ def clear_session_memos() -> None:
     from .queries.clustering import _KM_CACHE, _TRAIN_MEMO
     from .queries.llmdata import (
         _BPE_MERGE_MEMO,
+        _GRAPH_EDGE_MEMO,
         _MINHASH_CACHE,
         _STRUCT_MEMO,
         _WINNOW_PRINT_MEMO,
@@ -105,7 +109,7 @@ def clear_session_memos() -> None:
 
     for cache in (_MINHASH_CACHE, _STRUCT_MEMO, _WINNOW_PRINT_MEMO,
                   _KM_CACHE, _CLS_MEMO, _DSIR_W_MEMO, _DSIR_CACHE,
-                  _LPA_CACHE):
+                  _LPA_CACHE, _GRAPH_EDGE_MEMO):
         for df in cache.values():
             try:
                 df.unpersist(blocking=False)
@@ -127,6 +131,7 @@ def memo_snapshot() -> dict[str, int]:
     from .queries.clustering import _KM_CACHE, _TRAIN_MEMO
     from .queries.llmdata import (
         _BPE_MERGE_MEMO,
+        _GRAPH_EDGE_MEMO,
         _MINHASH_CACHE,
         _STRUCT_MEMO,
         _WINNOW_PRINT_MEMO,
@@ -146,6 +151,7 @@ def memo_snapshot() -> dict[str, int]:
             ("dsir_weights", _DSIR_W_MEMO),
             ("dsir_counts", _DSIR_CACHE),
             ("lpa_edges", _LPA_CACHE),
+            ("graph_ann_edges", _GRAPH_EDGE_MEMO),
         )
         if len(cache)
     }
