@@ -11038,23 +11038,11 @@ def _graph_edges(base: DataFrame) -> DataFrame:
     ).select("src", "dst")
 
 
-def _graph_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(qid, vec_id, cos): every node the bounded-beam search SCORED —
-    entry + GRAPH_ROUNDS expansion rounds, each (qid, vec_id) scored
-    exactly once.  The shared core of ``sim_graph_topk`` (final
-    ranking) and ``sim_graph_cost`` (the cost cap as a relation)."""
-    emb = load(spark, sf_dir, "embeddings")
-    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
-    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    # Materialization boundaries (house rule: eager localCheckpoint,
-    # never lazy): each round references the visited relation three
-    # times (frontier, anti-join, union) — without boundaries the
-    # lineage re-derives everything ~3^ROUNDS times (measured 7.6 s at
-    # sf0.1 vs ~1 s bounded).  The graph itself is a session memo
-    # (persisted once per sf_dir) because on a cluster the built graph
-    # IS the index — like the IVF postings log — so the boundary
-    # mirrors the real serving architecture, not just a local-mode fix.
-    edges = _graph_edges_memo(spark, sf_dir, base)
+def _graph_search(base: DataFrame, edges: DataFrame) -> DataFrame:
+    """The bounded-beam search core over an arbitrary (vec_id,
+    embedding, nrm) corpus and its (src, dst) graph — shared by the
+    batch queries (parquet base + session-memo graph) and the
+    streaming twin (postings-log base + log-assembled graph)."""
     q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -11074,6 +11062,11 @@ def _graph_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     entry = base.agg(F.min("vec_id").alias("vec_id"))
     visited = score(q.select("qid").crossJoin(F.broadcast(entry)))
+    # Materialization boundary (house rule: eager localCheckpoint,
+    # never lazy): each round references the visited relation three
+    # times (frontier, anti-join, union) — without boundaries the
+    # lineage re-derives everything ~3^ROUNDS times (measured 7.6 s
+    # at sf0.1 vs ~1 s bounded).
     for _ in range(GRAPH_ROUNDS):
         visited = visited.localCheckpoint()
         frontier = top_k_per_key(
@@ -11104,6 +11097,19 @@ def _graph_edges_memo(spark: SparkSession, sf_dir: str,
     if key not in _GRAPH_EDGE_MEMO:
         _GRAPH_EDGE_MEMO[key] = _graph_edges(base).persist()
     return _GRAPH_EDGE_MEMO[key]
+
+
+def _graph_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, vec_id, cos): every node the bounded-beam search SCORED —
+    entry + GRAPH_ROUNDS expansion rounds, each (qid, vec_id) scored
+    exactly once.  The shared core of ``sim_graph_topk`` (final
+    ranking) and ``sim_graph_cost`` (the cost cap as a relation); the
+    graph comes from the session memo (built once per sf_dir — the
+    index posture)."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    return _graph_search(base, _graph_edges_memo(spark, sf_dir, base))
 
 
 def sim_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -236,6 +236,32 @@ def test_band_merge_keeps_historical_minima():
     other_sf = ubb.merged_bands(detail, {**old, "sf": 0.01}, reset=False)
     assert other_sf["queries"] == detail["queries"]
 
+    # round-11 --adopt-warmth: registering a new session memo changes
+    # every warmth signature's encoding; the mode keeps min-merged
+    # VALUES but stamps the current capture's signatures (default mode
+    # keeps the old band's warmth with the old band)
+    spec2 = _ilu.spec_from_file_location(
+        "bench_t", _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "bench.py",
+        ),
+    )
+    bench_t = _ilu.module_from_spec(spec2)
+    spec2.loader.exec_module(bench_t)
+    old_sig = bench_t.warmth_sig({"warm": {"codebooks": 1}, "built": {}})
+    new_sig = bench_t.warmth_sig(
+        {"warm": {"codebooks": 1, "new_memo": 1}, "built": {}}
+    )
+    old_w = {**old, "warmth": {"a": old_sig}}
+    det_w = {**detail, "memo_state": {
+        "a": {"warm": {"codebooks": 1, "new_memo": 1}, "built": {}}
+    }}
+    kept = ubb.merged_bands(det_w, old_w, reset=False)
+    assert kept["queries"]["a"] == 1.0 and kept["warmth"]["a"] == old_sig
+    adopted = ubb.merged_bands(det_w, old_w, reset=False, adopt_warmth=True)
+    assert adopted["queries"]["a"] == 1.0      # value still min-merged
+    assert adopted["warmth"]["a"] == new_sig   # signature re-stamped
+
     # round-11: the cpu probe reference min-merges too, and an old
     # reference survives a capture that lacks the probe
     m2 = ubb.merged_bands(

@@ -3103,6 +3103,89 @@ def test_ivf_ingest_filtered_serve_matches_batch(spark, sf_dir, tmpdir):
     assert got == expect and len(got) > 0
 
 
+def test_graph_ingest_real_stream_matches_batch(spark, sf_dir, tmpdir):
+    """Round-11 streaming twin of the graph-ANN rung
+    (streaming/graphview.py): ingest is per-row substrate (embedding +
+    norm), serving ASSEMBLES the bounded-degree graph from the log and
+    runs the identical batch search core — so after a real
+    availableNow writeStream the served top-k AND the scored-node cost
+    relation equal batch sim_graph_topk / sim_graph_cost exactly."""
+    from beam_scala_examples_spark.queries.llmdata import (
+        sim_graph_cost,
+        sim_graph_topk,
+    )
+    from beam_scala_examples_spark.streaming.graphview import GraphIngestSink
+    from beam_scala_examples_spark.streaming.sources import (
+        read_event_stream,
+        write_arrival_chunks,
+    )
+
+    rows = _vec_rows(spark, sf_dir)
+    write_arrival_chunks(
+        [
+            {"vec_id": r.vec_id, "embedding": [float(v) for v in r.embedding]}
+            for r in rows
+        ],
+        200,
+        f"{tmpdir}/graphfeed",
+    )
+    stream = read_event_stream(
+        spark, f"{tmpdir}/graphfeed",
+        schema="vec_id long, embedding array<float>",
+    )
+    sink = GraphIngestSink(f"{tmpdir}/graph_log")
+    _run_stream(stream, "append", sink, tmpdir)
+
+    got = sorted(tuple(r) for r in sink.topk_view(spark).collect())
+    expect = sorted(tuple(r) for r in sim_graph_topk(spark, sf_dir).collect())
+    assert got == expect and len(got) > 0
+    got_cost = sorted(tuple(r) for r in sink.cost_view(spark).collect())
+    expect_cost = sorted(
+        tuple(r) for r in sim_graph_cost(spark, sf_dir).collect()
+    )
+    assert got_cost == expect_cost
+
+
+def test_graph_ingest_replay_and_chunking_invariant(spark, sf_dir, tmpdir):
+    """The order-invariance the serve-time-assembly design buys: any
+    arrival chunking (and replaying a batch) serves the identical
+    graph search — the trade vs arrival-order-dependent NSW insertion,
+    stated in the module docstring, held as a test."""
+    from beam_scala_examples_spark.streaming.graphview import GraphIngestSink
+
+    rows = _vec_rows(spark, sf_dir)
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id long, embedding array<float>"
+    )
+    one = GraphIngestSink(f"{tmpdir}/graph_one")
+    one(mk(rows), 0)
+    whole = sorted(tuple(r) for r in one.topk_view(spark).collect())
+
+    parts = GraphIngestSink(f"{tmpdir}/graph_parts")
+    third = len(rows) // 3
+    parts(mk(rows[:third]), 0)
+    parts(mk(rows[third : 2 * third]), 1)
+    parts(mk(rows[2 * third :]), 2)
+    chunked = sorted(tuple(r) for r in parts.topk_view(spark).collect())
+    assert chunked == whole and len(whole) > 0
+
+    parts(mk(rows[2 * third :]), 2)  # replay
+    again = sorted(tuple(r) for r in parts.topk_view(spark).collect())
+    assert again == whole
+
+
+def test_graph_ingest_empty_prefix_serves_empty(spark, tmpdir):
+    from beam_scala_examples_spark.streaming.graphview import GraphIngestSink
+
+    sink = GraphIngestSink(f"{tmpdir}/graph_empty")
+    sink(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        0,
+    )
+    assert sink.topk_view(spark).count() == 0
+    assert sink.cost_view(spark).count() == 0
+
+
 def test_ivf_auto_router_matches_batch(spark, sf_dir, tmpdir):
     """Round-11 (verdict item 4): the hybrid-search auto router served
     from the LIVE postings log.  After a real availableNow writeStream

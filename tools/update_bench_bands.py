@@ -29,7 +29,8 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def merged_bands(detail: dict, old: dict | None, reset: bool) -> dict:
+def merged_bands(detail: dict, old: dict | None, reset: bool,
+                 adopt_warmth: bool = False) -> dict:
     """Min-of-N merge of the new capture into the existing bands (same
     sf only); `reset` or an sf change rebuilds from the capture alone.
 
@@ -63,11 +64,20 @@ def merged_bands(detail: dict, old: dict | None, reset: bool) -> dict:
         and old is not None
         and abs(float(old.get("sf", -1)) - float(detail["sf"])) < 1e-9
     ):
+        # --adopt-warmth (round 11): REGISTERING A NEW SESSION MEMO
+        # changes every query's warmth signature encoding (the new
+        # cache name appears in every "warm" set), which would warmth-
+        # skip the entire suite forever against pre-registration bands.
+        # The band VALUES stay comparable — a cache a query never
+        # touches does not change its execution — so this mode keeps
+        # the min-merged numbers but stamps the CURRENT capture's
+        # signatures.  Use it (and say so in the commit) in the same
+        # round that adds a memo to session.memo_snapshot.
         old_w = old.get("warmth", {})
         for name, band in old.get("queries", {}).items():
             if name in queries and band < queries[name]:
                 queries[name] = band
-                if name in old_w:
+                if name in old_w and not adopt_warmth:
                     warmth[name] = old_w[name]
         prev_anchor = old.get("anchor_r01_shared_total")
         if prev_anchor is not None:
@@ -100,6 +110,7 @@ def merged_bands(detail: dict, old: dict | None, reset: bool) -> dict:
 def main() -> None:
     args = sys.argv[1:]
     reset = "--reset" in args
+    adopt_warmth = "--adopt-warmth" in args
     # --reset-names a,b (round 9): re-baseline ONLY the named queries to
     # the current capture (drop their historical minima) while every
     # other band keeps the min-merge rule — for adjudicated warmth-drift
@@ -126,7 +137,7 @@ def main() -> None:
             for k, v in old.get("queries", {}).items()
             if k not in reset_names
         }
-    bands = merged_bands(detail, old, reset)
+    bands = merged_bands(detail, old, reset, adopt_warmth)
     with open(out, "w") as f:
         json.dump(bands, f, indent=1, sort_keys=True)
     lowered = sum(
