@@ -80,7 +80,7 @@ _CORE = [
 _FRESH = [
     "star_customer_setops", "star_customer_setops_literal",
     "sim_filtered_auto_topk", "sim_graph_topk", "sim_graph_recall",
-    "sim_graph_cost",
+    "sim_graph_cost", "sim_graph_budget_sweep",
 ]
 _WINDOW = 50
 

@@ -11038,11 +11038,14 @@ def _graph_edges(base: DataFrame) -> DataFrame:
     ).select("src", "dst")
 
 
-def _graph_search(base: DataFrame, edges: DataFrame) -> DataFrame:
+def _graph_search(base: DataFrame, edges: DataFrame,
+                  rounds: int = GRAPH_ROUNDS,
+                  beam: int = GRAPH_BEAM) -> DataFrame:
     """The bounded-beam search core over an arbitrary (vec_id,
     embedding, nrm) corpus and its (src, dst) graph — shared by the
-    batch queries (parquet base + session-memo graph) and the
-    streaming twin (postings-log base + log-assembled graph)."""
+    batch queries (parquet base + session-memo graph), the streaming
+    twin (postings-log base + log-assembled graph), and the budget
+    sweep (same graph, varied rounds x beam — the ef_search knob)."""
     q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -11067,10 +11070,10 @@ def _graph_search(base: DataFrame, edges: DataFrame) -> DataFrame:
     # times (frontier, anti-join, union) — without boundaries the
     # lineage re-derives everything ~3^ROUNDS times (measured 7.6 s
     # at sf0.1 vs ~1 s bounded).
-    for _ in range(GRAPH_ROUNDS):
+    for _ in range(rounds):
         visited = visited.localCheckpoint()
         frontier = top_k_per_key(
-            visited, ["qid"], [F.desc("cos"), F.asc("vec_id")], GRAPH_BEAM
+            visited, ["qid"], [F.desc("cos"), F.asc("vec_id")], beam
         ).select("qid", F.col("vec_id").alias("src"))
         fresh = (
             frontier.join(edges, "src")
@@ -11160,88 +11163,92 @@ QUERIES["sim_graph_recall"] = sim_graph_recall
 QUERIES["sim_graph_cost"] = sim_graph_cost
 
 
-def _graph_search_sql(final: str) -> str:
-    """The unrolled CTE chain mirroring _graph_visited exactly: same
+def _graph_search_sql(final: str, rounds: int = GRAPH_ROUNDS,
+                      beam: int = GRAPH_BEAM, p: str = "") -> str:
+    """The unrolled CTE chain mirroring _graph_search exactly: same
     LSH-candidate graph, same entry, same per-round beam/expand/score,
     same tie order — cosines via the shared fold expressions, so float
     ranks agree bit-for-bit across engines.  ``final`` is the SELECT
-    over the last visited relation v{GRAPH_ROUNDS} (top-k ranking for
-    sim_graph_topk, per-qid counts for sim_graph_cost)."""
+    over the last visited relation {p}v{rounds} (top-k ranking for
+    sim_graph_topk, per-qid counts for sim_graph_cost, leg aggregates
+    for the budget sweep); ``p`` prefixes every CTE name so sweep legs
+    coexist in one statement without cross-scope name collisions (the
+    oracle-materialization audit's discipline)."""
     gtab = " UNION ALL ".join(
         f"""SELECT vec_id, {t} AS tb,
             ({" + ".join(f"(CASE WHEN embedding[{d}] > 0 THEN {1 << j} ELSE 0 END)"
                          for j, d in enumerate(MULTI_LSH_DIMS[t]))})::BIGINT AS bucket
-            FROM gb"""
+            FROM {p}gb"""
         for t in range(LSH_TABLES)
     )
-    rounds = []
-    prev = "v0"
-    for r in range(1, GRAPH_ROUNDS + 1):
-        rounds.append(f"""
-    f{r} AS (
+    rnds = []
+    prev = f"{p}v0"
+    for r in range(1, rounds + 1):
+        rnds.append(f"""
+    {p}f{r} AS (
         SELECT qid, vec_id FROM (
             SELECT qid, vec_id, row_number() OVER (
                 PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rk
             FROM {prev}
-        ) WHERE rk <= {GRAPH_BEAM}
+        ) WHERE rk <= {beam}
     ),
-    n{r} AS (
+    {p}n{r} AS (
         SELECT DISTINCT f.qid, g.dst AS vec_id
-        FROM f{r} f JOIN gedge g ON g.src = f.vec_id
+        FROM {p}f{r} f JOIN {p}gedge g ON g.src = f.vec_id
         LEFT JOIN {prev} v ON v.qid = f.qid AND v.vec_id = g.dst
         WHERE v.qid IS NULL
     ),
-    s{r} AS (
+    {p}s{r} AS (
         SELECT n.qid, n.vec_id,
                {_duck_dot('q.qe', 'b.embedding')}
                    / sqrt(q.qnorm * b.nrm) AS cos
-        FROM n{r} n
-        JOIN gb b ON b.vec_id = n.vec_id
-        JOIN gq q ON q.qid = n.qid
+        FROM {p}n{r} n
+        JOIN {p}gb b ON b.vec_id = n.vec_id
+        JOIN {p}gq q ON q.qid = n.qid
     ),
-    v{r} AS (
+    {p}v{r} AS MATERIALIZED (
         SELECT qid, vec_id, cos FROM {prev}
         UNION ALL
-        SELECT qid, vec_id, cos FROM s{r}
+        SELECT qid, vec_id, cos FROM {p}s{r}
     )""")
-        prev = f"v{r}"
+        prev = f"{p}v{r}"
     return f"""
-    WITH gb AS (
+    WITH {p}gb AS (
         SELECT vec_id, embedding,
                {_duck_dot('embedding', 'embedding')} AS nrm
         FROM embeddings
     ),
-    gq AS (
+    {p}gq AS (
         SELECT vec_id AS qid, embedding AS qe, nrm AS qnorm
-        FROM gb WHERE vec_id < {N_QUERY_VECS}
+        FROM {p}gb WHERE vec_id < {N_QUERY_VECS}
     ),
-    gtab AS ({gtab}),
-    gcand AS (
+    {p}gtab AS MATERIALIZED ({gtab}),
+    {p}gcand AS (
         SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-        FROM gtab a JOIN gtab b USING (tb, bucket)
+        FROM {p}gtab a JOIN {p}gtab b USING (tb, bucket)
         WHERE a.vec_id <> b.vec_id
     ),
-    gedge AS (
+    {p}gedge AS MATERIALIZED (
         SELECT src, dst FROM (
             SELECT c.src, c.dst, row_number() OVER (
                 PARTITION BY c.src
                 ORDER BY {_duck_dot('s.embedding', 'd.embedding')}
                              / sqrt(s.nrm * d.nrm) DESC,
                          c.dst ASC) AS rk
-            FROM gcand c
-            JOIN gb s ON s.vec_id = c.src
-            JOIN gb d ON d.vec_id = c.dst
+            FROM {p}gcand c
+            JOIN {p}gb s ON s.vec_id = c.src
+            JOIN {p}gb d ON d.vec_id = c.dst
         ) WHERE rk <= {GRAPH_M}
     ),
-    v0 AS (
+    {p}v0 AS MATERIALIZED (
         SELECT q.qid, e.vec_id,
                {_duck_dot('q.qe', 'e.embedding')}
                    / sqrt(q.qnorm * e.nrm) AS cos
-        FROM gq q CROSS JOIN (
-            SELECT vec_id, embedding, nrm FROM gb
+        FROM {p}gq q CROSS JOIN (
+            SELECT vec_id, embedding, nrm FROM {p}gb
             WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
         ) e
-    ),{",".join(rounds)}
+    ),{",".join(rnds)}
     {final}
 """
 
@@ -11267,4 +11274,108 @@ ORACLE["sim_graph_recall"] = f"""
     LEFT JOIN ({ORACLE["sim_graph_topk"]}) a
       ON e.qid = a.qid AND e.vec_id = a.vec_id
     GROUP BY e.qid
+"""
+
+
+# The ef_search knob of graph ANN: the graph (degree M) is FIXED — the
+# index — while (rounds, beam) is the per-query search budget.  The
+# sweep measures the budget -> recall frontier the 1x/16x probe showed
+# is the rung's binding constraint (fixed budget => recall falls as
+# the corpus grows; production systems scale this knob ~log N).
+GRAPH_BUDGETS = [(1, 4), (2, 8), (3, 8), (4, 16)]
+
+
+def sim_graph_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget->recall frontier of the graph rung: for each (rounds,
+    beam) leg, run the SAME graph (session-memo edges, degree
+    GRAPH_M) through the search core at that budget and report the
+    leg's scored-node stats (the cost actually paid, against its
+    structural cap) beside recall@k vs the exact brute truth — the
+    measured ef_search curve, exact integers end to end.
+
+    Scale: one graph build serves all legs (the memo); each leg costs
+    rounds x beam x M bounded score evaluations per query, so the
+    sweep prices the KNOB, never rebuilds the index."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    edges = _graph_edges_memo(spark, sf_dir, base)
+    truth = sim_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    legs = []
+    for rounds, beam in GRAPH_BUDGETS:
+        cap = 1 + rounds * beam * GRAPH_M
+        visited = _graph_search(base, edges, rounds, beam)
+        topk = top_k_per_key(
+            visited.filter(F.col("vec_id") != F.col("qid")),
+            ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS,
+        ).select("qid", "vec_id", F.lit(1).alias("hit"))
+        scored = (
+            visited.groupBy("qid")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.max("c").cast("long").alias("max_scored"),
+                F.sum("c").cast("long").alias("total_scored"),
+            )
+        )
+        legs.append(
+            truth.join(topk, ["qid", "vec_id"], "left")
+            .agg(
+                F.count("hit").alias("hits"),
+                F.count("*").alias("truth_rows"),
+            )
+            .crossJoin(F.broadcast(scored))
+            .select(
+                F.lit(rounds).cast("long").alias("rounds"),
+                F.lit(beam).cast("long").alias("beam"),
+                F.lit(cap).cast("long").alias("scored_cap"),
+                "max_scored", "total_scored", "hits", "truth_rows",
+                F.expr("(hits * 10000) div truth_rows").alias(
+                    "mean_recall_bp"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+QUERIES["sim_graph_budget_sweep"] = sim_graph_budget_sweep
+
+
+def _graph_budget_leg_sql(rounds: int, beam: int, p: str) -> str:
+    """One sweep leg: the prefixed unrolled chain at (rounds, beam),
+    aggregated against the shared outer truth CTE ``gct``."""
+    cap = 1 + rounds * beam * GRAPH_M
+    final = f"""
+    SELECT {rounds}::BIGINT AS rounds, {beam}::BIGINT AS beam,
+           {cap}::BIGINT AS scored_cap,
+           (SELECT max(c) FROM (
+                SELECT count(*) AS c FROM {p}v{rounds} GROUP BY qid
+            ))::BIGINT AS max_scored,
+           (SELECT count(*) FROM {p}v{rounds})::BIGINT AS total_scored,
+           count(a.vec_id)::BIGINT AS hits,
+           count(*)::BIGINT AS truth_rows,
+           ((count(a.vec_id) * 10000) // count(*))::BIGINT
+               AS mean_recall_bp
+    FROM gct e
+    LEFT JOIN (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rk
+            FROM {p}v{rounds} WHERE vec_id <> qid
+        ) WHERE rk <= {TOPK_NEIGHBORS}
+    ) a ON a.qid = e.qid AND a.vec_id = e.vec_id"""
+    return _graph_search_sql(final, rounds, beam, p)
+
+
+ORACLE["sim_graph_budget_sweep"] = f"""
+    WITH {COSINE_TOPK_CTES},
+    gct AS (
+        SELECT qid, vec_id FROM ctk_ranked WHERE rk <= {TOPK_NEIGHBORS}
+    )
+    {" UNION ALL ".join(
+        f"SELECT * FROM ({_graph_budget_leg_sql(r, b, f'bw{i}_')})"
+        for i, (r, b) in enumerate(GRAPH_BUDGETS)
+    )}
 """
