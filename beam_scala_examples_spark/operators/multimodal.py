@@ -154,6 +154,20 @@ BMP_SCHEMA = (
 )
 
 
+def _text_codes(text: str):
+    """Codepoints of ``text`` as an int64 numpy vector — the shared
+    vectorized base of every deterministic payload renderer (r11
+    optimization, guide §4.2: the per-char ``ord`` loops were the
+    dominant Python cost of the render passes).  ``utf-32-le`` yields
+    exactly one uint32 codepoint per char, so this equals
+    ``[ord(c) for c in text]`` for every Python string."""
+    import numpy as np
+
+    return np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(
+        np.int64
+    )
+
+
 def _bmp_pixels(text: str, n_px: int) -> list:
     """Deterministic pixel content: channel c of raster pixel i is the
     codepoint of text char ``(3*i + c) mod len(text)``, mod 256 — a pure
@@ -176,17 +190,25 @@ def encode_bmp(doc_id: int, text: str) -> bytes:
     to 4-byte boundaries — loadable by any image viewer."""
     import struct
 
+    import numpy as np
+
     w = 1 + len(text) % BMP_W_MOD
     h = 1 + doc_id % BMP_H_MOD
     row_size = (3 * w + 3) // 4 * 4
     image_size = row_size * h
-    px = _bmp_pixels(text, w * h)
-    raster = bytearray()
-    for y in range(h - 1, -1, -1):          # bottom-up storage order
-        for x in range(w):
-            r, g, b = px[y * w + x]
-            raster += bytes((b, g, r))      # BGR on disk
-        raster += b"\x00" * (row_size - 3 * w)
+    # Vectorized raster (r11, guide §4.2): same bytes as the reference
+    # per-pixel loop over _bmp_pixels — channel c of logical pixel i is
+    # codepoint (3*i + c) mod len, stored BGR, bottom-up, row-padded.
+    codes = _text_codes(text) % 256
+    nc = codes.shape[0]
+    i3 = 3 * np.arange(w * h, dtype=np.int64)
+    px = np.empty((w * h, 3), dtype=np.uint8)
+    px[:, 2] = codes[i3 % nc]            # R
+    px[:, 1] = codes[(i3 + 1) % nc]      # G
+    px[:, 0] = codes[(i3 + 2) % nc]      # B
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : 3 * w] = px.reshape(h, 3 * w)[::-1]   # bottom-up storage
+    raster = rows.tobytes()
     header = struct.pack(
         "<2sIHHI", b"BM", 54 + image_size, 0, 0, 54
     ) + struct.pack(
@@ -375,8 +397,14 @@ def encode_wav(doc_id: int, text: str) -> bytes:
     import struct
 
     rate = WAV_RATES[len(text) % WAV_RATE_MOD]
-    samples = _wav_samples(text)
-    data = b"".join(struct.pack("<h", s) for s in samples)
+    # Vectorized PCM (r11, guide §4.2): identical bytes to packing
+    # _wav_samples one short at a time — ((ord % 256) * 257) - 32768
+    # spans exactly the signed 16-bit range, little-endian on disk.
+    data = (
+        ((_text_codes(text) % 256) * 257 - 32768)
+        .astype("<i2")
+        .tobytes()
+    )
     fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
     chunks = (
         b"WAVE"
@@ -602,16 +630,29 @@ def encode_y4m(doc_id: int, text: str) -> bytes:
     per channel): stream header, then per frame a FRAME marker + Y/U/V
     planes.  Chroma planes carry a constant 128 (neutral) — the sampler
     must still stride over them correctly to reach the next frame."""
+    import numpy as np
+
     w = 1 + len(text) % Y4M_W_MOD
     h = 1 + doc_id % Y4M_H_MOD
     n_frames = 1 + (doc_id + len(text)) % Y4M_F_MOD
     out = bytearray(
         f"YUV4MPEG2 W{w} H{h} F{Y4M_FPS}:1 Ip A1:1 C444\n".encode()
     )
+    # Vectorized lumas (r11, guide §4.2): identical bytes to the
+    # per-pixel _y4m_luma loop — Y of frame f, pixel i is codepoint
+    # (f + i) mod len, mod 256.
+    codes = (_text_codes(text) % 256).astype(np.uint8)
+    nc = codes.shape[0]
+    idx = (
+        np.arange(n_frames, dtype=np.int64)[:, None]
+        + np.arange(w * h, dtype=np.int64)[None, :]
+    ) % nc
+    lumas = codes[idx]
+    uv = bytes([128]) * (w * h) * 2             # U, V planes
     for f in range(n_frames):
         out += b"FRAME\n"
-        out += bytes(_y4m_luma(text, f, w * h))
-        out += bytes([128]) * (w * h) * 2       # U, V planes
+        out += lumas[f].tobytes()
+        out += uv
     return bytes(out)
 
 
@@ -1187,21 +1228,24 @@ def fingerprint_wav(payload: bytes) -> list[dict]:
     if n < AUDIO_FRAME:
         return []
     n_frames = (n - AUDIO_FRAME) // AUDIO_HOP + 1
+    # Vectorized energies + HK bits (r11, guide §4.2): identical int64
+    # results to the reference per-frame loop — E(t,b) over a strided
+    # frame matrix, then the sign-of-difference-of-differences bits.
+    frames = np.lib.stride_tricks.sliding_window_view(x, AUDIO_FRAME)[
+        ::AUDIO_HOP
+    ]
     energies = np.empty((n_frames, AUDIO_BANDS), dtype=np.int64)
-    for t in range(n_frames):
-        fr = x[t * AUDIO_HOP : t * AUDIO_HOP + AUDIO_FRAME]
-        for b in range(1, AUDIO_BANDS + 1):
-            energies[t, b - 1] = int(np.abs(fr[b:] - fr[:-b]).sum())
-    out: list[dict] = []
-    for t in range(1, n_frames):
-        code = 0
-        for b in range(AUDIO_BANDS - 1):
-            d_now = energies[t, b] - energies[t, b + 1]
-            d_prev = energies[t - 1, b] - energies[t - 1, b + 1]
-            if d_now > d_prev:
-                code |= 1 << b
-        out.append({"frame_idx": t, "code": code})
-    return out
+    for b in range(1, AUDIO_BANDS + 1):
+        energies[:, b - 1] = np.abs(
+            frames[:, b:] - frames[:, :-b]
+        ).sum(axis=1)
+    d = energies[:, :-1] - energies[:, 1:]      # (n_frames, BANDS-1)
+    bits = d[1:] > d[:-1]                       # frame t vs t-1
+    codes = bits @ (1 << np.arange(AUDIO_BANDS - 1, dtype=np.int64))
+    return [
+        {"frame_idx": t, "code": int(c)}
+        for t, c in enumerate(codes, start=1)
+    ]
 
 
 def fingerprint_wav_metadata(with_payload: DataFrame) -> DataFrame:
@@ -1210,13 +1254,30 @@ def fingerprint_wav_metadata(with_payload: DataFrame) -> DataFrame:
     bytes never leave their task; output is O(frames) slim rows."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for a, p in zip(pdf["aud_id"], pdf["payload"]):
-                for fr in fingerprint_wav(bytes(p)):
-                    rows.append((int(a), fr["frame_idx"], fr["code"]))
+            # columnar assembly (r11): per-payload code vectors concat
+            # into three flat arrays instead of one Python tuple per
+            # frame — same rows, no per-row object churn
+            per = [
+                (int(a), fingerprint_wav(bytes(p)))
+                for a, p in zip(pdf["aud_id"], pdf["payload"])
+            ]
+            counts = [len(frs) for _, frs in per]
+            aud = np.repeat(
+                np.array([a for a, _ in per], dtype=np.int64), counts
+            )
+            idx = np.concatenate(
+                [np.arange(1, c + 1, dtype=np.int64) for c in counts]
+                or [np.empty(0, dtype=np.int64)]
+            )
+            code = np.array(
+                [fr["code"] for _, frs in per for fr in frs],
+                dtype=np.int64,
+            )
             yield pd.DataFrame(
-                rows, columns=["aud_id", "frame_idx", "code"]
+                {"aud_id": aud, "frame_idx": idx, "code": code}
             )
 
     return with_payload.mapInPandas(dec, schema=AUDIO_FP_SCHEMA)
