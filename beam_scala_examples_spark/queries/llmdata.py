@@ -11295,49 +11295,110 @@ def sim_graph_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one graph build serves all legs (the memo); each leg costs
     rounds x beam x M bounded score evaluations per query, so the
-    sweep prices the KNOB, never rebuilds the index."""
+    sweep prices the KNOB, never rebuilds the index.
+
+    r11 optimization (guide §1.2/§2.4): the four legs used to run the
+    search core independently — 1+2+3+4 = 10 expansion rounds, each
+    with its own eager checkpoint and expand/anti/score stage chain
+    (measured 5.9 s of build-time jobs at sf0.1, 136 jobs/rep).  The
+    legs now run as ONE leg-tagged search: every visited row carries
+    its (rounds, beam) budget, the frontier is a single window ranked
+    within (rounds, beam, qid) and cut at the leg's own beam COLUMN,
+    and a leg stops expanding once the global round exceeds its budget
+    — max(rounds)=4 global rounds and 4 checkpoints replace 10, and
+    the per-leg aggregates collapse into one groupBy(rounds, beam).
+    Per (leg, qid) the frontier/expansion/scoring math is untouched
+    (partitioned per leg), so results are bit-identical to the
+    independent legs; the oracle is unchanged."""
     emb = load(spark, sf_dir, "embeddings")
     norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
     base = emb.select("vec_id", "embedding", norm.alias("nrm"))
     edges = _graph_edges_memo(spark, sf_dir, base)
     truth = sim_cosine_topk(spark, sf_dir).select("qid", "vec_id")
-    legs = []
-    for rounds, beam in GRAPH_BUDGETS:
-        cap = 1 + rounds * beam * GRAPH_M
-        visited = _graph_search(base, edges, rounds, beam)
-        topk = top_k_per_key(
-            visited.filter(F.col("vec_id") != F.col("qid")),
-            ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS,
-        ).select("qid", "vec_id", F.lit(1).alias("hit"))
-        scored = (
-            visited.groupBy("qid")
-            .agg(F.count("*").alias("c"))
-            .agg(
-                F.max("c").cast("long").alias("max_scored"),
-                F.sum("c").cast("long").alias("total_scored"),
-            )
+    legs_df = F.broadcast(
+        spark.createDataFrame(
+            list(GRAPH_BUDGETS), "rounds bigint, beam bigint"
         )
-        legs.append(
-            truth.join(topk, ["qid", "vec_id"], "left")
-            .agg(
-                F.count("hit").alias("hits"),
-                F.count("*").alias("truth_rows"),
-            )
-            .crossJoin(F.broadcast(scored))
+    )
+    q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnorm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+
+    def score(ids: DataFrame) -> DataFrame:
+        return (
+            ids.join(base, "vec_id")
+            .join(F.broadcast(q), "qid")
             .select(
-                F.lit(rounds).cast("long").alias("rounds"),
-                F.lit(beam).cast("long").alias("beam"),
-                F.lit(cap).cast("long").alias("scored_cap"),
-                "max_scored", "total_scored", "hits", "truth_rows",
-                F.expr("(hits * 10000) div truth_rows").alias(
-                    "mean_recall_bp"
-                ),
+                "rounds", "beam", "qid", "vec_id",
+                (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
             )
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+
+    entry = base.agg(F.min("vec_id").alias("vec_id"))
+    visited = score(
+        q.select("qid").crossJoin(legs_df).crossJoin(F.broadcast(entry))
+    )
+    wf = Window.partitionBy("rounds", "beam", "qid").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    for rnd in range(1, max(r for r, _ in GRAPH_BUDGETS) + 1):
+        visited = visited.localCheckpoint()
+        frontier = (
+            visited.filter(F.col("rounds") >= rnd)
+            .withColumn("rk", F.row_number().over(wf))
+            .filter(F.col("rk") <= F.col("beam"))
+            .select("rounds", "beam", "qid", F.col("vec_id").alias("src"))
+        )
+        fresh = (
+            frontier.join(edges, "src")
+            .select("rounds", "beam", "qid", F.col("dst").alias("vec_id"))
+            .distinct()
+            .join(
+                visited.select("rounds", "beam", "qid", "vec_id"),
+                ["rounds", "beam", "qid", "vec_id"],
+                "anti",
+            )
+        )
+        visited = visited.unionByName(score(fresh))
+    hit = (
+        visited.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= TOPK_NEIGHBORS)
+        .select("rounds", "beam", "qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    scored = (
+        visited.groupBy("rounds", "beam", "qid")
+        .agg(F.count("*").alias("c"))
+        .groupBy("rounds", "beam")
+        .agg(
+            F.max("c").cast("long").alias("max_scored"),
+            F.sum("c").cast("long").alias("total_scored"),
+        )
+    )
+    return (
+        truth.crossJoin(legs_df)
+        .join(hit, ["rounds", "beam", "qid", "vec_id"], "left")
+        .groupBy("rounds", "beam")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.count("*").alias("truth_rows"),
+        )
+        .join(F.broadcast(scored), ["rounds", "beam"])
+        .select(
+            F.col("rounds").cast("long").alias("rounds"),
+            F.col("beam").cast("long").alias("beam"),
+            (F.lit(1) + F.col("rounds") * F.col("beam") * GRAPH_M)
+            .cast("long")
+            .alias("scored_cap"),
+            "max_scored", "total_scored", "hits", "truth_rows",
+            F.expr("(hits * 10000) div truth_rows").alias(
+                "mean_recall_bp"
+            ),
+        )
+    )
 
 
 QUERIES["sim_graph_budget_sweep"] = sim_graph_budget_sweep
