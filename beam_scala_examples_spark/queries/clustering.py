@@ -189,6 +189,106 @@ def _km_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _KM_CACHE[key]
 
 
+def _ivf_stride_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, ce, cnorm): the deterministic stride coarse-quantizer
+    centroid set shared by the stride-IVF rungs (every effective-stride
+    vector, capped at IVF_MAX_CELLS — same derivation as
+    ``sim_ivf_topk``'s inline version since round 2)."""
+    from .llmdata import IVF_MAX_CELLS, IVF_STRIDE, _SPARK_DOT
+
+    emb = _emb_corpus(spark, sf_dir)
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    mx = base.agg(F.max("vec_id").alias("mx"))
+    return (
+        base.join(F.broadcast(mx))
+        .withColumn(
+            "stride",
+            F.greatest(
+                F.lit(IVF_STRIDE),
+                F.ceil((F.col("mx") + 1) / float(IVF_MAX_CELLS)),
+            ),
+        )
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnorm"),
+        )
+    )
+
+
+def _ivf_stride_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid) under the STRIDE coarse quantizer, persisted once
+    per (application, sf_dir) — the inverted-list index the stride-IVF
+    rungs serve from.
+
+    Round 11 (guide §1.2/§2.4): ``sim_ivf_topk`` and ``sim_ivfpq_topk``
+    each re-ran the corpus x centroids argmax (a BroadcastNestedLoopJoin
+    plus a wide aggregate) on EVERY serve rep, inside every recall twin
+    — the assignment is a pure deterministic function of the corpus, so
+    it is index build, not serve work.  Same memo/lifecycle pattern as
+    ``_km_assigned`` (the trained-cell twin); priced as a train leg in
+    ``bench.train_warmup``; ``session.clear_session_memos`` releases it."""
+    key = (
+        "ivfstride", spark.sparkContext.applicationId, sf_dir.rstrip("/")
+    )
+    if key not in _KM_CACHE:
+        from .llmdata import _SPARK_DOT
+
+        emb = _emb_corpus(spark, sf_dir)
+        norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+        base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+        cent = _ivf_stride_cents(spark, sf_dir)
+        cdot = F.expr(_SPARK_DOT.format(a="embedding", b="ce"))
+        _KM_CACHE[key] = (
+            base.join(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "cid",
+                (cdot / F.sqrt(F.col("nrm") * F.col("cnorm"))).alias(
+                    "ccos"
+                ),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.expr(
+                    "max_by(cid, named_struct('c', ccos, 'tie', -cid))"
+                ).alias("cid")
+            )
+            .persist()
+        )
+    return _KM_CACHE[key]
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, pqc): the exploded PQ code relation under the session
+    codebooks, persisted once per (application, sf_dir).
+
+    Round 11 (guide §1.2/§4): every PQ rung (sim_pq_topk,
+    sim_ivfpq_topk, both trained twins, the re-rank sweep — plus each
+    one's recall twin) re-ran the ArrowEvalPython encode kernel over
+    the corpus per serve rep.  The codes ARE the stored index — a
+    production store encodes once at ingest and scans the integer code
+    column at serve — so the encode is priced as a train leg
+    (``bench.train_warmup``) and every serve plan reads this slim
+    3-int relation from the block cache.  Deterministic (memoized
+    codebooks, exact argmin), so rebuilds are bit-identical;
+    ``session.clear_session_memos`` releases it."""
+    key = (
+        "pqcodes", spark.sparkContext.applicationId, sf_dir.rstrip("/")
+    )
+    if key not in _KM_CACHE:
+        emb = _emb_corpus(spark, sf_dir)
+        cents = _trained("pq", sf_dir, _pq_train, emb)
+        _KM_CACHE[key] = (
+            _pq_encode(emb, cents)
+            .select("vec_id", F.posexplode("codes").alias("m", "pqc"))
+            .persist()
+        )
+    return _KM_CACHE[key]
+
+
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final cluster assignment after ``KM_ITERS`` Lloyd iterations."""
     return _km_assigned(spark, sf_dir).select("vec_id", "cluster")
@@ -1032,8 +1132,8 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_corpus(spark, sf_dir)
 
     cents = _trained("pq", sf_dir, _pq_train, emb)
-    codes = _pq_encode(emb, cents).select(
-        "vec_id", F.posexplode("codes").alias("m", "cid")
+    codes = _pq_codes(spark, sf_dir).select(
+        "vec_id", "m", F.col("pqc").alias("cid")
     )
 
     cent_rows = [
@@ -1305,9 +1405,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated shuffle on (qid, vec_id) sums the exact-int
     partials.  No float vector ever shuffles."""
     from .llmdata import (
-        IVF_MAX_CELLS,
         IVF_NPROBE,
-        IVF_STRIDE,
         N_QUERY_VECS,
         TOPK_NEIGHBORS,
         _SPARK_DOT,
@@ -1316,51 +1414,21 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb_corpus(spark, sf_dir)
 
-    # PQ codebooks + codes (identical trainer/encoder to sim_pq_topk)
+    # PQ codebooks + codes (identical trainer/encoder to sim_pq_topk;
+    # codes served from the persisted session index — round 11)
     cents = _trained("pq", sf_dir, _pq_train, emb)
-    codes = _pq_encode(emb, cents).select(
-        "vec_id", F.posexplode("codes").alias("m", "pqc")
-    )
+    codes = _pq_codes(spark, sf_dir)
     cdf = spark.createDataFrame(
         [(m, cid, vec) for m, lst in cents.items() for cid, vec in lst],
         "m int, pqc bigint, c array<double>",
     )
 
-    # IVF coarse quantizer (identical stride/argmax to sim_ivf_topk)
+    # IVF coarse quantizer (identical stride/argmax to sim_ivf_topk;
+    # assignment served from the persisted session index — round 11)
     norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
     base = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    mx = base.agg(F.max("vec_id").alias("mx"))
-    cent = (
-        base.join(F.broadcast(mx))
-        .withColumn(
-            "stride",
-            F.greatest(
-                F.lit(IVF_STRIDE),
-                F.ceil((F.col("mx") + 1) / float(IVF_MAX_CELLS)),
-            ),
-        )
-        .filter(F.col("vec_id") % F.col("stride") == 0)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("ce"),
-            F.col("nrm").alias("cnorm"),
-        )
-    )
-    cdot = F.expr(_SPARK_DOT.format(a="embedding", b="ce"))
-    iassign = (
-        base.join(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "cid",
-            (cdot / F.sqrt(F.col("nrm") * F.col("cnorm"))).alias("ccos"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.expr(
-                "max_by(cid, named_struct('c', ccos, 'tie', -cid))"
-            ).alias("cid")
-        )
-    )
+    cent = _ivf_stride_cents(spark, sf_dir)
+    iassign = _ivf_stride_assigned(spark, sf_dir)
     qdf = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -2208,9 +2276,7 @@ def _ivfpq_trained_scored(spark: SparkSession, sf_dir: str):
     )
 
     pqcents = _trained("pq", sf_dir, _pq_train, emb)
-    codes = _pq_encode(emb, pqcents).select(
-        "vec_id", F.posexplode("codes").alias("m", "pqc")
-    )
+    codes = _pq_codes(spark, sf_dir)
     cdf = spark.createDataFrame(
         [(m, cid, vec) for m, lst in pqcents.items() for cid, vec in lst],
         "m int, pqc bigint, c array<double>",
@@ -2719,20 +2785,14 @@ def sim_pq_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.topk import top_k_per_key
 
-    prev = _KM_CACHE.pop("pqsweep", None)
-    if prev is not None:
-        prev.unpersist()
-    emb = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .persist()
-    )
-    _KM_CACHE["pqsweep"] = emb
+    # round 11: serve from the shared session corpus + code index — the
+    # per-call private persist ("pqsweep") was pure cache churn on an
+    # identical relation (guide §5.3)
+    emb = _emb_corpus(spark, sf_dir)
 
     cents = _trained("pq", sf_dir, _pq_train, emb)
-    codes = _pq_encode(emb, cents).select(
-        "vec_id", F.posexplode("codes").alias("m", "cid")
+    codes = _pq_codes(spark, sf_dir).select(
+        "vec_id", "m", F.col("pqc").alias("cid")
     )
     cdf = spark.createDataFrame(
         [(m, cid, vec) for m, lst in cents.items() for cid, vec in lst],
