@@ -1922,40 +1922,107 @@ def sim_filtered_selectivity_sweep(
     Scale: the trained codebook and assignment are session memos
     shared across legs; each leg is one semi-joined cell scan +
     shortlist-bounded exact work, so the sweep costs |legs| filtered
-    serves, never |legs| retrains."""
-    legs = []
-    for lang in SEL_LANGS:
-        allowed = (
-            load(spark, sf_dir, "documents")
-            .filter(F.col("lang") == lang)
-            .select(F.col("doc_id").alias("vec_id"))
+    serves, never |legs| retrains.
+
+    Round 11 (guide §2.4 — the leg-tagging restructure): the three
+    predicates run as ONE lang-tagged search.  Every document carries
+    exactly one lang, so joining the lang column through the candidate
+    relations and partitioning every window by (lang, qid) computes
+    per-leg results identical to three independent semi-joined serves
+    while sharing one truth chain, one cell scan and one hit join."""
+    from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _SPARK_DOT
+    from ..operators.topk import top_k_per_key
+
+    emb = _emb_corpus(spark, sf_dir)
+    cents = _trained("kmeans", sf_dir, _kmeans_train, emb)
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    allowed = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin(list(SEL_LANGS)))
+        .select("lang", F.col("doc_id").alias("vec_id"))
+    )
+    qdf = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm.alias("qnorm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    # exact filtered truth, all legs at once (same pipeline as
+    # _filtered_truth_for with the lang tag riding along)
+    cand_t = emb.select(
+        "vec_id", "embedding", norm.alias("cnorm")
+    ).join(allowed, "vec_id")
+    pairs_t = (
+        cand_t.join(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "lang",
+            "qid",
+            "vec_id",
+            (dot / F.sqrt(F.col("qnorm") * F.col("cnorm"))).alias("cos"),
         )
-        truth = _filtered_truth_for(spark, sf_dir, allowed)
-        hit = _filtered_ivf_for(spark, sf_dir, allowed).select(
-            "qid", "vec_id", F.lit(1).alias("hit")
+    )
+    truth = top_k_per_key(
+        pairs_t, ["lang", "qid"], [F.desc("cos"), F.asc("vec_id")],
+        TOPK_NEIGHBORS,
+    ).select("lang", "qid", "vec_id")
+    # filtered trained-IVF serve, all legs at once (same pipeline as
+    # _filtered_ivf_for)
+    assign = (
+        _km_assigned(spark, sf_dir)
+        .select("vec_id", "cluster", "embedding", norm.alias("nrm"))
+        .join(allowed, "vec_id")
+    )
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "cluster bigint, c array<double>",
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(qe, c,"
+        " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    probes = top_k_per_key(
+        qdf.crossJoin(F.broadcast(cdf)).select(
+            "qid", "qe", "qnorm", "cluster", l2.alias("d2")
+        ),
+        ["qid"],
+        [F.asc("d2"), F.asc("cluster")],
+        IVF_TR_NPROBE,
+    ).select("qid", "qe", "qnorm", "cluster")
+    sdot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+    cand_i = (
+        assign.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "lang",
+            "qid",
+            "vec_id",
+            (sdot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
         )
-        acnt = allowed.agg(
-            F.count("*").cast("long").alias("allowed_rows")
+    )
+    hit = top_k_per_key(
+        cand_i, ["lang", "qid"], [F.desc("cos"), F.asc("vec_id")],
+        TOPK_NEIGHBORS,
+    ).select("lang", "qid", "vec_id", F.lit(1).alias("hit"))
+    acnt = allowed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("allowed_rows")
+    )
+    return (
+        truth.join(hit, ["lang", "qid", "vec_id"], "left")
+        .groupBy("lang")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.count("*").alias("truth_rows"),
         )
-        legs.append(
-            truth.join(hit, ["qid", "vec_id"], "left")
-            .agg(
-                F.lit(lang).alias("lang"),
-                F.count("hit").alias("hits"),
-                F.count("*").alias("truth_rows"),
-            )
-            .crossJoin(F.broadcast(acnt))
-            .select(
-                "lang", "allowed_rows", "hits", "truth_rows",
-                F.expr("(hits * 10000) div truth_rows").alias(
-                    "mean_recall_bp"
-                ),
-            )
+        .join(F.broadcast(acnt), "lang")
+        .select(
+            "lang", "allowed_rows", "hits", "truth_rows",
+            F.expr("(hits * 10000) div truth_rows").alias(
+                "mean_recall_bp"
+            ),
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    )
 
 
 QUERIES["sim_filtered_selectivity_sweep"] = sim_filtered_selectivity_sweep
@@ -3906,31 +3973,42 @@ def sim_prf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     truth_rows = truth.count()
-    parts = []
-    for np_ in PRF_SWEEP_NPROBES:
-        sub = cand.filter(F.col("rn") <= np_)
-        topk = top_k_per_key(
-            sub, ["qid"], [F.desc("prf_score"), F.asc("vec_id")], PRF_TOPK
-        ).select("qid", "vec_id")
-        matches = truth.join(topk, ["qid", "vec_id"], "semi").agg(
-            F.count("*").alias("matches")
+    # Round 11 (guide §2.4 — leg-tagging): a candidate with probe rank
+    # rn belongs to every budget np >= rn, so ONE fan join against the
+    # 3-row budget relation replaces the per-budget filter chains; one
+    # window per (nprobe, qid) and two groupBys compute what three
+    # independent topk/semi/count chains did.
+    buds = spark.createDataFrame(
+        [(int(b),) for b in PRF_SWEEP_NPROBES], "nprobe long"
+    )
+    fan = cand.join(F.broadcast(buds), F.col("rn") <= F.col("nprobe"))
+    topk = top_k_per_key(
+        fan, ["nprobe", "qid"], [F.desc("prf_score"), F.asc("vec_id")],
+        PRF_TOPK,
+    ).select("nprobe", "qid", "vec_id")
+    matches = (
+        truth.join(topk, ["qid", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("matches"))
+    )
+    scanned = fan.groupBy("nprobe").agg(
+        F.count("*").alias("scanned_rows")
+    )
+    return (
+        buds.join(F.broadcast(matches), "nprobe", "left")
+        .join(F.broadcast(scanned), "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("matches", F.lit(0)).cast("long").alias("matches"),
+            F.lit(truth_rows).cast("long").alias("truth_rows"),
+            F.expr(
+                f"(coalesce(matches, 0) * 10000) div {truth_rows}"
+            ).alias("mean_recall_bp"),
+            F.coalesce("scanned_rows", F.lit(0))
+            .cast("long")
+            .alias("scanned_rows"),
         )
-        scanned = sub.agg(F.count("*").alias("scanned_rows"))
-        parts.append(
-            matches.crossJoin(scanned).select(
-                F.lit(np_).cast("long").alias("nprobe"),
-                "matches",
-                F.lit(truth_rows).cast("long").alias("truth_rows"),
-                F.expr(
-                    f"(matches * 10000) div {truth_rows}"
-                ).alias("mean_recall_bp"),
-                "scanned_rows",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 QUERIES["sim_prf_probe_sweep"] = sim_prf_probe_sweep
