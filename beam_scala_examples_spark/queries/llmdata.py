@@ -366,36 +366,91 @@ def data_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair store (doc1, doc2, jaccard), persisted
+    once per (application, sf_dir).
+
+    Round 11 (guide §1.2 build-vs-serve): the exact-Jaccard verify — a
+    shingle self-join — re-ran per call inside SEVEN consumers (the
+    components chain and through it survivors + the three corpus
+    builds, the LSH eval truth, the banding-sweep truth with its own
+    per-call persist churn, the method-agreement report).  The verified
+    pair set is an ingest-time dedup-index artifact (the verify step
+    after LSH runs once per corpus in production), so it is built once
+    and priced as a train leg in ``bench.train_warmup``; O(near-dup
+    pairs) slim rows.  Deterministic (exact integer shingle hashes), so
+    rebuilds are bit-identical; ``session.clear_session_memos``
+    releases it."""
+    key = (
+        "jacpairs", spark.sparkContext.applicationId, sf_dir.rstrip("/")
+    )
+    if key not in _MINHASH_CACHE:
+        sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = sh.alias("a")
+        # SHUFFLE_HASH over sort-merge: measured ~20% faster (both
+        # sides are the identical relation; the sorts are pure
+        # overhead). See the minhash pair join for the memory caveat.
+        b = sh.alias("b").hint("SHUFFLE_HASH")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
+        s1 = sizes.select(
+            F.col("doc_id").alias("doc1"), F.col("n").alias("n1")
+        )
+        s2 = sizes.select(
+            F.col("doc_id").alias("doc2"), F.col("n").alias("n2")
+        )
+        jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+        _MINHASH_CACHE[key] = (
+            inter.join(s1, "doc1")
+            .join(s2, "doc2")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+            .persist()
+        )
+    return _MINHASH_CACHE[key]
+
+
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard near-dup pairs (the verify step after LSH).
 
     Join on shingle — only pairs sharing at least one shingle are ever
     materialized; at 100 TB the input to this is the LSH candidate set.
-    (AQE query-stage reuse dedupes the shared shingle subplan across the
-    self-join sides at runtime; an explicit persist measured no faster.)
-    """
-    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    # SHUFFLE_HASH over sort-merge: measured ~20% faster (both sides are
-    # the identical relation; the sorts are pure overhead). See the
-    # minhash pair join for the memory caveat.
-    b = sh.alias("b").hint("SHUFFLE_HASH")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .agg(F.count("*").alias("inter"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
-    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        inter.join(s1, "doc1")
-        .join(s2, "doc2")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
-    )
+    Round 11: served from the session pair store (one shingle self-join
+    per session, not one per consumer — ``_jaccard_pairs_memo``)."""
+    return _jaccard_pairs_memo(spark, sf_dir)
+
+
+def _cc_labels_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup cluster label store (doc_id, component), computed
+    once per (application, sf_dir).
+
+    Round 11: the pointer-jumping fixpoint (multiple shuffle rounds +
+    eager checkpoints per round) re-ran on EVERY call of
+    ``dedup_components`` — and through it in ``dedup_survivors`` and
+    each of the three corpus builds.  The cluster map is the dedup
+    index a production pipeline resolves once per corpus, so it is
+    built once and priced as a train leg (``bench.train_warmup``).
+    Labels are localCheckpoint-backed (already materialized — no extra
+    persist needed); keyed by (applicationId, sf_dir) so one sf_dir's
+    labels can never serve another (round-6 verdict finding 4);
+    ``session.clear_session_memos`` releases the entry."""
+    key = ("cc_labels", spark.sparkContext.applicationId,
+           sf_dir.rstrip("/"))
+    if key not in _MINHASH_CACHE:
+        from ..operators.graph import connected_components
+
+        pairs = _jaccard_pairs_memo(spark, sf_dir).select("doc1", "doc2")
+        labels, _rounds = connected_components(pairs)
+        _MINHASH_CACHE[key] = labels
+    return _MINHASH_CACHE[key]
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,23 +462,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/graph.py``) — O(log diameter) shuffle rounds, so even
     chained near-dup clusters (a 100-link chain) resolve in ~7 rounds
     instead of 100. Oracle: DuckDB recursive CTE computing min reachable
-    id per node, so even the iterative op stays hash-checked.
-    """
-    from ..operators.graph import connected_components
-
-    # labels are localCheckpoint-backed: popping the previous entry drops
-    # the last reference and the ContextCleaner reclaims its blocks
-    # (unpersist() is a no-op on checkpointed frames — see
-    # operators/graph.py).  The cache entry is a LIFETIME-HOLDER, never
-    # read back — but it is keyed by (applicationId, sf_dir) like the
-    # real memos (round-6 verdict finding 4) so a future memoization
-    # can never serve one sf_dir's labels to another.
-    key = ("cc_labels", spark.sparkContext.applicationId,
-           sf_dir.rstrip("/"))
-    _MINHASH_CACHE.pop(key, None)
-    pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
-    labels, _rounds = connected_components(pairs)
-    _MINHASH_CACHE[key] = labels
+    id per node, so even the iterative op stays hash-checked.  Round 11:
+    the labels come from the session cluster store (``_cc_labels_memo``)
+    — one fixpoint per session, not one per consumer."""
+    labels = _cc_labels_memo(spark, sf_dir)
     return labels.select(
         "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("keep")
     )
@@ -4917,13 +4959,10 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-leg form; the truth relation is computed once.  Output is
     O(configs) rows of exact integers."""
     sigs = _minhash_sig_memo(spark, sf_dir)
-    # the truth relation feeds the hit join and the count; it is
-    # O(near-dup pairs) rows, so pin it (one-live-entry discipline)
-    prev = _MINHASH_CACHE.pop("sweep_truth", None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    truth = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2").persist()
-    _MINHASH_CACHE["sweep_truth"] = truth
+    # the truth relation feeds the hit join and the count; it is the
+    # persisted session pair store (round 11 — the old per-call
+    # "sweep_truth" persist churn is gone)
+    truth = _jaccard_pairs_memo(spark, sf_dir).select("doc1", "doc2")
     legs = []
     for r in SWEEP_ROWS_PER_BAND:
         for b in range(N_HASHES // r):
