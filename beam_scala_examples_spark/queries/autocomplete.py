@@ -86,10 +86,20 @@ def q05_autocomplete_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.unpersist(blocking=False)
 
     docs = load(spark, sf_dir, "documents")
-    counts = tokenize(docs, "text").groupBy("word").agg(F.count("*").alias("cnt"))
+    # Round 11 (guide §2.1): every level's ``exact`` branch re-derived
+    # the tokenize + groupBy dictionary from the corpus (max_len parquet
+    # scans — 44 in the before-plan); the aggregated dictionary is
+    # O(vocab) small, so pin it once per call (released with the levels
+    # on the next call).
+    counts = (
+        tokenize(docs, "text")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
     max_len = counts.agg(F.max(F.length("word"))).first()[0] or 0
 
-    persisted: list[DataFrame] = []
+    persisted: list[DataFrame] = [counts]
     tops: DataFrame | None = None  # winners at level L+1
     out: DataFrame | None = None
     for level_len in range(max_len, 0, -1):

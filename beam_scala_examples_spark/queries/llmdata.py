@@ -6079,28 +6079,31 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both pair relations are candidate-bounded (never all-pairs);
     the overlap is one equi-join on (doc1, doc2) plus three counts —
-    O(pairs) work on relations the pipeline computes anyway.  (The
-    double reference per pair relation is deduped by Spark's
-    ReuseExchange — measured: checkpointing them here serializes the
-    two candidate pipelines and wins nothing.)"""
+    O(pairs) work on relations the pipeline computes anyway.
+
+    Round 11 (guide §2.1 single-pass aggregation): the SimHash pair
+    join — the one non-memo-served relation here — was evaluated twice
+    (its own count + the overlap semi join; ReuseExchange only deduped
+    fragments).  One left join against the persisted Jaccard pair
+    store tags each SimHash pair with membership, so one aggregate
+    computes n_simhash AND n_both in a single pass over one SimHash
+    join evaluation."""
     jac = dedup_jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
     sim = dedup_simhash_pairs(spark, sf_dir).select("doc1", "doc2")
     n_jac = jac.agg(F.count("*").alias("n_jaccard"))
-    n_sim = sim.agg(F.count("*").alias("n_simhash"))
-    n_both = jac.join(sim, ["doc1", "doc2"], "semi").agg(
-        F.count("*").alias("n_both")
+    stats = sim.join(
+        jac.withColumn("hit", F.lit(1)), ["doc1", "doc2"], "left"
+    ).agg(
+        F.count("*").alias("n_simhash"),
+        F.count("hit").alias("n_both"),
     )
-    return (
-        n_jac.join(F.broadcast(n_sim))
-        .join(F.broadcast(n_both))
-        .select(
-            "n_jaccard",
-            "n_simhash",
-            "n_both",
-            F.expr(
-                "(n_both * 10000) div (n_jaccard + n_simhash - n_both)"
-            ).alias("method_jaccard_bp"),
-        )
+    return stats.crossJoin(F.broadcast(n_jac)).select(
+        "n_jaccard",
+        "n_simhash",
+        "n_both",
+        F.expr(
+            "(n_both * 10000) div (n_jaccard + n_simhash - n_both)"
+        ).alias("method_jaccard_bp"),
     )
 
 
