@@ -2100,27 +2100,113 @@ def sim_filtered_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded driver-side count on one pruned column (the same class of
     bounded action as the centroid collects) — so the routing decision
     scales with corpus size instead of riding a row constant; see the
-    cost model at ``auto_brute_max``."""
-    corpus_n = _emb_corpus(spark, sf_dir).count()
+    cost model at ``auto_brute_max``.
+
+    Round 11 optimization (guide §2.4 — the selectivity sweep's
+    leg-tagging applied here): the per-predicate stats are ONE
+    groupBy(lang) count instead of |langs| scans, and the langs that
+    route to the same plan run as ONE lang-tagged serve — every
+    document carries exactly one lang, so an inner join through the
+    lang column plus windows partitioned by (lang, qid) computes
+    per-leg results identical to the independent serves.  The routing
+    DECISION is unchanged and stays per predicate."""
+    from .llmdata import N_QUERY_VECS, TOPK_NEIGHBORS, _SPARK_DOT
+    from ..operators.topk import top_k_per_key
+
+    emb = _emb_corpus(spark, sf_dir)
+    corpus_n = emb.count()
+    docs = load(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.filter(F.col("lang").isin(list(SEL_LANGS)))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    limit = auto_brute_max(corpus_n)
+    groups = {
+        "brute": [l for l in SEL_LANGS if counts.get(l, 0) <= limit],
+        "ivf": [l for l in SEL_LANGS if counts.get(l, 0) > limit],
+    }
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    qdf = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm.alias("qnorm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
     legs = []
-    for lang in SEL_LANGS:
-        allowed = (
-            load(spark, sf_dir, "documents")
-            .filter(F.col("lang") == lang)
-            .select(F.col("doc_id").alias("vec_id"))
-        )
-        n = allowed.count()
-        if n <= auto_brute_max(corpus_n):
-            plan, topk = "brute", _filtered_brute_topk_for(
-                spark, sf_dir, allowed
+    if groups["brute"]:
+        allowed = docs.filter(
+            F.col("lang").isin(groups["brute"])
+        ).select("lang", F.col("doc_id").alias("vec_id"))
+        cand = emb.select(
+            "vec_id", "embedding", norm.alias("cnorm")
+        ).join(allowed, "vec_id")
+        pairs = (
+            cand.join(F.broadcast(qdf))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "lang", "qid", "vec_id",
+                (dot / F.sqrt(F.col("qnorm") * F.col("cnorm"))).alias(
+                    "cos"
+                ),
             )
-        else:
-            plan, topk = "ivf", _filtered_ivf_for(spark, sf_dir, allowed)
+        )
         legs.append(
-            topk.select(
-                F.lit(lang).alias("lang"),
-                F.lit(plan).alias("plan"),
-                "qid", "vec_id", "cosine",
+            top_k_per_key(
+                pairs, ["lang", "qid"],
+                [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS,
+            ).select(
+                "lang", F.lit("brute").alias("plan"), "qid", "vec_id",
+                F.round("cos", 6).alias("cosine"),
+            )
+        )
+    if groups["ivf"]:
+        cents = _trained("kmeans", sf_dir, _kmeans_train, emb)
+        allowed = docs.filter(
+            F.col("lang").isin(groups["ivf"])
+        ).select("lang", F.col("doc_id").alias("vec_id"))
+        assign = (
+            _km_assigned(spark, sf_dir)
+            .select("vec_id", "cluster", "embedding", norm.alias("nrm"))
+            .join(allowed, "vec_id")
+        )
+        cdf = spark.createDataFrame(
+            [(cid, vec) for cid, vec in cents],
+            "cluster bigint, c array<double>",
+        )
+        l2 = F.expr(
+            "aggregate(zip_with(qe, c,"
+            " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+            " cast(0 as double), (acc, v) -> acc + v)"
+        )
+        probes = top_k_per_key(
+            qdf.crossJoin(F.broadcast(cdf)).select(
+                "qid", "qe", "qnorm", "cluster", l2.alias("d2")
+            ),
+            ["qid"],
+            [F.asc("d2"), F.asc("cluster")],
+            IVF_TR_NPROBE,
+        ).select("qid", "qe", "qnorm", "cluster")
+        sdot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+        cand = (
+            assign.join(F.broadcast(probes), "cluster")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "lang", "qid", "vec_id",
+                (sdot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias(
+                    "cos"
+                ),
+            )
+        )
+        legs.append(
+            top_k_per_key(
+                cand, ["lang", "qid"],
+                [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS,
+            ).select(
+                "lang", F.lit("ivf").alias("plan"), "qid", "vec_id",
+                F.round("cos", 6).alias("cosine"),
             )
         )
     out = legs[0]

@@ -5448,6 +5448,16 @@ def data_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies), never all-pairs; the per-anchor rank-1 windows ride
     WindowGroupLimit so each partition forwards one row per anchor.
     Ties are totally ordered (jaccard desc, candidate id asc).
+
+    Round 11 (guide §2.1 single-pass aggregation): the pos and neg
+    branches each re-ran the whole symmetrized pair chain (two rank-1
+    windows + an inner join — 32 parquet scans / 92 exchanges in the
+    before-plan).  One groupBy(anchor) with side-conditional ``max_by``
+    (ordering key (jac, -other) = the windows' (jac desc, other asc);
+    max_by skips rows whose ordering expression is NULL, i.e. the other
+    side) computes both rank-1 picks in a single pass; anchors missing
+    either side drop via the null filter exactly as the inner join
+    dropped them.
     """
     sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -5475,33 +5485,39 @@ def data_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc2").alias("anchor"), F.col("doc1").alias("other"), "jac"
         )
     )
-    w = Window.partitionBy("anchor").orderBy(F.desc("jac"), F.asc("other"))
-    pos = (
-        sym.filter(F.col("jac") >= JACCARD_THRESHOLD)
-        .withColumn("rk", F.row_number().over(w))
-        .filter("rk = 1")
-        .select(
-            "anchor",
-            F.col("other").alias("positive_id"),
-            F.round("jac", 6).alias("pos_jaccard"),
-        )
+    pos_key = (
+        f"CASE WHEN jac >= {JACCARD_THRESHOLD!r} THEN"
+        " named_struct('j', jac, 't', -other) END"
     )
-    neg = (
-        sym.filter(F.col("jac") < JACCARD_THRESHOLD)
-        .withColumn("rk", F.row_number().over(w))
-        .filter("rk = 1")
-        .select(
-            "anchor",
-            F.col("other").alias("negative_id"),
-            F.round("jac", 6).alias("neg_jaccard"),
-        )
+    neg_key = (
+        f"CASE WHEN jac < {JACCARD_THRESHOLD!r} THEN"
+        " named_struct('j', jac, 't', -other) END"
     )
-    return pos.join(neg, "anchor").select(
-        F.col("anchor").alias("anchor_id"),
-        "positive_id",
-        "pos_jaccard",
-        "negative_id",
-        "neg_jaccard",
+    return (
+        sym.groupBy("anchor")
+        .agg(
+            F.expr(f"max_by(other, {pos_key})").alias("positive_id"),
+            F.expr(
+                f"round(max(CASE WHEN jac >= {JACCARD_THRESHOLD!r}"
+                " THEN jac END), 6)"
+            ).alias("pos_jaccard"),
+            F.expr(f"max_by(other, {neg_key})").alias("negative_id"),
+            F.expr(
+                f"round(max(CASE WHEN jac < {JACCARD_THRESHOLD!r}"
+                " THEN jac END), 6)"
+            ).alias("neg_jaccard"),
+        )
+        .filter(
+            F.col("positive_id").isNotNull()
+            & F.col("negative_id").isNotNull()
+        )
+        .select(
+            F.col("anchor").alias("anchor_id"),
+            "positive_id",
+            "pos_jaccard",
+            "negative_id",
+            "neg_jaccard",
+        )
     )
 
 

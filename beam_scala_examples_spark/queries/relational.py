@@ -918,22 +918,12 @@ def star_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct parts per order first so multi-line items don't inflate
     counts.  The global top-N is a TakeOrderedAndProject — only N rows
     per partition reach the driver-side merge, never the pair space.
-    Ties are totally ordered by (count desc, part1, part2)."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("part1"),
-            F.col("b.l_partkey").alias("part2"),
-        )
-        .agg(F.count("*").alias("n_orders"))
+    Ties are totally ordered by (count desc, part1, part2).  Round 11:
+    the pair counts come from the shared weighted pair memo."""
+    pairs = _copurchase_weighted(spark, sf_dir).select(
+        F.col("p1").alias("part1"),
+        F.col("p2").alias("part2"),
+        F.col("w").alias("n_orders"),
     )
     return pairs.orderBy(
         F.desc("n_orders"), F.asc("part1"), F.asc("part2")
@@ -1062,21 +1052,14 @@ def _pagerank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("prpairs", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key in _LPA_CACHE:
         return _LPA_CACHE[key]
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
+    # round 11: symmetrize the shared weighted pair memo — canonical
+    # pairs are unique, so the union IS the distinct != pair set
+    und = _copurchase_weighted(spark, sf_dir).select("p1", "p2")
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
+        und.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionByName(
+            und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
         )
-        .distinct()
         .repartition("src")
         .persist()
     )
@@ -1238,22 +1221,20 @@ def star_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum of degree^2, which is what makes hub nodes survivable.  Closure
     is one more equi-join against the canonical edge list; every count
     is a single-row integer aggregate (closure = 3T/W in basis points,
-    exact integer division)."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
+    exact integer division).  Round 11: the thresholded canonical edge
+    list is a filter over the shared weighted pair memo — the basket
+    self-join that fed four subtrees here (edges, degrees, the wedge
+    join, the closure join) is now one persisted read.  The filtered
+    edge list is cut with an eager localCheckpoint: it feeds four
+    subtrees, and the checkpoint hands the planner the relation's REAL
+    (post-filter) size — serving it straight off the cached memo left
+    the wedge/closure joins planned from the unfiltered relation's
+    statistics, measured 2.3x slower."""
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= TRIANGLE_MIN_SUPPORT)
-        .select("u", "v")
+        _copurchase_weighted(spark, sf_dir)
+        .filter(F.col("w") >= TRIANGLE_MIN_SUPPORT)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -1847,7 +1828,10 @@ def star_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join co-partitioned on l_orderkey (bounded by basket² per
     order); the degree joins key on part ids (no hint — the part
     relation is data-sized, AQE decides); the per-part top-K rides
-    WindowGroupLimit so K rows per part cross the final exchange."""
+    WindowGroupLimit so K rows per part cross the final exchange.
+    Round 11: the != pair counts are the symmetrization of the shared
+    weighted pair memo (canonical counts are direction-independent),
+    so the basket self-join is one persisted read."""
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1856,15 +1840,17 @@ def star_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = li.groupBy(F.col("l_partkey").alias("part")).agg(
         F.count("*").alias("deg")
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("part1"),
-            F.col("b.l_partkey").alias("part2"),
+    und = _copurchase_weighted(spark, sf_dir)
+    pairs = und.select(
+        F.col("p1").alias("part1"),
+        F.col("p2").alias("part2"),
+        F.col("w").alias("n_both"),
+    ).unionByName(
+        und.select(
+            F.col("p2").alias("part1"),
+            F.col("p1").alias("part2"),
+            F.col("w").alias("n_both"),
         )
-        .agg(F.count("*").alias("n_both"))
     )
     sim = (
         pairs.join(
@@ -1941,22 +1927,21 @@ LPA_MIN_SUPPORT = 2
 _LPA_CACHE: dict = {}
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized, support-thresholded co-purchase edge list — the one
-    graph every structure metric here runs on (LPA, assortativity,
-    k-core).
+def _copurchase_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p1, p2, w): the canonical (p1 < p2) co-purchase pair counts —
+    the ONE basket self-join every co-purchase consumer derives from.
 
-    Round 9: session-memoized per (application, sf_dir).  The previous
-    per-consumer replace-cache only deduplicated references WITHIN one
-    call — every graph query re-ran the basket self-join (the expensive
-    Sigma|basket|^2 leg, measured 2-3 s/call at sf0.1), which is what
-    the round-8 bench band flags on untouched graph queries actually
-    were.  The edge list is deterministic per sf_dir, so one persisted
-    derivation serves LPA, assortativity, and k-core alike;
-    ``session.clear_session_memos`` releases it.  At 100x this is the
-    difference between one co-occurrence shuffle per SESSION and one
-    per METRIC."""
-    key = ("edges", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    Round 11 (guide §1.2): five consumers each re-ran the
+    Σ|basket|² order self-join with only cosmetic differences —
+    star_copurchase_pairs (no threshold, counts), the triangle census
+    (threshold 2, canonical), item similarity (counts, both
+    directions), the LPA/assortativity/k-core edge memo (threshold,
+    symmetrized) and the PageRank pair memo (no counts, symmetrized).
+    Every variant is a projection/filter/symmetrization of THIS
+    relation, so the join is now paid once per (application, sf_dir)
+    — the same memo idiom as the round-9 edge list, one level lower.
+    ``session.clear_session_memos`` releases it via _LPA_CACHE."""
+    key = ("wpairs", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if key in _LPA_CACHE:
         return _LPA_CACHE[key]
     li = (
@@ -1973,6 +1958,33 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
         )
         .agg(F.count("*").alias("w"))
+        .persist()
+    )
+    _LPA_CACHE[key] = und
+    return und
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized, support-thresholded co-purchase edge list — the one
+    graph every structure metric here runs on (LPA, assortativity,
+    k-core).
+
+    Round 9: session-memoized per (application, sf_dir).  The previous
+    per-consumer replace-cache only deduplicated references WITHIN one
+    call — every graph query re-ran the basket self-join (the expensive
+    Sigma|basket|^2 leg, measured 2-3 s/call at sf0.1), which is what
+    the round-8 bench band flags on untouched graph queries actually
+    were.  The edge list is deterministic per sf_dir, so one persisted
+    derivation serves LPA, assortativity, and k-core alike;
+    ``session.clear_session_memos`` releases it.  At 100x this is the
+    difference between one co-occurrence shuffle per SESSION and one
+    per METRIC.  Round 11: built from the shared weighted pair memo
+    instead of its own basket self-join."""
+    key = ("edges", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key in _LPA_CACHE:
+        return _LPA_CACHE[key]
+    und = (
+        _copurchase_weighted(spark, sf_dir)
         .filter(F.col("w") >= LPA_MIN_SUPPORT)
         .select("p1", "p2")
     )

@@ -531,6 +531,16 @@ def train_warmup(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     _cc_labels_memo(spark, sf_dir).count()
     legs["cc_labels_sec"] = round(time.perf_counter() - t0, 3)
+    # round 11: the weighted co-purchase pair relation is the shared
+    # base of every co-purchase graph consumer — price its one-time
+    # basket self-join here too
+    from beam_scala_examples_spark.queries.relational import (
+        _copurchase_weighted,
+    )
+
+    t0 = time.perf_counter()
+    _copurchase_weighted(spark, sf_dir).count()
+    legs["copurchase_pairs_sec"] = round(time.perf_counter() - t0, 3)
     return legs
 
 
