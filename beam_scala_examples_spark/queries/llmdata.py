@@ -6281,15 +6281,17 @@ def data_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every member is an O(1)-row aggregate over a pipeline the
     engine already runs; the card is a union of 1-row relations."""
     docs = load(spark, sf_dir, "documents")
+    # round 11 (guide §2.1): the token-total member rides the same
+    # one-pass aggregate as the headline counts — one corpus scan of
+    # the text column, not two
     base = docs.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("text").alias("n_distinct_texts"),
+        F.sum(F.size(F.expr(_SPARK_TOKS))).cast("long").alias("v"),
     ).localCheckpoint()
-    tokens = docs.agg(
-        F.sum(F.size(F.expr(_SPARK_TOKS))).cast("long").alias("v")
-    )
+    tokens = base.select("v")
     neardup = dedup_lsh_novelty(spark, sf_dir).agg(
         F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup")
     )
