@@ -4059,42 +4059,31 @@ def sim_prf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     truth_rows = truth.count()
-    # Round 11 (guide §2.4 — leg-tagging): a candidate with probe rank
-    # rn belongs to every budget np >= rn, so ONE fan join against the
-    # 3-row budget relation replaces the per-budget filter chains; one
-    # window per (nprobe, qid) and two groupBys compute what three
-    # independent topk/semi/count chains did.
-    buds = spark.createDataFrame(
-        [(int(b),) for b in PRF_SWEEP_NPROBES], "nprobe long"
-    )
-    fan = cand.join(F.broadcast(buds), F.col("rn") <= F.col("nprobe"))
-    topk = top_k_per_key(
-        fan, ["nprobe", "qid"], [F.desc("prf_score"), F.asc("vec_id")],
-        PRF_TOPK,
-    ).select("nprobe", "qid", "vec_id")
-    matches = (
-        truth.join(topk, ["qid", "vec_id"])
-        .groupBy("nprobe")
-        .agg(F.count("*").alias("matches"))
-    )
-    scanned = fan.groupBy("nprobe").agg(
-        F.count("*").alias("scanned_rows")
-    )
-    return (
-        buds.join(F.broadcast(matches), "nprobe", "left")
-        .join(F.broadcast(scanned), "nprobe", "left")
-        .select(
-            "nprobe",
-            F.coalesce("matches", F.lit(0)).cast("long").alias("matches"),
-            F.lit(truth_rows).cast("long").alias("truth_rows"),
-            F.expr(
-                f"(coalesce(matches, 0) * 10000) div {truth_rows}"
-            ).alias("mean_recall_bp"),
-            F.coalesce("scanned_rows", F.lit(0))
-            .cast("long")
-            .alias("scanned_rows"),
+    parts = []
+    for np_ in PRF_SWEEP_NPROBES:
+        sub = cand.filter(F.col("rn") <= np_)
+        topk = top_k_per_key(
+            sub, ["qid"], [F.desc("prf_score"), F.asc("vec_id")], PRF_TOPK
+        ).select("qid", "vec_id")
+        matches = truth.join(topk, ["qid", "vec_id"], "semi").agg(
+            F.count("*").alias("matches")
         )
-    )
+        scanned = sub.agg(F.count("*").alias("scanned_rows"))
+        parts.append(
+            matches.crossJoin(scanned).select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "matches",
+                F.lit(truth_rows).cast("long").alias("truth_rows"),
+                F.expr(
+                    f"(matches * 10000) div {truth_rows}"
+                ).alias("mean_recall_bp"),
+                "scanned_rows",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 QUERIES["sim_prf_probe_sweep"] = sim_prf_probe_sweep

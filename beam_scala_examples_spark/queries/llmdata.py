@@ -10130,106 +10130,91 @@ def sim_sq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per leg one narrow corpus pass over ``bits``/8 of the
     float32 bytes; stats and queries broadcast; ranks ride
-    WindowGroupLimit.
-
-    Round 11 (guide §2.4 — leg-tagging): the four budgets run as ONE
-    bits-tagged pipeline — the corpus is quantized once for all four
-    level counts (``lv`` rides as a column off the broadcast 4-row
-    budget relation; per row the arithmetic is bit-identical to the
-    per-leg literal form), every join carries ``bits`` in its key and
-    every window partitions by (bits, qid), so per-budget results equal
-    the four independent chains while paying one chain."""
+    WindowGroupLimit."""
     emb = load(spark, sf_dir, "embeddings")
     norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
     stats = F.broadcast(_sq8_stats(emb))
     truth = sim_cosine_topk(spark, sf_dir).select("qid", "vec_id")
-    bdf = spark.createDataFrame(
-        [(int(b), float((1 << b) - 1)) for b in SQ_BITS],
-        "bits long, lv double",
-    )
-    # per-dim step for this budget: the 255-level step rescaled —
-    # scs holds (mx-mn)/255, so (mx-mn)/lv = scs*255/lv
-    qv_expr = (
-        f"transform(sequence(1, {EMB_DIM}), i -> CASE"
-        " WHEN element_at(scs, i) = 0D THEN 0L"
-        " ELSE cast(least(greatest(round("
-        "(cast(element_at(embedding, i) as double)"
-        " - element_at(mns, i))"
-        " / (element_at(scs, i) * 255.0D / lv)), 0D),"
-        " lv) as bigint) END)"
-    )
-    base = (
-        emb.join(stats)
-        .join(F.broadcast(bdf))
-        .select(
-            "bits",
-            "vec_id",
-            "embedding",
-            F.expr(qv_expr).alias("qv"),
-            norm.alias("nrm"),
+    legs = []
+    for bits in SQ_BITS:
+        lv = (1 << bits) - 1
+        # per-dim step for this budget: the 255-level step rescaled —
+        # scs holds (mx-mn)/255, so (mx-mn)/lv = scs*255/lv
+        qv_expr = (
+            f"transform(sequence(1, {EMB_DIM}), i -> CASE"
+            " WHEN element_at(scs, i) = 0D THEN 0L"
+            " ELSE cast(least(greatest(round("
+            "(cast(element_at(embedding, i) as double)"
+            " - element_at(mns, i))"
+            f" / (element_at(scs, i) * 255.0D / {lv}.0D)), 0D),"
+            f" {lv}D) as bigint) END)"
         )
-        .withColumn("qn", F.expr(_SPARK_IDOT.format(a="qv", b="qv")))
-        .filter(F.col("qn") > 0)
-    )
-    q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        "bits",
-        F.col("vec_id").alias("qid"),
-        F.col("qv").alias("qqv"),
-        F.col("qn").alias("qqn"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qnorm"),
-    )
-    approx = (
-        base.select("bits", "vec_id", "qv", "qn")
-        .join(F.broadcast(q.select("bits", "qid", "qqv", "qqn")), "bits")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "bits", "qid", "vec_id",
-            (
-                F.expr(_SPARK_IDOT.format(a="qv", b="qqv"))
-                .cast("double")
-                / F.sqrt((F.col("qn") * F.col("qqn")).cast("double"))
-            ).alias("acos"),
+        base = (
+            emb.join(stats)
+            .select(
+                "vec_id",
+                "embedding",
+                F.expr(qv_expr).alias("qv"),
+                norm.alias("nrm"),
+            )
+            .withColumn("qn", F.expr(_SPARK_IDOT.format(a="qv", b="qv")))
+            .filter(F.col("qn") > 0)
         )
-    )
-    short = top_k_per_key(
-        approx, ["bits", "qid"], [F.desc("acos"), F.asc("vec_id")],
-        SQ8_SHORTLIST,
-    ).select("bits", "qid", "vec_id")
-    dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
-    scored = (
-        short.join(
-            base.select("bits", "vec_id", "embedding", "nrm"),
-            ["bits", "vec_id"],
+        q = base.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("qid"),
+            F.col("qv").alias("qqv"),
+            F.col("qn").alias("qqn"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnorm"),
         )
-        .join(
-            F.broadcast(q.select("bits", "qid", "qe", "qnorm")),
-            ["bits", "qid"],
+        approx = (
+            base.select("vec_id", "qv", "qn")
+            .join(F.broadcast(q.select("qid", "qqv", "qqn")))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid", "vec_id",
+                (
+                    F.expr(_SPARK_IDOT.format(a="qv", b="qqv"))
+                    .cast("double")
+                    / F.sqrt((F.col("qn") * F.col("qqn")).cast("double"))
+                ).alias("acos"),
+            )
         )
-        .select(
-            "bits", "qid", "vec_id",
-            (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+        short = top_k_per_key(
+            approx, ["qid"], [F.desc("acos"), F.asc("vec_id")],
+            SQ8_SHORTLIST,
+        ).select("qid", "vec_id")
+        dot = F.expr(_SPARK_DOT.format(a="qe", b="embedding"))
+        scored = (
+            short.join(base.select("vec_id", "embedding", "nrm"), "vec_id")
+            .join(F.broadcast(q.select("qid", "qe", "qnorm")), "qid")
+            .select(
+                "qid", "vec_id",
+                (dot / F.sqrt(F.col("qnorm") * F.col("nrm"))).alias("cos"),
+            )
         )
-    )
-    topb = top_k_per_key(
-        scored, ["bits", "qid"], [F.desc("cos"), F.asc("vec_id")],
-        TOPK_NEIGHBORS,
-    ).select("bits", "qid", "vec_id", F.lit(1).alias("hit"))
-    truth_t = truth.crossJoin(F.broadcast(bdf.select("bits")))
-    return (
-        truth_t.join(topb, ["bits", "qid", "vec_id"], "left")
-        .groupBy("bits")
-        .agg(
-            F.count("hit").alias("hits"),
-            F.count("*").alias("truth_rows"),
+        topb = top_k_per_key(
+            scored, ["qid"], [F.desc("cos"), F.asc("vec_id")],
+            TOPK_NEIGHBORS,
+        ).select("qid", "vec_id", F.lit(1).alias("hit"))
+        legs.append(
+            truth.join(topb, ["qid", "vec_id"], "left")
+            .agg(
+                F.lit(bits).cast("long").alias("bits"),
+                F.count("hit").alias("hits"),
+                F.count("*").alias("truth_rows"),
+            )
+            .select(
+                "bits", "hits", "truth_rows",
+                F.expr("(hits * 10000) div truth_rows").alias(
+                    "mean_recall_bp"
+                ),
+            )
         )
-        .select(
-            "bits", "hits", "truth_rows",
-            F.expr("(hits * 10000) div truth_rows").alias(
-                "mean_recall_bp"
-            ),
-        )
-    )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 QUERIES["sim_sq_bits_sweep"] = sim_sq_bits_sweep
