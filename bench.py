@@ -517,6 +517,14 @@ def train_warmup(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     _pq_codes(spark, sf_dir).count()
     legs["pq_encode_sec"] = round(time.perf_counter() - t0, 3)
+    # round 11 (cont.): the PCA basis (covariance + top eigenvector) is
+    # a fitted model artifact shared by four consumers — price its fit
+    # here so their numbers are the honest apply/serve leg
+    from beam_scala_examples_spark.queries.clustering import _pca_v_memo
+
+    t0 = time.perf_counter()
+    _pca_v_memo(spark, sf_dir).count()
+    legs["pca_fit_sec"] = round(time.perf_counter() - t0, 3)
     # round 11: the verified-Jaccard pair store and the component label
     # store are ingest-time dedup index artifacts (build once, serve
     # many) — price the builds here for the same reason
