@@ -41,11 +41,31 @@ def connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
     manage lifetime by dropping references."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
-    ).persist()
+    )
+    # Round 11 (guide §2 — scale-adaptive partitioning): the loop's
+    # per-round cost on a near-dup graph is task/stage overhead, not
+    # compute — label relations are O(nodes-in-pairs) slim rows, and a
+    # fixed 32-way layout pays 32 tasks per stage per round for a graph
+    # of a few thousand edges.  Partition count derives from the
+    # measured edge count (one bounded count on the relation the loop
+    # materializes anyway; ~50k edges per partition, capped at the
+    # session parallelism), so the same code lays out a 100 TB pair
+    # graph wide and a small one narrow.  Measured at sf0.1: the pHash
+    # component resolve dropped ~2x in same-window A/B.
+    n_edges = edges.count()
+    np_ = max(
+        1,
+        min(
+            pairs.sparkSession.sparkContext.defaultParallelism,
+            n_edges // 50_000 + 1,
+        ),
+    )
+    edges = edges.repartition(np_, "doc2").persist()
     labels = (
         edges.select(F.col("doc1").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
+        .repartition(np_, "doc_id")
         .localCheckpoint(eager=True)
     )
     rounds = 0

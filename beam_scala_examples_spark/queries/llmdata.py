@@ -1040,6 +1040,13 @@ def top_ngram_chars_relation(docs: DataFrame) -> DataFrame:
     """Relation-level body of :func:`text_top_ngram_chars` — shared with
     the streaming dataset-card sink, which computes the same signals per
     micro-batch."""
+    # Round-11 examined, kept as-is: two restructures were measured
+    # SLOWER at sf0.1 (best-of-3, same host window) — a map-only
+    # higher-order-function form (array_sort + run-length fold per doc;
+    # removes all six exchanges but the interpreted lambda costs more
+    # than the small shuffles: 1.28 s -> 1.45-1.72 s) and a one-shuffle
+    # union-tagged explode + pivot (1.28 s -> 2.9 s).  The three
+    # explode+groupBy legs stand as the measured-best form.
     base = docs.select(
         "doc_id",
         F.expr(_SPARK_TOKS).alias("toks"),
@@ -3664,19 +3671,38 @@ def dedup_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(rk))
         .join(sizes, "doc_id")
         .filter(F.col("rk") <= F.col("n") - F.expr("(7 * n + 9) div 10") + 1)
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "n")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # round 11 (guide §3.2 — prune before the expensive verify):
+        # the size bound of the prefix-filter literature — i <=
+        # min(n1, n2) and union >= max(n1, n2), so jaccard >= 0.7
+        # forces 10*min >= 7*max — drops most candidates using the
+        # sizes the prefix rows already carry, before the distinct and
+        # the array_intersect verify.  Lossless (a necessary condition
+        # of the final filter); measured 202k -> far fewer verify pairs,
+        # ~20% off the query (4.1 -> 3.2 s isolated best-of-3).
+        .filter(
+            10 * F.least(F.col("a.n"), F.col("b.n"))
+            >= 7 * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
         .select(
             F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
         )
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("toks"), F.count("*").alias("n")
+    # collect_set dedupes, so the set leg rides the NON-distinct
+    # shingle stream — one (doc_id, shingle) distinct shuffle fewer
+    # (the minhash duplicate-idempotence trick, guide §2.3)
+    sets = (
+        _shingles(spark, sf_dir, distinct=False)
+        .select("doc_id", "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("toks"))
+        .withColumn("n", F.size("toks"))
     )
     return (
         cand.join(
@@ -6325,16 +6351,10 @@ def data_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("long").alias("value"),
         )
     )
-    # O(regions) slim rows feeding two consumers — checkpoint the cut
-    # so the positional-selection pipeline runs once, not twice (the
-    # card's cost is spread across its seven members, so the whole-card
-    # win is modest — ~4% measured at sf0.1 — but the shape discipline
-    # matches the base/localCheckpoint cut above).  Prints come from the
-    # shared session memo (winnow_prints_memo) — the card no longer
-    # rebuilds the positional-selection scan its sibling queries built.
-    regions = winnow_regions_from_prints(
-        winnow_prints_memo(spark, sf_dir)
-    ).localCheckpoint(eager=True)
+    # Round 11: the regions ride the session copy-region store (already
+    # checkpoint-backed), so the card's two region members are plain
+    # aggregates over O(regions) slim rows.
+    regions = _winnow_regions_memo(spark, sf_dir)
     region_stats = regions.agg(
         F.countDistinct("doc_a", "doc_b").alias("n_pairs"),
         F.coalesce(F.sum("length_tokens"), F.lit(0)).alias("n_tokens"),
@@ -7402,22 +7422,29 @@ def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         # guard: Spark's sequence(a, b) counts DOWN when b < a, so a
         # sub-span-length doc must short-circuit to an empty array
-        # rather than reach sequence(0, -1)
+        # rather than reach sequence(0, -1).
+        # round 11 (guide §2.3 — narrower types, cheaper hash): the
+        # fingerprint is equality-only (it never reaches the output;
+        # the oracle's md5 and this xxhash64 both just partition spans
+        # into identity classes), so an 8-byte engine hash replaces the
+        # 32-char md5 string — half the fingerprint compute and a 4x
+        # narrower owner/flag shuffle key.  Parity-verified at every
+        # fixture SF (deterministic data, zero collisions either way).
         F.explode(
             F.expr(
                 f"case when size(toks) >= {SPAN_TOKENS} then"
                 f" transform(sequence(cast(0 as bigint),"
                 f" cast(size(toks) as bigint) - {SPAN_TOKENS}),"
-                f" j -> md5(array_join(slice(toks, cast(j + 1 as int),"
+                f" j -> xxhash64(array_join(slice(toks, cast(j + 1 as int),"
                 f" {SPAN_TOKENS}), ' ')))"
                 f" else array() end"
             )
-        ).alias("span_md5"),
+        ).alias("span_fp"),
     )
-    owners = spans.groupBy("span_md5").agg(
+    owners = spans.groupBy("span_fp").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
-    flagged = spans.join(owners, "span_md5").select(
+    flagged = spans.join(owners, "span_fp").select(
         "doc_id", (F.col("n_docs") >= 2).cast("long").alias("is_dup")
     )
     per_doc = flagged.groupBy("doc_id").agg(
@@ -7506,23 +7533,24 @@ def dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         # posexplode: pos IS the span's start index j (0-based); same
-        # sequence-descend guard as dedup_span_pairs
+        # sequence-descend guard — and same equality-only xxhash64
+        # fingerprint (round 11) — as dedup_span_pairs
         F.posexplode(
             F.expr(
                 f"case when size(toks) >= {SPAN_TOKENS} then"
                 f" transform(sequence(cast(0 as bigint),"
                 f" cast(size(toks) as bigint) - {SPAN_TOKENS}),"
-                f" j -> md5(array_join(slice(toks, cast(j + 1 as int),"
+                f" j -> xxhash64(array_join(slice(toks, cast(j + 1 as int),"
                 f" {SPAN_TOKENS}), ' ')))"
                 f" else array() end"
             )
-        ).alias("j", "span_md5"),
+        ).alias("j", "span_fp"),
     )
-    owners = spans.groupBy("span_md5").agg(
+    owners = spans.groupBy("span_fp").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
     dup = (
-        spans.join(owners, "span_md5")
+        spans.join(owners, "span_fp")
         .filter(F.col("n_docs") >= 2)
         .select("doc_id", F.col("j").cast("long").alias("j"))
     )
@@ -8187,6 +8215,29 @@ def winnow_prints_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _WINNOW_PRINT_MEMO[key]
 
 
+def _winnow_regions_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The copy-region store (doc_a, doc_b, start_a, start_b,
+    length_tokens, n_prints), computed once per (application, sf_dir).
+
+    Round 11 (guide §1.2 build-vs-serve): the match/island pass over
+    the positioned prints — a prints self-join plus two windows — re-ran
+    per call inside FIVE consumers (the regions query itself, the
+    per-doc and per-source coverage views, the dataset card's region
+    members, the copyaware corpus build).  WHERE the copies are is the
+    same ingest-time dedup-index artifact as the verified Jaccard pair
+    store (``_jaccard_pairs_memo``), so it is built once and priced as
+    a train leg in ``bench.train_warmup``; O(regions) slim int64 rows,
+    localCheckpoint-backed (materialized — no extra persist), keyed by
+    (applicationId, sf_dir); ``session.clear_session_memos`` releases
+    the entry."""
+    key = ("regions", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _WINNOW_PRINT_MEMO:
+        _WINNOW_PRINT_MEMO[key] = winnow_regions_from_prints(
+            winnow_prints_memo(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    return _WINNOW_PRINT_MEMO[key]
+
+
 def winnow_regions_from_prints(prints: DataFrame) -> DataFrame:
     """The match/island half of :func:`winnow_regions_relation`, over an
     already-positioned (doc_id, fp, pos) print relation — factored so
@@ -8243,10 +8294,10 @@ def winnow_regions_from_prints(prints: DataFrame) -> DataFrame:
 def text_winnow_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional MOSS: WHERE each copy is, not just that it exists —
     the winnowing analogue of what ``dedup_span_runs`` added over
-    ``dedup_span_pairs``.  See :func:`winnow_regions_relation`; the
-    positioned prints come from the shared session memo
-    (:func:`winnow_prints_memo`)."""
-    return winnow_regions_from_prints(winnow_prints_memo(spark, sf_dir))
+    ``dedup_span_pairs``.  See :func:`winnow_regions_relation`; round
+    11: served from the session copy-region store
+    (:func:`_winnow_regions_memo`)."""
+    return _winnow_regions_memo(spark, sf_dir)
 
 
 QUERIES["text_winnow_regions"] = text_winnow_regions
@@ -8672,9 +8723,9 @@ def text_winnow_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass windows on doc_id (partitions bounded by per-doc region
     counts); the token counts ride the scan."""
     docs = load(spark, sf_dir, "documents")
-    # The prints come from the shared session memo so the
-    # tokenize→hash→window-min scan never reruns per consumer.
-    regions = winnow_regions_from_prints(winnow_prints_memo(spark, sf_dir))
+    # Round 11: the regions come from the session copy-region store so
+    # the prints self-join + island windows never rerun per consumer.
+    regions = _winnow_regions_memo(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.size(F.expr(_SPARK_TOKS)).cast("long").alias("n_tokens"),

@@ -539,6 +539,16 @@ def train_warmup(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     _cc_labels_memo(spark, sf_dir).count()
     legs["cc_labels_sec"] = round(time.perf_counter() - t0, 3)
+    # round 11 (cont.): the copy-region store (winnowing match/island
+    # pass) is the positional twin of the Jaccard pair store — five
+    # consumers serve from it; price the build here
+    from beam_scala_examples_spark.queries.llmdata import (
+        _winnow_regions_memo,
+    )
+
+    t0 = time.perf_counter()
+    _winnow_regions_memo(spark, sf_dir).count()
+    legs["winnow_regions_sec"] = round(time.perf_counter() - t0, 3)
     # round 11: the weighted co-purchase pair relation is the shared
     # base of every co-purchase graph consumer — price its one-time
     # basket self-join here too
