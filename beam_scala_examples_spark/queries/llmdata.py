@@ -8424,16 +8424,27 @@ def _phash_image_corpus(docs: DataFrame) -> DataFrame:
 
 def _phash_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(img_id, phash) over the constructed image corpus — render each
-    row's text to a real BMP, then hash the parsed raster."""
-    from ..operators.multimodal import (
-        attach_bmp_payload_keyed,
-        phash_bmp_metadata,
-    )
+    row's text to a real BMP, then hash the parsed raster.
 
-    docs = load(spark, sf_dir, "documents")
-    return phash_bmp_metadata(
-        attach_bmp_payload_keyed(_phash_image_corpus(docs))
-    )
+    Round 11 (guide §1.2 build-vs-serve): computed once per
+    (application, sf_dir) — the perceptual hashes ARE the stored image
+    index (a production store hashes at ingest and serves the slim
+    int64 relation), yet every pHash rung re-rendered and re-hashed the
+    corpus per call.  Same memo/lifecycle pattern as ``_pq_codes``;
+    priced as a train leg in ``bench.train_warmup``;
+    ``session.clear_session_memos`` releases the entry."""
+    key = ("phash", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _MINHASH_CACHE:
+        from ..operators.multimodal import (
+            attach_bmp_payload_keyed,
+            phash_bmp_metadata,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        _MINHASH_CACHE[key] = phash_bmp_metadata(
+            attach_bmp_payload_keyed(_phash_image_corpus(docs))
+        ).localCheckpoint(eager=True)
+    return _MINHASH_CACHE[key]
 
 
 def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8873,11 +8884,10 @@ def phash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "bucket", F.expr("shiftright(phash, band * 16) & 65535")
         )
-        # O(gated images × bands) slim rows; every consumer (pair
-        # self-join sides, novelty's firsts+membership, the verified
-        # ladder) otherwise re-renders and re-hashes the whole image
-        # corpus per reference — the render is the expensive half.
-        .localCheckpoint(eager=True)
+        # round 11: the hashes ride the session memo (_phash_relation),
+        # so banding is a cheap projection off the checkpointed int64
+        # relation — the per-call checkpoint of the banding itself is
+        # gone (it re-materialized a projection every call).
     )
 
 
@@ -9012,16 +9022,20 @@ def multimodal_phash_components(
     CTE min-reachable-id, so the iterative op stays hash-checked."""
     from ..operators.graph import connected_components
 
-    # lifetime-holder keyed like the real memos (round-6 verdict
-    # finding 4) — see the dedup_components twin for the rationale
+    # round 11: a true session memo (the image cluster map is the same
+    # ingest-time dedup-index artifact as ``_cc_labels_memo``, which
+    # replaced this key's old pop-then-store lifetime holder on the
+    # text rung; the fixpoint is priced as a train leg in
+    # ``bench.train_warmup``)
     key = ("phash_cc_labels", spark.sparkContext.applicationId,
            sf_dir.rstrip("/"))
-    _MINHASH_CACHE.pop(key, None)
-    pairs = multimodal_phash_pairs(spark, sf_dir).select(
-        F.col("img_a").alias("doc1"), F.col("img_b").alias("doc2")
-    )
-    labels, _rounds = connected_components(pairs)
-    _MINHASH_CACHE[key] = labels
+    if key not in _MINHASH_CACHE:
+        pairs = multimodal_phash_pairs(spark, sf_dir).select(
+            F.col("img_a").alias("doc1"), F.col("img_b").alias("doc2")
+        )
+        labels, _rounds = connected_components(pairs)
+        _MINHASH_CACHE[key] = labels
+    labels = _MINHASH_CACHE[key]
     return labels.select(
         F.col("doc_id").alias("img_id"),
         "component",
@@ -9276,19 +9290,24 @@ def _video_corpus(docs: DataFrame) -> DataFrame:
 def _video_scene_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vid_id, scene_idx, scene_len, sig) over the constructed video
     corpus — render each row's text to a real Y4M stream, segment into
-    scenes, sign each keyframe.  Checkpointed like ``phash_banded``:
-    the render+parse is the expensive half and every consumer (the
-    scenes query, the pair self-join's two sides, the CC rung) would
-    otherwise re-run it per reference."""
+    scenes, sign each keyframe.  Round 11: computed once per
+    (application, sf_dir) — the scene signatures are the stored video
+    index (ingest-time encode), shared by the scenes query, the pair
+    self-join's two sides and the CC rung; priced as a train leg
+    (``bench.train_warmup``), released by ``clear_session_memos``."""
     from ..operators.multimodal import (
         attach_y4m_payload_keyed,
         scene_keyframes_y4m_metadata,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    return scene_keyframes_y4m_metadata(
-        attach_y4m_payload_keyed(_video_corpus(docs))
-    ).localCheckpoint(eager=True)
+    key = ("videoscene", spark.sparkContext.applicationId,
+           sf_dir.rstrip("/"))
+    if key not in _MINHASH_CACHE:
+        docs = load(spark, sf_dir, "documents")
+        _MINHASH_CACHE[key] = scene_keyframes_y4m_metadata(
+            attach_y4m_payload_keyed(_video_corpus(docs))
+        ).localCheckpoint(eager=True)
+    return _MINHASH_CACHE[key]
 
 
 def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9472,14 +9491,18 @@ def multimodal_video_components(
     rounds); oracle: recursive min-reachable-id CTE."""
     from ..operators.graph import connected_components
 
+    # round 11: a true session memo (the video cluster map is the same
+    # ingest-time dedup-index artifact as ``_cc_labels_memo``; the
+    # fixpoint is priced as a train leg in ``bench.train_warmup``)
     key = ("video_cc_labels", spark.sparkContext.applicationId,
            sf_dir.rstrip("/"))
-    _MINHASH_CACHE.pop(key, None)
-    pairs = multimodal_video_pairs(spark, sf_dir).select(
-        F.col("vid_a").alias("doc1"), F.col("vid_b").alias("doc2")
-    )
-    labels, _rounds = connected_components(pairs)
-    _MINHASH_CACHE[key] = labels
+    if key not in _MINHASH_CACHE:
+        pairs = multimodal_video_pairs(spark, sf_dir).select(
+            F.col("vid_a").alias("doc1"), F.col("vid_b").alias("doc2")
+        )
+        labels, _rounds = connected_components(pairs)
+        _MINHASH_CACHE[key] = labels
+    labels = _MINHASH_CACHE[key]
     return labels.select(
         F.col("doc_id").alias("vid_id"),
         "component",
@@ -9619,17 +9642,22 @@ def _audio_corpus(docs: DataFrame) -> DataFrame:
 def _audio_fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(aud_id, frame_idx, code) over the constructed audio corpus —
     render each row's text to a real WAV, fingerprint the decoded PCM.
-    Checkpointed: the render+parse is the expensive half and the word
-    packer / pair join / recall rung all consume it."""
+    Round 11: computed once per (application, sf_dir) — the codes are
+    the stored audio index (ingest-time encode), shared by the word
+    packer / pair join / recall rung; priced as a train leg
+    (``bench.train_warmup``), released by ``clear_session_memos``."""
     from ..operators.multimodal import (
         attach_wav_payload_keyed,
         fingerprint_wav_metadata,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    return fingerprint_wav_metadata(
-        attach_wav_payload_keyed(_audio_corpus(docs))
-    ).localCheckpoint(eager=True)
+    key = ("audiofp", spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _MINHASH_CACHE:
+        docs = load(spark, sf_dir, "documents")
+        _MINHASH_CACHE[key] = fingerprint_wav_metadata(
+            attach_wav_payload_keyed(_audio_corpus(docs))
+        ).localCheckpoint(eager=True)
+    return _MINHASH_CACHE[key]
 
 
 def multimodal_audio_fingerprint(
