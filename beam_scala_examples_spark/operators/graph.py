@@ -148,7 +148,24 @@ def pagerank_int(
     # ``prepartitioned=True``: the caller hands in an edge list already
     # hash-partitioned by src and persisted (e.g. a session memo shared
     # across calls — round 9); its lifecycle belongs to the caller.
-    e = edges if prepartitioned else edges.repartition("src").persist()
+    # Round 11 (guide §2 — scale-adaptive partitioning, the
+    # connected_components treatment): the edge layout width derives
+    # from the measured edge count instead of the session default, so
+    # every per-round stage over a small graph runs a handful of tasks
+    # instead of 32 — times ``iters`` rounds.  A prepartitioned caller
+    # already chose its width; it is left untouched.
+    if prepartitioned:
+        e = edges
+    else:
+        n_edges = edges.count()
+        np_ = max(
+            1,
+            min(
+                edges.sparkSession.sparkContext.defaultParallelism,
+                n_edges // 50_000 + 1,
+            ),
+        )
+        e = edges.repartition(np_, "src").persist()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("node"))
     base = (scale * (damp_den - damp_num)) // damp_den

@@ -408,11 +408,23 @@ def _jaccard_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("doc2"), F.col("n").alias("n2")
         )
         jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+        # round 11 (second pass): the store also carries the exact
+        # verify integers (i, n1, n2) — slim int64 columns — so
+        # integer-predicate consumers (the threshold curve) read the
+        # store instead of re-running the self-join; value consumers
+        # project them away.
         _MINHASH_CACHE[key] = (
             inter.join(s1, "doc1")
             .join(s2, "doc2")
             .filter(jac >= JACCARD_THRESHOLD)
-            .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+            .select(
+                "doc1",
+                "doc2",
+                F.round(jac, 6).alias("jaccard"),
+                F.col("inter").alias("i"),
+                "n1",
+                "n2",
+            )
             .persist()
         )
     return _MINHASH_CACHE[key]
@@ -425,7 +437,9 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized; at 100 TB the input to this is the LSH candidate set.
     Round 11: served from the session pair store (one shingle self-join
     per session, not one per consumer — ``_jaccard_pairs_memo``)."""
-    return _jaccard_pairs_memo(spark, sf_dir)
+    return _jaccard_pairs_memo(spark, sf_dir).select(
+        "doc1", "doc2", "jaccard"
+    )
 
 
 def _cc_labels_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4126,31 +4140,14 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shingle self-join computes every candidate pair's exact Jaccard
     once (the ``dedup_jaccard_pairs`` plan at its lowest threshold);
     the curve is then a single conditional aggregation over that pair
-    relation — seven thresholds cost one scan, not seven joins."""
-    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b").hint("SHUFFLE_HASH")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
-        )
-        .agg(F.count("*").alias("i"))
-    )
-    jacc = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc1"), "doc1")
-        .withColumnRenamed("n", "n1")
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
-                "n", "n2"
-            ),
-            "doc2",
-        )
-        # integer predicate: J >= t/100  <=>  100*i >= t*(n1+n2-i)
-        .select("i", "n1", "n2")
-    )
+    relation — seven thresholds cost one scan, not seven joins.
+    Round 11 (second pass): the curve's lowest threshold IS the pair
+    store's (0.30), and the store now carries the exact verify integers
+    (i, n1, n2) — so the curve is one conditional aggregation over the
+    session store, and the integer predicate below stays exact (no
+    rounded-double boundary risk)."""
+    jacc = _jaccard_pairs_memo(spark, sf_dir).select("i", "n1", "n2")
+    # integer predicate: J >= t/100  <=>  100*i >= t*(n1+n2-i)
     aggs = [
         F.sum(
             F.when(
@@ -7887,55 +7884,40 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, int64) rows, one owner-count aggregate with map-side
     combine and one join back on the fingerprint.  Gram text never
     shuffles; never all-pairs."""
+    # round 11 (guide §1.2): the selected-fingerprint SET per doc is
+    # exactly the positioned print store's fp column (the per-window
+    # minimum value is position-independent), and the gram COUNT needs
+    # no hashing at all — so the query serves from the session prints
+    # memo plus one hash-free token-count pass, instead of re-md5-ing
+    # every gram of the corpus per call.
     docs = load(spark, sf_dir, "documents")
-    gram_h = _SPARK_H.format(
-        col=f"array_join(slice(toks, cast(j + 1 as int), {K_WINNOW}), ' ')"
+    grams = docs.select(
+        "doc_id",
+        F.expr(
+            f"greatest(size({_SPARK_TOKS}) - {K_WINNOW - 1}, 0)"
+        ).cast("long").alias("n_grams"),
     )
-    hs_expr = (
-        f"case when size(toks) >= {K_WINNOW} then"
-        f" transform(sequence(cast(0 as bigint),"
-        f" cast(size(toks) as bigint) - {K_WINNOW}),"
-        f" j -> {gram_h}) else array() end"
-    )
-    sel_expr = (
-        f"case when size(hs) >= 1 then"
-        f" transform(sequence(cast(0 as bigint),"
-        f" cast(greatest(size(hs) - {W_WINNOW}, 0) as bigint)),"
-        f" j -> array_min(slice(hs, cast(j + 1 as int), {W_WINNOW})))"
-        f" else array() end"
-    )
-    sel_rows = (
-        docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-        .select("doc_id", F.expr(hs_expr).alias("hs"))
-        .select(
-            "doc_id",
-            F.size("hs").cast("long").alias("n_grams"),
-            F.explode_outer(F.expr(sel_expr)).alias("fp"),
-        )
+    sel = (
+        winnow_prints_memo(spark, sf_dir)
+        .select("doc_id", "fp")
         .distinct()
     )
-    owners = (
-        sel_rows.filter(F.col("fp").isNotNull())
-        .groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-    )
+    owners = sel.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
     per_doc = (
-        sel_rows.join(owners, "fp", "left")
-        .groupBy("doc_id", "n_grams")
+        sel.join(owners, "fp")
+        .groupBy("doc_id")
         .agg(
-            F.sum(F.col("fp").isNotNull().cast("long")).alias("n_selected"),
-            F.sum((F.coalesce("nd", F.lit(0)) >= 2).cast("long")).alias(
-                "n_shared"
-            ),
+            F.count("*").alias("n_selected"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared"),
         )
     )
-    return per_doc.select(
+    return grams.join(per_doc, "doc_id", "left").select(
         "doc_id",
         "n_grams",
-        "n_selected",
-        "n_shared",
+        F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
         F.expr(
-            "(n_selected * 10000) div greatest(n_grams, 1)"
+            "(coalesce(n_selected, 0) * 10000) div greatest(n_grams, 1)"
         ).alias("density_bp"),
     )
 
@@ -8011,27 +7993,12 @@ def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no band collapse to blow up one bucket); the per-doc print counts
     join back broadcast-free on doc_id.  Never all-pairs; gram text
     never shuffles."""
-    docs = load(spark, sf_dir, "documents")
-    gram_h = _SPARK_H.format(
-        col=f"array_join(slice(toks, cast(j + 1 as int), {K_WINNOW}), ' ')"
-    )
-    hs_expr = (
-        f"case when size(toks) >= {K_WINNOW} then"
-        f" transform(sequence(cast(0 as bigint),"
-        f" cast(size(toks) as bigint) - {K_WINNOW}),"
-        f" j -> {gram_h}) else array() end"
-    )
-    sel_expr = (
-        f"case when size(hs) >= 1 then"
-        f" transform(sequence(cast(0 as bigint),"
-        f" cast(greatest(size(hs) - {W_WINNOW}, 0) as bigint)),"
-        f" j -> array_min(slice(hs, cast(j + 1 as int), {W_WINNOW})))"
-        f" else array() end"
-    )
+    # round 11 (guide §1.2): the distinct (doc_id, fp) selection is a
+    # projection of the session prints memo — the match step no longer
+    # re-md5s every gram of the corpus per call.
     prints = (
-        docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-        .select("doc_id", F.expr(hs_expr).alias("hs"))
-        .select("doc_id", F.explode(F.expr(sel_expr)).alias("fp"))
+        winnow_prints_memo(spark, sf_dir)
+        .select("doc_id", "fp")
         .distinct()
     )
     counts = prints.groupBy("doc_id").agg(F.count("*").alias("n_prints"))

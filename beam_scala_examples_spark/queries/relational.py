@@ -1055,14 +1055,24 @@ def _pagerank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 11: symmetrize the shared weighted pair memo — canonical
     # pairs are unique, so the union IS the distinct != pair set
     und = _copurchase_weighted(spark, sf_dir).select("p1", "p2")
-    pairs = (
-        und.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionByName(
-            und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-        )
-        .repartition("src")
-        .persist()
+    sym = und.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(
+        und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
     )
+    # round 11: layout width from the measured edge count (the
+    # pagerank_int / connected_components discipline) — the rank loop's
+    # 18 rounds each run stages over this relation, so a small graph
+    # must not pay a 32-way layout per round
+    n_edges = sym.count()
+    np_ = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            n_edges // 50_000 + 1,
+        ),
+    )
+    pairs = sym.repartition(np_, "src").persist()
     _LPA_CACHE[key] = pairs
     return pairs
 
