@@ -52,7 +52,15 @@ def connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
     # session parallelism), so the same code lays out a 100 TB pair
     # graph wide and a small one narrow.  Measured at sf0.1: the pHash
     # component resolve dropped ~2x in same-window A/B.
-    n_edges = edges.count()
+    # Round 12 (r11 ADVICE): count the PERSISTED union, not the raw
+    # plan — counting first evaluated the upstream pair pipeline twice
+    # (once for the width probe, once on first materialization), which
+    # is cheap for memo-backed callers but a full recompute for any
+    # caller passing an expensive un-cached pairs relation.  The staging
+    # cache is released as soon as the repartitioned layout is
+    # materialized off it.
+    staged = edges.persist()
+    n_edges = staged.count()
     np_ = max(
         1,
         min(
@@ -60,7 +68,9 @@ def connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
             n_edges // 50_000 + 1,
         ),
     )
-    edges = edges.repartition(np_, "doc2").persist()
+    edges = staged.repartition(np_, "doc2").persist()
+    edges.count()  # materialize the layout from the staging cache
+    staged.unpersist(blocking=False)
     labels = (
         edges.select(F.col("doc1").alias("doc_id"))
         .distinct()
@@ -157,7 +167,11 @@ def pagerank_int(
     if prepartitioned:
         e = edges
     else:
-        n_edges = edges.count()
+        # r11 ADVICE: persist-then-count so the caller's edge pipeline
+        # is evaluated once, not once per (probe, materialization) —
+        # see connected_components for the same fix
+        staged = edges.persist()
+        n_edges = staged.count()
         np_ = max(
             1,
             min(
@@ -165,7 +179,9 @@ def pagerank_int(
                 n_edges // 50_000 + 1,
             ),
         )
-        e = edges.repartition(np_, "src").persist()
+        e = staged.repartition(np_, "src").persist()
+        e.count()  # materialize the layout from the staging cache
+        staged.unpersist(blocking=False)
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = deg.select(F.col("src").alias("node"))
     base = (scale * (damp_den - damp_num)) // damp_den

@@ -3675,17 +3675,25 @@ _PRF_IVEC = (
 )
 
 
-def _prf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _prf_centroid(
+    spark: SparkSession, sf_dir: str, first: DataFrame | None = None
+) -> DataFrame:
     """(qid, qv array<bigint>): the Rocchio expanded query — each
     query's top ``PRF_FB`` first-pass neighbors summed coordinate-wise
     after integer quantization (``round(x · 10⁶)`` — exact int64,
     order-independent, so the centroid hashes across engines where a
     float mean would not).  O(queries × dims) slim rows, built for
-    BROADCAST into whichever second pass serves the expansion."""
+    BROADCAST into whichever second pass serves the expansion.
+
+    ``first`` (round 12, guide §2.1): callers that already hold the
+    first-pass ranking (e.g. a checkpointed relation shared with their
+    own output) pass it in, so the centroid never re-derives the
+    cosine-topk subtree inside the same plan."""
     from .llmdata import sim_cosine_topk
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    first = sim_cosine_topk(spark, sf_dir)
+    if first is None:
+        first = sim_cosine_topk(spark, sf_dir)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     fb = (
         first.withColumn("r", F.row_number().over(w))
@@ -3723,9 +3731,19 @@ def sim_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid is O(queries × dims) and BROADCAST; the re-rank is the
     same map-side broadcast cross join as ``sim_cosine_topk`` — the
     corpus never shuffles, top-k rides WindowGroupLimit."""
+    return _prf_rerank_exact(spark, sf_dir, _prf_centroid(spark, sf_dir))
+
+
+def _prf_rerank_exact(
+    spark: SparkSession, sf_dir: str, qcent: DataFrame
+) -> DataFrame:
+    """The exact PRF second pass given an expanded-query relation —
+    split out (round 12, guide §2.1) so multi-leg consumers (shift,
+    recall, probe sweep) build the Rocchio centroid ONCE per call and
+    share it across their legs instead of re-deriving the cosine-topk
+    + centroid chain inside every leg's subtree."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ivec = F.expr(_PRF_IVEC)
-    qcent = _prf_centroid(spark, sf_dir)
     scored = (
         emb.select("vec_id", ivec.alias("iv"))
         .crossJoin(F.broadcast(qcent))
@@ -3809,15 +3827,23 @@ def sim_prf_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     feedback set dragged the query off-topic).
 
     Exact integers over two rankings the engine already serves; one
-    outer join + one aggregate."""
+    outer join + one aggregate.
+
+    Round 12 (guide §2.1): the first-pass ranking is computed ONCE
+    (checkpointed — O(queries × k) rows) and feeds both the overlap
+    join and the Rocchio centroid, instead of the centroid re-deriving
+    the whole cosine-topk subtree inside the PRF leg."""
     from .llmdata import sim_cosine_topk
 
-    first = sim_cosine_topk(spark, sf_dir).select(
-        "qid", "vec_id", F.lit(1).alias("in_first")
+    first0 = (
+        sim_cosine_topk(spark, sf_dir)
+        .select("qid", "vec_id", "cosine")
+        .localCheckpoint()
     )
-    prf = sim_prf_expand(spark, sf_dir).select(
-        "qid", "vec_id", F.lit(1).alias("in_prf")
-    )
+    first = first0.select("qid", "vec_id", F.lit(1).alias("in_first"))
+    prf = _prf_rerank_exact(
+        spark, sf_dir, _prf_centroid(spark, sf_dir, first=first0)
+    ).select("qid", "vec_id", F.lit(1).alias("in_prf"))
     return (
         first.join(prf, ["qid", "vec_id"], "full")
         .groupBy("qid")
@@ -3892,10 +3918,18 @@ def sim_prf_expand_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is never fully scored; top-k rides WindowGroupLimit.
     Measured recall vs the exact PRF ranking: ``sim_prf_ivf_recall``
     (docs/SCALE.md)."""
+    return _prf_serve_ivf(spark, sf_dir, _prf_centroid(spark, sf_dir))
+
+
+def _prf_serve_ivf(
+    spark: SparkSession, sf_dir: str, qcent: DataFrame
+) -> DataFrame:
+    """The IVF-served PRF second pass given an expanded-query relation
+    (see :func:`_prf_rerank_exact` for why the centroid is a
+    parameter)."""
     emb = _emb_corpus(spark, sf_dir)
     cents = _trained("kmeans", sf_dir, _kmeans_train, emb)
     assign = _km_assigned(spark, sf_dir)  # (vec_id, cluster, embedding)
-    qcent = _prf_centroid(spark, sf_dir)
     # cell means quantized by the SAME fixed-scale rounding as the
     # query centroid — Spark round() (HALF_UP) == DuckDB round() (half
     # away from zero) on these non-negative products
@@ -3950,12 +3984,17 @@ def sim_prf_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the IVF-served PRF second pass vs the exact PRF
     ranking — the measured cost of serving the expansion through the
     trained index instead of rescoring the corpus (the same harness
-    shape as every other rung's ``*_recall`` twin)."""
-    hits = sim_prf_expand_ivf(spark, sf_dir).select(
+    shape as every other rung's ``*_recall`` twin).
+
+    Round 12 (guide §2.1): both legs ride ONE Rocchio centroid
+    (checkpointed — O(queries) slim rows) instead of each leg
+    re-deriving the cosine-topk + centroid chain in its own subtree."""
+    qc = _prf_centroid(spark, sf_dir).localCheckpoint()
+    hits = _prf_serve_ivf(spark, sf_dir, qc).select(
         "qid", "vec_id", F.lit(1).alias("hit")
     )
     return (
-        sim_prf_expand(spark, sf_dir)
+        _prf_rerank_exact(spark, sf_dir, qc)
         .select("qid", "vec_id")
         .join(hits, ["qid", "vec_id"], "left")
         .groupBy("qid")
@@ -4079,7 +4118,12 @@ def sim_prf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_corpus(spark, sf_dir)
     cents = _trained("kmeans", sf_dir, _kmeans_train, emb)
     assign = _km_assigned(spark, sf_dir)
-    qcent = _prf_centroid(spark, sf_dir)
+    # round 12 (guide §2.1): ONE Rocchio centroid (checkpointed,
+    # O(queries) rows) feeds the probe ranking, the candidate scan AND
+    # the exact-truth leg below — previously the truth leg
+    # (sim_prf_expand) re-derived the whole cosine-topk + centroid
+    # chain in its own subtree, a second full first-pass per call.
+    qcent = _prf_centroid(spark, sf_dir).localCheckpoint()
     cdf = spark.createDataFrame(
         [(cid, vec) for cid, vec in cents],
         "cluster bigint, c array<double>",
@@ -4116,7 +4160,7 @@ def sim_prf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     truth = (
-        sim_prf_expand(spark, sf_dir)
+        _prf_rerank_exact(spark, sf_dir, qcent)
         .select("qid", "vec_id")
         .localCheckpoint()
     )

@@ -3052,6 +3052,11 @@ ORACLE["sample_epoch_oversample"] = f"""
 FUZZY_PREFIX_CHARS = 32
 FUZZY_MAX_EDITS = 16
 FUZZY_BAND_CHARS = 64
+# Sub-block salt width for the fuzzy self-join (round 12, guide §2.5):
+# each (lang, band) block's pair space splits G x G ways so the bounded
+# Levenshtein stage parallelizes past the tiny block-key cardinality.
+# Purely an execution knob — the pair set is independent of G.
+FUZZY_SALT = 8
 
 
 def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3066,23 +3071,70 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Σ|block|²), never corpus × corpus; the band width trades recall
     near band edges for block size, exactly like the LSH band
     parameterization.  Levenshtein on a fixed 48-char prefix bounds
-    per-pair cost regardless of document length."""
+    per-pair cost regardless of document length.
+
+    Round 12 (guide §2.5 — skew/granularity): the block key space is
+    tiny (langs × occupied bands — 46 keys at sf0.1, and still bounded
+    in the thousands at 100 TB), so the Σ|block|² DP work landed on a
+    handful of tasks and the stage ran at ~1 effective core.  Each
+    block's pair space is now split G×G ways with a deterministic salt
+    (g = xxhash64(doc_id) mod G; the a-side fans out over the b-salt,
+    the b-side over the a-salt, so every pair meets exactly once at
+    (g_a, g_b)) — identical pairs and distances, G² times the
+    parallelism of the DP stage.  The join is pinned SHUFFLE_HASH: the
+    planner's broadcast pick runs the whole DP inside the probe side's
+    SCAN tasks (one task on a single small file — measured: the stage
+    ran serial regardless of key salting), while the shuffle spreads
+    the salted keys across every core; at 100 TB broadcast is not on
+    the table for a corpus-sized build side anyway."""
     docs = load(spark, sf_dir, "documents")
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(FUZZY_SALT))
+    # long literals: the salt column is bigint (pmod of xxhash64), and a
+    # type-mismatched fan would make the join key cast(g2 as bigint) —
+    # breaking the repartition-distribution reuse below
+    fan = F.explode(
+        F.array(*[F.lit(j).cast("long") for j in range(FUZZY_SALT)])
+    )
     base = docs.select(
         "doc_id",
         "lang",
         F.lower(F.substring("text", 1, FUZZY_PREFIX_CHARS)).alias("k"),
         (F.col("n_chars") / FUZZY_BAND_CHARS).cast("long").alias("band"),
+        salt.alias("g"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
+    # The DP stage is CPU-bound on byte-tiny rows, so AQE's size-based
+    # partition coalescing (blind to compute) would squash the salted
+    # shuffle back to ~1 task (measured: 2.3 s coalesced vs 0.66 s at
+    # full width).  An explicit repartition by the salted join keys is
+    # exempt from AQE coalescing and lets the join reuse the
+    # distribution instead of adding its own exchange.
+    npart = spark.sparkContext.defaultParallelism
+    a = (
+        base.withColumn("g2", fan)
+        .repartition(npart, "lang", "band", "g", "g2")
+        .alias("a")
+    )
+    b = (
+        base.withColumn("g1", fan)
+        .repartition(npart, "lang", "band", "g1", "g")
+        .hint("SHUFFLE_HASH")
+        .alias("b")
+    )
     # threshold-bounded levenshtein: the DP early-exits once the
     # distance provably exceeds the bound (O(threshold * len) per pair
     # instead of O(len^2)) and returns -1 — same accepted pairs, same
     # reported distances, a constant-factor win on every rejected pair.
     dist = F.levenshtein(F.col("a.k"), F.col("b.k"), FUZZY_MAX_EDITS)
     return (
-        a.join(b, ["lang", "band"])
+        a.join(
+            b,
+            [
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.g") == F.col("b.g1"),
+                F.col("a.g2") == F.col("b.g"),
+            ],
+        )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc1"),
@@ -4146,6 +4198,16 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (i, n1, n2) — so the curve is one conditional aggregation over the
     session store, and the integer predicate below stays exact (no
     rounded-double boundary risk)."""
+    # r11 ADVICE: the store's float pre-filter (jac >= JACCARD_THRESHOLD)
+    # only admits a superset of every curve threshold's integer predicate
+    # BECAUSE min(DEDUP_CURVE_THRESHOLDS)/100 >= JACCARD_THRESHOLD —
+    # lowering a curve threshold below the store's cutoff would silently
+    # undercount.  Enforced here so a future threshold edit fails loudly.
+    assert min(DEDUP_CURVE_THRESHOLDS) >= JACCARD_THRESHOLD * 100, (
+        "dedup_threshold_curve serves from _jaccard_pairs_memo, which "
+        f"pre-filters at jaccard >= {JACCARD_THRESHOLD}; curve thresholds "
+        f"below {JACCARD_THRESHOLD * 100}% need the full self-join"
+    )
     jacc = _jaccard_pairs_memo(spark, sf_dir).select("i", "n1", "n2")
     # integer predicate: J >= t/100  <=>  100*i >= t*(n1+n2-i)
     aggs = [
@@ -4676,38 +4738,58 @@ def text_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     of corpus size (broadcastable by construction — the whole point of
     shipping a Bloom filter instead of the shingle set); probes join it
     K times semi-style and count full matches."""
-    sh = _shingles(spark, sf_dir).select("doc_id", "shingle")
-    train = sh.filter(F.col("doc_id") >= N_BENCH_DOCS)
-    bench = sh.filter(F.col("doc_id") < N_BENCH_DOCS).select("shingle").distinct()
-    bits = None
-    for expr in _bloom_positions_spark("shingle"):
-        part = train.select(F.expr(expr).alias("bit"))
-        bits = part if bits is None else bits.unionByName(part)
-    bits = bits.distinct()
-    probes = None
-    for expr in _bloom_positions_spark("shingle"):
-        part = bench.select("shingle", F.expr(expr).alias("bit"))
-        probes = part if probes is None else probes.unionByName(part)
+    # Round 12 (guide §2.1 — one pass, not eight): the old form derived
+    # the shingle relation (scan + explode + distinct) once per branch —
+    # three bit legs, three probe legs, the truth semi-join and the
+    # bench count, with zero subtree reuse.  Everything downstream only
+    # needs each DISTINCT shingle's ownership class, so ONE
+    # duplicate-idempotent aggregate (max over the membership booleans;
+    # the distinct in _shingles becomes redundant and is skipped)
+    # produces the per-shingle (in_train, in_bench) relation, an eager
+    # localCheckpoint hands its real size to the planner, and the four
+    # output counts are two tiny aggregates over it — no anti/semi
+    # joins, no four-way crossJoin of re-derived subtrees.
+    sh = _shingles(spark, sf_dir, distinct=False).select("doc_id", "shingle")
+    cls = (
+        sh.groupBy("shingle")
+        .agg(
+            F.max(F.col("doc_id") >= N_BENCH_DOCS).alias("in_train"),
+            F.max(F.col("doc_id") < N_BENCH_DOCS).alias("in_bench"),
+        )
+        .localCheckpoint()
+    )
+    pos = [F.expr(e) for e in _bloom_positions_spark("shingle")]
+    bits = (
+        cls.filter("in_train")
+        .select(F.explode(F.array(*pos)).alias("bit"))
+        .distinct()
+    )
+    probes = cls.filter("in_bench").select(
+        "shingle", "in_train", F.explode(F.array(*pos)).alias("bit")
+    )
     hits = (
         probes.join(F.broadcast(bits), "bit")
-        .groupBy("shingle")
+        .groupBy("shingle", "in_train")
         .agg(F.count("*").alias("k_set"))
         .filter(F.col("k_set") == BLOOM_K)
-        .select("shingle")
     )
-    truth = bench.join(
-        train.select("shingle").distinct(), "shingle", "semi"
+    stats = cls.agg(
+        F.sum(F.col("in_bench").cast("long")).alias("n_bench_shingles"),
+        F.sum(
+            (F.col("in_bench") & F.col("in_train")).cast("long")
+        ).alias("n_truly_present"),
     )
-    n_bench = bench.agg(F.count("*").alias("n_bench_shingles"))
-    n_flag = hits.agg(F.count("*").alias("n_maybe_present"))
-    n_true = truth.agg(F.count("*").alias("n_truly_present"))
-    n_fp = hits.join(truth, "shingle", "anti").agg(
-        F.count("*").alias("n_false_positives")
+    hit_stats = hits.agg(
+        F.count("*").alias("n_maybe_present"),
+        F.coalesce(
+            F.sum((~F.col("in_train")).cast("long")), F.lit(0)
+        ).cast("long").alias("n_false_positives"),
     )
-    return (
-        n_bench.crossJoin(n_flag)
-        .crossJoin(n_true)
-        .crossJoin(n_fp)
+    return stats.crossJoin(hit_stats).select(
+        "n_bench_shingles",
+        "n_maybe_present",
+        "n_truly_present",
+        "n_false_positives",
     )
 
 
@@ -7410,7 +7492,18 @@ def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence + slice/array_join, no interpreted per-token lambda in the
     hot aggregate); one owner-count aggregate with map-side combine and
     one join back on the md5 key.  Never all-pairs; span text never
-    shuffles."""
+    shuffles.
+
+    Fingerprint width (r11 verdict #4): the engine-side fingerprint is
+    64-bit xxhash64 (equality-only; it never reaches the output), the
+    oracle keeps 128-bit md5 — equal results absent collisions.  Two
+    distinct spans in one corpus collide at 2^-64 per pair; by the
+    birthday bound, expected spurious merges ~ n²/2^65, negligible
+    through ~10^8 distinct spans and parity-pinned exact at every
+    fixture SF.  At the full 100 TB posture (~10^9-10^10 spans) a
+    128-bit engine fingerprint (two independently seeded xxhash64
+    columns as the shuffle key) restores the md5 collision story at
+    twice the key width — swap it in if that scale is load-bearing."""
     docs = load(spark, sf_dir, "documents")
     spans = docs.select(
         "doc_id",
@@ -7438,11 +7531,19 @@ def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("span_fp"),
     )
-    owners = spans.groupBy("span_fp").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
-    flagged = spans.join(owners, "span_fp").select(
-        "doc_id", (F.col("n_docs") >= 2).cast("long").alias("is_dup")
+    # Round 12 (guide §2.4 — one exchange instead of three): a span is
+    # duplicated iff >= 2 DISTINCT docs own its fingerprint, and over a
+    # window partitioned by the fingerprint that is exactly
+    # min(doc_id) != max(doc_id) — so the owner-count aggregate
+    # (countDistinct = a 2-level shuffle) and the join back onto the
+    # span stream (a third shuffle of the full stream) collapse into
+    # ONE window pass over the span store.
+    wfp = Window.partitionBy("span_fp")
+    flagged = spans.select(
+        "doc_id",
+        (
+            F.min("doc_id").over(wfp) != F.max("doc_id").over(wfp)
+        ).cast("long").alias("is_dup"),
     )
     per_doc = flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
@@ -7520,7 +7621,10 @@ def dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(shards) rows).  Everything else is the span-pairs shape: slim
     (doc_id, j, md5) rows, one owner-count aggregate with map-side
     combine, one join back on the md5 key, then O(runs) aggregates.
-    Span text never shuffles; never all-pairs."""
+    Span text never shuffles; never all-pairs.  Fingerprint width: same
+    64-bit xxhash64 / collision-bound caveat as :func:`dedup_span_pairs`
+    (~n²/2^65 expected spurious merges; use a two-seed 128-bit key if
+    the 10^9+-span scale is load-bearing)."""
     from ..operators.carry import sharded_row_number
 
     docs = load(spark, sf_dir, "documents")
@@ -7543,12 +7647,17 @@ def dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("j", "span_fp"),
     )
-    owners = spans.groupBy("span_fp").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
+    # Round 12: same one-window-pass rewrite as dedup_span_pairs — the
+    # owner countDistinct + join-back become min!=max over a window
+    # partitioned by the fingerprint (>= 2 distinct owners iff the
+    # partition's min and max doc_id differ)
+    wfp = Window.partitionBy("span_fp")
     dup = (
-        spans.join(owners, "span_fp")
-        .filter(F.col("n_docs") >= 2)
+        spans.withColumn(
+            "dup",
+            F.min("doc_id").over(wfp) != F.max("doc_id").over(wfp),
+        )
+        .filter(F.col("dup"))
         .select("doc_id", F.col("j").cast("long").alias("j"))
     )
     isl = sharded_row_number(
@@ -10179,8 +10288,21 @@ def sim_sq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit."""
     emb = load(spark, sf_dir, "embeddings")
     norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
-    stats = F.broadcast(_sq8_stats(emb))
-    truth = sim_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    # Round 12 (r11 verdict item 6 — the "middle form"): the r11 full
+    # leg-tagging of this sweep regressed suite-to-suite and was
+    # reverted, but the isolated 2x win said the per-leg duplication was
+    # real.  The middle ground: cut ONLY the corpus-side common
+    # subtrees — the one-row min/max stats relation and the exact-truth
+    # ranking — with one eager localCheckpoint each, so the four bit
+    # legs stop re-deriving a corpus aggregate + a full cosine pass per
+    # leg, while each leg's quantize/rank/rerank tail stays the small
+    # independent pipeline that won in suite context.
+    stats = F.broadcast(_sq8_stats(emb).localCheckpoint())
+    truth = (
+        sim_cosine_topk(spark, sf_dir)
+        .select("qid", "vec_id")
+        .localCheckpoint()
+    )
     legs = []
     for bits in SQ_BITS:
         lv = (1 << bits) - 1

@@ -1063,8 +1063,11 @@ def _pagerank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 11: layout width from the measured edge count (the
     # pagerank_int / connected_components discipline) — the rank loop's
     # 18 rounds each run stages over this relation, so a small graph
-    # must not pay a 32-way layout per round
-    n_edges = sym.count()
+    # must not pay a 32-way layout per round.  Round 12 (r11 ADVICE):
+    # persist-then-count so the width probe and the layout
+    # materialization share one evaluation of the upstream union.
+    staged = sym.persist()
+    n_edges = staged.count()
     np_ = max(
         1,
         min(
@@ -1072,7 +1075,9 @@ def _pagerank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_edges // 50_000 + 1,
         ),
     )
-    pairs = sym.repartition(np_, "src").persist()
+    pairs = staged.repartition(np_, "src").persist()
+    pairs.count()  # materialize the layout from the staging cache
+    staged.unpersist(blocking=False)
     _LPA_CACHE[key] = pairs
     return pairs
 

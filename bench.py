@@ -22,6 +22,19 @@ queries/clustering.py — the k-means/PQ Lloyd loops train once per
 so the bench measures steady-state serving instead of re-timing the
 noisy many-small-job training chains per query (the round-3 verdict
 measured the same training query swinging 2.9 s <-> 11.1 s run-to-run).
+
+Memo pricing (round-12, r11 verdict item 1): the only work excluded
+from the timed region is the two r10-blessed fitted-model trainings
+(k-means and PQ codebooks, bench_detail.train_legs).  Every other
+session memo — pair stores, component label maps, fingerprint
+relations, assignment/code relations, the PCA basis — is built INSIDE
+the timed region: its owner query is cold-rep timed (COLD_MEMOS: the
+backing memo is dropped before every rep, so best-of-N always pays
+build+serve) and the stdout total therefore accounts for every second
+of index-build work.  Downstream consumers still serve warm — the
+legitimate build-once/serve-many session economics, with the build
+priced into the owner's number.  Warm serve legs are reported
+separately (bench_detail.cold_serve).
 """
 
 from __future__ import annotations
@@ -254,18 +267,28 @@ def _drift(
     anchor_now: float | None,
     cpu_now: float | None = None,
 ) -> float:
-    """Band-relaxing host-drift factor, clamped [1, DRIFT_CAP].  The
-    anchor ratio alone is gameable by a uniform code regression (see
-    cpu_micro_sec); when the bands file records a cpu_micro_ref the
-    factor is the MIN of the two ratios — only drift corroborated by
-    the host-independent probe relaxes the gate."""
-    ref_anchor = bands.get("anchor_r01_shared_total")
-    if not anchor_now or not ref_anchor:
-        return 1.0
-    drift = anchor_now / float(ref_anchor)
+    """Band-relaxing host-drift factor, clamped [1, DRIFT_CAP].
+
+    Round 12 (r11 verdict item 3): the round-11 min(anchor ratio, cpu
+    ratio) conflated host speed with code speed — when this round's
+    code makes the ANCHOR faster on a SLOWER host, the anchor ratio
+    under-states the host drift and every untouched band under-relaxes
+    (the r11 driver capture flagged >=10 untouched queries on a host
+    whose cpu probe read 1.7x the band reference).  The cpu probe is
+    host-only BY CONSTRUCTION (no repo code change can move it), so
+    when the bands file records cpu_micro_ref the gate now uses the cpu
+    ratio ALONE; the anchor ratio is only the fallback for legacy bands
+    without a probe reference.  A uniform code regression still cannot
+    relax the gate (it cannot move the probe), which was the r10 reason
+    for introducing the probe in the first place."""
     cpu_ref = bands.get("cpu_micro_ref")
     if cpu_ref and cpu_now:
-        drift = min(drift, cpu_now / float(cpu_ref))
+        drift = cpu_now / float(cpu_ref)
+    else:
+        ref_anchor = bands.get("anchor_r01_shared_total")
+        if not anchor_now or not ref_anchor:
+            return 1.0
+        drift = anchor_now / float(ref_anchor)
     return min(max(drift, 1.0), DRIFT_CAP)
 
 
@@ -478,20 +501,28 @@ def wait_for_quiet() -> dict:
 
 
 def train_warmup(spark, sf_dir: str) -> dict[str, float]:
-    """Price the TRAIN leg of the trained-index rungs separately
-    (round-10, verdict item 6): touch each session trainer once at the
-    bench sf_dir before the timing loop, so (a) the per-query numbers
-    below are the honest SERVE leg of the "index is trained once,
-    queried many times" posture the docstrings claim, and (b) every
-    trained rung's warmth signature is stable across captures.  The
-    measured legs are reported in bench_detail.json as train_legs; on
-    an already-warm session they read ~0 and say so truthfully."""
+    """Price the TRAIN leg of the trained-codebook rungs separately
+    (round-10, verdict item 6): touch the two fitted-model trainers once
+    at the bench sf_dir before the timing loop, so (a) the ANN rungs'
+    per-query numbers are the honest SERVE leg of the "model is trained
+    once, queried many times" posture, and (b) every trained rung's
+    warmth signature is stable across captures.
+
+    Round 12 (r11 verdict item 1 — re-pricing): the round-11 expansion
+    of this warmup to 16 legs moved ~25-35 s of RESULT-SHAPED memo
+    builds (pair stores, component label maps, fingerprint relations,
+    PCA basis, assignment relations) out of the timed region, which
+    turned ~12 per-query numbers into cache reads.  All of those legs
+    are GONE: only the r10-blessed fitted-model artifacts remain here
+    (the k-means and PQ codebooks, plus the embedding-corpus read they
+    train from).  Every other session memo is now built INSIDE the
+    timed region: its owner query is cold-rep timed (see COLD_MEMOS) so
+    the build cost lands in that query's number and in the stdout
+    total; downstream consumers serve warm, which is the legitimate
+    build-once/serve-many session economics — with the build priced."""
     from beam_scala_examples_spark.queries.clustering import (
         _emb_corpus,
-        _ivf_stride_assigned,
-        _km_assigned,
         _kmeans_train,
-        _pq_codes,
         _pq_train,
         _trained,
     )
@@ -505,93 +536,64 @@ def train_warmup(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         _trained(kind, sf_dir, trainer, emb)
         legs[f"train_{kind}_sec"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _km_assigned(spark, sf_dir).count()
-    legs["kmeans_assign_sec"] = round(time.perf_counter() - t0, 3)
-    # round 11: the stride-IVF assignment and the PQ code relation are
-    # session index artifacts too (build once, serve many) — price the
-    # build here so per-query numbers stay the honest serve leg
-    t0 = time.perf_counter()
-    _ivf_stride_assigned(spark, sf_dir).count()
-    legs["ivf_stride_assign_sec"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _pq_codes(spark, sf_dir).count()
-    legs["pq_encode_sec"] = round(time.perf_counter() - t0, 3)
-    # round 11 (cont.): the PCA basis (covariance + top eigenvector) is
-    # a fitted model artifact shared by four consumers — price its fit
-    # here so their numbers are the honest apply/serve leg
-    from beam_scala_examples_spark.queries.clustering import _pca_v_memo
-
-    t0 = time.perf_counter()
-    _pca_v_memo(spark, sf_dir).count()
-    legs["pca_fit_sec"] = round(time.perf_counter() - t0, 3)
-    # round 11: the verified-Jaccard pair store and the component label
-    # store are ingest-time dedup index artifacts (build once, serve
-    # many) — price the builds here for the same reason
-    from beam_scala_examples_spark.queries.llmdata import (
-        _cc_labels_memo,
-        _jaccard_pairs_memo,
-    )
-
-    t0 = time.perf_counter()
-    _jaccard_pairs_memo(spark, sf_dir).count()
-    legs["jaccard_pairs_sec"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _cc_labels_memo(spark, sf_dir).count()
-    legs["cc_labels_sec"] = round(time.perf_counter() - t0, 3)
-    # round 11 (cont.): the copy-region store (winnowing match/island
-    # pass) is the positional twin of the Jaccard pair store — five
-    # consumers serve from it; price the build here
-    from beam_scala_examples_spark.queries.llmdata import (
-        _winnow_regions_memo,
-    )
-
-    t0 = time.perf_counter()
-    _winnow_regions_memo(spark, sf_dir).count()
-    legs["winnow_regions_sec"] = round(time.perf_counter() - t0, 3)
-    # round 11 (cont.): the multimodal fingerprint relations are stored
-    # indexes too (hash/encode at ingest, serve the slim int64 rows) —
-    # price the three render+fingerprint passes here
-    from beam_scala_examples_spark.queries.llmdata import (
-        _audio_fp_relation,
-        _phash_relation,
-        _video_scene_relation,
-    )
-
-    t0 = time.perf_counter()
-    _phash_relation(spark, sf_dir).count()
-    legs["phash_sec"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _audio_fp_relation(spark, sf_dir).count()
-    legs["audio_fp_sec"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _video_scene_relation(spark, sf_dir).count()
-    legs["video_scene_sec"] = round(time.perf_counter() - t0, 3)
-    # ... and their cluster maps (the image/video twins of
-    # cc_labels_sec): run each components query once so the pointer-
-    # jumping fixpoint is priced as index build, not serve
-    from beam_scala_examples_spark.queries.llmdata import (
-        multimodal_phash_components,
-        multimodal_video_components,
-    )
-
-    t0 = time.perf_counter()
-    multimodal_phash_components(spark, sf_dir).count()
-    legs["phash_cc_sec"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    multimodal_video_components(spark, sf_dir).count()
-    legs["video_cc_sec"] = round(time.perf_counter() - t0, 3)
-    # round 11: the weighted co-purchase pair relation is the shared
-    # base of every co-purchase graph consumer — price its one-time
-    # basket self-join here too
-    from beam_scala_examples_spark.queries.relational import (
-        _copurchase_weighted,
-    )
-
-    t0 = time.perf_counter()
-    _copurchase_weighted(spark, sf_dir).count()
-    legs["copurchase_pairs_sec"] = round(time.perf_counter() - t0, 3)
     return legs
+
+
+# ---------------------------------------------------------------------------
+# Cold-rep timing for memo OWNER queries (round 12, r11 verdict item 1).
+#
+# Session memos whose content IS a query's result (the verified-Jaccard
+# pair store, the component label maps, the multimodal fingerprint
+# relations, the PCA basis, the assignment/code relations, the weighted
+# co-purchase pairs) must have their build cost inside the timed region,
+# charged to the query whose output they are.  For each memo, exactly ONE
+# owner query is timed cold: its backing memo entries are dropped before
+# EVERY rep, so best-of-N is build+serve, never an InMemoryTableScan of a
+# precomputed result.  After the reps the memo is left warm (the last rep
+# rebuilt it), so downstream consumers serve from it exactly as a live
+# session would — with the build already priced into the total.  The warm
+# serve leg is re-measured once per owner and reported separately in
+# bench_detail.json (cold_serve), keeping the r11 serve numbers visible
+# without letting them masquerade as the query's cost.
+# ---------------------------------------------------------------------------
+
+COLD_MEMOS: dict[str, tuple[str, ...]] = {
+    "dedup_jaccard_pairs": ("jacpairs",),
+    "dedup_components": ("cc_labels",),
+    "star_copurchase_pairs": ("wpairs",),
+    "text_winnow_regions": ("regions",),
+    "emb_pca_top_component": ("pcacov", "pcav"),
+    "emb_kmeans": ("kmassign",),
+    "sim_ivf_topk": ("ivfstride",),
+    "sim_pq_topk": ("pqcodes",),
+    "multimodal_phash": ("phash",),
+    "multimodal_audio_fingerprint": ("audiofp",),
+    "multimodal_video_scenes": ("videoscene",),
+    "multimodal_phash_components": ("phash_cc_labels",),
+    "multimodal_video_components": ("video_cc_labels",),
+}
+
+
+def clear_cold_memos(prefixes: tuple[str, ...]) -> None:
+    """Drop (and unpersist) every session-memo entry whose key tag is in
+    ``prefixes`` — the per-query analogue of session.clear_session_memos.
+    Keys are ("tag", applicationId, sf_dir) tuples; matching is on the
+    exact tag so e.g. "phash" never clears "phash_cc_labels"."""
+    from beam_scala_examples_spark.queries.clustering import _KM_CACHE
+    from beam_scala_examples_spark.queries.llmdata import _MINHASH_CACHE
+    from beam_scala_examples_spark.queries.relational import _LPA_CACHE
+
+    for cache in (_MINHASH_CACHE, _KM_CACHE, _LPA_CACHE):
+        hits = [
+            k for k in cache
+            if isinstance(k, tuple) and k and k[0] in prefixes
+        ]
+        for k in hits:
+            df = cache.pop(k)
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
 
 
 def main() -> None:
@@ -663,18 +665,29 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     memo_state: dict[str, dict] = {}
+    cold_serve: dict[str, float] = {}
     for name in names:
         if trace:
             print(f"bench: {name}", file=sys.stderr, flush=True)
         fn = QUERIES[name]
         reps = 3 if name in _R01_HEADLINE else 2
+        cold = COLD_MEMOS.get(name)
         before = memo_snapshot()
         best = float("inf")
         for _ in range(reps):
+            if cold:
+                clear_cold_memos(cold)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        if cold:
+            # the last cold rep left the memo warm — one extra rep prices
+            # the serve leg for bench_detail (informational, never the
+            # query's number)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold_serve[name] = round(time.perf_counter() - t0, 3)
         after = memo_snapshot()
         if before or after != before:
             memo_state[name] = {"warm": before, "built": {
@@ -706,6 +719,8 @@ def main() -> None:
     for name in list(violations):
         fn = QUERIES[name]
         for _ in range(2):
+            if name in COLD_MEMOS:  # confirm reps stay cold like the reps
+                clear_cold_memos(COLD_MEMOS[name])
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = min(
@@ -733,8 +748,17 @@ def main() -> None:
     # ~2000 bytes; the 111-query map overflowed it in round 2).  Under
     # --strict a dirty capture must not overwrite the committed-quality
     # detail file (verdict item 10: keep (stdout, detail) coherent).
+    # Round 12 (r11 verdict item 5): a scaling run at a non-canonical
+    # core count writes bench_detail.c{N}.json instead of clobbering the
+    # canonical 32-core capture's detail — (stdout, detail) pairs stay
+    # coherent for every invocation; the stdout line names the file.
+    cpus_now = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    detail_name = (
+        "bench_detail.json" if cpus_now == "32"
+        else f"bench_detail.c{cpus_now}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     w_skips = warmth_skips(timings, bands, memo_state)
     excused = drift_excused(timings, bands, memo_state, r01_shared, cpu_now)
@@ -760,6 +784,7 @@ def main() -> None:
                     ) if bands else None,
                     "cpu_micro_sec": cpu_now,
                     "train_legs": train_legs,
+                    "cold_serve": cold_serve,
                     "capture": capture,
                     "memo_state": memo_state,
                 },
@@ -787,7 +812,7 @@ def main() -> None:
                 "band_violations": sorted(violations)[:10],
                 "excused": [len(excused), len(w_skips)],
                 "clean": capture["clean"],
-                "detail": "bench_detail.json",
+                "detail": detail_name,
             },
             separators=(",", ":"),
         )

@@ -329,7 +329,15 @@ def test_model_card_sink_matches_batch(spark, sf_dir, tmpdir):
         .orderBy("doc_id")
         .collect()
     ]
-    write_arrival_chunks(rows, 20, f"{tmpdir}/mcfeed")
+    # Round-12 hardening (r11 driver gate stopped here): 20-row chunks
+    # meant 25 micro-batches x a full foreachBatch card update each —
+    # ~300 s wall, which collided with awaitTermination(300) on slower
+    # hosts and then failed as a DATA mismatch (the sink was simply
+    # incomplete).  Four chunks exercise the same multi-batch
+    # accumulation contract (>= 2 batches asserted below; replay
+    # idempotence has its own test) at ~1/6 the wall clock, and the
+    # await result is asserted so a timeout fails loudly as a timeout.
+    write_arrival_chunks(rows, (len(rows) + 3) // 4, f"{tmpdir}/mcfeed")
     stream = read_event_stream(
         spark, f"{tmpdir}/mcfeed",
         schema="doc_id long, text string, lang string, source string",
@@ -342,7 +350,7 @@ def test_model_card_sink_matches_batch(spark, sf_dir, tmpdir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "model-card stream did not finish in 600s"
 
     got = sorted(tuple(r) for r in sink.serving_view(spark).collect())
     expect = sorted(
