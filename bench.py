@@ -24,17 +24,18 @@ noisy many-small-job training chains per query (the round-3 verdict
 measured the same training query swinging 2.9 s <-> 11.1 s run-to-run).
 
 Memo pricing (round-12, r11 verdict item 1): the only work excluded
-from the timed region is the two r10-blessed fitted-model trainings
-(k-means and PQ codebooks, bench_detail.train_legs).  Every other
-session memo — pair stores, component label maps, fingerprint
-relations, assignment/code relations, the PCA basis — is built INSIDE
-the timed region: its owner query is cold-rep timed (COLD_MEMOS: the
-backing memo is dropped before every rep, so best-of-N always pays
-build+serve) and the stdout total therefore accounts for every second
-of index-build work.  Downstream consumers still serve warm — the
-legitimate build-once/serve-many session economics, with the build
-priced into the owner's number.  Warm serve legs are reported
-separately (bench_detail.cold_serve).
+from the reported value is the two r10-blessed fitted-model trainings
+(k-means and PQ codebooks, bench_detail.train_legs); the embedding-
+corpus read they train from is measured as a warmup leg but FOLDED
+into the stdout value.  Every other session memo — pair stores,
+component label maps, fingerprint relations, assignment/code
+relations, the PCA basis — is built INSIDE the timed region: its owner
+query is cold-rep timed (COLD_MEMOS: the backing memo is dropped
+before every rep, so best-of-N always pays build+serve) and the stdout
+total therefore accounts for every second of build work.  Downstream
+consumers still serve warm — the legitimate build-once/serve-many
+session economics, with the build priced into the owner's number.
+Warm serve legs are reported separately (bench_detail.cold_serve).
 """
 
 from __future__ import annotations
@@ -694,7 +695,16 @@ def main() -> None:
                 k: v for k, v in after.items() if before.get(k, 0) != v
             }}
 
-    total = round(sum(timings.values()), 3)
+    # Round 12 (r11 verdict item 1, strict reading): the ONLY work
+    # excluded from the reported value is the two r10-blessed codebook
+    # trainings; every other warmup leg (today: just the embedding-
+    # corpus read they train from) is folded into the stdout value, so
+    # the total accounts for every second of build work.
+    untimed_blessed = ("train_kmeans_sec", "train_pq_sec")
+    folded_legs = round(
+        sum(v for k, v in train_legs.items() if k not in untimed_blessed), 3
+    )
+    total = round(sum(timings.values()) + folded_legs, 3)
     # Aux key for fair round-over-round comparison: the headline set has
     # grown (24 queries in BENCH_r01 -> the full set above), so the raw
     # total is not comparable across rounds; this is the total over the
@@ -727,7 +737,7 @@ def main() -> None:
                 timings[name], round(time.perf_counter() - t0, 3)
             )
     if violations:
-        total = round(sum(timings.values()), 3)
+        total = round(sum(timings.values()) + folded_legs, 3)
         r01_shared = round(
             sum(t for n, t in timings.items() if n in _R01_HEADLINE), 3
         )
@@ -784,6 +794,7 @@ def main() -> None:
                     ) if bands else None,
                     "cpu_micro_sec": cpu_now,
                     "train_legs": train_legs,
+                    "train_legs_folded_into_value_sec": folded_legs,
                     "cold_serve": cold_serve,
                     "capture": capture,
                     "memo_state": memo_state,

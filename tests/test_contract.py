@@ -145,18 +145,25 @@ def test_band_gate_is_drift_proof():
 def test_drift_requires_cpu_corroboration():
     """Round-11 (round-10 ADVICE, medium): the anchor-derived drift
     factor alone cannot tell a slower host from a uniform code
-    regression.  When the bands file records the host-independent CPU
-    probe reference, the gate's relaxing factor is min(anchor ratio,
-    cpu ratio):
+    regression.  Round-12 (r11 verdict item 3): when the bands file
+    records the host-independent CPU probe reference, the gate's
+    relaxing factor is the cpu ratio ALONE — the round-11 min(anchor,
+    cpu) under-relaxed every untouched band whenever a round's code
+    made the ANCHOR faster on a SLOWER host (the r11 driver capture
+    flagged >=10 untouched queries exactly this way):
 
     (a) genuine host slowdown (cpu probe also 2.2x) -> bands relax,
-        no flags — the round-10 behavior preserved;
+        no flags;
     (b) uniform CODE regression (anchor 2.2x, cpu probe flat) -> the
-        gate does NOT relax: every slowed query is flagged, closing the
-        'a change can slow up to ~8x without tripping' hole;
+        gate does NOT relax (a code change cannot move the probe):
+        every slowed query is flagged;
     (c) raw-band breaches excused by corroborated drift are surfaced
         (drift_excused) and fail a --strict run (exit 5) instead of
-        vanishing into the relaxed gate."""
+        vanishing into the relaxed gate;
+    (d) the r11 failure mode: slower host (cpu 2.2x) whose anchor
+        moved only 1.1x because this round's code made the anchor
+        faster -> untouched queries at host-drifted 2.2x must NOT
+        flag (min() flagged them; cpu-alone excuses them)."""
     import bench
 
     bands = {
@@ -171,6 +178,10 @@ def test_drift_requires_cpu_corroboration():
     # (b) cpu probe flat: the 2.2x is code, not host -> both flagged
     flagged = bench.band_violations(slowed, bands, {}, 22.0, 0.02)
     assert set(flagged) == {"a", "b"}
+    # (d) slower host masked by faster code: anchor only 1.1x but the
+    # probe reads 2.2x -> cpu-alone relaxation, no false flags
+    assert bench.band_violations(slowed, bands, {}, 11.0, 0.044) == {}
+    assert round(bench._drift(bands, 11.0, 0.044), 9) == 2.2
     # legacy bands without the probe keep the round-10 anchor fallback
     legacy = {k: v for k, v in bands.items() if k != "cpu_micro_ref"}
     assert bench.band_violations(slowed, legacy, {}, 22.0, 0.02) == {}
